@@ -3,36 +3,82 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``dataengineeringpipeline_spark/``; this module
+only wires (spark, sf_dir) -> DataFrame callables to their DuckDB oracle
+SQL twins (``dataengineeringpipeline_spark/oracles.py``).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataengineeringpipeline_spark import cleaning, gold
+from dataengineeringpipeline_spark.oracles import ORACLES
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _silver_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaning.clean_orders(_orders(spark, sf_dir))
+
+
+def _silver_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaning.clean_customers(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "region"),
+    ).drop("geography")  # struct kept in the library API; flat cols for the oracle
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: bronze→silver cleaning → daily sales summary."""
+    return gold.daily_sales_summary(_silver_orders(spark, SF0001))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # -- bronze→silver cleaning (P1/P4/P6, §2.8 scalar functions) -------
+        "silver_orders": _silver_orders,
+        "silver_customers": _silver_customers,
+        "silver_parts": lambda spark, sf: cleaning.clean_parts(_read(spark, sf, "part")),
+        "silver_lineitems": lambda spark, sf: cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+        # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
+        "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
+        "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
+        "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
+        "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
+            _silver_orders(spark, sf)
+        ),
+        "customer_lifetime_metrics": lambda spark, sf: gold.customer_lifetime_metrics(
+            _silver_orders(spark, sf)
+        ),
+        "customer_analytics": lambda spark, sf: gold.customer_analytics(
+            _silver_customers(spark, sf), _silver_orders(spark, sf)
+        ),
+        "segment_summary": lambda spark, sf: gold.segment_summary(
+            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
+        ),
+        "category_performance": lambda spark, sf: gold.category_performance(
+            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+            cleaning.clean_parts(_read(spark, sf, "part")),
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each query (sans non-SQL-expressible ops)."""
+    return {name: ORACLES[name] for name in queries() if name in ORACLES}

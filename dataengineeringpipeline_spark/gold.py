@@ -1,0 +1,322 @@
+"""Silver→Gold analytics aggregations.
+
+Re-expresses the reference gold Glue jobs
+(``silver_to_gold_sales_summary.py``, ``silver_to_gold_customer_analytics.py``)
+on the testdata star schema: hash aggregations with single / composite
+keys, conditional aggregation, pivot, window ranks, percent-of-total via
+unpartitioned window (not ``collect()`` — SURVEY.md §4.2-3), left-join
+enrichment with ``fillna`` defaults, RFM scoring, segmentation, and the
+union'd comprehensive summary.
+
+Scale notes:
+
+- each summary is exactly one shuffle on its grouping key; partial
+  (map-side) aggregation is automatic for all the agg functions used here;
+- dimension enrichments broadcast the small side explicitly;
+- the pivot passes **explicit values** so Spark skips the extra distinct
+  scan (``silver_to_gold_customer_analytics.py:157`` anti-pattern fixed);
+- percent-of-total uses a scalar-aggregate cross join (AQE turns it into a
+  broadcast) instead of driver-side ``collect`` so the whole plan stays
+  lazy and distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.functions import det_stddev, money_avg, money_sum, pct_of, sum_long
+
+# ---------------------------------------------------------------------------
+# Sales summaries (silver_to_gold_sales_summary.py:117-232)
+# ---------------------------------------------------------------------------
+
+
+def daily_sales_summary(silver_orders: DataFrame) -> DataFrame:
+    """Daily sales: 8 aggregate measures over complete orders (A1)."""
+    return (
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("order_date")
+        .agg(
+            F.count("*").alias("total_orders"),
+            F.countDistinct("customer_key").alias("unique_customers"),
+            money_sum("total_price", "total_revenue"),
+            money_avg("total_price", "avg_order_value"),
+            F.min("total_price").alias("min_order_value"),
+            F.max("total_price").alias("max_order_value"),
+            det_stddev("total_price", "order_value_stddev"),
+        )
+        .orderBy("order_date")
+    )
+
+
+def monthly_sales_summary(silver_orders: DataFrame) -> DataFrame:
+    """Monthly sales by composite key incl. active-day count (A2)."""
+    return (
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count("*").alias("total_orders"),
+            F.countDistinct("customer_key").alias("unique_customers"),
+            F.countDistinct("order_date").alias("active_days"),
+            money_sum("total_price", "total_revenue"),
+            money_avg("total_price", "avg_order_value"),
+        )
+        .withColumn(
+            "month_start",
+            F.to_date(
+                F.concat_ws("-", F.col("order_year"), F.lpad(F.col("order_month"), 2, "0"), F.lit("01"))
+            ),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+def priority_performance(silver_orders: DataFrame) -> DataFrame:
+    """Revenue by order priority with rank + percent-of-total (W2 + A6).
+
+    The grand total is an unpartitioned window sum — idiomatic-Spark
+    replacement for the reference's ``agg(...).collect()[0][0]`` scalar
+    (``silver_to_gold_sales_summary.py:263-268``); on the tiny aggregated
+    frame (a handful of rows) the single-task window is free.
+    """
+    agg = (
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("order_priority")
+        .agg(
+            F.count("*").alias("total_orders"),
+            money_sum("total_price", "priority_revenue"),
+        )
+    )
+    total_w = Window.partitionBy()
+    rank_w = Window.orderBy(F.desc("priority_revenue"), F.asc("order_priority"))
+    return (
+        agg.withColumn(
+            "revenue_share_pct",
+            F.col("priority_revenue")
+            / F.sum(F.col("priority_revenue").cast("decimal(27,2)")).over(total_w).cast("double")
+            * 100.0,
+        )
+        .withColumn("priority_rank", F.row_number().over(rank_w))
+        .orderBy("priority_rank")
+    )
+
+
+def comprehensive_sales_summary(silver_orders: DataFrame) -> DataFrame:
+    """Union of schema-aligned daily + monthly summaries tagged with a
+    ``summary_type`` literal (U1 — ``silver_to_gold_sales_summary.py:334-378``)."""
+    daily = daily_sales_summary(silver_orders).select(
+        F.lit("daily").alias("summary_type"),
+        F.date_format("order_date", "yyyy-MM-dd").alias("period"),
+        "total_orders",
+        "unique_customers",
+        "total_revenue",
+        "avg_order_value",
+    )
+    monthly = monthly_sales_summary(silver_orders).select(
+        F.lit("monthly").alias("summary_type"),
+        F.date_format("month_start", "yyyy-MM-dd").alias("period"),
+        "total_orders",
+        "unique_customers",
+        "total_revenue",
+        "avg_order_value",
+    )
+    return daily.unionByName(monthly).orderBy("summary_type", "period")
+
+
+# ---------------------------------------------------------------------------
+# Customer analytics (silver_to_gold_customer_analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def customer_lifetime_metrics(silver_orders: DataFrame) -> DataFrame:
+    """Per-customer lifetime metrics (A3, 11-measure variant)."""
+    return (
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("customer_key")
+        .agg(
+            F.count("*").alias("total_orders"),
+            money_sum("total_price", "lifetime_value"),
+            money_avg("total_price", "avg_order_value"),
+            F.min("total_price").alias("min_order_value"),
+            F.max("total_price").alias("max_order_value"),
+            F.min("order_date").alias("first_order_date"),
+            F.max("order_date").alias("last_order_date"),
+            F.countDistinct("order_year").alias("active_years"),
+            F.min("days_since_order").alias("recency_days"),
+            F.sum(F.when(F.col("order_size_category") == "EXTRA_LARGE", 1).otherwise(0)).alias(
+                "extra_large_orders"
+            ),
+        )
+    )
+
+
+SIZE_PIVOT_VALUES = ["SMALL", "MEDIUM", "LARGE", "EXTRA_LARGE"]
+
+
+def order_size_distribution(silver_orders: DataFrame) -> DataFrame:
+    """Per-customer pivot of order counts by size category (A5).
+
+    Explicit pivot values skip the distinct-discovery scan (fixes
+    SURVEY.md §4.2-5). Output columns ``size_<label>_orders``.
+    """
+    pivoted = (
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("customer_key")
+        .pivot("order_size_category", SIZE_PIVOT_VALUES)
+        .count()
+        .fillna(0, subset=SIZE_PIVOT_VALUES)
+    )
+    for v in SIZE_PIVOT_VALUES:
+        pivoted = pivoted.withColumnRenamed(v, f"size_{v.lower()}_orders")
+    return pivoted
+
+
+def rfm_scores(metrics: DataFrame) -> DataFrame:
+    """RFM 1–5 scoring + concatenated code
+    (``silver_to_gold_customer_analytics.py:284-315``).
+
+    Threshold-based (like the reference), not quantile-based, so scoring
+    is a narrow projection and oracle-deterministic.
+    """
+    r = (
+        F.when(F.col("recency_days") <= 600, 5)
+        .when(F.col("recency_days") <= 900, 4)
+        .when(F.col("recency_days") <= 1400, 3)
+        .when(F.col("recency_days") <= 2000, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("total_orders") >= 25, 5)
+        .when(F.col("total_orders") >= 15, 4)
+        .when(F.col("total_orders") >= 8, 3)
+        .when(F.col("total_orders") >= 3, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("lifetime_value") >= 4_000_000, 5)
+        .when(F.col("lifetime_value") >= 3_000_000, 4)
+        .when(F.col("lifetime_value") >= 2_000_000, 3)
+        .when(F.col("lifetime_value") >= 1_000_000, 2)
+        .otherwise(1)
+    )
+    return (
+        metrics.withColumn("recency_score", r)
+        .withColumn("frequency_score", f_)
+        .withColumn("monetary_score", m)
+        .withColumn(
+            "rfm_code",
+            F.concat(F.col("recency_score"), F.col("frequency_score"), F.col("monetary_score")),
+        )
+    )
+
+
+FILL_DEFAULTS = {
+    "total_orders": 0,
+    "lifetime_value": 0.0,
+    "avg_order_value": 0.0,
+    "min_order_value": 0.0,
+    "max_order_value": 0.0,
+    "active_years": 0,
+    "extra_large_orders": 0,
+    "size_small_orders": 0,
+    "size_medium_orders": 0,
+    "size_large_orders": 0,
+    "size_extra_large_orders": 0,
+}
+
+
+def customer_analytics(silver_customers: DataFrame, silver_orders: DataFrame) -> DataFrame:
+    """Customer 360: dim ⟕ lifetime metrics ⟕ size pivot, null-defaulted,
+    RFM-scored, lifecycle-staged (J1/J2 + P5 + A5).
+
+    Join strategy: both aggregate sides are keyed on ``customer_key`` —
+    at scale these are shuffle joins on the same key, so Catalyst reuses
+    one exchange; the customer dim side carries no skew (unique keys).
+    """
+    metrics = rfm_scores(customer_lifetime_metrics(silver_orders))
+    sizes = order_size_distribution(silver_orders)
+    joined = (
+        silver_customers.join(metrics, "customer_key", "left")
+        .join(sizes, "customer_key", "left")
+        .fillna(FILL_DEFAULTS)
+    )
+    lifecycle = (
+        F.when(F.col("total_orders") == 0, "PROSPECT")
+        .when(F.col("recency_days") <= 720, "ACTIVE")
+        .when(F.col("recency_days") <= 1500, "AT_RISK")
+        .otherwise("CHURNED")
+    )
+    return joined.withColumn("lifecycle_stage", lifecycle)
+
+
+def segment_summary(analytics: DataFrame) -> DataFrame:
+    """CLV-threshold segmentation + per-segment rollup (A8 —
+    ``silver_to_gold_sales_summary.py:288-311``)."""
+    segment = (
+        F.when(F.col("lifetime_value") >= 4_000_000, "PLATINUM")
+        .when(F.col("lifetime_value") >= 3_000_000, "GOLD")
+        .when(F.col("lifetime_value") >= 1_500_000, "SILVER")
+        .otherwise("BRONZE")
+    )
+    return (
+        analytics.withColumn("customer_segment", segment)
+        .groupBy("customer_segment")
+        .agg(
+            F.count("*").alias("customer_count"),
+            money_sum("lifetime_value", "segment_revenue"),
+            money_avg("lifetime_value", "avg_lifetime_value"),
+            money_avg("total_orders", "avg_order_count"),
+        )
+        .orderBy("customer_segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part / category performance (lineitem-grain, the big fact at scale)
+# ---------------------------------------------------------------------------
+
+
+def category_performance(silver_lineitems: DataFrame, silver_parts: DataFrame) -> DataFrame:
+    """Revenue by part category with rank + share-of-total (A1+W2+A6 over
+    the *large* fact table).
+
+    Plan shape at 100 TB: lineitem aggregates **first** on ``part_key``
+    (map-side partial agg shrinks the shuffle), then broadcast-joins the
+    parts dim, then re-aggregates on the low-cardinality category — never
+    join the raw fact to the dim before reducing it.
+    """
+    per_part = silver_lineitems.groupBy("part_key").agg(
+        money_sum("net_revenue", "part_revenue", scale=4),
+        F.sum("quantity").alias("part_quantity"),
+        F.count("*").alias("line_count"),
+    )
+    cat = (
+        per_part.join(F.broadcast(silver_parts.select("part_key", "part_category")), "part_key", "left")
+        .groupBy("part_category")
+        .agg(
+            money_sum("part_revenue", "category_revenue", scale=4),
+            F.sum("part_quantity").alias("category_quantity"),
+            F.sum("line_count").alias("line_count"),
+            F.countDistinct("part_key").alias("distinct_parts"),
+        )
+    )
+    total_w = Window.partitionBy()
+    rank_w = Window.orderBy(F.desc("category_revenue"), F.asc("part_category"))
+    return (
+        cat.withColumn(
+            "revenue_share_pct",
+            F.col("category_revenue")
+            / F.sum(F.col("category_revenue").cast("decimal(27,4)")).over(total_w).cast("double")
+            * 100.0,
+        )
+        .withColumn("category_rank", F.row_number().over(rank_w))
+        .orderBy("category_rank")
+    )
+
+
+def top_n(df: DataFrame, order_col: str, n: int = 1, tiebreak: str | None = None) -> DataFrame:
+    """Top-N selection (W3/O2): ``orderBy(desc).limit(n)`` — Spark plans
+    this as TakeOrderedAndProject (no full sort)."""
+    keys = [F.desc(order_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    return df.orderBy(*keys).limit(n)

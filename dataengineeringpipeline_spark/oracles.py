@@ -1,0 +1,344 @@
+"""DuckDB oracle SQL twins for the driver correctness gate.
+
+Every SQL string here is the ANSI-SQL equivalent of one ``queries()``
+entry in ``__spark_entry__.py``, written so that Spark and DuckDB produce
+**bit-identical** values:
+
+- row-level derivations are plain double arithmetic (IEEE 754 scalar ops
+  are engine-independent) with *no rounding* — ``round()`` semantics near
+  half-boundaries differ between engines;
+- aggregate sums go through exact DECIMAL casts (order-independent) and
+  convert to double only at the end;
+- stddev uses the sum-of-squares formula over exact decimal sums with the
+  final arithmetic in doubles, mirroring
+  :func:`dataengineeringpipeline_spark.functions.det_stddev` op-for-op;
+- DuckDB type quirks are normalized: ``year()``-family returns BIGINT
+  (cast to INTEGER to match Spark), ``SUM(BIGINT)`` returns HUGEINT (cast
+  to BIGINT), ``dayofweek`` is Sunday=0 (Spark: Sunday=1 → ``+1``),
+  ``concat`` ignores NULLs (use ``||`` which propagates them).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregate fragments (SQL twins of functions/__init__.py)
+# ---------------------------------------------------------------------------
+
+
+def dec2dbl(expr: str) -> str:
+    """Decimal→double via VARCHAR: DuckDB's direct decimal→double cast
+    double-rounds (int128→double, then /10^scale) once the unscaled value
+    exceeds 2^53; the string parse is correctly rounded, matching the JVM
+    (BigDecimal falls back to ``Double.parseDouble(toString())`` above
+    2^52). Required for bit-exact parity with Spark's decimal sums."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+def money_sum_sql(col: str, scale: int = 2) -> str:
+    return dec2dbl(f"SUM(CAST({col} AS DECIMAL(27,{scale})))")
+
+
+def money_avg_sql(col: str, scale: int = 2) -> str:
+    return f"{money_sum_sql(col, scale)} / COUNT({col})"
+
+
+def det_stddev_sql(col: str, scale: int = 2) -> str:
+    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    sx = money_sum_sql(col, scale)
+    dec = f"CAST({col} AS DECIMAL(18,{scale}))"
+    sxx = dec2dbl(f"SUM({dec} * {dec})")
+    return (
+        f"CASE WHEN COUNT({col}) > 1 THEN "
+        f"sqrt(greatest(({n}*{sxx} - {sx}*{sx}) / ({n}*({n} - 1.0)), 0.0)) END"
+    )
+
+
+def sum_long_sql(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Silver-layer CTE bodies (twins of cleaning.py)
+# ---------------------------------------------------------------------------
+
+_ORDER_SIZE_CASE = (
+    "CASE WHEN o_totalprice < 50000.0 THEN 'SMALL' "
+    "WHEN o_totalprice < 150000.0 THEN 'MEDIUM' "
+    "WHEN o_totalprice < 300000.0 THEN 'LARGE' "
+    "WHEN o_totalprice IS NOT NULL THEN 'EXTRA_LARGE' END"
+)
+
+_IS_COMPLETE = (
+    "COALESCE(upper(trim(o_orderstatus)) IN ('O','F','P') "
+    "AND o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) > 0 "
+    "AND o_orderdate IS NOT NULL, FALSE)"
+)
+
+SILVER_ORDERS = f"""
+SELECT
+  o_orderkey AS order_key,
+  o_custkey AS customer_key,
+  upper(trim(o_orderstatus)) AS order_status,
+  COALESCE(upper(trim(o_orderstatus)) IN ('O','F','P'), FALSE) AS is_valid_status,
+  CAST(o_totalprice AS DOUBLE) AS total_price,
+  COALESCE(o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) > 0, FALSE) AS is_valid_price,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+  CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_month,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_quarter,
+  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS order_day_of_week,
+  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_day_of_year,
+  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_week_of_year,
+  dayname(CAST(o_orderdate AS DATE)) AS order_day_name,
+  {_ORDER_SIZE_CASE} AS order_size_category,
+  upper(trim(o_orderpriority)) AS order_priority,
+  CAST(str_split(trim(o_orderpriority), '-')[1] AS INTEGER) AS priority_level,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-12-31') AS INTEGER) AS days_since_order,
+  {_IS_COMPLETE} AS is_complete_order
+FROM orders
+""".strip()
+
+SILVER_CUSTOMERS = """
+SELECT
+  c.c_custkey AS customer_key,
+  COALESCE(trim(c.c_name), 'Unknown') AS customer_name,
+  upper(trim(c.c_mktsegment)) AS market_segment,
+  CAST(c.c_acctbal AS DOUBLE) AS account_balance,
+  COALESCE(c.c_acctbal IS NOT NULL AND CAST(c.c_acctbal AS DOUBLE) >= 0, FALSE) AS is_balance_nonnegative,
+  CASE WHEN c.c_acctbal < 0.0 THEN 'NEGATIVE'
+       WHEN c.c_acctbal < 2500.0 THEN 'LOW'
+       WHEN c.c_acctbal < 7500.0 THEN 'MEDIUM'
+       WHEN c.c_acctbal IS NOT NULL THEN 'HIGH' END AS balance_tier,
+  c.c_nationkey AS nation_key,
+  upper(trim(n.n_name)) AS nation_name,
+  upper(trim(r.r_name)) AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""".strip()
+
+SILVER_PARTS = """
+SELECT
+  p_partkey AS part_key,
+  regexp_replace(trim(p_name), '\\s+', ' ', 'g') AS part_name,
+  upper(trim(p_brand)) AS brand,
+  upper(trim(p_type)) AS part_type,
+  str_split(upper(trim(p_type)), ' ')[1] AS part_category,
+  p_size AS part_size,
+  CASE WHEN p_size < 10 THEN 'COMPACT'
+       WHEN p_size < 25 THEN 'SMALL'
+       WHEN p_size < 40 THEN 'MEDIUM'
+       WHEN p_size IS NOT NULL THEN 'LARGE' END AS size_category,
+  CAST(p_retailprice AS DOUBLE) AS retail_price,
+  CASE WHEN p_retailprice < 930.0 THEN 'BUDGET'
+       WHEN p_retailprice < 960.0 THEN 'STANDARD'
+       WHEN p_retailprice < 990.0 THEN 'PREMIUM'
+       WHEN p_retailprice IS NOT NULL THEN 'LUXURY' END AS price_tier,
+  COALESCE(p_retailprice IS NOT NULL AND CAST(p_retailprice AS DOUBLE) > 0, FALSE) AS is_valid_price
+FROM part
+""".strip()
+
+SILVER_LINEITEMS = """
+SELECT
+  l_orderkey AS order_key,
+  l_partkey AS part_key,
+  l_suppkey AS supplier_key,
+  l_linenumber AS line_number,
+  CAST(l_quantity AS DOUBLE) AS quantity,
+  CAST(l_extendedprice AS DOUBLE) AS extended_price,
+  CAST(l_discount AS DOUBLE) AS discount,
+  CAST(l_tax AS DOUBLE) AS tax,
+  CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) AS net_revenue,
+  CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) * (1 + CAST(l_tax AS DOUBLE)) AS gross_revenue,
+  upper(trim(l_returnflag)) AS return_flag,
+  upper(trim(l_linestatus)) AS line_status,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  COALESCE(l_discount BETWEEN 0.0 AND 1.0, FALSE) AS is_valid_discount
+FROM lineitem
+""".strip()
+
+
+def _with(ctes: dict[str, str], body: str) -> str:
+    parts = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ctes.items())
+    return f"WITH {parts}\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# Gold-layer oracle statements (twins of gold.py)
+# ---------------------------------------------------------------------------
+
+_DAILY_BODY = f"""
+SELECT order_date,
+  COUNT(*) AS total_orders,
+  COUNT(DISTINCT customer_key) AS unique_customers,
+  {money_sum_sql('total_price')} AS total_revenue,
+  {money_avg_sql('total_price')} AS avg_order_value,
+  MIN(total_price) AS min_order_value,
+  MAX(total_price) AS max_order_value,
+  {det_stddev_sql('total_price')} AS order_value_stddev
+FROM silver_orders WHERE is_complete_order GROUP BY order_date
+""".strip()
+
+_MONTHLY_BODY = f"""
+SELECT order_year, order_month,
+  COUNT(*) AS total_orders,
+  COUNT(DISTINCT customer_key) AS unique_customers,
+  COUNT(DISTINCT order_date) AS active_days,
+  {money_sum_sql('total_price')} AS total_revenue,
+  {money_avg_sql('total_price')} AS avg_order_value,
+  make_date(order_year, order_month, 1) AS month_start
+FROM silver_orders WHERE is_complete_order GROUP BY order_year, order_month
+""".strip()
+
+_PRIORITY_BODY = f"""
+SELECT order_priority, total_orders, priority_revenue,
+  priority_revenue / CAST(CAST(SUM(CAST(priority_revenue AS DECIMAL(27,2))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
+  ROW_NUMBER() OVER (ORDER BY priority_revenue DESC, order_priority ASC) AS priority_rank
+FROM (
+  SELECT order_priority, COUNT(*) AS total_orders, {money_sum_sql('total_price')} AS priority_revenue
+  FROM silver_orders WHERE is_complete_order GROUP BY order_priority
+)
+""".strip()
+
+_COMPREHENSIVE_BODY = f"""
+SELECT 'daily' AS summary_type, strftime(order_date, '%Y-%m-%d') AS period,
+  total_orders, unique_customers, total_revenue, avg_order_value
+FROM ({_DAILY_BODY})
+UNION ALL
+SELECT 'monthly' AS summary_type, strftime(month_start, '%Y-%m-%d') AS period,
+  total_orders, unique_customers, total_revenue, avg_order_value
+FROM ({_MONTHLY_BODY})
+""".strip()
+
+_LIFETIME_METRICS_BODY = f"""
+SELECT customer_key,
+  COUNT(*) AS total_orders,
+  {money_sum_sql('total_price')} AS lifetime_value,
+  {money_avg_sql('total_price')} AS avg_order_value,
+  MIN(total_price) AS min_order_value,
+  MAX(total_price) AS max_order_value,
+  MIN(order_date) AS first_order_date,
+  MAX(order_date) AS last_order_date,
+  COUNT(DISTINCT order_year) AS active_years,
+  MIN(days_since_order) AS recency_days,
+  {sum_long_sql("CASE WHEN order_size_category = 'EXTRA_LARGE' THEN 1 ELSE 0 END")} AS extra_large_orders
+FROM silver_orders WHERE is_complete_order GROUP BY customer_key
+""".strip()
+
+_RFM_SQL = """
+SELECT *,
+  CASE WHEN recency_days <= 600 THEN 5 WHEN recency_days <= 900 THEN 4
+       WHEN recency_days <= 1400 THEN 3 WHEN recency_days <= 2000 THEN 2 ELSE 1 END AS recency_score,
+  CASE WHEN total_orders >= 25 THEN 5 WHEN total_orders >= 15 THEN 4
+       WHEN total_orders >= 8 THEN 3 WHEN total_orders >= 3 THEN 2 ELSE 1 END AS frequency_score,
+  CASE WHEN lifetime_value >= 4000000 THEN 5 WHEN lifetime_value >= 3000000 THEN 4
+       WHEN lifetime_value >= 2000000 THEN 3 WHEN lifetime_value >= 1000000 THEN 2 ELSE 1 END AS monetary_score
+FROM lifetime_metrics
+""".strip()
+
+_SIZES_SQL = """
+SELECT customer_key,
+  COUNT(*) FILTER (WHERE order_size_category = 'SMALL') AS size_small_orders,
+  COUNT(*) FILTER (WHERE order_size_category = 'MEDIUM') AS size_medium_orders,
+  COUNT(*) FILTER (WHERE order_size_category = 'LARGE') AS size_large_orders,
+  COUNT(*) FILTER (WHERE order_size_category = 'EXTRA_LARGE') AS size_extra_large_orders
+FROM silver_orders WHERE is_complete_order GROUP BY customer_key
+""".strip()
+
+_ANALYTICS_BODY = """
+SELECT
+  sc.customer_key, sc.customer_name, sc.market_segment, sc.account_balance,
+  sc.is_balance_nonnegative, sc.balance_tier, sc.nation_key, sc.nation_name, sc.region_name,
+  COALESCE(m.total_orders, 0) AS total_orders,
+  COALESCE(m.lifetime_value, 0.0) AS lifetime_value,
+  COALESCE(m.avg_order_value, 0.0) AS avg_order_value,
+  COALESCE(m.min_order_value, 0.0) AS min_order_value,
+  COALESCE(m.max_order_value, 0.0) AS max_order_value,
+  m.first_order_date, m.last_order_date,
+  COALESCE(m.active_years, 0) AS active_years,
+  m.recency_days,
+  COALESCE(m.extra_large_orders, 0) AS extra_large_orders,
+  m.recency_score, m.frequency_score, m.monetary_score,
+  CAST(m.recency_score AS VARCHAR) || CAST(m.frequency_score AS VARCHAR) || CAST(m.monetary_score AS VARCHAR) AS rfm_code,
+  COALESCE(s.size_small_orders, 0) AS size_small_orders,
+  COALESCE(s.size_medium_orders, 0) AS size_medium_orders,
+  COALESCE(s.size_large_orders, 0) AS size_large_orders,
+  COALESCE(s.size_extra_large_orders, 0) AS size_extra_large_orders,
+  CASE WHEN COALESCE(m.total_orders, 0) = 0 THEN 'PROSPECT'
+       WHEN m.recency_days <= 720 THEN 'ACTIVE'
+       WHEN m.recency_days <= 1500 THEN 'AT_RISK'
+       ELSE 'CHURNED' END AS lifecycle_stage
+FROM silver_customers sc
+LEFT JOIN rfm m ON sc.customer_key = m.customer_key
+LEFT JOIN sizes s ON sc.customer_key = s.customer_key
+""".strip()
+
+_SEGMENT_BODY = f"""
+SELECT customer_segment,
+  COUNT(*) AS customer_count,
+  {money_sum_sql('lifetime_value')} AS segment_revenue,
+  {money_avg_sql('lifetime_value')} AS avg_lifetime_value,
+  {money_avg_sql('total_orders')} AS avg_order_count
+FROM (
+  SELECT CASE WHEN lifetime_value >= 4000000 THEN 'PLATINUM'
+              WHEN lifetime_value >= 3000000 THEN 'GOLD'
+              WHEN lifetime_value >= 1500000 THEN 'SILVER'
+              ELSE 'BRONZE' END AS customer_segment, lifetime_value, total_orders
+  FROM (
+    SELECT COALESCE(m.lifetime_value, 0.0) AS lifetime_value,
+           COALESCE(m.total_orders, 0) AS total_orders
+    FROM customer c LEFT JOIN lifetime_metrics m ON c.c_custkey = m.customer_key
+  )
+) GROUP BY customer_segment
+""".strip()
+
+_CATEGORY_BODY = f"""
+SELECT part_category, category_revenue, category_quantity, line_count, distinct_parts,
+  category_revenue / CAST(CAST(SUM(CAST(category_revenue AS DECIMAL(27,4))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
+  ROW_NUMBER() OVER (ORDER BY category_revenue DESC, part_category ASC) AS category_rank
+FROM (
+  SELECT sp.part_category,
+    {money_sum_sql('pp.part_revenue', 4)} AS category_revenue,
+    SUM(pp.part_quantity) AS category_quantity,
+    {sum_long_sql('pp.line_count')} AS line_count,
+    COUNT(DISTINCT pp.part_key) AS distinct_parts
+  FROM (
+    SELECT part_key, {money_sum_sql('net_revenue', 4)} AS part_revenue,
+      SUM(quantity) AS part_quantity, COUNT(*) AS line_count
+    FROM silver_lineitems GROUP BY part_key
+  ) pp
+  LEFT JOIN (SELECT part_key, part_category FROM silver_parts) sp ON pp.part_key = sp.part_key
+  GROUP BY sp.part_category
+)
+""".strip()
+
+
+ORACLES: dict[str, str] = {
+    "silver_orders": SILVER_ORDERS,
+    "silver_customers": SILVER_CUSTOMERS,
+    "silver_parts": SILVER_PARTS,
+    "silver_lineitems": SILVER_LINEITEMS,
+    "daily_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _DAILY_BODY),
+    "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
+    "priority_performance": _with({"silver_orders": SILVER_ORDERS}, _PRIORITY_BODY),
+    "comprehensive_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _COMPREHENSIVE_BODY),
+    "customer_lifetime_metrics": _with({"silver_orders": SILVER_ORDERS}, _LIFETIME_METRICS_BODY),
+    "customer_analytics": _with(
+        {
+            "silver_orders": SILVER_ORDERS,
+            "silver_customers": SILVER_CUSTOMERS,
+            "lifetime_metrics": _LIFETIME_METRICS_BODY,
+            "rfm": _RFM_SQL,
+            "sizes": _SIZES_SQL,
+        },
+        _ANALYTICS_BODY,
+    ),
+    "segment_summary": _with(
+        {"silver_orders": SILVER_ORDERS, "lifetime_metrics": _LIFETIME_METRICS_BODY},
+        _SEGMENT_BODY,
+    ),
+    "category_performance": _with(
+        {"silver_lineitems": SILVER_LINEITEMS, "silver_parts": SILVER_PARTS},
+        _CATEGORY_BODY,
+    ),
+}

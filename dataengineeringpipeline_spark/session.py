@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile: ``local[$SPARK_GRAFT_CPUS]`` single-JVM.  The same
+configuration keys are the ones that matter on a real multi-executor
+cluster: AQE (runtime re-planning, partition coalescing, skew-join
+splitting), shuffle partition sizing, Arrow for any Pandas-UDF exchange,
+and a UTC session timezone so date/timestamp semantics are deterministic
+across engines and machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Configuration applied when *we* create the session.  Queries must still
+# run correctly on an externally provided session (the driver passes its
+# own), so nothing in the engine may *depend* on these being set.
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet timestamps without UTC-adjustment flag read as TIMESTAMP_NTZ
+    # (Spark 4 default) — keeps date extraction timezone-free.
+}
+
+
+def get_spark(
+    app_name: str = "dataengineeringpipeline-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local SparkSession with the engine profile.
+
+    ``shuffle_partitions`` defaults to the core count for local runs; on a
+    real cluster this should be sized so each shuffle partition stays in
+    the 64–256 MB range at the target data scale (override via
+    ``extra_conf`` or Spark submit conf — AQE coalescing makes a generous
+    value cheap).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
