@@ -17,8 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataengineeringpipeline_spark import cleaning, gold
+from dataengineeringpipeline_spark import cleaning, gold, quality
+from dataengineeringpipeline_spark.datalake import load_events
 from dataengineeringpipeline_spark.oracles import ORACLES
+
+DQ_RANGE_SPECS = [
+    quality.RangeSpec("o_totalprice", 0.0, 600000.0),
+    quality.RangeSpec("o_custkey", 1),
+    quality.RangeSpec("o_orderstatus", allowed_values=("O", "F", "P")),
+    quality.RangeSpec(
+        "o_orderpriority",
+        allowed_values=("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    ),
+]
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -75,6 +86,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_performance": lambda spark, sf: gold.category_performance(
             cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
             cleaning.clean_parts(_read(spark, sf, "part")),
+        ),
+        # -- data quality (P3 rule engine, A9-A12 monitor checks) -----------
+        "dq_rule_report": lambda spark, sf: quality.evaluate_rules(
+            _silver_orders(spark, sf), quality.ORDERS_RULES
+        ),
+        "dq_null_profile": lambda spark, sf: quality.null_profile(_orders(spark, sf)),
+        "dq_duplicates": lambda spark, sf: quality.duplicate_stats(
+            _orders(spark, sf), ["o_custkey", "o_orderdate"]
+        ),
+        "dq_range_violations": lambda spark, sf: quality.range_violations(
+            _orders(spark, sf), DQ_RANGE_SPECS
+        ),
+        "dq_freshness": lambda spark, sf: quality.freshness_check(
+            load_events(spark, sf), "ts_us", quality.EVENTS_AS_OF_US
+        ),
+        "dq_outliers": lambda spark, sf: quality.iqr_outlier_bounds(
+            _orders(spark, sf), "o_totalprice"
         ),
     }
 

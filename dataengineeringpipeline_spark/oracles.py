@@ -313,6 +313,98 @@ FROM (
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# Data-quality oracle statements (twins of quality.py)
+# ---------------------------------------------------------------------------
+
+
+def rule_report_sql(source_sql: str, rules) -> str:
+    """Oracle twin of :func:`quality.evaluate_rules` (single-pass + unpivot
+    in Spark; wide agg + UNION ALL unpivot here)."""
+    wide_cols = ["COUNT(*) AS total_count"]
+    for i, r in enumerate(rules):
+        expr = r.duck_expression or r.expression
+        wide_cols.append(f"CAST(SUM(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{r.name}' AS rule_name, p{i} AS passed_count, total_count, "
+        f"CAST({r.threshold} AS DOUBLE) AS threshold FROM wide"
+        for i, r in enumerate(rules)
+    )
+    return (
+        f"WITH src AS ({source_sql}),\nwide AS (SELECT {', '.join(wide_cols)} FROM src)\n"
+        f"SELECT rule_name, passed_count, total_count, "
+        f"passed_count/total_count AS pass_rate, threshold, "
+        f"passed_count/total_count >= threshold AS passed FROM ({unions})"
+    )
+
+
+def null_profile_sql(table: str, cols: list[str]) -> str:
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, "
+        f"COUNT(*) AS total_count FROM {table}"
+        for c in cols
+    )
+    return f"SELECT column_name, null_count, total_count, null_count/total_count*100.0 AS null_pct FROM ({unions})"
+
+
+DUPLICATES_SQL = """
+WITH per_key AS (SELECT o_custkey, o_orderdate, COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+s AS (SELECT COUNT(*) AS distinct_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicated_keys,
+  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS excess_rows FROM per_key)
+SELECT distinct_keys, total_rows, duplicated_keys, excess_rows,
+  excess_rows/total_rows*100.0 AS duplicate_pct FROM s
+""".strip()
+
+RANGE_VIOLATIONS_SQL = """
+WITH wide AS (SELECT COUNT(*) AS total_count,
+  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+  CAST(SUM(CASE WHEN o_custkey < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+  CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+  CAST(SUM(CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM orders)
+SELECT 'o_totalprice' AS column_name, v0 AS violation_count, total_count FROM wide
+UNION ALL SELECT 'o_custkey', v1, total_count FROM wide
+UNION ALL SELECT 'o_orderstatus', v2, total_count FROM wide
+UNION ALL SELECT 'o_orderpriority', v3, total_count FROM wide
+""".strip()
+
+FRESHNESS_SQL = """
+SELECT latest_ts_us,
+  (1706659200000000 - latest_ts_us)/CAST(3600000000.0 AS DOUBLE) AS age_hours,
+  (1706659200000000 - latest_ts_us)/CAST(3600000000.0 AS DOUBLE) <= 24.0 AS is_fresh
+FROM (SELECT CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS latest_ts_us FROM events)
+""".strip()
+
+OUTLIERS_SQL = """
+WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3,
+           COUNT(*) AS total_count FROM orders),
+b2 AS (SELECT q1, q3, total_count,
+       q1 - 1.5*(q3 - q1) AS lower_bound, q3 + 1.5*(q3 - q1) AS upper_bound FROM b),
+c AS (SELECT b2.q1, b2.q3, b2.lower_bound, b2.upper_bound, b2.total_count,
+  CAST(SUM(CASE WHEN o.o_totalprice < b2.lower_bound OR o.o_totalprice > b2.upper_bound THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count
+  FROM orders o CROSS JOIN b2
+  GROUP BY b2.q1, b2.q3, b2.lower_bound, b2.upper_bound, b2.total_count)
+SELECT q1, q3, lower_bound, upper_bound, total_count, outlier_count,
+  outlier_count/total_count*100.0 AS outlier_pct FROM c
+""".strip()
+
+
+def _dq_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.quality import ORDERS_RULES
+
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    return {
+        "dq_rule_report": rule_report_sql(SILVER_ORDERS, ORDERS_RULES),
+        "dq_null_profile": null_profile_sql("orders", orders_cols),
+        "dq_duplicates": DUPLICATES_SQL,
+        "dq_range_violations": RANGE_VIOLATIONS_SQL,
+        "dq_freshness": FRESHNESS_SQL,
+        "dq_outliers": OUTLIERS_SQL,
+    }
+
+
 ORACLES: dict[str, str] = {
     "silver_orders": SILVER_ORDERS,
     "silver_customers": SILVER_CUSTOMERS,
@@ -342,3 +434,4 @@ ORACLES: dict[str, str] = {
         _CATEGORY_BODY,
     ),
 }
+ORACLES.update(_dq_oracles())
