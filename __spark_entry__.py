@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataengineeringpipeline_spark import cleaning, gold, quality
+from dataengineeringpipeline_spark import cleaning, events_analytics, features, gold, quality
 from dataengineeringpipeline_spark.datalake import load_events
 from dataengineeringpipeline_spark.oracles import ORACLES
 
@@ -103,6 +103,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dq_outliers": lambda spark, sf: quality.iqr_outlier_bounds(
             _orders(spark, sf), "o_totalprice"
+        ),
+        # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
+        "ml_customer_features": lambda spark, sf: features.ml_customer_features(
+            _silver_orders(spark, sf)
+        ),
+        # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
+        "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
+        "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
+            load_events(spark, sf)
+        ),
+        "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
+            load_events(spark, sf)
+        ),
+        "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
+        "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
+            load_events(spark, sf)
         ),
     }
 

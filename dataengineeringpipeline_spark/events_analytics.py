@@ -1,0 +1,147 @@
+"""Event-stream analytics over the ``events`` table (batch side).
+
+The reference approximates streaming with event-driven micro-batches
+(SURVEY.md §2.9); this module provides the batch analytics the streaming
+wrapper (``streaming/``) mirrors: time-bucketed rollups, JSON property
+extraction, and gap-based sessionization (lag/lead windows — an operator
+class the reference lacks but any event pipeline needs).
+
+All event-time columns come from integer microsecond arithmetic
+(``datalake.load_events``) — no timezone dependence anywhere.
+
+Scale notes:
+
+- rollups are single-shuffle hash aggregations on low-cardinality keys;
+- sessionization shuffles once on ``user_id`` and sorts within partitions
+  — the canonical distributed pattern; skewed power-users are handled by
+  AQE skew-split since each user's events still fit one task comfortably;
+- JSON extraction uses ``get_json_object`` (JVM-side, codegen) — not a
+  Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.functions import money_avg, money_sum
+
+DEFAULT_SESSION_GAP_MINUTES = 30
+
+
+def enrich_events(events: DataFrame) -> DataFrame:
+    """Typed JSON property extraction + value bucketing (P-class ops)."""
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_date",
+        "event_hour",
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.when(F.col("value") < 10.0, "LOW")
+        .when(F.col("value") < 100.0, "MEDIUM")
+        .otherwise("HIGH")
+        .alias("value_bucket"),
+        (F.col("event_type") == "error").alias("is_error"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+
+
+def hourly_event_summary(events: DataFrame) -> DataFrame:
+    """Tumbling-hour rollup (streaming twin: 1h window aggregation)."""
+    return (
+        events.groupBy("event_date", "event_hour")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            money_sum("value", "total_value"),
+            money_avg("value", "avg_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("error_count"),
+        )
+        .withColumn("error_rate_pct", F.col("error_count") / F.col("event_count") * 100.0)
+        .orderBy("event_date", "event_hour")
+    )
+
+
+def event_type_summary(events: DataFrame) -> DataFrame:
+    """Per-type rollup with share-of-total (A6-style decimal window total)."""
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("event_count"),
+        F.countDistinct("user_id").alias("unique_users"),
+        money_sum("value", "total_value"),
+        money_avg("value", "avg_value"),
+    )
+    total_w = Window.partitionBy()
+    return agg.withColumn(
+        "event_share_pct",
+        F.col("event_count") / F.sum("event_count").over(total_w) * 100.0,
+    ).orderBy("event_type")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Classic lag + running-sum window pair;
+    ``(ts_us, event_id)`` ordering is unique, so frames are deterministic.
+    """
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("prev_ts_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_session_start",
+            F.when(
+                F.col("prev_ts_us").isNull() | (F.col("ts_us") - F.col("prev_ts_us") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_session_start").over(run).cast("long"))
+    )
+
+
+def session_summary(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES) -> DataFrame:
+    """Per-session rollup: span, size, composition."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("session_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.countDistinct("event_type").alias("distinct_event_types"),
+            money_sum("value", "session_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("purchase_events"),
+        )
+        .withColumn(
+            "session_minutes",
+            (F.col("session_end_us") - F.col("session_start_us")) / F.lit(60_000_000.0),
+        )
+    )
+
+
+def user_activity_summary(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES) -> DataFrame:
+    """Per-user activity rollup over sessions (two-level aggregation —
+    sessions reuse the user_id shuffle, so this is still one exchange)."""
+    per_session = session_summary(events, gap_minutes)
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.sum("session_events").cast("long").alias("total_events"),
+            # exact integer µs total → double division at the end (a
+            # decimal cast of the fractional minutes would round, and
+            # µs/60e6 lands exactly on cast boundaries all the time)
+            F.sum(F.col("session_end_us") - F.col("session_start_us"))
+            .cast("long")
+            .alias("total_session_us"),
+            money_sum("session_value", "total_value"),
+            F.sum("purchase_events").cast("long").alias("total_purchases"),
+        )
+        .withColumn(
+            "avg_session_minutes",
+            F.col("total_session_us") / F.col("session_count") / F.lit(60_000_000.0),
+        )
+    )

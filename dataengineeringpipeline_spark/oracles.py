@@ -391,6 +391,158 @@ SELECT q1, q3, lower_bound, upper_bound, total_count, outlier_count,
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# ML features (twin of features.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = "(customer_key * 2654435761) % 100"
+
+_ML_FEATURES_BODY = f"""
+SELECT *,
+  round(ln(1.0 + lifetime_value), 6) AS log_lifetime_value,
+  greatest(orders_q1, orders_q2, orders_q3, orders_q4) AS max_quarter_orders,
+  CASE WHEN order_value_stddev IS NOT NULL AND avg_order_value > 0
+       THEN 1.0/(1.0 + order_value_stddev/avg_order_value) END AS order_consistency,
+  CASE WHEN total_orders > 1
+       THEN (first_order_age_days - recency_days)/(total_orders - 1) END AS avg_days_between_orders,
+  first_order_age_days - recency_days AS tenure_days,
+  recency_days > 1500 AS churn_flag,
+  lifetime_value >= 3000000 AS is_high_value,
+  CASE WHEN lifetime_value >= 4000000 THEN 'HIGH'
+       WHEN lifetime_value >= 2000000 THEN 'MEDIUM' ELSE 'LOW' END AS clv_bucket,
+  {_SPLIT_BUCKET} AS split_bucket,
+  CASE WHEN {_SPLIT_BUCKET} < 70 THEN 'train'
+       WHEN {_SPLIT_BUCKET} < 85 THEN 'validation' ELSE 'test' END AS data_split
+FROM (
+  SELECT customer_key,
+    COUNT(*) AS total_orders,
+    {money_sum_sql('total_price')} AS lifetime_value,
+    {money_avg_sql('total_price')} AS avg_order_value,
+    {det_stddev_sql('total_price')} AS order_value_stddev,
+    MIN(total_price) AS min_order_value,
+    MAX(total_price) AS max_order_value,
+    MIN(days_since_order) AS recency_days,
+    MAX(days_since_order) AS first_order_age_days,
+    COUNT(DISTINCT order_year) AS active_years,
+    {sum_long_sql('CASE WHEN order_quarter = 1 THEN 1 ELSE 0 END')} AS orders_q1,
+    {sum_long_sql('CASE WHEN order_quarter = 2 THEN 1 ELSE 0 END')} AS orders_q2,
+    {sum_long_sql('CASE WHEN order_quarter = 3 THEN 1 ELSE 0 END')} AS orders_q3,
+    {sum_long_sql('CASE WHEN order_quarter = 4 THEN 1 ELSE 0 END')} AS orders_q4,
+    {sum_long_sql('CASE WHEN order_day_of_week IN (1,7) THEN 1 ELSE 0 END')} AS weekend_orders,
+    {sum_long_sql("CASE WHEN order_size_category = 'EXTRA_LARGE' THEN 1 ELSE 0 END")} AS extra_large_orders
+  FROM silver_orders WHERE is_complete_order GROUP BY customer_key
+)
+""".strip()
+
+# ---------------------------------------------------------------------------
+# Event analytics (twins of events_analytics.py); event-time columns from
+# integer µs arithmetic exactly like datalake.load_events
+# ---------------------------------------------------------------------------
+
+_EV_US = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+
+EVENTS_BASE = f"""
+SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value, props,
+  {_EV_US} AS ts_us,
+  DATE '1970-01-01' + CAST(({_EV_US} // 86400000000) AS INTEGER) AS event_date,
+  CAST((({_EV_US} % 86400000000) // 3600000000) AS INTEGER) AS event_hour
+FROM events
+""".strip()
+
+_ENRICHED_BODY = """
+SELECT event_id, user_id, event_type, ts_us, event_date, event_hour, value,
+  CAST(props->>'k' AS INTEGER) AS prop_k,
+  CASE WHEN value < 10.0 THEN 'LOW' WHEN value < 100.0 THEN 'MEDIUM' ELSE 'HIGH' END AS value_bucket,
+  event_type = 'error' AS is_error,
+  event_type = 'purchase' AS is_purchase
+FROM ev
+""".strip()
+
+_HOURLY_BODY = f"""
+SELECT event_date, event_hour, event_count, unique_users, total_value, avg_value, error_count,
+  error_count/event_count*100.0 AS error_rate_pct
+FROM (
+  SELECT event_date, event_hour,
+    COUNT(*) AS event_count,
+    COUNT(DISTINCT user_id) AS unique_users,
+    {money_sum_sql('value')} AS total_value,
+    {money_avg_sql('value')} AS avg_value,
+    {sum_long_sql("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")} AS error_count
+  FROM ev GROUP BY event_date, event_hour
+)
+""".strip()
+
+_TYPE_SUMMARY_BODY = f"""
+SELECT event_type, event_count, unique_users, total_value, avg_value,
+  event_count / CAST(SUM(event_count) OVER () AS BIGINT) * 100.0 AS event_share_pct
+FROM (
+  SELECT event_type,
+    COUNT(*) AS event_count,
+    COUNT(DISTINCT user_id) AS unique_users,
+    {money_sum_sql('value')} AS total_value,
+    {money_avg_sql('value')} AS avg_value
+  FROM ev GROUP BY event_type
+)
+""".strip()
+
+_SESSIONS_CTE = """
+SELECT *, CAST(SUM(is_session_start) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM (
+  SELECT *, CASE WHEN prev_ts_us IS NULL OR ts_us - prev_ts_us > 1800000000 THEN 1 ELSE 0 END AS is_session_start
+  FROM (
+    SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts_us FROM ev
+  )
+)
+""".strip()
+
+_SESSION_SUMMARY_BODY = f"""
+SELECT user_id, session_seq, session_events, session_start_us, session_end_us,
+  distinct_event_types, session_value, purchase_events,
+  (session_end_us - session_start_us)/CAST(60000000.0 AS DOUBLE) AS session_minutes
+FROM (
+  SELECT user_id, session_seq,
+    COUNT(*) AS session_events,
+    MIN(ts_us) AS session_start_us,
+    MAX(ts_us) AS session_end_us,
+    COUNT(DISTINCT event_type) AS distinct_event_types,
+    {money_sum_sql('value')} AS session_value,
+    {sum_long_sql("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")} AS purchase_events
+  FROM sessions GROUP BY user_id, session_seq
+)
+""".strip()
+
+_USER_ACTIVITY_BODY = f"""
+SELECT user_id, session_count, total_events, total_session_us, total_value, total_purchases,
+  total_session_us/session_count/CAST(60000000.0 AS DOUBLE) AS avg_session_minutes
+FROM (
+  SELECT user_id,
+    COUNT(*) AS session_count,
+    {sum_long_sql('session_events')} AS total_events,
+    {sum_long_sql('session_end_us - session_start_us')} AS total_session_us,
+    {money_sum_sql('session_value')} AS total_value,
+    {sum_long_sql('purchase_events')} AS total_purchases
+  FROM sess GROUP BY user_id
+)
+""".strip()
+
+
+def _feature_event_oracles() -> dict[str, str]:
+    session_sql = _with({"ev": EVENTS_BASE, "sessions": _SESSIONS_CTE}, _SESSION_SUMMARY_BODY)
+    return {
+        "ml_customer_features": _with({"silver_orders": SILVER_ORDERS}, _ML_FEATURES_BODY),
+        "events_enriched": _with({"ev": EVENTS_BASE}, _ENRICHED_BODY),
+        "hourly_event_summary": _with({"ev": EVENTS_BASE}, _HOURLY_BODY),
+        "event_type_summary": _with({"ev": EVENTS_BASE}, _TYPE_SUMMARY_BODY),
+        "session_summary": session_sql,
+        "user_activity_summary": _with(
+            {"ev": EVENTS_BASE, "sessions": _SESSIONS_CTE, "sess": _SESSION_SUMMARY_BODY},
+            _USER_ACTIVITY_BODY,
+        ),
+    }
+
+
 def _dq_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.quality import ORDERS_RULES
 
@@ -435,3 +587,4 @@ ORACLES: dict[str, str] = {
     ),
 }
 ORACLES.update(_dq_oracles())
+ORACLES.update(_feature_event_oracles())
