@@ -18,6 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataengineeringpipeline_spark import cleaning, events_analytics, features, gold, quality
+from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import similarity as sim_ops
+from dataengineeringpipeline_spark.operators import text as text_ops
 from dataengineeringpipeline_spark.datalake import load_events
 from dataengineeringpipeline_spark.oracles import ORACLES
 
@@ -119,6 +122,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
         "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
             load_events(spark, sf)
+        ),
+        # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
+        "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),
+        "text_quality": lambda spark, sf: text_ops.quality_score(
+            text_ops.text_stats(_read(spark, sf, "documents"))
+        ),
+        "language_id_eval": lambda spark, sf: text_ops.language_id_eval(
+            _read(spark, sf, "documents")
+        ),
+        "doc_fingerprints": lambda spark, sf: text_ops.fingerprint(_read(spark, sf, "documents")),
+        # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -
+        "exact_dedup": lambda spark, sf: dedup_ops.exact_dedup(_read(spark, sf, "documents")),
+        "ngram_jaccard_pairs": lambda spark, sf: dedup_ops.ngram_jaccard_pairs(
+            _read(spark, sf, "documents")
+        ),
+        "minhash_lsh_pairs": lambda spark, sf: dedup_ops.minhash_lsh_pairs(
+            _read(spark, sf, "documents")
+        ),
+        "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
+            _read(spark, sf, "documents")
+        ),
+        # -- embedding similarity search (brute-force + LSH near-dup) -------
+        "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(
+            _read(spark, sf, "embeddings")
+        ),
+        "embedding_near_dups": lambda spark, sf: sim_ops.embedding_near_dups(
+            _read(spark, sf, "embeddings")
         ),
     }
 

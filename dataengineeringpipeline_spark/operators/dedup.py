@@ -1,0 +1,291 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Spark-first shapes, all built on DataFrame ops (no Python UDFs):
+
+- **exact**: hash-groupBy on the md5 fingerprint — one shuffle.
+- **n-gram Jaccard**: shingle → explode → self-join on shingle →
+  per-pair intersection counts → Jaccard. The join key (shingle) is the
+  classic inverted-index trick: only documents sharing at least one
+  shingle ever meet, so the quadratic pair space is never materialized.
+- **MinHash+LSH**: signature of K=32 universal-hash minima, banded 8×4;
+  documents colliding in ≥1 band become candidates, then candidates are
+  verified with exact Jaccard. At 100 TB this is the scalable path: cost
+  is O(docs × K) + band-bucket joins instead of O(docs²).
+- **SimHash**: 32-bit majority-vote fingerprint; near-dup candidates from
+  16-bit half-band collisions, verified by Hamming distance ≤ 3.
+
+Hashing uses the md5-prefix word hash (:func:`..text.word_hash`) and pure
+int64 modular arithmetic, so every stage — signatures included — is
+bit-reproducible across engines, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators.text import word_hash, words_col
+
+#: Universal-hash modulus (prime > 1e9; products stay < 2^63).
+MINHASH_P = 1_000_000_007
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # K = BANDS * ROWS
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per identical text; report group size.
+
+    ``row_number`` over the md5 fingerprint partition — the partition key
+    is high-cardinality so the window shuffle is well-spread (unlike the
+    reference's global-window surrogate keys, SURVEY.md §4.2-1).
+    """
+    w = Window.partitionBy("md5_exact").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("md5_exact"))
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("md5_exact")).cast("long"))
+        .filter(F.col("rank_in_group") == 1)
+        .select("doc_id", "md5_exact", "group_size", (F.col("group_size") > 1).alias("had_duplicates"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word / shingle sets
+# ---------------------------------------------------------------------------
+
+
+def doc_word_hash_sets(docs: DataFrame, fast: bool = False) -> DataFrame:
+    """(doc_id, word_hash) pairs — the distinct word set of each document."""
+    w = words_col()
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(w)).alias("word"))
+        .select("doc_id", word_hash(F.col("word"), fast=fast).alias("h"))
+        .distinct()
+    )
+
+
+def doc_shingle_hash_sets(docs: DataFrame, n: int = 3, fast: bool = False) -> DataFrame:
+    """(doc_id, h) distinct shingle hashes — the standard shingling+hashing
+    front end for MinHash/SimHash. Shingles are selective even on small
+    vocabularies (word *sets* are not — see :func:`word_jaccard_pairs`)."""
+    return doc_shingles(docs, n).select(
+        "doc_id", word_hash(F.col("shingle"), fast=fast).alias("h")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams (default 3)."""
+    base = docs.select("doc_id", words_col().alias("ws"))
+    size = F.size("ws")
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = ", ".join(f"element_at(ws, CAST(i AS INT) + {j})" for j in range(n))
+    shingles = F.expr(f"transform(idx, i -> concat_ws(' ', {parts}))")
+    return base.withColumn("idx", idx).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def _pairwise_jaccard(items: DataFrame, key: str) -> DataFrame:
+    """Generic set-similarity join: ``items`` = (doc_id, <key>) distinct.
+
+    Inverted-index self-join on the set element, then
+    ``J = |A∩B| / (|A| + |B| − |A∩B|)``. Sizes are joined in (broadcast at
+    small scale; same-key shuffle join at 100 TB)."""
+    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = items.alias("a")
+    b = items.alias("b")
+    shared = (
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold."""
+    return (
+        _pairwise_jaccard(doc_shingles(docs, n), "shingle")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs by bag-of-words Jaccard ≥ threshold (coarser
+    than shingles; catches reorderings).
+
+    CAUTION at scale: on corpora with small shared vocabularies the
+    inverted-index join degenerates toward all-pairs (every document
+    shares words with every other) — prefer shingle-based similarity
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`) whose keys
+    stay selective."""
+    return (
+        _pairwise_jaccard(doc_word_hash_sets(docs), "h")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for permutation ``j``
+    (odd multiplier, fixed offset — reproducible everywhere)."""
+    a = ((j + 1) * 2_654_435_761) % MINHASH_P
+    a = a - a % 2 + 1
+    b = ((j + 1) * 40_503 + 12_345) % MINHASH_P
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-document MinHash signature as K columns ``sig_0..sig_{K-1}``.
+
+    ``sig_j = min over shingle hashes of (a_j·(h mod P) + b_j) mod P`` — an
+    aggregation over the exploded shingle set: one shuffle on doc_id, all
+    arithmetic in int64, fully order-independent.
+    """
+    hashes = doc_shingle_hash_sets(docs)
+    aggs = []
+    for j in range(k):
+        a, b = _minhash_params(j)
+        aggs.append(F.min((F.lit(a) * (F.col("h") % MINHASH_P) + b) % MINHASH_P).alias(f"sig_{j}"))
+    return hashes.groupBy("doc_id").agg(*aggs)
+
+
+def _band_hash(sig_cols: list[Column]) -> Column:
+    """Combine r signature values into one band key (base-31 polynomial —
+    int64-safe: values < 1e9, multipliers ≤ 31³)."""
+    out = None
+    for c in sig_cols:
+        out = c if out is None else out * 31 + c
+    return out
+
+
+def minhash_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — LSH banding of the signature."""
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        pieces.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band_idx"), _band_hash(cols).alias("band_hash")
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact word-set
+    Jaccard.
+
+    Candidates = pairs colliding in ≥1 band (≈ pairs with J ≥ ~0.47 for
+    8×4 banding); each candidate is then verified exactly. The verify join
+    reuses the shingle-hash sets — only candidate pairs pay the
+    intersection cost.
+    """
+    bands = minhash_bands(minhash_signatures(docs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _pairwise_jaccard(doc_shingle_hash_sets(docs), "h").select(
+        "doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash per document: bit b is set when the majority of the
+    document's shingle hashes have bit b set. Explode + conditional sums —
+    codegen-friendly, one shuffle."""
+    hashes = doc_shingle_hash_sets(docs)
+    aggs = [
+        F.sum(F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    wide = hashes.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return wide.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding on the two 16-bit halves (a pair within Hamming ≤ 3 of 32 bits
+    matches at least one clean half with good probability; at scale use 4
+    rotations for a guarantee). Verification is a bit_count(xor) filter.
+    """
+    sigs = simhash_signatures(docs)
+    # Unpivot the two 16-bit halves into band rows so candidate generation
+    # is a plain equi-join on (band_idx, band_val) — an OR of half-matches
+    # would force a nested-loop join, which dies at scale.
+    bands = sigs.select(
+        "doc_id", "simhash", F.lit(0).alias("band_idx"), F.expr("simhash div 65536").alias("band_val")
+    ).unionByName(
+        sigs.select("doc_id", "simhash", F.lit(1).alias("band_idx"), (F.col("simhash") % 65536).alias("band_val"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,154 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers, mirroring what a 100 TB vector pipeline needs:
+
+- **Brute-force top-k** (the exactness baseline): query-set × corpus
+  cosine via JVM higher-order folds (zip_with / aggregate) — fully
+  deterministic (sequential fold order) and oracle-checkable. Cost is
+  O(|Q|·|C|·d): fine for a bounded query set; at full scale swap the
+  kernel for :func:`ann_topk_arrow` (Arrow-batched numpy matmul via
+  mapInPandas — same top-k ids, float sums in SIMD order).
+- **LSH-bucketed near-dup**: deterministic random-hyperplane signatures
+  (sign bits of dot products against arithmetic pseudo-planes) → bucket
+  equi-join → exact cosine verify. Candidate generation is linear +
+  a bucket-key join instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+LSH_PLANES = 8
+
+
+def _to_double(arr: str | Column) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold — deterministic addition order in any engine."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def with_norms(embeddings: DataFrame) -> DataFrame:
+    e = _to_double("embedding")
+    return embeddings.select(
+        "vec_id", "label", e.alias("e"), F.sqrt(_fold_sum(F.transform(e, lambda x: x * x))).alias("nrm")
+    )
+
+
+def ann_bruteforce_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
+    """Exact cosine top-k neighbors for the query subset
+    ``vec_id % query_mod == 0``.
+
+    Plan shape: broadcast the (small) query set against the corpus —
+    a broadcast nested-loop the optimizer can't avoid for a dense scoring
+    kernel — then per-query top-k via ranked window (TakeOrdered per
+    partition key).
+    """
+    base = with_norms(embeddings)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _plane_coef(p: int) -> str:
+    """SQL fragment: pseudo-random plane coefficient for (plane p, dim i),
+    i the lambda variable — pure integer arithmetic, identical anywhere."""
+    return f"(CAST((({p} * 64 + i + 1) * 2654435761) % 1009 AS DOUBLE) / 1009.0 - 0.5)"
+
+
+def lsh_signatures(embeddings: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(e · plane_p); bucket is
+    the packed bit int. Planes come from deterministic arithmetic, not a
+    stored model — any worker (or engine) regenerates them identically."""
+    base = with_norms(embeddings)
+    bucket = None
+    for p in range(planes):
+        dot_p = F.expr(
+            f"aggregate(transform(sequence(0, {EMB_DIM - 1}), "
+            f"i -> element_at(e, CAST(i AS INT) + 1) * {_plane_coef(p)}), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        term = F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return base.withColumn("bucket", bucket.cast("long"))
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.35, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH bucket collision → exact cosine ≥
+    threshold. Bucket join keeps the candidate count ~n²/2^planes."""
+    sigs = lsh_signatures(embeddings, planes)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
+
+
+def ann_topk_arrow(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
+    """Scale-path ANN kernel: Arrow-batched numpy matmul via mapInPandas.
+
+    Same semantics as :func:`ann_bruteforce_topk` (top-k ids match); float
+    sums run in SIMD order so cosines can differ in the last ulp — which
+    is why the oracle gate uses the fold version. The query set is
+    collected once (small by construction) and broadcast to every batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = with_norms(embeddings)
+    qrows = base.filter(F.col("vec_id") % query_mod == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["e"] for r in qrows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def score_batches(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.stack(pdf["e"].to_numpy())
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T  # |Q| x |batch|
+            out = {
+                "query_id": np.repeat(ids, len(c_ids)),
+                "neighbor_id": np.tile(c_ids, len(ids)),
+                "cosine": sims.ravel(),
+            }
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out[pdf_out["query_id"] != pdf_out["neighbor_id"]]
+
+    scored = base.select("vec_id", "e").mapInPandas(score_batches, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

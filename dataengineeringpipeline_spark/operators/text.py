@@ -1,0 +1,177 @@
+"""Text analysis operators over the ``documents`` corpus.
+
+Everything here is built from JVM-side expression primitives (``split``,
+``regexp_count``, higher-order array functions) — no Python UDFs — so the
+whole pipeline stays inside WholeStageCodegen and scales linearly with
+executors. Word hashing uses md5-prefix parsing (``conv(substr(md5(w),
+1,12),16,10)``) which is deterministic across engines and runs — the
+foundation for the oracle-checkable MinHash/SimHash in :mod:`dedup`.
+
+At 100 TB the md5 word hash is ~2× slower than ``xxhash64``; swap via
+``word_hash(col, fast=True)`` when cross-engine reproducibility isn't
+required (the operator semantics are identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: A BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (public common-word lists).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+}
+CJK_REGEX = r"[一-鿿]"
+
+
+def words_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_hash(word: Column, fast: bool = False) -> Column:
+    """Deterministic 48-bit word hash.
+
+    ``fast=False``: md5-prefix parse — bit-identical in any engine (oracle
+    mode). ``fast=True``: ``xxhash64`` — JVM-native, for production scale.
+    """
+    if fast:
+        return F.xxhash64(word)
+    return F.conv(F.substring(F.md5(word), 1, 12), 16, 10).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics: size, tokenization, character-class ratios,
+    lexical diversity. One narrow projection — no shuffle."""
+    w = words_col()
+    char_count = F.length("text")
+    word_count = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(w))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        char_count.alias("char_count"),
+        word_count.alias("word_count"),
+        F.size(F.array_distinct(w)).alias("distinct_words"),
+        F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("token_count"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("digit_chars"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("punct_chars"),
+        F.regexp_count("text", F.lit(r"\s")).alias("space_chars"),
+        F.expr("aggregate(split(trim(text), '\\\\s+'), 0L, (acc, w) -> acc + length(w))").alias(
+            "letter_chars"
+        ),
+    ).withColumns(
+        {
+            "avg_word_len": F.when(
+                F.col("word_count") > 0, F.col("letter_chars") / F.col("word_count")
+            ),
+            "lexical_diversity": F.when(
+                F.col("word_count") > 0, F.col("distinct_words") / F.col("word_count")
+            ),
+            # Guarded: empty documents (char_count = 0) must yield NULL, not
+            # an ANSI DIVIDE_BY_ZERO task failure.
+            "digit_ratio": F.when(
+                F.col("char_count") > 0, F.col("digit_chars") / F.col("char_count")
+            ),
+            "punct_ratio": F.when(
+                F.col("char_count") > 0, F.col("punct_chars") / F.col("char_count")
+            ),
+            "space_ratio": F.when(
+                F.col("char_count") > 0, F.col("space_chars") / F.col("char_count")
+            ),
+        }
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Composite 0–100 document quality score (length, diversity,
+    punctuation sanity) — threshold semantics like the reference's DQ
+    bucketing, pure arithmetic so it is engine-portable."""
+    length_score = (
+        F.when(F.col("word_count") >= 50, 40)
+        .when(F.col("word_count") >= 20, 30)
+        .when(F.col("word_count") >= 5, 15)
+        .otherwise(0)
+    )
+    diversity_score = (
+        F.when(F.col("lexical_diversity") >= 0.7, 30)
+        .when(F.col("lexical_diversity") >= 0.4, 20)
+        .when(F.col("lexical_diversity") >= 0.2, 10)
+        .otherwise(0)
+    )
+    punct_score = F.when(F.col("punct_ratio") <= 0.1, 30).when(F.col("punct_ratio") <= 0.25, 15).otherwise(0)
+    return stats.withColumn(
+        "quality_score", (length_score + diversity_score + punct_score).cast("int")
+    ).withColumn("is_high_quality", F.col("quality_score") >= 70)
+
+
+def language_scores(docs: DataFrame) -> DataFrame:
+    """Stopword-hit counts per language + CJK character count."""
+    w = words_col()
+
+    def hits(lang: str) -> Column:
+        stopwords = LANG_STOPWORDS[lang]
+
+        def is_stopword(x: Column) -> Column:
+            return x.isin(*stopwords)
+
+        return F.size(F.filter(w, is_stopword)).alias(f"hits_{lang}")
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(CJK_REGEX)).alias("cjk_chars"),
+        *[hits(lang) for lang in LANG_STOPWORDS],
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language prediction with a deterministic tie-break order
+    (zh by CJK presence, then en ≥ es ≥ fr ≥ de by stopword hits)."""
+    s = language_scores(docs)
+    predicted = (
+        F.when(F.col("cjk_chars") > 0, "zh")
+        .when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") > 0),
+            "en",
+        )
+        .when((F.col("hits_es") >= F.col("hits_fr")) & (F.col("hits_es") >= F.col("hits_de")) & (F.col("hits_es") > 0), "es")
+        .when((F.col("hits_fr") >= F.col("hits_de")) & (F.col("hits_fr") > 0), "fr")
+        .when(F.col("hits_de") > 0, "de")
+        .otherwise("unknown")
+    )
+    return s.withColumn("predicted_lang", predicted).withColumn(
+        "lang_match", F.col("predicted_lang") == F.col("lang")
+    )
+
+
+def language_id_eval(docs: DataFrame) -> DataFrame:
+    """Confusion rollup of predicted vs labeled language."""
+    return (
+        language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: exact md5, normalized md5 (case/whitespace
+    folded), and a deterministic 48-bit content key for joins."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_exact"),
+        F.md5(normalized).alias("md5_normalized"),
+        F.conv(F.substring(F.md5(normalized), 1, 12), 16, 10).cast("long").alias("content_key"),
+    )

@@ -543,6 +543,276 @@ def _feature_event_oracles() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Text analysis (twins of operators/text.py)
+# ---------------------------------------------------------------------------
+
+_W = "string_split_regex(trim(text), '\\s+')"
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+TEXT_STATS = f"""
+SELECT doc_id, lang, source,
+  CAST(length(text) AS INTEGER) AS char_count,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_W}) END AS INTEGER) AS word_count,
+  CAST(len(list_distinct({_W})) AS INTEGER) AS distinct_words,
+  CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INTEGER) AS token_count,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_chars,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS punct_chars,
+  CAST(len(regexp_extract_all(text, '\\s')) AS INTEGER) AS space_chars,
+  CAST(list_reduce(list_transform({_W}, w -> len(w)), (a, b) -> a + b) AS BIGINT) AS letter_chars
+FROM documents
+""".strip()
+
+_TEXT_STATS_DERIVED = """
+SELECT *,
+  CASE WHEN word_count > 0 THEN letter_chars/word_count END AS avg_word_len,
+  CASE WHEN word_count > 0 THEN distinct_words/word_count END AS lexical_diversity,
+  CASE WHEN char_count > 0 THEN digit_chars/char_count END AS digit_ratio,
+  CASE WHEN char_count > 0 THEN punct_chars/char_count END AS punct_ratio,
+  CASE WHEN char_count > 0 THEN space_chars/char_count END AS space_ratio
+FROM base
+""".strip()
+
+_QUALITY_BODY = """
+SELECT *,
+  CAST((CASE WHEN word_count >= 50 THEN 40 WHEN word_count >= 20 THEN 30 WHEN word_count >= 5 THEN 15 ELSE 0 END)
+     + (CASE WHEN lexical_diversity >= 0.7 THEN 30 WHEN lexical_diversity >= 0.4 THEN 20 WHEN lexical_diversity >= 0.2 THEN 10 ELSE 0 END)
+     + (CASE WHEN punct_ratio <= 0.1 THEN 30 WHEN punct_ratio <= 0.25 THEN 15 ELSE 0 END) AS INTEGER) AS quality_score
+FROM stats
+""".strip()
+
+
+def _lang_hits_sql() -> str:
+    from dataengineeringpipeline_spark.operators.text import CJK_REGEX, LANG_STOPWORDS
+
+    hit_cols = ",\n  ".join(
+        f"CAST(len(list_filter({_W}, w -> list_contains({list(ws)!r}, w))) AS INTEGER) AS hits_{lang}".replace(
+            "'", "'"
+        )
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    # python list repr uses single quotes — valid DuckDB list literal
+    return (
+        f"SELECT doc_id, lang,\n"
+        f"  CAST(len(regexp_extract_all(text, '{CJK_REGEX}')) AS INTEGER) AS cjk_chars,\n  {hit_cols}\nFROM documents"
+    )
+
+
+_LANG_PRED = """
+SELECT *,
+  CASE WHEN cjk_chars > 0 THEN 'zh'
+       WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+       WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > 0 THEN 'es'
+       WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+       WHEN hits_de > 0 THEN 'de'
+       ELSE 'unknown' END AS predicted_lang
+FROM scores
+""".strip()
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(text) AS md5_exact,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_normalized,
+  CAST('0x' || substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12) AS BIGINT) AS content_key
+FROM documents
+""".strip()
+
+
+def _text_oracles() -> dict[str, str]:
+    return {
+        "text_stats": _with({"base": TEXT_STATS}, _TEXT_STATS_DERIVED),
+        "text_quality": _with(
+            {"base": TEXT_STATS, "stats": _TEXT_STATS_DERIVED},
+            "SELECT *, quality_score >= 70 AS is_high_quality FROM (" + _QUALITY_BODY + ")",
+        ),
+        "language_id_eval": _with(
+            {"scores": _lang_hits_sql(), "pred": _LANG_PRED},
+            "SELECT lang, predicted_lang, COUNT(*) AS doc_count FROM pred GROUP BY lang, predicted_lang",
+        ),
+        "doc_fingerprints": _FINGERPRINT_SQL,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Dedup (twins of operators/dedup.py — constants imported so the oracle
+# always mirrors the engine's parameters)
+# ---------------------------------------------------------------------------
+
+
+def _wh(expr: str) -> str:
+    """48-bit md5-prefix hash — twin of operators.text.word_hash."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 12) AS BIGINT)"
+
+
+_SHINGLES = r"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    ELSE [] END) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+)
+""".strip()
+
+_SHINGLE_HASHES = f"SELECT doc_id, {_wh('shingle')} AS h FROM shingles"
+
+
+def _jaccard_sql(items_cte: str, key: str) -> str:
+    return f"""
+SELECT doc_a, doc_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+  shared/(sa.set_size + sb.set_size - shared) AS jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM {items_cte} a JOIN {items_cte} b ON a.{key} = b.{key} AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+) p
+JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {items_cte} GROUP BY doc_id) sa ON p.doc_a = sa.doc_id
+JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {items_cte} GROUP BY doc_id) sb ON p.doc_b = sb.doc_id
+""".strip()
+
+
+EXACT_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, md5(text) AS md5_exact FROM documents),
+g AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5_exact ORDER BY doc_id) AS rn,
+      CAST(COUNT(*) OVER (PARTITION BY md5_exact) AS BIGINT) AS group_size FROM t)
+SELECT doc_id, md5_exact, group_size, group_size > 1 AS had_duplicates FROM g WHERE rn = 1
+""".strip()
+
+
+def _dedup_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_P,
+        SIMHASH_BITS,
+        _minhash_params,
+    )
+
+    k = LSH_BANDS * LSH_ROWS
+    sig_cols = []
+    for j in range(k):
+        a, b = _minhash_params(j)
+        sig_cols.append(f"MIN(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS sig_{j}")
+    sigs = f"SELECT doc_id, {', '.join(sig_cols)} FROM shingle_hashes GROUP BY doc_id"
+
+    band_selects = []
+    for bidx in range(LSH_BANDS):
+        expr = None
+        for r in range(LSH_ROWS):
+            c = f"sig_{bidx * LSH_ROWS + r}"
+            expr = c if expr is None else f"({expr}) * 31 + {c}"
+        band_selects.append(f"SELECT doc_id, {bidx} AS band_idx, {expr} AS band_hash FROM sigs")
+    bands = "\nUNION ALL ".join(band_selects)
+
+    minhash_pairs = f"""
+SELECT c.doc_a, c.doc_b, j.shared, j.size_a, j.size_b, j.jaccard
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+) c
+JOIN ({_jaccard_sql('shingle_hashes', 'h')}) j
+  ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+""".strip()
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS _b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN _b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    simhash_sigs = (
+        f"SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, {bit_sums} FROM shingle_hashes GROUP BY doc_id)"
+    )
+    simhash_pairs = """
+SELECT doc_a, doc_b, simhash_a, simhash_b, CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) AS hamming
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS simhash_a, b.simhash AS simhash_b
+  FROM simbands a JOIN simbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
+""".strip()
+    simbands = (
+        "SELECT doc_id, simhash, 0 AS band_idx, simhash // 65536 AS band_val FROM simsigs "
+        "UNION ALL SELECT doc_id, simhash, 1 AS band_idx, simhash % 65536 AS band_val FROM simsigs"
+    )
+
+    return {
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": _with(
+            {"shingles": _SHINGLES},
+            f"SELECT * FROM ({_jaccard_sql('shingles', 'shingle')}) WHERE jaccard >= 0.4",
+        ),
+        "minhash_lsh_pairs": _with(
+            {"shingles": _SHINGLES, "shingle_hashes": _SHINGLE_HASHES, "sigs": sigs, "bands": bands},
+            minhash_pairs,
+        ),
+        "simhash_dup_candidates": _with(
+            {
+                "shingles": _SHINGLES,
+                "shingle_hashes": _SHINGLE_HASHES,
+                "simsigs": simhash_sigs,
+                "simbands": simbands,
+            },
+            simhash_pairs,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (twins of operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_EMB_NORMS = """
+SELECT vec_id, label, e, sqrt(list_reduce(list_transform(e, x -> x*x), (a, b) -> a + b)) AS nrm
+FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+""".strip()
+
+_ANN_BODY = """
+SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id, n.label,
+      list_reduce(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]), (a, b) -> a + b) / (q.qn * n.nrm) AS cosine
+    FROM (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id % 100 = 0) q
+    JOIN n ON n.vec_id <> q.query_id
+  )
+) WHERE rank <= 5
+""".strip()
+
+
+def _sim_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.similarity import (
+        EMB_DIM,
+        LSH_PLANES,
+        _plane_coef,
+    )
+
+    terms = []
+    for p in range(LSH_PLANES):
+        dot_p = (
+            f"list_reduce(list_transform(range(0, {EMB_DIM}), "
+            f"i -> e[i + 1] * {_plane_coef(p)}), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
+    sigs = f"SELECT vec_id, e, nrm, CAST({' + '.join(terms)} AS BIGINT) AS bucket FROM n"
+    near_dups = """
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_reduce(list_transform(range(1, 65), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+""".strip()
+    return {
+        "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
+        "embedding_near_dups": _with({"n": _EMB_NORMS, "sigs": sigs}, near_dups),
+    }
+
+
 def _dq_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.quality import ORDERS_RULES
 
@@ -588,3 +858,6 @@ ORACLES: dict[str, str] = {
 }
 ORACLES.update(_dq_oracles())
 ORACLES.update(_feature_event_oracles())
+ORACLES.update(_text_oracles())
+ORACLES.update(_dedup_oracles())
+ORACLES.update(_sim_oracles())
