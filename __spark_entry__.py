@@ -17,7 +17,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataengineeringpipeline_spark import cleaning, events_analytics, features, gold, quality
+from dataengineeringpipeline_spark import (
+    cleaning,
+    events_analytics,
+    features,
+    featurestore,
+    gold,
+    ingest,
+    quality,
+)
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
 from dataengineeringpipeline_spark.operators import text as text_ops
@@ -121,6 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
         "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
+            load_events(spark, sf)
+        ),
+        # -- incremental ingestion + feature store --------------------------
+        "incremental_events": lambda spark, sf: ingest.incremental_events(
+            load_events(spark, sf)
+        ),
+        "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
             load_events(spark, sf)
         ),
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----

@@ -856,7 +856,57 @@ ORACLES: dict[str, str] = {
         _CATEGORY_BODY,
     ),
 }
+# ---------------------------------------------------------------------------
+# Incremental ingestion + feature store (twins of ingest.py / featurestore.py)
+# ---------------------------------------------------------------------------
+
+_DEMO_WATERMARK_US = 19_742 * 86_400_000_000
+
+_INCREMENTAL_BODY = f"""
+SELECT event_id, user_id, event_type, ts_us, event_date,
+  CAST(value AS DOUBLE) AS value,
+  'testdata' AS source_system,
+  CAST({_DEMO_WATERMARK_US} AS BIGINT) AS watermark_us
+FROM ev
+WHERE ts_us > {_DEMO_WATERMARK_US}
+ORDER BY event_id
+""".strip()
+
+
+def _daily_features_body() -> str:
+    return f"""
+SELECT user_id, event_date,
+  COUNT(*) AS daily_events,
+  COUNT(DISTINCT event_type) AS distinct_event_types,
+  {money_sum_sql('value')} AS daily_value,
+  {money_avg_sql('value')} AS avg_event_value,
+  MAX(ts_us) AS last_event_us,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events
+FROM ev
+GROUP BY user_id, event_date
+""".strip()
+
+
+_FS_LATEST_BODY = """
+SELECT user_id, event_date, daily_events, distinct_event_types, daily_value,
+       avg_event_value, last_event_us, purchase_events
+FROM daily
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_date DESC) = 1
+ORDER BY user_id
+""".strip()
+
+
+def _ingest_oracles() -> dict[str, str]:
+    return {
+        "incremental_events": _with({"ev": EVENTS_BASE}, _INCREMENTAL_BODY),
+        "feature_store_latest": _with(
+            {"ev": EVENTS_BASE, "daily": _daily_features_body()}, _FS_LATEST_BODY
+        ),
+    }
+
+
 ORACLES.update(_dq_oracles())
+ORACLES.update(_ingest_oracles())
 ORACLES.update(_feature_event_oracles())
 ORACLES.update(_text_oracles())
 ORACLES.update(_dedup_oracles())
