@@ -25,6 +25,7 @@ from dataengineeringpipeline_spark import (
     gold,
     ingest,
     quality,
+    streaming,
 )
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
@@ -138,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
             load_events(spark, sf)
         ),
+        # -- structured streaming (availableNow drain over the backlog) -----
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,
+        "streaming_session_counts": streaming.streaming_session_counts,
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
         "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),
         "text_quality": lambda spark, sf: text_ops.quality_score(

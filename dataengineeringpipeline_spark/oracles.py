@@ -905,8 +905,45 @@ def _ingest_oracles() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Streaming twins (batch-equivalent SQL: tumbling windows are epoch-µs
+# floors; stateful sessionization is the lag+running-sum pattern)
+# ---------------------------------------------------------------------------
+
+_STREAM_HOURLY_BODY = f"""
+SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+  COUNT(*) AS event_count,
+  {money_sum_sql('value')} AS total_value,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+FROM ev
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+_STREAM_SESSIONS_BODY = """
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS sessions, COUNT(*) AS events_seen
+FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM ev
+)
+GROUP BY user_id
+ORDER BY user_id
+""".strip()
+
+
+def _streaming_oracles() -> dict[str, str]:
+    return {
+        "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
+        "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
+    }
+
+
 ORACLES.update(_dq_oracles())
 ORACLES.update(_ingest_oracles())
+ORACLES.update(_streaming_oracles())
 ORACLES.update(_feature_event_oracles())
 ORACLES.update(_text_oracles())
 ORACLES.update(_dedup_oracles())

@@ -1,0 +1,191 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference approximates streaming with event-driven micro-batches
+(EventBridge "Object Created" → crawler trigger →  Glue job,
+``terraform/modules/glue/main.tf:555-588``). Spark's native answer is the
+Structured Streaming **file source**: new files under a path become
+micro-batches, the commit protocol replaces the reference's
+``_SUCCESS``/``.tmp`` skip-list (``crawler_trigger.py:226-246``), and a
+checkpoint replaces its at-most-one-concurrent crawler dedup.
+
+Three tiers here:
+
+- :func:`stream_events` — file-source stream over the events table with
+  the same integer-µs event-time derivation as the batch loader (no
+  timezone dependence);
+- :func:`hourly_stream_counts` — tumbling-window rollup, the streaming
+  twin of ``events_analytics.hourly_event_summary``; with
+  ``trigger(availableNow=True)`` it drains the backlog as micro-batches
+  and terminates — the reference's scheduled-batch semantics, exactly;
+- :func:`sessionize_stream` — custom stateful operator via
+  ``applyInPandasWithState`` (per-user session assignment with idle
+  timeout), the escape hatch for semantics windowed aggs can't express.
+
+Scale notes: streaming aggregation state lives in the state store keyed
+by window/user — partitioned by the grouping key across executors; the
+watermark bounds state size (late rows beyond it are dropped, and closed
+windows are evicted). ``availableNow`` + checkpoint gives exactly-once
+over any backlog size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Events parquet schema with nanosecond timestamps read as raw BIGINT
+#: (the vectorized reader rejects TIMESTAMP(NANOS) otherwise).
+EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+DEFAULT_SESSION_GAP_MINUTES = 30
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``<sf_dir>/events.parquet`` with the batch
+    loader's integer-µs event-time columns plus a proper TimestampType
+    ``event_ts`` for watermarks/windows (epoch-µs based → tz-free)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+        .withColumn(
+            "event_date",
+            F.expr("date_add(date'1970-01-01', cast((ts div 1000) div 86400000000 as int))"),
+        )
+    )
+
+
+def hourly_stream_counts(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window rollup with a late-data watermark.
+
+    Output keys by ``window_start_us`` (epoch µs of the window start) so
+    results are timezone-free and joinable against the batch twin.
+    """
+    return (
+        events.withWatermark("event_ts", watermark_delay)
+        .groupBy(F.window("event_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("error_count"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_count",
+            "total_value",
+            "error_count",
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 300
+) -> None:
+    """Drain the stream's backlog as micro-batches into an in-memory
+    table ``name`` and terminate (the reference's scheduled-batch
+    semantics). In production swap the memory sink for a partitioned
+    Parquet ``writeStream`` with a durable checkpoint."""
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {name!r} did not drain its backlog within {timeout_s}s"
+        )
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: run the tumbling-window rollup over the
+    events backlog to completion, return the final result table."""
+    run_available_now(hourly_stream_counts(stream_events(spark, sf_dir)), "hourly_stream_counts")
+    return spark.table("hourly_stream_counts").orderBy("window_start_us")
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES,
+    evict_idle_state: bool = False,
+) -> DataFrame:
+    """Custom stateful operator: per-user gap-based session counting via
+    ``applyInPandasWithState``.
+
+    State per user = (last event µs, sessions so far). Each micro-batch
+    sorts its rows by event time, splits on > ``gap`` idle, and carries
+    the boundary across batches through the state store.
+
+    ``evict_idle_state=True`` registers a processing-time timeout that
+    evicts idle users' state — use it for an *always-on* stream (bounded
+    memory). Leave it off for ``availableNow`` backlog drains: a
+    registered timeout keeps the query scheduling empty batches to
+    service future timeouts, so the drain never terminates.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        last_ts, sessions, events_n = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts_us"]):
+                if last_ts is None or ts - last_ts > gap_us:
+                    sessions += 1
+                last_ts = int(ts)
+                events_n += 1
+        state.update((last_ts, sessions, events_n))
+        if evict_idle_state:
+            state.setTimeoutDuration(3_600_000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "sessions": [sessions], "events_seen": [events_n]}
+        )
+
+    return events.select("user_id", "ts_us").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, sessions bigint, events_seen bigint",
+        stateStructType="last_ts bigint, sessions bigint, events_seen bigint",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_idle_state
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query (rows-only check: custom stateful streaming
+    op, not SQL-expressible): final per-user session counts."""
+    run_available_now(
+        sessionize_stream(stream_events(spark, sf_dir)),
+        "streaming_session_counts",
+        output_mode="update",
+    )
+    # update-mode memory sink may hold one row per micro-batch per user;
+    # the final state per user is the max-events row.
+    t = spark.table("streaming_session_counts")
+    return (
+        t.groupBy("user_id")
+        .agg(F.max_by("sessions", "events_seen").alias("sessions"), F.max("events_seen").alias("events_seen"))
+        .orderBy("user_id")
+    )
