@@ -28,6 +28,7 @@ from dataengineeringpipeline_spark import (
     streaming,
 )
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
 from dataengineeringpipeline_spark.operators import text as text_ops
 from dataengineeringpipeline_spark.datalake import load_events
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
+            _read(spark, sf, "documents")
+        ),
+        # -- multimodal (binary payloads + Arrow-batched feature kernel) ----
+        "multimodal_features": lambda spark, sf: mm_ops.multimodal_features(
             _read(spark, sf, "documents")
         ),
         # -- embedding similarity search (brute-force + LSH near-dup) -------

@@ -934,10 +934,39 @@ ORDER BY user_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# Multimodal (twin of operators/multimodal.py — byte-level features over
+# the utf-8 payload, reproduced from hex expansion)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS modality,
+    encode(text) AS p,
+    text AS s
+  FROM documents
+)
+SELECT doc_id, modality,
+  CAST(octet_length(p) AS BIGINT) AS byte_size,
+  sha256(s) AS sha256,
+  CASE WHEN octet_length(p) > 0 THEN
+    list_avg(list_transform(range(octet_length(p)),
+      i -> CAST(('0x' || substr(hex(p), 2*CAST(i AS INT)+1, 2)) AS INTEGER)))
+  END AS mean_byte,
+  CAST(ceil(octet_length(p) / 4096.0) AS INTEGER) AS n_chunks
+FROM m
+ORDER BY doc_id
+""".strip()
+
+
 def _streaming_oracles() -> dict[str, str]:
     return {
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
+        "multimodal_features": _MULTIMODAL_SQL,
     }
 
 
