@@ -1,0 +1,227 @@
+"""ML training / evaluation / comparison (SURVEY.md §2.11 M1–M6).
+
+Spark-native counterpart of the reference's SageMaker scripts:
+
+- M1 train RF / GBT / LogReg (``sagemaker/training/train.py:106-156``) →
+  ``pyspark.ml.classification`` on the gold feature table, split by the
+  deterministic ``data_split`` column;
+- M2 metrics (``train.py:158-170``, ``evaluate.py:142-201``) →
+  ``MulticlassClassificationEvaluator`` / ``BinaryClassificationEvaluator``;
+- M3 k-fold CV (``evaluate.py:202-224``) → ``pyspark.ml.tuning.CrossValidator``;
+- M4/M5 paired t-test + Cohen's d and bootstrap CI comparison
+  (``ab_testing.py:86-207``) → driver-side numpy over the (tiny) fold
+  scores — per the reference, comparison statistics run on collected
+  scores, never on distributed data;
+- M6 hyperparameter search (``ml_pipeline_orchestrator``) →
+  ``ParamGridBuilder`` grid via CrossValidator (grid, not Bayesian —
+  fidelity note in SURVEY.md §2.11).
+
+Scale: training data stays a DataFrame end-to-end; only fold *scores*
+(K floats) ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FEATURE_COLS = [
+    "total_orders",
+    "lifetime_value",
+    "avg_order_value",
+    "recency_days",
+    "tenure_days",
+    "weekend_orders",
+    "max_quarter_orders",
+]
+
+
+def _prepare(features: DataFrame, label_col: str, feature_cols: list[str] | None):
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or DEFAULT_FEATURE_COLS
+    assembler = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep")
+    return assembler.transform(
+        features.withColumn("label", F.col(label_col).cast("double")).fillna(0, subset=cols)
+    )
+
+
+def make_classifier(model_type: str, **params):
+    """RF / GBT / LogReg factory with the reference's hyperparameter names
+    (n_estimators→numTrees/maxIter, max_depth→maxDepth)."""
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        LogisticRegression,
+        RandomForestClassifier,
+    )
+
+    if model_type == "random_forest":
+        return RandomForestClassifier(
+            numTrees=params.get("n_estimators", 100),
+            maxDepth=params.get("max_depth", 10),
+            seed=params.get("seed", 42),
+        )
+    if model_type == "gradient_boosting":
+        return GBTClassifier(
+            maxIter=params.get("n_estimators", 50),
+            maxDepth=params.get("max_depth", 5),
+            stepSize=params.get("learning_rate", 0.1),
+            seed=params.get("seed", 42),
+        )
+    if model_type == "logistic_regression":
+        return LogisticRegression(maxIter=params.get("max_iter", 100))
+    raise ValueError(f"unknown model_type {model_type!r}")
+
+
+def train_classifier(
+    features: DataFrame,
+    label_col: str = "churn_flag",
+    model_type: str = "random_forest",
+    feature_cols: list[str] | None = None,
+    **params,
+):
+    """Train on the ``data_split == 'train'`` partition; returns
+    ``(model, metrics_dict)`` with held-out test metrics (M1+M2)."""
+    prepared = _prepare(features, label_col, feature_cols)
+    train = prepared.filter(F.col("data_split") == "train")
+    test = prepared.filter(F.col("data_split") == "test")
+    model = make_classifier(model_type, **params).fit(train)
+    return model, evaluate_classifier(model, test)
+
+
+def evaluate_classifier(model, test: DataFrame) -> dict:
+    """Accuracy / weighted precision / recall / F1 / ROC-AUC (M2)."""
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    pred = model.transform(test)
+    out = {"n_test": pred.count()}
+    for metric, key in [
+        ("accuracy", "accuracy"),
+        ("weightedPrecision", "precision"),
+        ("weightedRecall", "recall"),
+        ("f1", "f1"),
+    ]:
+        out[key] = MulticlassClassificationEvaluator(metricName=metric).evaluate(pred)
+    out["roc_auc"] = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(pred)
+    return out
+
+
+def cross_validate_scores(
+    features: DataFrame,
+    label_col: str = "churn_flag",
+    model_type: str = "random_forest",
+    k: int = 5,
+    metric: str = "f1",
+    feature_cols: list[str] | None = None,
+    **params,
+) -> list[float]:
+    """Per-fold scores via deterministic hash-bucket folds (M3).
+
+    Folds come from ``split_bucket % k`` (already-computed deterministic
+    buckets), so fold membership is reproducible across runs/engines —
+    the same property the engine's data_split has.
+    """
+    prepared = _prepare(features, label_col, feature_cols)
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    scores = []
+    evaluator = MulticlassClassificationEvaluator(metricName=metric)
+    for fold in range(k):
+        is_fold = (F.col("split_bucket") % k) == fold
+        model = make_classifier(model_type, **params).fit(prepared.filter(~is_fold))
+        scores.append(evaluator.evaluate(model.transform(prepared.filter(is_fold))))
+    return scores
+
+
+def grid_search(
+    features: DataFrame,
+    label_col: str = "churn_flag",
+    num_trees_grid: tuple[int, ...] = (20, 50),
+    max_depth_grid: tuple[int, ...] = (3, 5),
+    k: int = 3,
+    feature_cols: list[str] | None = None,
+) -> dict:
+    """CrossValidator + ParamGridBuilder hyperparameter grid (M6)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    prepared = _prepare(features, label_col, feature_cols)
+    rf = RandomForestClassifier(seed=42)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="f1"),
+        numFolds=k,
+        seed=42,
+        parallelism=4,
+    )
+    model = cv.fit(prepared)
+    best = model.bestModel
+    return {
+        "best_num_trees": best.getNumTrees,
+        "best_max_depth": best.getMaxDepth(),
+        "avg_metrics": [float(m) for m in model.avgMetrics],
+    }
+
+
+# -- model comparison statistics (driver-side, M4/M5) ------------------------
+
+
+def paired_t_test(scores_a: list[float], scores_b: list[float]) -> dict:
+    """Paired t statistic + Cohen's d over fold scores
+    (``ab_testing.py:86-155``). Significance uses the two-sided t critical
+    table at α=0.05 (numpy-only environment — no scipy p-values)."""
+    import numpy as np
+
+    a, b = np.asarray(scores_a, dtype=float), np.asarray(scores_b, dtype=float)
+    if a.shape != b.shape or a.size < 2:
+        raise ValueError("need equal-length score lists with n >= 2")
+    d = a - b
+    sd = d.std(ddof=1)
+    t = float(d.mean() / (sd / math.sqrt(d.size))) if sd > 0 else float("inf") if d.mean() else 0.0
+    pooled = math.sqrt((a.var(ddof=1) + b.var(ddof=1)) / 2)
+    cohens_d = float(d.mean() / pooled) if pooled > 0 else 0.0
+    # two-sided 0.05 critical values for df = n-1 (df 1..30)
+    crit = [12.71, 4.303, 3.182, 2.776, 2.571, 2.447, 2.365, 2.306, 2.262, 2.228,
+            2.201, 2.179, 2.16, 2.145, 2.131, 2.12, 2.11, 2.101, 2.093, 2.086,
+            2.08, 2.074, 2.069, 2.064, 2.06, 2.056, 2.052, 2.048, 2.045, 2.042]
+    df = min(d.size - 1, len(crit))
+    return {
+        "t_statistic": t,
+        "cohens_d": cohens_d,
+        "df": d.size - 1,
+        "significant_at_05": abs(t) > crit[df - 1],
+    }
+
+
+def bootstrap_compare(
+    scores_a: list[float], scores_b: list[float], n_resamples: int = 1000, seed: int = 42
+) -> dict:
+    """Seeded bootstrap CI of the mean score difference
+    (``ab_testing.py:157-207``: 1000 resamples, 95% CI)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a, b = np.asarray(scores_a, dtype=float), np.asarray(scores_b, dtype=float)
+    diffs = np.empty(n_resamples)
+    for i in range(n_resamples):
+        diffs[i] = rng.choice(a, a.size).mean() - rng.choice(b, b.size).mean()
+    lo, hi = np.percentile(diffs, [2.5, 97.5])
+    return {
+        "mean_diff": float(a.mean() - b.mean()),
+        "ci_low": float(lo),
+        "ci_high": float(hi),
+        "significant": bool(lo > 0 or hi < 0),
+    }

@@ -1,0 +1,61 @@
+"""ML pipeline: train/evaluate/CV/grid/compare on the gold feature table."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringpipeline_spark import cleaning, features, mlpipe
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return features.ml_customer_features(cleaning.clean_orders(orders)).cache()
+
+
+def test_train_and_evaluate_rf(feats):
+    model, metrics = mlpipe.train_classifier(feats, model_type="random_forest", n_estimators=20)
+    assert metrics["n_test"] > 0
+    for k in ("accuracy", "precision", "recall", "f1", "roc_auc"):
+        assert 0.0 <= metrics[k] <= 1.0
+    # churn_flag = recency_days > 1500 is learnable from recency_days
+    assert metrics["accuracy"] > 0.9
+
+
+def test_train_logreg_and_gbt(feats):
+    for mt in ("logistic_regression", "gradient_boosting"):
+        _, metrics = mlpipe.train_classifier(feats, model_type=mt, n_estimators=5)
+        assert metrics["accuracy"] > 0.7, mt
+
+
+def test_cross_validate_deterministic(feats):
+    s1 = mlpipe.cross_validate_scores(feats, k=3, model_type="random_forest", n_estimators=10)
+    s2 = mlpipe.cross_validate_scores(feats, k=3, model_type="random_forest", n_estimators=10)
+    assert len(s1) == 3 and s1 == s2  # hash folds + seeded model → reproducible
+
+
+def test_grid_search_picks_params(feats):
+    out = mlpipe.grid_search(feats, num_trees_grid=(5, 10), max_depth_grid=(3,), k=2)
+    assert out["best_num_trees"] in (5, 10)
+    assert out["best_max_depth"] == 3
+    assert len(out["avg_metrics"]) == 2
+
+
+def test_paired_t_test_and_bootstrap():
+    a = [0.90, 0.91, 0.89, 0.92, 0.90]
+    b = [0.80, 0.81, 0.79, 0.82, 0.80]
+    t = mlpipe.paired_t_test(a, b)
+    assert t["significant_at_05"] and t["cohens_d"] > 1
+    bs = mlpipe.bootstrap_compare(a, b, seed=7)
+    assert bs["significant"] and bs["ci_low"] > 0
+    same = mlpipe.paired_t_test(a, a)
+    assert not same["significant_at_05"]
+    # deterministic given the seed
+    assert mlpipe.bootstrap_compare(a, b, seed=7) == bs
+
+
+def test_unknown_model_rejected(feats):
+    with pytest.raises(ValueError, match="unknown model_type"):
+        mlpipe.make_classifier("svm")
