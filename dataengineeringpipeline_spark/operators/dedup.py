@@ -219,12 +219,32 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = _pairwise_jaccard(doc_shingle_hash_sets(docs), "h").select(
-        "doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard"
+    # Candidate-driven verification: intersections are computed ONLY for
+    # candidate pairs (fan the pair out over doc_a's set, equi-join on
+    # (doc_b, h)) — never the all-pairs inverted-index join, which is the
+    # O(n²)-ish cost LSH exists to avoid.
+    sets = doc_shingle_hash_sets(docs)
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    shared = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
