@@ -46,6 +46,32 @@ DQ_RANGE_SPECS = [
 
 SF0001 = "/root/testdata/sf0.001"
 
+#: Strict rule set for the quarantine-selection query — deliberately
+#: tighter than ORDERS_RULES so the failing-row set is non-empty.
+QUARANTINE_RULES = (
+    quality.Rule("price_under_400k", "total_price < 400000"),
+    quality.Rule("status_is_final", "order_status IN ('O','F')"),
+)
+
+
+def _dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    checks = [
+        quality.referential_integrity(
+            orders, "o_custkey", _read(spark, sf_dir, "customer"), "c_custkey", "orders_customer_fk"
+        ),
+        quality.referential_integrity(
+            _read(spark, sf_dir, "lineitem"), "l_orderkey", orders, "o_orderkey", "lineitem_order_fk"
+        ),
+        quality.referential_integrity(
+            _read(spark, sf_dir, "lineitem"), "l_partkey", _read(spark, sf_dir, "part"), "p_partkey", "lineitem_part_fk"
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -117,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_outliers": lambda spark, sf: quality.iqr_outlier_bounds(
             _orders(spark, sf), "o_totalprice"
         ),
+        "dq_referential_integrity": _dq_referential_integrity,
+        "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
+            _silver_orders(spark, sf), QUARANTINE_RULES
+        ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
         # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
         "ml_customer_features": lambda spark, sf: features.ml_customer_features(
             _silver_orders(spark, sf)

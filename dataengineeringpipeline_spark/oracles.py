@@ -857,6 +857,40 @@ ORACLES: dict[str, str] = {
     ),
 }
 # ---------------------------------------------------------------------------
+# Referential integrity + quarantine selection (twins of quality.py)
+# ---------------------------------------------------------------------------
+
+_REF_INTEGRITY_SQL = """
+WITH checks AS (
+  SELECT 'orders_customer_fk' AS check_name,
+    (SELECT COUNT(*) FROM orders) AS checked_rows,
+    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS invalid_rows
+  UNION ALL
+  SELECT 'lineitem_order_fk',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem_part_fk',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+)
+SELECT check_name, checked_rows, invalid_rows, invalid_rows = 0 AS passed
+FROM checks ORDER BY check_name
+""".strip()
+
+_QUARANTINE_BODY = """
+SELECT order_key, order_status, total_price, order_date
+FROM silver_orders
+WHERE NOT (COALESCE(total_price < 400000, FALSE))
+   OR NOT (COALESCE(order_status IN ('O','F'), FALSE))
+ORDER BY order_key
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Incremental ingestion + feature store (twins of ingest.py / featurestore.py)
 # ---------------------------------------------------------------------------
 
@@ -902,6 +936,8 @@ def _ingest_oracles() -> dict[str, str]:
         "feature_store_latest": _with(
             {"ev": EVENTS_BASE, "daily": _daily_features_body()}, _FS_LATEST_BODY
         ),
+        "dq_referential_integrity": _REF_INTEGRITY_SQL,
+        "dq_quarantine_rows": _with({"silver_orders": SILVER_ORDERS}, _QUARANTINE_BODY),
     }
 
 

@@ -113,6 +113,27 @@ def failing_rows(df: DataFrame, rules: tuple[Rule, ...]) -> DataFrame:
     return df.filter(cond)
 
 
+def referential_integrity(
+    fact: DataFrame, fk: str, dim: DataFrame, pk: str, check_name: str
+) -> DataFrame:
+    """FK-validation via left-anti join (SURVEY.md §2.3 J4 — the
+    reference validates FK sets row-by-row in Python,
+    ``watermark_manager.py:394-433``; the distributed form is an
+    anti-join, which Catalyst executes broadcast-side when the dim is
+    small). Returns a 1-row report: checked/invalid counts."""
+    invalid = fact.join(dim.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+    return (
+        fact.agg(F.count(F.lit(1)).alias("checked_rows"))
+        .crossJoin(invalid.agg(F.count(F.lit(1)).alias("invalid_rows")))
+        .select(
+            F.lit(check_name).alias("check_name"),
+            "checked_rows",
+            "invalid_rows",
+            (F.col("invalid_rows") == 0).alias("passed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. Monitor checks (data_quality_monitor re-expressed as Spark aggregates)
 # ---------------------------------------------------------------------------

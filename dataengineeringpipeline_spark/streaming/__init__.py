@@ -121,6 +121,41 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("hourly_stream_counts").orderBy("window_start_us")
 
 
+def stream_etl(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    transform,
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Incremental bronze→silver ETL as a ``foreachBatch`` stream — the
+    reference's event-driven Glue pattern (S3 ObjectCreated → job run,
+    SURVEY.md §2.9) in Spark-native form: each new file under
+    ``source_dir`` becomes a micro-batch, ``transform`` (a plain
+    ``DataFrame -> DataFrame`` engine function, e.g.
+    ``cleaning.clean_orders``) runs on it, and the result appends to the
+    parquet sink. The checkpoint makes re-runs incremental and
+    exactly-once: already-processed files are never transformed twice.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        transform(batch_df).write.mode("append").parquet(sink_dir)
+
+    raw = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    if not finished:
+        raise TimeoutError(f"stream_etl over {source_dir!r} did not finish within {timeout_s}s")
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES,

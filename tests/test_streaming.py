@@ -86,6 +86,44 @@ def test_file_source_picks_up_new_files(spark, sf_dir, tmp_path):
     assert first_total == 500
 
 
+ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_stream_etl_is_incremental_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch bronze→silver: first run transforms the backlog; a
+    re-run with the same checkpoint processes only NEW files."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import cleaning
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    orders.coalesce(1).write.mode("overwrite").parquet(bronze + "/f1")
+
+    streaming.stream_etl(
+        spark, bronze + "/f*", ORDERS_DDL, cleaning.clean_orders, silver, ckpt
+    )
+    assert spark.read.parquet(silver).count() == n
+
+    # second file with shifted keys → only its rows are appended
+    orders.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bronze + "/f2")
+    streaming.stream_etl(
+        spark, bronze + "/f*", ORDERS_DDL, cleaning.clean_orders, silver, ckpt
+    )
+    out = spark.read.parquet(silver)
+    assert out.count() == 2 * n  # not 3n — f1 was not re-transformed
+    assert out.filter(F.col("order_key") >= 10_000_000).count() == n
+    assert "order_size_category" in out.columns  # transform really ran
+
+
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
     streaming.run_available_now(
         streaming.sessionize_stream(streaming.stream_events(spark, sf_dir)),
