@@ -25,6 +25,7 @@ from dataengineeringpipeline_spark import (
     gold,
     ingest,
     quality,
+    rules,
     streaming,
 )
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
@@ -147,6 +148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
             _silver_orders(spark, sf), QUARANTINE_RULES
         ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
+        # -- config-driven rule compilers (§2.10) ---------------------------
+        "rule_driven_aggregation": lambda spark, sf: rules.rule_driven_aggregation(
+            _silver_orders(spark, sf)
+        ),
+        "rule_driven_features": lambda spark, sf: rules.rule_driven_features(
+            gold.customer_lifetime_metrics(_silver_orders(spark, sf))
+        ),
         # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
         "ml_customer_features": lambda spark, sf: features.ml_customer_features(
             _silver_orders(spark, sf)

@@ -197,3 +197,64 @@ def scd2_columns(df: DataFrame, effective_date: str = "2024-01-01") -> DataFrame
         .withColumn("expiry_date", F.lit("9999-12-31").cast("date"))
         .withColumn("is_current", F.lit(True))
     )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked_cols: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Real SCD2 merge (the reference stamps constant SCD2 columns —
+    ``bronze_to_silver_customers.py:159-162`` — without ever merging;
+    this is the actual type-2 semantics those columns imply).
+
+    ``updates`` is a new snapshot of ``key`` + ``tracked_cols``. Rows
+    whose tracked attributes changed get their open version closed
+    (``expiry_date = effective_date``, ``is_current = False``) and a new
+    open version inserted; unchanged and historical rows pass through;
+    unseen keys insert as new open versions.
+
+    One full-outer equi-join on the (high-cardinality) key — a single
+    well-spread shuffle; comparisons are null-safe so NULL→value and
+    value→NULL transitions version correctly.
+    """
+    eff = F.lit(effective_date).cast("date")
+    far_future = F.lit("9999-12-31").cast("date")
+    open_rows = current.filter(F.col("is_current"))
+    closed_rows = current.filter(~F.col("is_current"))
+
+    c = open_rows.alias("c")
+    u = updates.alias("u")
+    changed = None
+    for col in tracked_cols:
+        diff = ~F.col(f"c.{col}").eqNullSafe(F.col(f"u.{col}"))
+        changed = diff if changed is None else (changed | diff)
+    j = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full")
+
+    out_cols = [key, *tracked_cols]
+    both = F.col(f"c.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
+    only_cur = F.col(f"u.{key}").isNull()
+    only_upd = F.col(f"c.{key}").isNull()
+
+    kept = j.filter(both & ~changed | only_cur).select(
+        *[F.col(f"c.{col}").alias(col) for col in out_cols],
+        F.col("c.effective_date").alias("effective_date"),
+        F.col("c.expiry_date").alias("expiry_date"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    closed_out = j.filter(both & changed).select(
+        *[F.col(f"c.{col}").alias(col) for col in out_cols],
+        F.col("c.effective_date").alias("effective_date"),
+        eff.alias("expiry_date"),
+        F.lit(False).alias("is_current"),
+    )
+    new_versions = j.filter((both & changed) | only_upd).select(
+        *[F.col(f"u.{col}").alias(col) for col in out_cols],
+        eff.alias("effective_date"),
+        far_future.alias("expiry_date"),
+        F.lit(True).alias("is_current"),
+    )
+    history = closed_rows.select(*out_cols, "effective_date", "expiry_date", "is_current")
+    return history.unionByName(kept).unionByName(closed_out).unionByName(new_versions)

@@ -891,6 +891,35 @@ ORDER BY order_key
 
 
 # ---------------------------------------------------------------------------
+# Config-driven rule compilers (twins of rules.py demo configs)
+# ---------------------------------------------------------------------------
+
+_RULE_AGG_BODY = f"""
+SELECT order_year, order_month, order_status,
+  {money_sum_sql('total_price')} AS revenue,
+  {money_avg_sql('total_price')} AS avg_order_value,
+  {det_stddev_sql('total_price')} AS order_value_stddev,
+  COUNT(order_key) AS order_count,
+  COUNT(DISTINCT customer_key) AS unique_customers,
+  MAX(total_price) AS max_order_value
+FROM silver_orders
+WHERE is_complete_order AND order_status <> 'P'
+GROUP BY order_year, order_month, order_status
+ORDER BY order_year, order_month, order_status
+""".strip()
+
+_RULE_FEATURES_BODY = """
+SELECT customer_key, total_orders, lifetime_value, recency_days,
+  1.0 / (1.0 + recency_days / 30.0) AS engagement_score,
+  ROUND(ln(1 + total_orders), 6) AS log_total_orders,
+  lifetime_value / total_orders AS value_per_order,
+  recency_days < 1000 AND total_orders >= 10 AS is_recent_and_active
+FROM lm
+ORDER BY customer_key
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Incremental ingestion + feature store (twins of ingest.py / featurestore.py)
 # ---------------------------------------------------------------------------
 
@@ -938,6 +967,15 @@ def _ingest_oracles() -> dict[str, str]:
         ),
         "dq_referential_integrity": _REF_INTEGRITY_SQL,
         "dq_quarantine_rows": _with({"silver_orders": SILVER_ORDERS}, _QUARANTINE_BODY),
+        "rule_driven_aggregation": _with({"silver_orders": SILVER_ORDERS}, _RULE_AGG_BODY),
+        "rule_driven_features": _with(
+            {
+                "silver_orders": SILVER_ORDERS,
+                "lm": "SELECT customer_key, total_orders, lifetime_value, recency_days "
+                "FROM (" + _LIFETIME_METRICS_BODY + ")",
+            },
+            _RULE_FEATURES_BODY,
+        ),
     }
 
 
