@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) — fast driver-side properties plus a
+bounded-example Spark property for the SCD2 merge invariants."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataengineeringpipeline_spark import ingest, rules
+
+# -- WatermarkStore: any op sequence keeps file and memory in sync -----------
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["update", "delete"]),
+        st.sampled_from(["t1", "t2"]),
+        st.integers(min_value=0, max_value=10**15),
+    ),
+    max_size=30,
+)
+
+
+@given(_ops)
+@settings(max_examples=50, deadline=None)
+def test_watermark_store_file_always_matches_memory(tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("wm") / "wm.json")
+    store = ingest.WatermarkStore(path)
+    for op, table, value in ops:
+        if op == "update":
+            store.update(table, "ts", value, row_count=1)
+        else:
+            store.delete(table, "ts")
+    reloaded = ingest.WatermarkStore(path)
+    for table in ("t1", "t2"):
+        assert reloaded.get(table, "ts").__dict__ == store.get(table, "ts").__dict__
+
+
+# -- literal-typing rewrite: identifiers and structure survive ----------------
+
+_ident = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@given(_ident, st.integers(0, 999), st.integers(1, 999))
+@settings(max_examples=100, deadline=None)
+def test_double_literal_rewrite_only_touches_float_literals(name, a, b):
+    expr = f"{name} + {a} / ({name}_{b} * {a}.{b})"
+    out = rules._double_literals(expr)
+    # every float literal is wrapped, and unwrapping recovers the input
+    assert out.replace("CAST(", "").replace(" AS DOUBLE)", "") == expr
+    assert f"CAST({a}.{b} AS DOUBLE)" in out
+    assert name in out and f"{name}_{b}" in out  # identifiers untouched
+
+
+# -- SCD2 merge invariants over random snapshots (bounded Spark examples) ----
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=1, max_value=6),  # keys
+    st.sampled_from(["A", "B", "C", None]),  # tracked attribute
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_snapshot, _snapshot)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_invariants(spark, base, update):
+    from dataengineeringpipeline_spark import cleaning
+
+    current = cleaning.scd2_columns(
+        spark.createDataFrame([(k, v) for k, v in base.items()], "id int, attr string"),
+        "2024-01-01",
+    )
+    updates = spark.createDataFrame([(k, v) for k, v in update.items()], "id int, attr string")
+    merged = cleaning.scd2_merge(current, updates, "id", ["attr"], "2024-06-01").collect()
+
+    open_rows = [r for r in merged if r["is_current"]]
+    closed = [r for r in merged if not r["is_current"]]
+    # exactly one open version per key ever seen
+    assert sorted(r["id"] for r in open_rows) == sorted(set(base) | set(update))
+    # open version carries the latest value for updated keys, base value otherwise
+    for r in open_rows:
+        expected = update[r["id"]] if r["id"] in update else base[r["id"]]
+        assert r["attr"] == expected
+    # closed versions exist exactly for keys whose value changed
+    changed = {k for k in set(base) & set(update) if base[k] != update[k]}
+    assert sorted(r["id"] for r in closed) == sorted(changed)
+    for r in closed:
+        assert str(r["expiry_date"]) == "2024-06-01" and r["attr"] == base[r["id"]]
