@@ -1,0 +1,117 @@
+"""Scale strategies made concrete: bucketing, salting, approx variants.
+
+These are the knobs the engine reaches for when the default plan stops
+holding at 100 TB (SURVEY.md §4, task brief "Partitioning & shuffle"):
+
+- **Bucketed co-located joins** — pre-shuffle both fact tables into the
+  same bucket layout on the join key at write time; joins between them
+  then run with NO exchange (verified by test: the physical plan has no
+  Exchange above either scan). This is the Spark-native form of the
+  reference's partitioned-layout discipline, applied to join keys
+  instead of dates. Worth it for fact-fact joins repeated across many
+  queries; useless for one-shot joins (you pay the shuffle at write).
+- **Salted aggregation** — two-stage aggregate for skewed keys: partial
+  aggregate on ``(key, salt)`` spreads a hot key over N tasks, the final
+  aggregate on ``key`` combines N partials. AQE's skew-join splitting
+  handles *join* skew automatically; aggregate skew on a hot grouping
+  key still needs salting.
+- **Approx variants** — ``approx_count_distinct`` (HLL++) and
+  ``approx_percentile`` swap exact distincts/quantiles for fixed-memory
+  sketches. Exact ``countDistinct`` on a 100 TB key column shuffles
+  every distinct value; the sketch ships KBs per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key.
+
+    Both sides of a co-located join must use the same ``num_buckets``
+    and key. Bucketing is a catalog feature — the layout lives in the
+    table metadata, so readers must come through ``spark.table``.
+    ``path`` makes it an external table (data outside the warehouse dir,
+    which is static config and cannot be retargeted at runtime).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables — no exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output alias → one of ``count | sum | min | max``
+    (the decomposable aggregates: partials combine losslessly — sums
+    re-sum, counts re-sum, min/max re-min/max). ``salt_source`` defaults
+    to a deterministic hash of all columns, spreading each hot key's rows
+    uniformly without an RNG (reproducible plans).
+    """
+    supported = {"count", "sum", "min", "max"}
+    bad = {fn for fn in aggs.values() if fn.split(":")[0] not in supported}
+    if bad:
+        raise ValueError(f"non-decomposable aggregate(s) {sorted(bad)}; use count/sum/min/max")
+
+    salt = (salt_source if salt_source is not None else F.abs(F.hash(*df.columns))) % salt_buckets
+
+    partial_aggs, final_aggs = [], []
+    for alias, spec in aggs.items():
+        fn, _, col = spec.partition(":")
+        col = col or alias
+        p_alias = f"_p_{alias}"
+        if fn == "count":
+            partial_aggs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(p_alias))
+            final_aggs.append(F.sum(p_alias).alias(alias))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(F.col(col).cast("decimal(27,2)")).alias(p_alias))
+            final_aggs.append(F.sum(p_alias).cast("double").alias(alias))
+        else:  # min / max
+            partial_aggs.append(getattr(F, fn)(col).alias(p_alias))
+            final_aggs.append(getattr(F, fn)(p_alias).alias(alias))
+
+    partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def approx_distinct_summary(
+    df: DataFrame, key_cols: list[str], distinct_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Sketch-based distinct counting — the 100 TB stand-in for exact
+    ``countDistinct`` (SURVEY.md §2.4 engine note)."""
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.approx_count_distinct(distinct_col, rsd).alias(f"approx_distinct_{distinct_col}"),
+    )
+
+
+def approx_quantiles(df: DataFrame, column: str, probs: list[float], accuracy: int = 10_000) -> list[float]:
+    """Greenwald-Khanna approximate quantiles (the IQR outlier check's
+    scale path — ``approxQuantile`` never collects the column)."""
+    return df.approxQuantile(column, probs, 1.0 / accuracy)

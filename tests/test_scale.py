@@ -1,0 +1,94 @@
+"""Scale strategies: bucketed joins really avoid exchanges, salted
+aggregation is exactly equivalent to direct aggregation, sketches land
+within their error bounds."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark import scale
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    scale.write_bucketed(
+        orders, "b_orders", "o_orderkey", num_buckets=8, path=str(tmp_path / "b_orders")
+    )
+    scale.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+        path=str(tmp_path / "b_lineitem"),
+    )
+    # disable auto-broadcast so the join strategy question is real
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregate_equals_direct(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    salted = {
+        r["o_orderstatus"]: (r["n"], r["revenue"], r["max_price"])
+        for r in scale.salted_aggregate(
+            orders,
+            ["o_orderstatus"],
+            {"n": "count:*", "revenue": "sum:o_totalprice", "max_price": "max:o_totalprice"},
+            salt_buckets=16,
+        ).collect()
+    }
+    direct = {
+        r["o_orderstatus"]: (r["n"], r["revenue"], r["max_price"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("revenue"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert salted == direct  # bit-exact: decimal partials combine losslessly
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        scale.salted_aggregate(orders, ["o_orderstatus"], {"m": "avg:o_totalprice"})
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = (
+        scale.approx_distinct_summary(orders.withColumn("g", F.lit(1)), ["g"], "o_custkey")
+        .collect()[0]["approx_distinct_o_custkey"]
+    )
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantiles_bracket_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = scale.approx_quantiles(orders, "o_totalprice", [0.25, 0.75])
+    mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert mn <= lo <= hi <= mx
