@@ -127,8 +127,21 @@ def ingest_features(
     source: str = "gold",
 ) -> dict:
     """Offline-store ingest + lineage version bump
-    (``ingest_features_from_gold_layer``)."""
+    (``ingest_features_from_gold_layer``).
+
+    The input is pinned with ``persist()`` so the lineage row count and
+    the appended files come from the same snapshot — a bare ``.count()``
+    after the write would recompute the upstream pipeline and could
+    disagree with what was written. (``Dataset.observe`` would fold the
+    count into the write, but in Spark 4.1 a consumed Observation leaves
+    JVM state behind that later breaks closure serialization of
+    RDD-backed jobs — e.g. every ``pyspark.ml`` evaluator — so the
+    persist-count-write-unpersist sequence is deliberate.)"""
     path = os.path.join(offline_root, feature_group)
-    features.write.mode("append").parquet(path)
-    n = features.count()
+    features = features.persist()
+    try:
+        n = features.count()
+        features.write.mode("append").parquet(path)
+    finally:
+        features.unpersist()
     return lineage.record(feature_group, n, source)

@@ -142,15 +142,22 @@ def ingest(
     ``max(wm)`` of the increment. Returns a run report dict (the
     reference's Lambda response shape, ``lambda_function.py:470-495``)."""
     wm = store.get(name, watermark_column)
-    increment = incremental_slice(source, watermark_column, wm.value)
-    # One pass computes both the row count and the next watermark.
-    stats = increment.agg(
-        F.count(F.lit(1)).alias("rows"), F.max(watermark_column).alias("next_wm")
-    ).collect()[0]
-    if stats["rows"] == 0:
-        return {"table": name, "rows_extracted": 0, "watermark": wm.value, "skipped": True}
-    out = with_extraction_metadata(increment, source_system, extraction_ts)
-    out.write.mode("append").parquet(os.path.join(bronze_path, name))
+    # Pin the increment before any action: stats and the write below are
+    # two Spark actions, and a live source gaining rows between them
+    # would write rows the stored watermark doesn't cover (duplicated on
+    # the next run). persist() materializes the slice once so both
+    # actions see the same snapshot.
+    increment = incremental_slice(source, watermark_column, wm.value).persist()
+    try:
+        stats = increment.agg(
+            F.count(F.lit(1)).alias("rows"), F.max(watermark_column).alias("next_wm")
+        ).collect()[0]
+        if stats["rows"] == 0:
+            return {"table": name, "rows_extracted": 0, "watermark": wm.value, "skipped": True}
+        out = with_extraction_metadata(increment, source_system, extraction_ts)
+        out.write.mode("append").parquet(os.path.join(bronze_path, name))
+    finally:
+        increment.unpersist()
     next_wm = stats["next_wm"]
     if hasattr(next_wm, "isoformat"):
         next_wm = next_wm.isoformat()

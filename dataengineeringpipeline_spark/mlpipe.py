@@ -190,9 +190,20 @@ def paired_t_test(scores_a: list[float], scores_b: list[float]) -> dict:
         raise ValueError("need equal-length score lists with n >= 2")
     d = a - b
     sd = d.std(ddof=1)
-    t = float(d.mean() / (sd / math.sqrt(d.size))) if sd > 0 else float("inf") if d.mean() else 0.0
+    # tolerance relative to the score scale: float jitter makes the
+    # variance of "identical" scores ~1e-33, which would otherwise yield
+    # absurd 1e15-scale statistics instead of the zero/infinite limits.
+    eps = 1e-12 * max(1.0, float(np.abs(a).max()), float(np.abs(b).max()))
+    mean_d = float(d.mean())
+    if sd > eps:
+        t = mean_d / (sd / math.sqrt(d.size))
+    else:  # zero-variance differences: sign-correct infinite limit
+        t = math.copysign(math.inf, mean_d) if abs(mean_d) > eps else 0.0
     pooled = math.sqrt((a.var(ddof=1) + b.var(ddof=1)) / 2)
-    cohens_d = float(d.mean() / pooled) if pooled > 0 else 0.0
+    if pooled > eps:
+        cohens_d = mean_d / pooled
+    else:
+        cohens_d = math.copysign(math.inf, mean_d) if abs(mean_d) > eps else 0.0
     # two-sided 0.05 critical values for df = n-1 (df 1..30)
     crit = [12.71, 4.303, 3.182, 2.776, 2.571, 2.447, 2.365, 2.306, 2.262, 2.228,
             2.201, 2.179, 2.16, 2.145, 2.131, 2.12, 2.11, 2.101, 2.093, 2.086,

@@ -104,7 +104,10 @@ class FeatureRule:
     round_dp: int | None = None
 
 
-_FLOAT_LITERAL = __import__("re").compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+import re as _re
+
+_FLOAT_LITERAL = _re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+_SQL_STRING = _re.compile(r"'(?:[^']|'')*'")
 
 
 def _double_literals(calculation: str) -> str:
@@ -113,8 +116,18 @@ def _double_literals(calculation: str) -> str:
     whole calculation into decimal arithmetic with division-scale
     truncation (~1e-9 error vs IEEE double); the reference's configs
     (pandas/Snowflake semantics) and the DuckDB oracle both mean double.
+
+    SQL string literals (``'...'``, with ``''`` escapes) pass through
+    untouched — ``version = '1.5'`` must keep comparing against the
+    string, not against ``'CAST(1.5 AS DOUBLE)'``.
     """
-    return _FLOAT_LITERAL.sub(r"CAST(\1 AS DOUBLE)", calculation)
+    out, pos = [], 0
+    for m in _SQL_STRING.finditer(calculation):
+        out.append(_FLOAT_LITERAL.sub(r"CAST(\1 AS DOUBLE)", calculation[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_FLOAT_LITERAL.sub(r"CAST(\1 AS DOUBLE)", calculation[pos:]))
+    return "".join(out)
 
 
 def apply_feature_rules(df: DataFrame, rules: tuple[FeatureRule, ...]) -> DataFrame:

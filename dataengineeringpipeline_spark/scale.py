@@ -79,7 +79,11 @@ def salted_aggregate(
     if bad:
         raise ValueError(f"non-decomposable aggregate(s) {sorted(bad)}; use count/sum/min/max")
 
-    salt = (salt_source if salt_source is not None else F.abs(F.hash(*df.columns))) % salt_buckets
+    # pmod, not abs(hash) % n: abs(Int.MIN_VALUE) overflows under ANSI
+    # mode (default in Spark 4) — ~1 in 2^32 rows would kill the job.
+    salt = F.pmod(
+        salt_source if salt_source is not None else F.hash(*df.columns), F.lit(salt_buckets)
+    )
 
     partial_aggs, final_aggs = [], []
     for alias, spec in aggs.items():

@@ -30,6 +30,7 @@ over any backlog size.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,6 +109,7 @@ def run_available_now(
     )
     finished = query.awaitTermination(timeout_s)
     query.stop()
+    _await_deregistration(spark, query)
     if not finished:
         raise TimeoutError(
             f"streaming query {name!r} did not drain its backlog within {timeout_s}s"
@@ -133,15 +135,20 @@ def stream_etl(
     """Incremental bronze→silver ETL as a ``foreachBatch`` stream — the
     reference's event-driven Glue pattern (S3 ObjectCreated → job run,
     SURVEY.md §2.9) in Spark-native form: each new file under
-    ``source_dir`` becomes a micro-batch, ``transform`` (a plain
+    ``source_dir`` becomes a micro-batch and ``transform`` (a plain
     ``DataFrame -> DataFrame`` engine function, e.g.
-    ``cleaning.clean_orders``) runs on it, and the result appends to the
-    parquet sink. The checkpoint makes re-runs incremental and
-    exactly-once: already-processed files are never transformed twice.
+    ``cleaning.clean_orders``) runs on it.
+
+    Exactly-once: the checkpoint makes re-runs incremental (processed
+    files are never *read* twice), and each batch overwrites its own
+    ``batch_id=<n>`` partition of the sink — so a crash-replay of a
+    batch whose write committed before the checkpoint did is idempotent
+    (a blind append here would silently duplicate rows instead). Readers
+    see one partitioned parquet table at ``sink_dir``.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        transform(batch_df).write.mode("append").parquet(sink_dir)
+        transform(batch_df).write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     raw = spark.readStream.schema(schema_ddl).parquet(source_dir)
     query = (
@@ -152,8 +159,20 @@ def stream_etl(
     )
     finished = query.awaitTermination(timeout_s)
     query.stop()
+    _await_deregistration(spark, query)
     if not finished:
         raise TimeoutError(f"stream_etl over {source_dir!r} did not finish within {timeout_s}s")
+
+
+def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
+    """Wait until a stopped query leaves the active registry — starting a
+    new query on the same checkpoint before then fails with
+    'Multiple streaming queries are concurrently using <path>'."""
+    deadline = time.monotonic() + timeout_s
+    while any(q.id == query.id for q in spark.streams.active):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"query {query.id} did not deregister within {timeout_s}s")
+        time.sleep(0.05)
 
 
 def sessionize_stream(
@@ -181,6 +200,12 @@ def sessionize_stream(
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            # idle eviction: drop the state, emit nothing — re-arming here
+            # would keep every idle user's state (and a spurious output
+            # row) alive forever.
+            state.remove()
+            return
         last_ts, sessions, events_n = state.get if state.exists else (None, 0, 0)
         for pdf in pdfs:
             for ts in sorted(pdf["ts_us"]):

@@ -52,6 +52,10 @@ def test_paired_t_test_and_bootstrap():
     assert bs["significant"] and bs["ci_low"] > 0
     same = mlpipe.paired_t_test(a, a)
     assert not same["significant_at_05"]
+    assert same["t_statistic"] == 0.0 and same["cohens_d"] == 0.0
+    # zero-variance differences: sign-correct infinite limits, not +inf/garbage
+    worse = mlpipe.paired_t_test([0.5, 0.5, 0.5], [0.7, 0.7, 0.7])
+    assert worse["t_statistic"] == float("-inf") and worse["cohens_d"] == float("-inf")
     # deterministic given the seed
     assert mlpipe.bootstrap_compare(a, b, seed=7) == bs
 

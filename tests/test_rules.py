@@ -70,6 +70,16 @@ def test_double_literal_rewrite_preserves_identifiers():
     assert rules._double_literals("LOG(1 + x)") == "LOG(1 + x)"  # ints untouched
 
 
+def test_double_literal_rewrite_skips_string_literals():
+    assert (
+        rules._double_literals("CASE WHEN version = '1.5' THEN 1.5 ELSE 0 END")
+        == "CASE WHEN version = '1.5' THEN CAST(1.5 AS DOUBLE) ELSE 0 END"
+    )
+    # '' escapes keep the string literal intact
+    assert rules._double_literals("x || 'it''s 2.5' || 2.5").endswith("CAST(2.5 AS DOUBLE)")
+    assert "'it''s 2.5'" in rules._double_literals("x || 'it''s 2.5' || 2.5")
+
+
 # -- SCD2 merge --------------------------------------------------------------
 
 

@@ -54,9 +54,10 @@ def test_append_mode_withholds_open_windows(spark, sf_dir):
     assert 1 <= withheld <= 2  # the final open window (+boundary window)
 
 
-def test_file_source_picks_up_new_files(spark, sf_dir, tmp_path):
-    """Micro-batch ingestion: a second file appearing in the source dir is
-    processed as its own micro-batch into the same result table."""
+def test_file_source_processes_each_file_as_micro_batch(spark, sf_dir, tmp_path):
+    """Micro-batch ingestion: with maxFilesPerTrigger=1, each file in the
+    source dir is processed as its own micro-batch, all accumulating into
+    one result."""
     src = tmp_path / "stream_src"
     src.mkdir()
     ev = load_events(spark, sf_dir).limit(500).select(
@@ -66,24 +67,25 @@ def test_file_source_picks_up_new_files(spark, sf_dir, tmp_path):
     ev.withColumn("ts", F.col("ts") * 1000).coalesce(1).write.mode("overwrite").parquet(
         str(src / "batch1")
     )
+    ev.withColumn("ts", F.col("ts") * 1000).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+
+    batch_ids = []
+
+    def record_batch(batch_df, batch_id):
+        batch_ids.append((batch_id, batch_df.count()))
 
     raw = (
         spark.readStream.schema(streaming.EVENTS_DDL)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src / "batch*"))
     )
-    counted = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    q = (
-        counted.writeStream.format("memory")
-        .queryName("t_incr")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    q = raw.writeStream.foreachBatch(record_batch).trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
     q.stop()
-    first_total = spark.table("t_incr").agg(F.sum("n")).collect()[0][0]
-    assert first_total == 500
+    assert len(batch_ids) == 2  # one micro-batch per file
+    assert sum(n for _, n in batch_ids) == 1000
 
 
 ORDERS_DDL = (
@@ -122,6 +124,39 @@ def test_stream_etl_is_incremental_exactly_once(spark, sf_dir, tmp_path):
     assert out.count() == 2 * n  # not 3n — f1 was not re-transformed
     assert out.filter(F.col("order_key") >= 10_000_000).count() == n
     assert "order_size_category" in out.columns  # transform really ran
+
+    # crash-replay idempotence: wipe the last batch's checkpoint commit
+    # (the state a crash between sink-write and commit leaves behind) and
+    # restart in a FRESH process — in-session, Spark 4's commit-log guard
+    # reads the tampering as concurrent checkpoint use. The replayed
+    # batch's per-partition overwrite must not duplicate rows.
+    import os
+    import subprocess
+    import sys
+
+    last = max(f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # a real crash writes neither file
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {repr(os.getcwd())})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import cleaning, streaming
+streaming.stream_etl(spark, {(bronze + "/f*")!r}, {ORDERS_DDL!r},
+                     cleaning.clean_orders, {silver!r}, {ckpt!r})
+print("REPLAY_COUNT", spark.read.parquet({silver!r}).count())
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    count_line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_COUNT"))
+    assert int(count_line.split()[1]) == 2 * n  # replay did not append dupes
 
 
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
