@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(
             _read(spark, sf, "embeddings")
         ),
+        "ann_ivf_topk": lambda spark, sf: sim_ops.ann_ivf_topk(_read(spark, sf, "embeddings")),
+        "ann_ivf_recall": lambda spark, sf: sim_ops.ann_ivf_recall(_read(spark, sf, "embeddings")),
         "embedding_near_dups": lambda spark, sf: sim_ops.embedding_near_dups(
             _read(spark, sf, "embeddings")
         ),

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 EMB_DIM = 64
 LSH_PLANES = 8
+IVF_CENTROID_MOD = 25  # vec_id % mod == 7 → ~n/25 coarse centroids
+IVF_NPROBE = 2
 
 
 def _to_double(arr: str | Column) -> Column:
@@ -111,6 +113,117 @@ def embedding_near_dups(
         (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
     )
     return cand.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
+
+
+def ivf_centroids(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -> DataFrame:
+    """Deterministic coarse quantizer: the vectors at ``vec_id % mod == 7``
+    serve as centroids (a fixed data-derived sample — no trained k-means
+    state to ship, any engine regenerates the same quantizer)."""
+    return with_norms(embeddings).filter(F.col("vec_id") % centroid_mod == 7).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -> DataFrame:
+    """Cell assignment: each vector → its max-cosine centroid (ties to the
+    lower centroid id).
+
+    Plan shape for 100 TB: the centroid set is aggregated to ONE row
+    (``collect_list``) and broadcast, so assignment is a map-only
+    fold-argmax over the centroid array — the corpus is never shuffled
+    and never joined row-per-centroid. The fold scans centroids in
+    ascending-id order, so "strictly greater" replacement keeps the
+    lowest id among bit-equal cosines (same ordering as a
+    ``ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id)`` oracle).
+    """
+    base = with_norms(embeddings)
+    cents = ivf_centroids(embeddings, centroid_mod)
+    one_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("ce"), F.col("cn")))
+        ).alias("cents")
+    )
+    init = F.struct(F.lit(-2.0).alias("bc"), F.lit(-1).cast("long").alias("bi"))
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        lambda acc, c: F.when(
+            _dot(F.col("e"), c["ce"]) / (F.col("nrm") * c["cn"]) > acc["bc"],
+            F.struct(
+                (_dot(F.col("e"), c["ce"]) / (F.col("nrm") * c["cn"])).alias("bc"),
+                c["centroid_id"].alias("bi"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        base.join(F.broadcast(one_row))
+        .withColumn("best", best)
+        .select("vec_id", "label", "e", "nrm", F.col("best.bi").alias("centroid_id"))
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the scale path next to
+    :func:`ann_bruteforce_topk`.
+
+    Each query probes its ``nprobe`` nearest cells and scores only the
+    vectors assigned there — candidate work drops from O(|Q|·n) to
+    O(|Q|·n·nprobe/cells). The candidate join shuffles on ``centroid_id``
+    (bounded cells; AQE splits skewed ones); only candidates reach the
+    per-query top-k window.
+    """
+    assign = ivf_assign(embeddings, centroid_mod)
+    cents = ivf_centroids(embeddings, centroid_mod)
+    q = with_norms(embeddings).filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        "qn",
+        "centroid_id",
+        (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probes = qc.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= nprobe).select(
+        "query_id", "qe", "qn", "centroid_id"
+    )
+    cand = probes.join(assign, "centroid_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_recall(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of the IVF path against the exact brute-force baseline —
+    the accuracy/cost dial a corpus-scale deployment tunes with
+    ``nprobe``/``centroid_mod``. One summary row."""
+    exact = ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(embeddings, k).select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
+        hit.agg(F.count(F.lit(1)).alias("hit_pairs"))
+    ).select(
+        F.lit(k).alias("k"),
+        "exact_pairs",
+        "hit_pairs",
+        (F.col("hit_pairs") / F.col("exact_pairs")).alias("recall_at_k"),
+    )
 
 
 def ann_topk_arrow(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:

@@ -785,9 +785,48 @@ SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INTEGER) AS rank FROM 
 """.strip()
 
 
+_IVF_CELLS = """
+cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id % {cmod} = 7
+),
+assign AS (
+  SELECT vec_id, label, e, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.label, n.e, n.nrm, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65), i -> n.e[i] * c.ce[i]), (a, b) -> a + b) / (n.nrm * c.cn) DESC,
+        c.centroid_id ASC) AS rn
+    FROM n CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, qe, qn, centroid_id FROM (
+    SELECT q.query_id, q.qe, q.qn, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_reduce(list_transform(range(1, 65), i -> q.qe[i] * c.ce[i]), (a, b) -> a + b) / (q.qn * c.cn) DESC,
+        c.centroid_id ASC) AS pr
+    FROM q CROSS JOIN cent c
+  ) WHERE pr <= {nprobe}
+)
+""".strip()
+
+_IVF_BODY = """
+SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id, a.label,
+      list_reduce(list_transform(range(1, 65), i -> p.qe[i] * a.e[i]), (x, y) -> x + y) / (p.qn * a.nrm) AS cosine
+    FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+  )
+) WHERE rank <= 5
+""".strip()
+
+
 def _sim_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.operators.similarity import (
         EMB_DIM,
+        IVF_CENTROID_MOD,
+        IVF_NPROBE,
         LSH_PLANES,
         _plane_coef,
     )
@@ -807,8 +846,22 @@ SELECT vec_a, vec_b, cosine FROM (
   FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cosine >= 0.35
 """.strip()
+    ivf_cells = _IVF_CELLS.format(cmod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE)
+    ivf_topk = f"WITH n AS ({_EMB_NORMS}),\n{ivf_cells}\n{_IVF_BODY}"
+    ivf_recall = (
+        f"WITH n AS ({_EMB_NORMS}),\n{ivf_cells},\n"
+        f"exact_tk AS (SELECT query_id, neighbor_id FROM ({_ANN_BODY})),\n"
+        f"ivf_tk AS (SELECT query_id, neighbor_id FROM ({_IVF_BODY}))\n"
+        "SELECT CAST(5 AS INTEGER) AS k,\n"
+        "  (SELECT count(*) FROM exact_tk) AS exact_pairs,\n"
+        "  (SELECT count(*) FROM exact_tk e JOIN ivf_tk i USING (query_id, neighbor_id)) AS hit_pairs,\n"
+        "  (SELECT count(*) FROM exact_tk e JOIN ivf_tk i USING (query_id, neighbor_id))\n"
+        "    / (SELECT count(*) FROM exact_tk) AS recall_at_k"
+    )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
+        "ann_ivf_topk": ivf_topk,
+        "ann_ivf_recall": ivf_recall,
         "embedding_near_dups": _with({"n": _EMB_NORMS, "sigs": sigs}, near_dups),
     }
 
@@ -923,7 +976,14 @@ ORDER BY customer_key
 # Incremental ingestion + feature store (twins of ingest.py / featurestore.py)
 # ---------------------------------------------------------------------------
 
-_DEMO_WATERMARK_US = 19_742 * 86_400_000_000
+def _demo_watermark_us() -> int:
+    # imported from the engine so oracle and query can never disagree
+    from dataengineeringpipeline_spark.ingest import DEMO_WATERMARK_US
+
+    return DEMO_WATERMARK_US
+
+
+_DEMO_WATERMARK_US = _demo_watermark_us()
 
 _INCREMENTAL_BODY = f"""
 SELECT event_id, user_id, event_type, ts_us, event_date,

@@ -34,6 +34,48 @@ def test_arrow_ann_matches_fold_topk(spark, sf_dir):
     assert fold == arrow
 
 
+def test_ivf_assignment_covers_corpus_and_is_partitioning_independent(spark, sf_dir):
+    """Every vector lands in exactly one cell, cells come from the declared
+    centroid subset, and assignment doesn't depend on input partitioning."""
+    emb = _embeddings(spark, sf_dir)
+    assign = similarity.ivf_assign(emb)
+    n = emb.count()
+    assert assign.count() == n
+    cents = {r["centroid_id"] for r in similarity.ivf_centroids(emb).collect()}
+    used = {r["centroid_id"] for r in assign.select("centroid_id").distinct().collect()}
+    assert used <= cents and len(cents) > 1
+    one = {r["vec_id"]: r["centroid_id"] for r in assign.collect()}
+    many = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb.repartition(13)).collect()
+    }
+    assert one == many
+
+
+def test_ivf_topk_subset_of_probed_cells_and_recall(spark, sf_dir):
+    """IVF results are exact cosines drawn from probed cells only; recall
+    against brute force is positive and the summary row is consistent."""
+    emb = _embeddings(spark, sf_dir)
+    k = 5
+    ivf = similarity.ann_ivf_topk(emb, k=k).collect()
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r["query_id"], []).append(r)
+    for rows in per_query.values():
+        assert len(rows) <= k
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+    exact = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in similarity.ann_bruteforce_topk(emb, k=emb.count()).collect()
+    }
+    assert all((r["query_id"], r["neighbor_id"], round(r["cosine"], 9)) in exact for r in ivf)
+    rec = similarity.ann_ivf_recall(emb, k=k).collect()[0]
+    assert rec["hit_pairs"] <= rec["exact_pairs"]
+    assert 0.0 < rec["recall_at_k"] <= 1.0
+
+
 def test_lsh_signatures_partitioning_independent(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     one = {r["vec_id"]: r["bucket"] for r in similarity.lsh_signatures(emb).collect()}
