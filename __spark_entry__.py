@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_summary": lambda spark, sf: gold.segment_summary(
             gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
         ),
+        "supplier_performance": lambda spark, sf: gold.supplier_performance(
+            _read(spark, sf, "supplier"),
+            _read(spark, sf, "nation"),
+            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+        ),
         "category_performance": lambda spark, sf: gold.category_performance(
             cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
             cleaning.clean_parts(_read(spark, sf, "part")),

@@ -315,6 +315,65 @@ def category_performance(silver_lineitems: DataFrame, silver_parts: DataFrame) -
     )
 
 
+def supplier_performance(
+    supplier: DataFrame, nation: DataFrame, silver_lineitems: DataFrame
+) -> DataFrame:
+    """Per-supplier fulfillment metrics with within-nation revenue rank —
+    the A3 per-entity-agg + J1 dim-left-join + A4 conditional-agg + W2
+    ranking pattern applied to the supply side (reference analog:
+    ``silver_to_gold_customer_analytics.py:116-196``).
+
+    Plan shape at 100 TB: the fact table reduces to one row per supplier
+    **before** touching any dim (map-side partial agg); the supplier dim
+    then left-joins the shrunken aggregate, and nation (25 rows) is
+    broadcast. The rank window partitions by nation — no global sort.
+    """
+    per_supp = silver_lineitems.groupBy("supplier_key").agg(
+        F.count("*").alias("line_count"),
+        F.sum("quantity").alias("total_quantity"),
+        money_sum("net_revenue", "supplier_revenue", scale=4),
+        F.sum(F.when(F.col("return_flag") == "R", 1).otherwise(0)).alias("returned_lines"),
+    )
+    dim = supplier.select(
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_nationkey").alias("nation_key"),
+        F.col("s_acctbal").cast("double").alias("account_balance"),
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("nation_key"), F.col("n_name").alias("nation_name")
+            )
+        ),
+        "nation_key",
+        "left",
+    )
+    joined = (
+        dim.join(per_supp, "supplier_key", "left")
+        .fillna({"line_count": 0, "total_quantity": 0.0, "supplier_revenue": 0.0, "returned_lines": 0})
+    )
+    rank_w = Window.partitionBy("nation_name").orderBy(
+        F.desc("supplier_revenue"), F.asc("supplier_key")
+    )
+    return joined.select(
+        "supplier_key",
+        "supplier_name",
+        "nation_name",
+        "account_balance",
+        "line_count",
+        "total_quantity",
+        "supplier_revenue",
+        "returned_lines",
+        F.when(
+            F.col("line_count") > 0,
+            F.col("returned_lines").cast("double") / F.col("line_count") * 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("return_rate_pct"),
+        F.row_number().over(rank_w).alias("nation_revenue_rank"),
+    ).orderBy("nation_name", "nation_revenue_rank")
+
+
 def top_n(df: DataFrame, order_col: str, n: int = 1, tiebreak: str | None = None) -> DataFrame:
     """Top-N selection (W3/O2): ``orderBy(desc).limit(n)`` — Spark plans
     this as TakeOrderedAndProject (no full sort)."""

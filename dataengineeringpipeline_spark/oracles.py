@@ -763,6 +763,33 @@ WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
     }
 
 
+_SUPPLIER_BODY = f"""
+SELECT supplier_key, supplier_name, nation_name, account_balance, line_count,
+  total_quantity, supplier_revenue, returned_lines,
+  CASE WHEN line_count > 0 THEN CAST(returned_lines AS DOUBLE) / line_count * 100.0
+       ELSE 0.0 END AS return_rate_pct,
+  CAST(ROW_NUMBER() OVER (PARTITION BY nation_name
+       ORDER BY supplier_revenue DESC, supplier_key ASC) AS INTEGER) AS nation_revenue_rank
+FROM (
+  SELECT s.s_suppkey AS supplier_key, s.s_name AS supplier_name, n.n_name AS nation_name,
+    CAST(s.s_acctbal AS DOUBLE) AS account_balance,
+    COALESCE(p.line_count, 0) AS line_count,
+    COALESCE(p.total_quantity, 0.0) AS total_quantity,
+    COALESCE(p.supplier_revenue, 0.0) AS supplier_revenue,
+    COALESCE(p.returned_lines, 0) AS returned_lines
+  FROM supplier s
+  LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  LEFT JOIN (
+    SELECT supplier_key, COUNT(*) AS line_count, SUM(quantity) AS total_quantity,
+      {money_sum_sql('net_revenue', 4)} AS supplier_revenue,
+      {sum_long_sql("CASE WHEN return_flag = 'R' THEN 1 ELSE 0 END")} AS returned_lines
+    FROM silver_lineitems GROUP BY supplier_key
+  ) p ON p.supplier_key = s.s_suppkey
+)
+ORDER BY nation_name, nation_revenue_rank
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity (twins of operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -904,6 +931,7 @@ ORACLES: dict[str, str] = {
         {"silver_orders": SILVER_ORDERS, "lifetime_metrics": _LIFETIME_METRICS_BODY},
         _SEGMENT_BODY,
     ),
+    "supplier_performance": _with({"silver_lineitems": SILVER_LINEITEMS}, _SUPPLIER_BODY),
     "category_performance": _with(
         {"silver_lineitems": SILVER_LINEITEMS, "silver_parts": SILVER_PARTS},
         _CATEGORY_BODY,
