@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
             load_events(spark, sf)
         ),
+        "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
+            load_events(spark, sf)
+        ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
         "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
             load_events(spark, sf)

@@ -65,6 +65,50 @@ def hourly_event_summary(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window_summary(
+    events: DataFrame, width_minutes: int = 60, slide_minutes: int = 30
+) -> DataFrame:
+    """Overlapping sliding-window rollup (the streaming
+    ``F.window(ts, width, slide)`` operator in batch form).
+
+    Each event belongs to ``width/slide`` windows; the expansion is a
+    JVM-side ``explode(sequence(...))`` — exactly how Spark's own window
+    operator expands rows — followed by one hash aggregation on the
+    window start. Boundaries come from integer microsecond arithmetic,
+    so results are timezone-free and identical in any engine.
+    """
+    if width_minutes % slide_minutes:
+        raise ValueError("width must be a multiple of slide")
+    width_us = width_minutes * 60 * 1_000_000
+    slide_us = slide_minutes * 60 * 1_000_000
+    ratio = width_minutes // slide_minutes
+    expanded = events.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1)))).withColumn(
+        "window_start_us",
+        (F.expr(f"ts_us div {slide_us}") - F.col("k")) * F.lit(slide_us),
+    )
+    return (
+        expanded.groupBy("window_start_us")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            money_sum("value", "total_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("error_count"),
+        )
+        .withColumn("window_end_us", F.col("window_start_us") + F.lit(width_us))
+        .select(
+            "window_start_us",
+            "window_end_us",
+            "event_count",
+            "unique_users",
+            "total_value",
+            "error_count",
+        )
+        .orderBy("window_start_us")
+    )
+
+
 def event_type_summary(events: DataFrame) -> DataFrame:
     """Per-type rollup with share-of-total (A6-style decimal window total)."""
     agg = events.groupBy("event_type").agg(

@@ -472,6 +472,21 @@ FROM (
 )
 """.strip()
 
+_SLIDING_BODY = f"""
+SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+  event_count, unique_users, total_value, error_count
+FROM (
+  SELECT (ts_us // 1800000000 - k) * 1800000000 AS window_start_us,
+    COUNT(*) AS event_count,
+    COUNT(DISTINCT user_id) AS unique_users,
+    {money_sum_sql('value')} AS total_value,
+    {sum_long_sql("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")} AS error_count
+  FROM ev CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS k)
+  GROUP BY 1
+)
+ORDER BY window_start_us
+""".strip()
+
 _TYPE_SUMMARY_BODY = f"""
 SELECT event_type, event_count, unique_users, total_value, avg_value,
   event_count / CAST(SUM(event_count) OVER () AS BIGINT) * 100.0 AS event_share_pct
@@ -534,6 +549,7 @@ def _feature_event_oracles() -> dict[str, str]:
         "ml_customer_features": _with({"silver_orders": SILVER_ORDERS}, _ML_FEATURES_BODY),
         "events_enriched": _with({"ev": EVENTS_BASE}, _ENRICHED_BODY),
         "hourly_event_summary": _with({"ev": EVENTS_BASE}, _HOURLY_BODY),
+        "sliding_window_summary": _with({"ev": EVENTS_BASE}, _SLIDING_BODY),
         "event_type_summary": _with({"ev": EVENTS_BASE}, _TYPE_SUMMARY_BODY),
         "session_summary": session_sql,
         "user_activity_summary": _with(

@@ -108,6 +108,20 @@ def test_word_jaccard_identical_docs(spark):
     assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_sliding_window_counts_each_event_width_over_slide_times(spark, sf_dir):
+    """60/30-minute sliding windows: every event lands in exactly 2
+    overlapping windows, and each window covers [start, start+width)."""
+    from dataengineeringpipeline_spark import events_analytics
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    ev = load_events(spark, sf_dir)
+    win = events_analytics.sliding_window_summary(ev).collect()
+    assert sum(r["event_count"] for r in win) == 2 * ev.count()
+    for r in win:
+        assert r["window_end_us"] - r["window_start_us"] == 3_600_000_000
+        assert r["window_start_us"] % 1_800_000_000 == 0
+
+
 def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     from dataengineeringpipeline_spark import cleaning
 
