@@ -28,6 +28,7 @@ from dataengineeringpipeline_spark import (
     rules,
     streaming,
 )
+from dataengineeringpipeline_spark.operators import asof as asof_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
@@ -173,6 +174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
         "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
+            load_events(spark, sf)
+        ),
+        # -- as-of join (point-in-time attribution; operators/asof.py) ------
+        "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
             load_events(spark, sf)
         ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),

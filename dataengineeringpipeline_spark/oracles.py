@@ -487,6 +487,30 @@ FROM (
 ORDER BY window_start_us
 """.strip()
 
+_ATTRIBUTION_BODY = """
+SELECT event_id, user_id, ts_us, value, src_event_id, src_type, src_ts_us, gap_us FROM (
+  SELECT m.event_id, m.user_id, m.ts_us, m.value, m.src_event_id, m.src_type, m.src_ts_us,
+    m.ts_us - m.src_ts_us AS gap_us
+  FROM (
+    SELECT p.event_id, p.user_id, p.ts_us, p.value, t.src_event_id, t.src_type, t.src_ts_us,
+      ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY t.src_ts_us DESC, t.src_event_id DESC) AS rn
+    FROM p JOIN t ON t.user_id = p.user_id AND t.src_ts_us <= p.ts_us
+  ) m WHERE m.rn = 1
+  UNION ALL
+  SELECT p.event_id, p.user_id, p.ts_us, p.value, NULL, NULL, NULL, NULL
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.user_id = p.user_id AND t.src_ts_us <= p.ts_us)
+)
+ORDER BY event_id
+""".strip()
+
+_ATTRIBUTION_P = (
+    "SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'purchase'"
+)
+_ATTRIBUTION_T = (
+    "SELECT user_id, ts_us AS src_ts_us, event_id AS src_event_id, event_type AS src_type "
+    "FROM ev WHERE event_type IN ('click', 'view')"
+)
+
 _TYPE_SUMMARY_BODY = f"""
 SELECT event_type, event_count, unique_users, total_value, avg_value,
   event_count / CAST(SUM(event_count) OVER () AS BIGINT) * 100.0 AS event_share_pct
@@ -550,6 +574,9 @@ def _feature_event_oracles() -> dict[str, str]:
         "events_enriched": _with({"ev": EVENTS_BASE}, _ENRICHED_BODY),
         "hourly_event_summary": _with({"ev": EVENTS_BASE}, _HOURLY_BODY),
         "sliding_window_summary": _with({"ev": EVENTS_BASE}, _SLIDING_BODY),
+        "purchase_attribution": _with(
+            {"ev": EVENTS_BASE, "p": _ATTRIBUTION_P, "t": _ATTRIBUTION_T}, _ATTRIBUTION_BODY
+        ),
         "event_type_summary": _with({"ev": EVENTS_BASE}, _TYPE_SUMMARY_BODY),
         "session_summary": session_sql,
         "user_activity_summary": _with(

@@ -108,6 +108,44 @@ def test_word_jaccard_identical_docs(spark):
     assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_asof_join_semantics(spark):
+    """<= match, same-timestamp right row wins, ties to larger id, no
+    match before any right row, tolerance voids stale matches."""
+    from dataengineeringpipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "u", 5), (4, "v", 100)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 900), ("u", 50, 901), ("u", 50, 902), ("u", 60, 903)],
+        "k string, rt long, rid long",
+    )
+    out = {
+        r["id"]: (r["rid"], r["asof_ts"])
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt", payload_cols=["rid"]
+        ).collect()
+    }
+    assert out[1] == (903, 60)  # latest rt <= 100
+    assert out[2] == (902, 50)  # same-instant match allowed; tie -> larger rid
+    assert out[3] == (None, None)  # nothing at or before t=5
+    assert out[4] == (None, None)  # key with no right rows at all
+    tol = {
+        r["id"]: r["rid"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            payload_cols=["rid"], tolerance=20,
+        ).collect()
+    }
+    assert tol[1] is None  # gap 100-60=40 exceeds tolerance 20 -> voided
+    assert tol[2] == 902  # gap 0 within tolerance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, key="k", left_time="t", right_time="rt", payload_cols=["k"])
+
+
 def test_sliding_window_counts_each_event_width_over_slide_times(spark, sf_dir):
     """60/30-minute sliding windows: every event lands in exactly 2
     overlapping windows, and each window covers [start, start+width)."""
