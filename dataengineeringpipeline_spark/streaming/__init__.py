@@ -206,13 +206,20 @@ def sessionize_stream(
             # row) alive forever.
             state.remove()
             return
+        import numpy as np
+
         last_ts, sessions, events_n = state.get if state.exists else (None, 0, 0)
         for pdf in pdfs:
-            for ts in sorted(pdf["ts_us"]):
-                if last_ts is None or ts - last_ts > gap_us:
-                    sessions += 1
-                last_ts = int(ts)
-                events_n += 1
+            if not len(pdf):
+                continue
+            # vectorized gap count: a session starts at each ts whose gap
+            # from its predecessor exceeds the threshold (the first ts's
+            # predecessor is the carried-over state boundary).
+            ts = np.sort(pdf["ts_us"].to_numpy())
+            prev = np.concatenate(([last_ts if last_ts is not None else -(1 << 62)], ts[:-1]))
+            sessions += int((ts - prev > gap_us).sum())
+            last_ts = int(ts[-1])
+            events_n += len(ts)
         state.update((last_ts, sessions, events_n))
         if evict_idle_state:
             state.setTimeoutDuration(3_600_000)
