@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda spark, sf: dedup_ops.minhash_lsh_pairs(
             _read(spark, sf, "documents")
         ),
+        "minhash_dup_clusters": lambda spark, sf: dedup_ops.minhash_dup_clusters(
+            _read(spark, sf, "documents")
+        ),
         "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
             _read(spark, sf, "documents")
         ),

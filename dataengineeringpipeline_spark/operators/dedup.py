@@ -249,6 +249,73 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 25
+) -> DataFrame:
+    """Connected components over a candidate-pair graph by min-label
+    propagation — the pairs→clusters step every dedup pipeline needs
+    before it can pick one canonical doc per duplicate group.
+
+    Iterative (labels move one hop per round, so rounds ≈ cluster
+    diameter — near-dup clusters are dense, 2-4 rounds in practice);
+    each round is one equi-join + map-side min-agg, and
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1. Raises if the label fixpoint isn't
+    reached — silently returning non-minimal labels would corrupt
+    downstream canonical-doc selection.
+    """
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.withColumnRenamed("cluster_id", "new_id")
+                .join(labels, "doc_id")
+                .filter(F.col("new_id") != F.col("cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    finally:
+        edges.unpersist()
+
+
+def minhash_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Duplicate clusters from verified MinHash-LSH pairs: each doc in a
+    near-dup group labeled with the group's min doc id (= the canonical
+    survivor a keep-one dedup would retain) and the group size."""
+    comp = connected_components(minhash_lsh_pairs(docs, threshold))
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

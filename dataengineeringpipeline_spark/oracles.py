@@ -784,8 +784,32 @@ WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
         "UNION ALL SELECT doc_id, simhash, 1 AS band_idx, simhash % 65536 AS band_val FROM simsigs"
     )
 
+    cluster_ctes = {
+        "shingles": _SHINGLES,
+        "shingle_hashes": _SHINGLE_HASHES,
+        "sigs": sigs,
+        "bands": bands,
+        "pairs": minhash_pairs,
+        "und": (
+            "SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION SELECT doc_b AS src, doc_a AS dst FROM pairs"
+        ),
+        "reach(src, dst)": (
+            "SELECT src, src AS dst FROM und UNION SELECT src, dst FROM und\n"
+            "  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src"
+        ),
+    }
+    minhash_clusters = "WITH RECURSIVE " + ",\n".join(
+        f"{name} AS (\n{sql}\n)" for name, sql in cluster_ctes.items()
+    ) + """
+SELECT doc_id, cluster_id, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+ORDER BY doc_id
+"""
+
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
+        "minhash_dup_clusters": minhash_clusters,
         "ngram_jaccard_pairs": _with(
             {"shingles": _SHINGLES},
             f"SELECT * FROM ({_jaccard_sql('shingles', 'shingle')}) WHERE jaccard >= 0.4",

@@ -108,6 +108,19 @@ def test_word_jaccard_identical_docs(spark):
     assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_connected_components_chain_triangle_pair(spark):
+    """Min-label propagation: a 5-node chain (needs multiple rounds), a
+    triangle, and an isolated pair all resolve to min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_asof_join_semantics(spark):
     """<= match, same-timestamp right row wins, ties to larger id, no
     match before any right row, tolerance voids stale matches."""
