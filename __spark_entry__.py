@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
         "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
+        "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
         "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
             _silver_orders(spark, sf)
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
             load_events(spark, sf)
         ),
+        "error_context": lambda spark, sf: events_analytics.error_context(load_events(spark, sf)),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
         "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
             load_events(spark, sf)
@@ -193,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- structured streaming (availableNow drain over the backlog) -----
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
+        "streaming_severity_counts": streaming.streaming_severity_counts,
         "streaming_session_counts": streaming.streaming_session_counts,
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
         "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),

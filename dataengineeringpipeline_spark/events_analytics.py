@@ -109,6 +109,32 @@ def sliding_window_summary(
     )
 
 
+def error_context(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Per-error activity context: for each ``error`` event, the count and
+    value of the same user's events in the trailing ``window_minutes``
+    (a time-range self-join, expressed as a **range-frame window** —
+    ``rangeBetween`` on integer microseconds — so it costs one shuffle on
+    ``user_id`` instead of an interval join; RANGE frames include
+    equal-timestamp peers identically in any engine).
+    """
+    us = window_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-us, Window.currentRow)
+    base = events.select(
+        "event_id", "user_id", "ts_us", "event_type", F.col("value").cast("double").alias("value")
+    )
+    ctx = base.withColumn(
+        "trailing_events", (F.count(F.lit(1)).over(w) - 1).cast("long")
+    ).withColumn(
+        "trailing_value",
+        F.sum(F.col("value").cast("decimal(27,2)")).over(w).cast("double") - F.col("value"),
+    )
+    return (
+        ctx.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts_us", "trailing_events", "trailing_value")
+        .orderBy("event_id")
+    )
+
+
 def event_type_summary(events: DataFrame) -> DataFrame:
     """Per-type rollup with share-of-total (A6-style decimal window total)."""
     agg = events.groupBy("event_type").agg(

@@ -72,6 +72,42 @@ def monthly_sales_summary(silver_orders: DataFrame) -> DataFrame:
     )
 
 
+def sales_rollup(silver_orders: DataFrame) -> DataFrame:
+    """Month → year → grand-total subtotals in ONE aggregation pass
+    (``df.rollup`` — Spark expands the grouping sets before the shuffle,
+    so partial aggregation still applies; three separate groupBys would
+    scan the fact table three times).
+
+    ``grouping()`` flags distinguish subtotal rows from genuine NULL
+    keys, and the levels are made explicit so the output is
+    self-describing.
+    """
+    agg = (
+        silver_orders.filter(F.col("is_complete_order"))
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count("*").alias("total_orders"),
+            money_sum("total_price", "total_revenue"),
+            F.grouping("order_year").cast("int").alias("year_is_total"),
+            F.grouping("order_month").cast("int").alias("month_is_total"),
+        )
+    )
+    level = (
+        F.when((F.col("year_is_total") == 1), F.lit("grand_total"))
+        .when(F.col("month_is_total") == 1, F.lit("year"))
+        .otherwise(F.lit("month"))
+    )
+    return agg.select(
+        "order_year",
+        "order_month",
+        level.alias("rollup_level"),
+        "total_orders",
+        "total_revenue",
+    ).orderBy(
+        F.asc_nulls_first("order_year"), F.asc_nulls_first("order_month")
+    )
+
+
 def priority_performance(silver_orders: DataFrame) -> DataFrame:
     """Revenue by order priority with rank + percent-of-total (W2 + A6).
 

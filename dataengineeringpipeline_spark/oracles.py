@@ -190,6 +190,17 @@ SELECT order_year, order_month,
 FROM silver_orders WHERE is_complete_order GROUP BY order_year, order_month
 """.strip()
 
+_ROLLUP_BODY = f"""
+SELECT order_year, order_month,
+  CASE WHEN GROUPING(order_year) = 1 THEN 'grand_total'
+       WHEN GROUPING(order_month) = 1 THEN 'year' ELSE 'month' END AS rollup_level,
+  COUNT(*) AS total_orders,
+  {money_sum_sql('total_price')} AS total_revenue
+FROM silver_orders WHERE is_complete_order
+GROUP BY ROLLUP(order_year, order_month)
+ORDER BY order_year NULLS FIRST, order_month NULLS FIRST
+""".strip()
+
 _PRIORITY_BODY = f"""
 SELECT order_priority, total_orders, priority_revenue,
   priority_revenue / CAST(CAST(SUM(CAST(priority_revenue AS DECIMAL(27,2))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
@@ -487,6 +498,19 @@ FROM (
 ORDER BY window_start_us
 """.strip()
 
+_ERROR_CONTEXT_BODY = """
+SELECT event_id, user_id, ts_us, trailing_events, trailing_value FROM (
+  SELECT event_id, user_id, ts_us, event_type,
+    CAST(COUNT(*) OVER w - 1 AS BIGINT) AS trailing_events,
+    CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE) - value AS trailing_value
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+)
+WHERE event_type = 'error'
+ORDER BY event_id
+""".strip()
+
 _ATTRIBUTION_BODY = """
 SELECT event_id, user_id, ts_us, value, src_event_id, src_type, src_ts_us, gap_us FROM (
   SELECT m.event_id, m.user_id, m.ts_us, m.value, m.src_event_id, m.src_type, m.src_ts_us,
@@ -577,6 +601,7 @@ def _feature_event_oracles() -> dict[str, str]:
         "purchase_attribution": _with(
             {"ev": EVENTS_BASE, "p": _ATTRIBUTION_P, "t": _ATTRIBUTION_T}, _ATTRIBUTION_BODY
         ),
+        "error_context": _with({"ev": EVENTS_BASE}, _ERROR_CONTEXT_BODY),
         "event_type_summary": _with({"ev": EVENTS_BASE}, _TYPE_SUMMARY_BODY),
         "session_summary": session_sql,
         "user_activity_summary": _with(
@@ -981,6 +1006,7 @@ ORACLES: dict[str, str] = {
     "silver_lineitems": SILVER_LINEITEMS,
     "daily_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _DAILY_BODY),
     "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
+    "sales_rollup": _with({"silver_orders": SILVER_ORDERS}, _ROLLUP_BODY),
     "priority_performance": _with({"silver_orders": SILVER_ORDERS}, _PRIORITY_BODY),
     "comprehensive_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _COMPREHENSIVE_BODY),
     "customer_lifetime_metrics": _with({"silver_orders": SILVER_ORDERS}, _LIFETIME_METRICS_BODY),
@@ -1192,9 +1218,23 @@ ORDER BY doc_id
 
 
 def _streaming_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.streaming import SEVERITY_ROWS
+
+    dim_values = ", ".join(f"('{t}', '{s}')" for t, s in SEVERITY_ROWS)
+    severity_body = f"""
+SELECT severity, COUNT(*) AS event_count, {money_sum_sql('value')} AS total_value,
+  {sum_long_sql("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")} AS error_count
+FROM (
+  SELECT COALESCE(d.severity, 'unknown') AS severity, e.value, e.event_type
+  FROM ev e LEFT JOIN (VALUES {dim_values}) d(event_type, severity)
+    ON e.event_type = d.event_type
+)
+GROUP BY severity ORDER BY severity
+""".strip()
     return {
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
+        "streaming_severity_counts": _with({"ev": EVENTS_BASE}, severity_body),
         "multimodal_features": _MULTIMODAL_SQL,
     }
 

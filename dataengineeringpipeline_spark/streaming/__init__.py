@@ -123,6 +123,48 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("hourly_stream_counts").orderBy("window_start_us")
 
 
+#: Static severity dim for the stream-static join — in production this is
+#: a small reference table loaded from the lake.
+SEVERITY_ROWS = [
+    ("error", "high"),
+    ("purchase", "business"),
+    ("signup", "business"),
+    ("click", "low"),
+    ("view", "low"),
+]
+
+
+def severity_stream_counts(events: DataFrame) -> DataFrame:
+    """Stream-static broadcast join + aggregation: each micro-batch joins
+    the (tiny, broadcast) severity dim without any stream-side state, then
+    rolls up per severity tier. The canonical enrich-then-aggregate
+    streaming topology. (Exact distinct aggregation is illegal on
+    streams — ``approx_count_distinct`` is the streaming-legal variant —
+    so the rollup sticks to count/sum and stays oracle-exact.)"""
+    spark = events.sparkSession
+    dim = spark.createDataFrame(SEVERITY_ROWS, "event_type string, severity string")
+    return (
+        events.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(F.coalesce("severity", F.lit("unknown")).alias("severity"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("error_count"),
+        )
+    )
+
+
+def streaming_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream-static join rollup over the events
+    backlog, final complete-mode table."""
+    run_available_now(
+        severity_stream_counts(stream_events(spark, sf_dir)), "severity_stream_counts"
+    )
+    return spark.table("severity_stream_counts").orderBy("severity")
+
+
 def stream_etl(
     spark: SparkSession,
     source_dir: str,
