@@ -31,6 +31,7 @@ from dataengineeringpipeline_spark import (
 from dataengineeringpipeline_spark.operators import asof as asof_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
+from dataengineeringpipeline_spark.operators import sampling as sampling_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
 from dataengineeringpipeline_spark.operators import text as text_ops
 from dataengineeringpipeline_spark.datalake import load_events
@@ -223,6 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal (binary payloads + Arrow-batched feature kernel) ----
         "multimodal_features": lambda spark, sf: mm_ops.multimodal_features(
             _read(spark, sf, "documents")
+        ),
+        # -- deterministic stratified sampling (training-set rebalancing) ---
+        "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
+            load_events(spark, sf)
         ),
         # -- embedding similarity search (brute-force + LSH near-dup) -------
         "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(

@@ -1,0 +1,74 @@
+"""Deterministic stratified sampling — training-data class rebalancing.
+
+``df.sampleBy`` draws from ``rand(seed)``, which is **row-order
+dependent**: the same data repartitioned differently yields a different
+sample, so a 1000-executor run isn't reproducible. This module samples by
+an *arithmetic hash of the row key* instead — membership is a pure
+function of the key, identical on any cluster layout and in any engine
+(the DuckDB oracle reproduces it exactly).
+
+The hash is a Knuth multiplicative step bounded to avoid 64-bit overflow:
+``((key % 1_000_003) * 2_654_435_761) % 1000`` gives a uniform-enough
+per-mille bucket for sampling decisions (the same integer-arithmetic
+trick as the MinHash/LSH plane recipes in this repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Per-class keep rates (per mille) for the demo query: downsample the
+#: high-volume low-signal classes, keep all business events.
+EVENT_RATES_PER_MILLE = {
+    "click": 100,
+    "view": 100,
+    "error": 500,
+    "purchase": 1000,
+    "signup": 1000,
+}
+
+
+def per_mille_bucket(key: str | Column) -> Column:
+    """Deterministic [0, 1000) bucket from an integer key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c % F.lit(1_000_003)) * F.lit(2_654_435_761)) % F.lit(1000)
+
+
+def stratified_sample(
+    df: DataFrame, class_col: str, key_col: str, rates_per_mille: dict[str, int]
+) -> DataFrame:
+    """Keep each row iff its key's bucket falls under its class's rate.
+
+    Unlisted classes are dropped (rate 0). The filter is a pure map —
+    no shuffle, no state, and the sample is stable under repartitioning,
+    retries, and incremental reprocessing (the property that matters
+    when the sample feeds a training set that must not drift between
+    pipeline runs).
+    """
+    rate = None
+    for cls, r in sorted(rates_per_mille.items()):
+        branch = F.when(F.col(class_col) == cls, F.lit(r))
+        rate = branch if rate is None else rate.when(F.col(class_col) == cls, F.lit(r))
+    rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
+    return df.filter(per_mille_bucket(key_col) < rate)
+
+
+def stratified_sample_summary(events: DataFrame) -> DataFrame:
+    """Driver-contract query: per-class input/kept counts and achieved
+    keep rate for the demo rate table over ``events``."""
+    kept = stratified_sample(events, "event_type", "event_id", EVENT_RATES_PER_MILLE).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("kept_count"))
+    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("input_count"))
+    return (
+        totals.join(kept, "event_type", "left")
+        .fillna({"kept_count": 0})
+        .select(
+            "event_type",
+            "input_count",
+            "kept_count",
+            (F.col("kept_count") / F.col("input_count")).alias("achieved_rate"),
+        )
+        .orderBy("event_type")
+    )

@@ -1217,6 +1217,26 @@ ORDER BY doc_id
 """.strip()
 
 
+def _sampling_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.sampling import EVENT_RATES_PER_MILLE
+
+    rate_case = " ".join(
+        f"WHEN event_type = '{cls}' THEN {r}" for cls, r in sorted(EVENT_RATES_PER_MILLE.items())
+    )
+    body = f"""
+SELECT t.event_type, t.input_count, COALESCE(k.kept_count, 0) AS kept_count,
+  CAST(COALESCE(k.kept_count, 0) AS DOUBLE) / t.input_count AS achieved_rate
+FROM (SELECT event_type, COUNT(*) AS input_count FROM ev GROUP BY event_type) t
+LEFT JOIN (
+  SELECT event_type, COUNT(*) AS kept_count FROM ev
+  WHERE ((event_id % 1000003) * 2654435761) % 1000 < (CASE {rate_case} ELSE 0 END)
+  GROUP BY event_type
+) k ON t.event_type = k.event_type
+ORDER BY t.event_type
+""".strip()
+    return {"stratified_sample_summary": _with({"ev": EVENTS_BASE}, body)}
+
+
 def _streaming_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.streaming import SEVERITY_ROWS
 
@@ -1246,3 +1266,4 @@ ORACLES.update(_feature_event_oracles())
 ORACLES.update(_text_oracles())
 ORACLES.update(_dedup_oracles())
 ORACLES.update(_sim_oracles())
+ORACLES.update(_sampling_oracles())

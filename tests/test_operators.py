@@ -108,6 +108,27 @@ def test_word_jaccard_identical_docs(spark):
     assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_stratified_sample_is_partitioning_independent_and_rate_accurate(spark, sf_dir):
+    """Hash-based sampling keeps the same rows under any partitioning and
+    lands near the target rate (unlike rand-based sampleBy)."""
+    from dataengineeringpipeline_spark.datalake import load_events
+    from dataengineeringpipeline_spark.operators import sampling
+
+    ev = load_events(spark, sf_dir)
+    rates = sampling.EVENT_RATES_PER_MILLE
+    one = {r["event_id"] for r in sampling.stratified_sample(ev, "event_type", "event_id", rates).collect()}
+    many = {
+        r["event_id"]
+        for r in sampling.stratified_sample(
+            ev.repartition(13), "event_type", "event_id", rates
+        ).collect()
+    }
+    assert one == many and one
+    for r in sampling.stratified_sample_summary(ev).collect():
+        target = rates[r["event_type"]] / 1000.0
+        assert abs(r["achieved_rate"] - target) < 0.15  # hash-uniformity tolerance
+
+
 def test_connected_components_chain_triangle_pair(spark):
     """Min-label propagation: a 5-node chain (needs multiple rounds), a
     triangle, and an isolated pair all resolve to min-id labels."""
