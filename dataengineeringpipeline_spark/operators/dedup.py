@@ -316,6 +316,35 @@ def minhash_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Quality-weighted survivor selection: within each near-dup cluster,
+    keep the highest-quality doc (ties → lowest doc id) — the "which copy
+    feeds the training set" decision that completes a dedup pipeline
+    (candidates → verify → cluster → select).
+
+    The quality join touches only docs that appear in clusters, and the
+    survivor pick is a per-cluster window over those few rows — the
+    full corpus never re-shuffles.
+    """
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+
+    clusters = minhash_dup_clusters(docs, threshold)
+    quality = quality_score(text_stats(docs)).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("pick", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality_score",
+            (F.col("pick") == 1).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -824,17 +824,39 @@ WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
             "  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src"
         ),
     }
-    minhash_clusters = "WITH RECURSIVE " + ",\n".join(
-        f"{name} AS (\n{sql}\n)" for name, sql in cluster_ctes.items()
-    ) + """
-SELECT doc_id, cluster_id, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-FROM (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
-ORDER BY doc_id
-"""
+    clusters_cte = (
+        "SELECT doc_id, cluster_id,"
+        " CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size\n"
+        "FROM (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)"
+    )
+
+    def _with_recursive(ctes: dict[str, str], body: str) -> str:
+        parts = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ctes.items())
+        return f"WITH RECURSIVE {parts}\n{body}"
+
+    minhash_clusters = _with_recursive(
+        {**cluster_ctes, "clusters": clusters_cte}, "SELECT * FROM clusters ORDER BY doc_id"
+    )
+    dedup_survivors_sql = _with_recursive(
+        {
+            **cluster_ctes,
+            "clusters": clusters_cte,
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+        },
+        """
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY q.quality_score DESC, c.doc_id ASC)) = 1 AS is_survivor
+FROM clusters c JOIN q ON c.doc_id = q.doc_id
+ORDER BY c.doc_id
+""".strip(),
+    )
 
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dup_clusters": minhash_clusters,
+        "dedup_survivors": dedup_survivors_sql,
         "ngram_jaccard_pairs": _with(
             {"shingles": _SHINGLES},
             f"SELECT * FROM ({_jaccard_sql('shingles', 'shingle')}) WHERE jaccard >= 0.4",
