@@ -26,6 +26,7 @@ from dataengineeringpipeline_spark import (
     ingest,
     quality,
     rules,
+    scale,
     streaming,
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
@@ -156,6 +157,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
             _silver_orders(spark, sf), QUARANTINE_RULES
         ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
+        # -- skew-safe two-stage aggregation (scale.py) ---------------------
+        "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
+            _silver_orders(spark, sf).select("order_status", "total_price"),
+            ["order_status"],
+            {
+                "order_count": "count:*",
+                "revenue": "sum:total_price",
+                "min_price": "min:total_price",
+                "max_price": "max:total_price",
+            },
+        ).orderBy("order_status"),
         # -- config-driven rule compilers (§2.10) ---------------------------
         "rule_driven_aggregation": lambda spark, sf: rules.rule_driven_aggregation(
             _silver_orders(spark, sf)

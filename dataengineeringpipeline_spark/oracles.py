@@ -1029,6 +1029,14 @@ ORACLES: dict[str, str] = {
     "daily_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _DAILY_BODY),
     "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
     "sales_rollup": _with({"silver_orders": SILVER_ORDERS}, _ROLLUP_BODY),
+    "salted_status_summary": _with(
+        {"silver_orders": SILVER_ORDERS},
+        f"""
+SELECT order_status, COUNT(*) AS order_count, {money_sum_sql('total_price')} AS revenue,
+  MIN(total_price) AS min_price, MAX(total_price) AS max_price
+FROM silver_orders GROUP BY order_status ORDER BY order_status
+""".strip(),
+    ),
     "priority_performance": _with({"silver_orders": SILVER_ORDERS}, _PRIORITY_BODY),
     "comprehensive_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _COMPREHENSIVE_BODY),
     "customer_lifetime_metrics": _with({"silver_orders": SILVER_ORDERS}, _LIFETIME_METRICS_BODY),
