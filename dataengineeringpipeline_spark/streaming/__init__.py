@@ -165,6 +165,17 @@ def streaming_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("severity_stream_counts").orderBy("severity")
 
 
+def dedup_stream(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by id within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` state is bounded
+    — old ids age out instead of accumulating forever, the property that
+    keeps an always-on dedup stream alive at 100 TB/day).
+    """
+    return events.withWatermark("event_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_etl(
     spark: SparkSession,
     source_dir: str,

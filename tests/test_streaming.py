@@ -88,6 +88,34 @@ def test_file_source_processes_each_file_as_micro_batch(spark, sf_dir, tmp_path)
     assert sum(n for _, n in batch_ids) == 1000
 
 
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """The same events file delivered twice (at-least-once source) must
+    come out once through the watermarked dedup stream."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    ev = load_events(spark, sf_dir).limit(300).select(
+        "event_id", F.col("ts_us").alias("ts"), "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    raw = ev.withColumn("ts", F.col("ts") * 1000)
+    raw.coalesce(1).write.mode("overwrite").parquet(str(src / "delivery1"))
+    raw.coalesce(1).write.mode("overwrite").parquet(str(src / "delivery2"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(streaming.EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "delivery*"))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    deduped = streaming.dedup_stream(stream).select("event_id")
+    streaming.run_available_now(deduped, "t_stream_dedup", output_mode="append")
+    out = spark.table("t_stream_dedup")
+    assert out.count() == 300  # 600 delivered, 300 unique
+    assert out.select("event_id").distinct().count() == 300
+
+
 ORDERS_DDL = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
     "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
