@@ -269,6 +269,9 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     ).localCheckpoint()
+    # Labels only ever decrease, so Σlabels strictly decreases until the
+    # fixpoint — an O(1)-row convergence probe (no per-iteration join).
+    label_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     try:
         for _ in range(max_iterations):
             nbr = (
@@ -276,7 +279,7 @@ def connected_components(
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            new_labels = (
+            labels = (
                 labels.join(nbr, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -286,16 +289,10 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.withColumnRenamed("cluster_id", "new_id")
-                .join(labels, "doc_id")
-                .filter(F.col("new_id") != F.col("cluster_id"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if new_sum == label_sum:
                 return labels
+            label_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )
