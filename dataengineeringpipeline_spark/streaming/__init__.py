@@ -217,6 +217,67 @@ def stream_etl(
         raise TimeoutError(f"stream_etl over {source_dir!r} did not finish within {timeout_s}s")
 
 
+def incremental_gold(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    aggregate,
+    merge,
+    gold_dir: str,
+    checkpoint_dir: str,
+    date_col: str = "order_date",
+    timeout_s: int = 300,
+) -> None:
+    """Incrementally maintained gold rollup without a lakehouse format.
+
+    Each micro-batch of silver rows is reduced by ``aggregate`` (rows →
+    per-``date_col`` partials), combined with the existing gold rows for
+    the **touched dates only** by ``merge`` (partials → partials — e.g.
+    counts re-sum), and written back via dynamic partition overwrite.
+
+    Scale properties: per batch, only the touched date partitions are
+    read and rewritten (partition pruning on both sides); the merge
+    re-aggregates existing+new partials, so crash-replay of a batch is
+    idempotent (same input → same partition contents). This is the
+    reference's silver→gold incremental semantics (SURVEY.md §2.9)
+    expressed as exactly-once micro-batches.
+    """
+    from pyspark.errors import AnalysisException
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partial = aggregate(batch_df)
+        touched = [r[date_col] for r in partial.select(date_col).distinct().collect()]
+        if not touched:
+            return
+        try:
+            existing = spark.read.parquet(gold_dir).filter(F.col(date_col).isin(touched))
+            # materialize before writing: the write overwrites the very
+            # partitions the merge is reading (read-overwrite hazard on a
+            # plain parquet table; a lakehouse format would version instead)
+            merged = merge(existing.unionByName(partial)).localCheckpoint()
+        except AnalysisException:  # first batch: gold table doesn't exist yet
+            merged = partial
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(date_col)
+            .parquet(gold_dir)
+        )
+
+    raw = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"incremental_gold over {source_dir!r} did not finish within {timeout_s}s")
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with

@@ -122,6 +122,50 @@ ORDERS_DDL = (
 )
 
 
+def test_incremental_gold_matches_batch_rollup(spark, sf_dir, tmp_path):
+    """Micro-batch-maintained gold equals the one-shot batch rollup, and a
+    re-run with the same checkpoint is a no-op."""
+    from dataengineeringpipeline_spark.functions import money_sum
+
+    silver = str(tmp_path / "silver_src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "gold_ckpt")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    half1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(silver + "/f1")
+    half2.coalesce(1).write.mode("overwrite").parquet(silver + "/f2")
+
+    def aggregate(df):
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum("o_totalprice", "revenue_dec"),
+        )
+
+    def merge(partials):
+        return partials.groupBy("order_month").agg(
+            F.sum("order_count").alias("order_count"),
+            money_sum("revenue_dec", "revenue_dec"),
+        )
+
+    for _ in range(2):  # second run: checkpoint says nothing new
+        streaming.incremental_gold(
+            spark, silver + "/f*", ORDERS_DDL, aggregate, merge, gold, ckpt,
+            date_col="order_month",
+        )
+        got = {
+            str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
+            for r in spark.read.parquet(gold).collect()
+        }
+        want = {
+            str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
+            for r in aggregate(orders).collect()
+        }
+        assert got == want
+
+
 def test_stream_etl_is_incremental_exactly_once(spark, sf_dir, tmp_path):
     """foreachBatch bronze→silver: first run transforms the backlog; a
     re-run with the same checkpoint processes only NEW files."""
