@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_lineitems": lambda spark, sf: cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
         # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
         "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
+        "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
         "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),

@@ -50,6 +50,21 @@ def daily_sales_summary(silver_orders: DataFrame) -> DataFrame:
     )
 
 
+def daily_metrics_long(silver_orders: DataFrame) -> DataFrame:
+    """Wide→long unpivot of the daily summary (the inverse of A5's pivot):
+    one ``(order_date, metric, value)`` row per measure — the shape
+    metric stores and plotting layers consume. ``DataFrame.unpivot`` is a
+    zero-shuffle projection (each input row fans out to N output rows in
+    place)."""
+    metrics = ["total_orders", "unique_customers", "total_revenue", "avg_order_value"]
+    wide = daily_sales_summary(silver_orders).select(
+        "order_date", *[F.col(m).cast("double").alias(m) for m in metrics]
+    )
+    return wide.unpivot(
+        ids=["order_date"], values=metrics, variableColumnName="metric", valueColumnName="value"
+    ).orderBy("order_date", "metric")
+
+
 def monthly_sales_summary(silver_orders: DataFrame) -> DataFrame:
     """Monthly sales by composite key incl. active-day count (A2)."""
     return (

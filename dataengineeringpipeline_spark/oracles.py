@@ -179,6 +179,16 @@ SELECT order_date,
 FROM silver_orders WHERE is_complete_order GROUP BY order_date
 """.strip()
 
+_DAILY_LONG_BODY = """
+SELECT order_date, metric, value FROM (
+  SELECT order_date, 'total_orders' AS metric, CAST(total_orders AS DOUBLE) AS value FROM daily
+  UNION ALL SELECT order_date, 'unique_customers', CAST(unique_customers AS DOUBLE) FROM daily
+  UNION ALL SELECT order_date, 'total_revenue', total_revenue FROM daily
+  UNION ALL SELECT order_date, 'avg_order_value', avg_order_value FROM daily
+)
+ORDER BY order_date, metric
+""".strip()
+
 _MONTHLY_BODY = f"""
 SELECT order_year, order_month,
   COUNT(*) AS total_orders,
@@ -1027,6 +1037,9 @@ ORACLES: dict[str, str] = {
     "silver_parts": SILVER_PARTS,
     "silver_lineitems": SILVER_LINEITEMS,
     "daily_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _DAILY_BODY),
+    "daily_metrics_long": _with(
+        {"silver_orders": SILVER_ORDERS, "daily": _DAILY_BODY}, _DAILY_LONG_BODY
+    ),
     "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
     "sales_rollup": _with({"silver_orders": SILVER_ORDERS}, _ROLLUP_BODY),
     "salted_status_summary": _with(
