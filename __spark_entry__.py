@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_analytics": lambda spark, sf: gold.customer_analytics(
             _silver_customers(spark, sf), _silver_orders(spark, sf)
         ),
+        "top_customers_per_segment": lambda spark, sf: gold.top_customers_per_segment(
+            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
+        ),
         "segment_summary": lambda spark, sf: gold.segment_summary(
             gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
         ),

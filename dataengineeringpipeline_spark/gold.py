@@ -323,6 +323,31 @@ def segment_summary(analytics: DataFrame) -> DataFrame:
     )
 
 
+def top_customers_per_segment(analytics: DataFrame, k: int = 3) -> DataFrame:
+    """Top-K per group (the canonical ranked-window pattern): the K
+    highest-lifetime-value customers within each CLV segment. Spark plans
+    the rank filter as a per-partition top-K (no global sort); ties break
+    on customer key for engine-independent results."""
+    segment = (
+        F.when(F.col("lifetime_value") >= 4_000_000, "PLATINUM")
+        .when(F.col("lifetime_value") >= 3_000_000, "GOLD")
+        .when(F.col("lifetime_value") >= 1_500_000, "SILVER")
+        .otherwise("BRONZE")
+    )
+    w = Window.partitionBy("customer_segment").orderBy(
+        F.desc("lifetime_value"), F.asc("customer_key")
+    )
+    return (
+        analytics.withColumn("customer_segment", segment)
+        .withColumn("segment_rank", F.row_number().over(w))
+        .filter(F.col("segment_rank") <= k)
+        .select(
+            "customer_segment", "segment_rank", "customer_key", "lifetime_value", "total_orders"
+        )
+        .orderBy("customer_segment", "segment_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Part / category performance (lineitem-grain, the big fact at scale)
 # ---------------------------------------------------------------------------

@@ -313,6 +313,26 @@ FROM (
 ) GROUP BY customer_segment
 """.strip()
 
+_TOP_PER_SEGMENT_BODY = """
+SELECT customer_segment, CAST(segment_rank AS INTEGER) AS segment_rank,
+  customer_key, lifetime_value, total_orders
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_segment
+            ORDER BY lifetime_value DESC, customer_key ASC) AS segment_rank
+  FROM (
+    SELECT c.c_custkey AS customer_key,
+      COALESCE(m.lifetime_value, 0.0) AS lifetime_value,
+      COALESCE(m.total_orders, 0) AS total_orders,
+      CASE WHEN COALESCE(m.lifetime_value, 0.0) >= 4000000 THEN 'PLATINUM'
+           WHEN COALESCE(m.lifetime_value, 0.0) >= 3000000 THEN 'GOLD'
+           WHEN COALESCE(m.lifetime_value, 0.0) >= 1500000 THEN 'SILVER'
+           ELSE 'BRONZE' END AS customer_segment
+    FROM customer c LEFT JOIN lifetime_metrics m ON c.c_custkey = m.customer_key
+  )
+) WHERE segment_rank <= 3
+ORDER BY customer_segment, segment_rank
+""".strip()
+
 _CATEGORY_BODY = f"""
 SELECT part_category, category_revenue, category_quantity, line_count, distinct_parts,
   category_revenue / CAST(CAST(SUM(CAST(category_revenue AS DECIMAL(27,4))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
@@ -1062,6 +1082,10 @@ FROM silver_orders GROUP BY order_status ORDER BY order_status
             "sizes": _SIZES_SQL,
         },
         _ANALYTICS_BODY,
+    ),
+    "top_customers_per_segment": _with(
+        {"silver_orders": SILVER_ORDERS, "lifetime_metrics": _LIFETIME_METRICS_BODY},
+        _TOP_PER_SEGMENT_BODY,
     ),
     "segment_summary": _with(
         {"silver_orders": SILVER_ORDERS, "lifetime_metrics": _LIFETIME_METRICS_BODY},
