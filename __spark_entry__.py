@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda spark, sf: mm_ops.multimodal_features(
             _read(spark, sf, "documents")
         ),
+        "frame_sample_plan": lambda spark, sf: mm_ops.frame_sample_plan(
+            mm_ops.attach_payloads(_read(spark, sf, "documents"))
+        ).orderBy("doc_id", "chunk_idx"),
         # -- deterministic stratified sampling (training-set rebalancing) ---
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
             load_events(spark, sf)

@@ -1261,6 +1261,20 @@ ORDER BY user_id
 # the utf-8 payload, reproduced from hex expansion)
 # ---------------------------------------------------------------------------
 
+_FRAME_PLAN_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS modality,
+    CAST(ceil(octet_length(encode(text)) / 4096.0) AS INTEGER) AS n_chunks
+  FROM documents
+)
+SELECT doc_id, modality, CAST(unnest(range(0, greatest(n_chunks - 1, 0) + 1, 4)) AS INTEGER) AS chunk_idx
+FROM m
+ORDER BY doc_id, chunk_idx
+""".strip()
+
 _MULTIMODAL_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -1323,6 +1337,7 @@ GROUP BY severity ORDER BY severity
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
         "streaming_severity_counts": _with({"ev": EVENTS_BASE}, severity_body),
         "multimodal_features": _MULTIMODAL_SQL,
+        "frame_sample_plan": _FRAME_PLAN_SQL,
     }
 
 
