@@ -22,6 +22,7 @@ bit-reproducible across engines, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,14 +158,20 @@ def _minhash_params(j: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, hash_sets: DataFrame | None = None
+) -> DataFrame:
     """Per-document MinHash signature as K columns ``sig_0..sig_{K-1}``.
 
     ``sig_j = min over shingle hashes of (a_j·(h mod P) + b_j) mod P`` — an
     aggregation over the exploded shingle set: one shuffle on doc_id, all
     arithmetic in int64, fully order-independent.
+
+    ``hash_sets`` lets a caller that already materialized
+    :func:`doc_shingle_hash_sets` (e.g. for candidate verification) feed
+    it in, so the shingle explode isn't computed twice.
     """
-    hashes = doc_shingle_hash_sets(docs)
+    hashes = doc_shingle_hash_sets(docs) if hash_sets is None else hash_sets
     aggs = []
     for j in range(k):
         a, b = _minhash_params(j)
@@ -182,19 +189,27 @@ def _band_hash(sig_cols: list[Column]) -> Column:
 
 
 def minhash_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — LSH banding of the signature."""
-    pieces = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        pieces.append(
-            signatures.select(
-                "doc_id", F.lit(b).alias("band_idx"), _band_hash(cols).alias("band_hash")
+    """(doc_id, band_idx, band_hash) — LSH banding of the signature.
+
+    One explode over an inline band array rather than a union of
+    per-band selects: a union duplicates the signature-aggregation
+    subtree per band in the plan (only the exchange is reused), while
+    the explode scans the signatures exactly once.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                _band_hash([F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
+                    "band_hash"
+                ),
             )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -205,8 +220,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     8×4 banding); each candidate is then verified exactly. The verify join
     reuses the shingle-hash sets — only candidate pairs pay the
     intersection cost.
+
+    The shingle-hash sets and signatures are consumed by several
+    branches of the plan (signature agg, both sides of the verify join,
+    the size agg, both sides of the band self-join), so both are
+    persisted MEMORY_AND_DISK — computed once on the first action, then
+    served from cache. The cache is session-scoped and O(corpus
+    shingles); at 100 TB you'd materialize signatures to a lake table
+    once per corpus snapshot instead of caching per query.
     """
-    bands = minhash_bands(minhash_signatures(docs))
+    sets = doc_shingle_hash_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(docs, hash_sets=sets).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -223,7 +248,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # candidate pairs (fan the pair out over doc_a's set, equi-join on
     # (doc_b, h)) — never the all-pairs inverted-index join, which is the
     # O(n²)-ish cost LSH exists to avoid.
-    sets = doc_shingle_hash_sets(docs)
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sa = sets.alias("sa")
     sb = sets.alias("sb")
