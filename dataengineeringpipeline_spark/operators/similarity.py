@@ -16,6 +16,7 @@ Two tiers, mirroring what a 100 TB vector pipeline needs:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,8 +102,12 @@ def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.35, planes: int = LSH_PLANES
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket collision → exact cosine ≥
-    threshold. Bucket join keeps the candidate count ~n²/2^planes."""
-    sigs = lsh_signatures(embeddings, planes)
+    threshold. Bucket join keeps the candidate count ~n²/2^planes.
+
+    Signatures are persisted: both sides of the bucket self-join consume
+    them, and each signature costs ``planes`` fold-dot-products per
+    vector — computing that twice doubles the dominant cost."""
+    sigs = lsh_signatures(embeddings, planes).persist(StorageLevel.MEMORY_AND_DISK)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = a.join(
@@ -212,8 +217,17 @@ def ann_ivf_topk(
 def ann_ivf_recall(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Recall@k of the IVF path against the exact brute-force baseline —
     the accuracy/cost dial a corpus-scale deployment tunes with
-    ``nprobe``/``centroid_mod``. One summary row."""
-    exact = ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
+    ``nprobe``/``centroid_mod``. One summary row.
+
+    The exact top-k feeds two plan branches (the denominator count and
+    the hit semi-join); it is persisted so the brute-force scoring pass
+    — the expensive side — runs once. The cached set is tiny
+    (|queries|·k rows) while its lineage is the full O(|Q|·n) scan."""
+    exact = (
+        ann_bruteforce_topk(embeddings, k)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     approx = ann_ivf_topk(embeddings, k).select("query_id", "neighbor_id")
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
