@@ -51,6 +51,10 @@ def main() -> int:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operators persist shared subtrees scoped to their own run;
+        # dropping them between queries keeps each timing independent
+        # and executor memory flat across the sweep.
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 
     print(
