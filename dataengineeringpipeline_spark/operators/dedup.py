@@ -101,7 +101,12 @@ def _pairwise_jaccard(items: DataFrame, key: str) -> DataFrame:
 
     Inverted-index self-join on the set element, then
     ``J = |A∩B| / (|A| + |B| − |A∩B|)``. Sizes are joined in (broadcast at
-    small scale; same-key shuffle join at 100 TB)."""
+    small scale; same-key shuffle join at 100 TB).
+
+    ``items`` feeds three plan branches (both self-join sides and the
+    size agg), so it is persisted for the duration of the query — the
+    shingle/word explode behind it runs once instead of three times."""
+    items = items.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = items.alias("a")
     b = items.alias("b")
