@@ -34,6 +34,15 @@ MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # K = BANDS * ROWS
 SIMHASH_BITS = 32
+#: Document-frequency cap for the inverted-index Jaccard join: set
+#: elements appearing in more than this many documents are dropped from
+#: BOTH the join and the set sizes (Jaccard over the stop-filtered sets).
+#: A shingle shared verbatim by hundreds of documents is boilerplate, and
+#: its posting list joins quadratically (df=k → k²/2 join rows) — the
+#: classic skew blowup on a 100 TB corpus. 256 is a no-op at the test
+#: scales (max df: 7 at sf0.01, 25 at sf0.1) and bounds the worst single
+#: key at ~32k join rows.
+DEDUP_MAX_DF = 256
 
 
 # ---------------------------------------------------------------------------
@@ -96,17 +105,35 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pairwise_jaccard(items: DataFrame, key: str) -> DataFrame:
+def _pairwise_jaccard(items: DataFrame, key: str, max_df: int | None = DEDUP_MAX_DF) -> DataFrame:
     """Generic set-similarity join: ``items`` = (doc_id, <key>) distinct.
 
     Inverted-index self-join on the set element, then
     ``J = |A∩B| / (|A| + |B| − |A∩B|)``. Sizes are joined in (broadcast at
     small scale; same-key shuffle join at 100 TB).
 
-    ``items`` feeds three plan branches (both self-join sides and the
-    size agg), so it is persisted for the duration of the query — the
-    shingle/word explode behind it runs once instead of three times."""
+    ``max_df`` is the skew guard: elements whose posting list exceeds it
+    are removed from the sets entirely (join AND sizes, so the Jaccard
+    stays internally consistent — it is the exact Jaccard of the
+    stop-filtered sets). Without it, one element shared by k documents
+    contributes k²/2 join rows; heavy hitters are few by definition, so
+    the anti-join side is broadcast. ``None`` disables the guard (oracle
+    parity across engines applies the same cap, see
+    ``oracles._jaccard_sql``).
+
+    ``items`` feeds several plan branches (both self-join sides, the df
+    agg, the size agg), so it is persisted for the duration of the
+    query — the shingle/word explode behind it runs once instead of
+    three-plus times."""
     items = items.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_df is not None:
+        frequent = (
+            items.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(key)
+        )
+        items = items.join(F.broadcast(frequent), key, "left_anti")
     sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = items.alias("a")
     b = items.alias("b")
@@ -122,27 +149,36 @@ def _pairwise_jaccard(items: DataFrame, key: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold."""
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.4, max_df: int | None = DEDUP_MAX_DF
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Shingles with document frequency > ``max_df`` are stop-filtered
+    before the inverted-index join (skew guard — see
+    :func:`_pairwise_jaccard`)."""
     return (
-        _pairwise_jaccard(doc_shingles(docs, n), "shingle")
+        _pairwise_jaccard(doc_shingles(docs, n), "shingle", max_df=max_df)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
-def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def word_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.7, max_df: int | None = DEDUP_MAX_DF
+) -> DataFrame:
     """Near-duplicate pairs by bag-of-words Jaccard ≥ threshold (coarser
     than shingles; catches reorderings).
 
     CAUTION at scale: on corpora with small shared vocabularies the
     inverted-index join degenerates toward all-pairs (every document
-    shares words with every other) — prefer shingle-based similarity
+    shares words with every other) — the ``max_df`` guard drops those
+    degenerate words, but prefer shingle-based similarity
     (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`) whose keys
     stay selective."""
     return (
-        _pairwise_jaccard(doc_word_hash_sets(docs), "h")
+        _pairwise_jaccard(doc_word_hash_sets(docs), "h", max_df=max_df)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
         .orderBy("doc_a", "doc_b")

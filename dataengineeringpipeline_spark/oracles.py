@@ -754,17 +754,28 @@ SELECT DISTINCT doc_id, shingle FROM (
 _SHINGLE_HASHES = f"SELECT doc_id, {_wh('shingle')} AS h FROM shingles"
 
 
-def _jaccard_sql(items_cte: str, key: str) -> str:
+def _jaccard_sql(items_cte: str, key: str, max_df: int | None = None) -> str:
+    """Pairwise Jaccard over (doc_id, key) sets; ``max_df`` mirrors the
+    Spark side's frequent-element stop-filter (dedup.DEDUP_MAX_DF): when
+    set, elements with document frequency > max_df are removed from both
+    the join and the set sizes."""
+    src = items_cte
+    if max_df is not None:
+        src = f"""(
+  SELECT i.doc_id, i.{key} FROM {items_cte} i
+  JOIN (SELECT {key}, COUNT(*) AS df FROM {items_cte} GROUP BY {key}) d
+    ON i.{key} = d.{key} AND d.df <= {max_df}
+)"""
     return f"""
 SELECT doc_a, doc_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
   shared/(sa.set_size + sb.set_size - shared) AS jaccard
 FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM {items_cte} a JOIN {items_cte} b ON a.{key} = b.{key} AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.{key} = b.{key} AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ) p
-JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {items_cte} GROUP BY doc_id) sa ON p.doc_a = sa.doc_id
-JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {items_cte} GROUP BY doc_id) sb ON p.doc_b = sb.doc_id
+JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {src} GROUP BY doc_id) sa ON p.doc_a = sa.doc_id
+JOIN (SELECT doc_id, COUNT(*) AS set_size FROM {src} GROUP BY doc_id) sb ON p.doc_b = sb.doc_id
 """.strip()
 
 
@@ -778,6 +789,7 @@ SELECT doc_id, md5_exact, group_size, group_size > 1 AS had_duplicates FROM g WH
 
 def _dedup_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.operators.dedup import (
+        DEDUP_MAX_DF,
         LSH_BANDS,
         LSH_ROWS,
         MINHASH_P,
@@ -889,7 +901,9 @@ ORDER BY c.doc_id
         "dedup_survivors": dedup_survivors_sql,
         "ngram_jaccard_pairs": _with(
             {"shingles": _SHINGLES},
-            f"SELECT * FROM ({_jaccard_sql('shingles', 'shingle')}) WHERE jaccard >= 0.4",
+            "SELECT * FROM ("
+            f"{_jaccard_sql('shingles', 'shingle', max_df=DEDUP_MAX_DF)}"
+            ") WHERE jaccard >= 0.4",
         ),
         "minhash_lsh_pairs": _with(
             {"shingles": _SHINGLES, "shingle_hashes": _SHINGLE_HASHES, "sigs": sigs, "bands": bands},

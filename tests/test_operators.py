@@ -96,6 +96,36 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_jaccard_max_df_caps_universal_shingle(spark):
+    """Skew guard: a shingle shared by every document must not force the
+    inverted-index join quadratic. With max_df below the corpus size,
+    docs sharing ONLY the universal shingle produce no pair at all, and
+    set sizes exclude the capped shingle (Jaccard of the filtered sets)."""
+    # Every doc starts with the same 3-gram ("common boiler plate");
+    # docs 1/2 share a second, rare 4-word tail (3 shared tail shingles
+    # out of 4 kept per doc after the cap); doc 3 is otherwise unique.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common boiler plate alpha beta gamma delta"),
+            Row(doc_id=2, text="common boiler plate alpha beta gamma epsilon"),
+            Row(doc_id=3, text="common boiler plate zeta eta theta iota"),
+        ]
+    )
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect()
+    # 1-3 and 2-3 share only the universal prefix shingles → gone entirely.
+    assert {(p["doc_a"], p["doc_b"]) for p in capped} == {(1, 2)}
+    (pair,) = capped
+    # Only "common boiler plate" (df=3) is over the cap; each doc keeps
+    # 4 of its 5 shingles, and 1-2 share the three tail shingles
+    # "boiler plate alpha", "plate alpha beta", "alpha beta gamma".
+    assert pair["size_a"] == pair["size_b"] == 4
+    assert pair["shared"] == 3
+    assert abs(pair["jaccard"] - 0.6) < 1e-12
+    # Uncapped, the universal shingle resurrects the 1-3 / 2-3 pairs.
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=None).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in uncapped} == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_word_jaccard_identical_docs(spark):
     docs = spark.createDataFrame(
         [
