@@ -846,9 +846,11 @@ FROM (
 )
 WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
 """.strip()
-    simbands = (
-        "SELECT doc_id, simhash, 0 AS band_idx, simhash // 65536 AS band_val FROM simsigs "
-        "UNION ALL SELECT doc_id, simhash, 1 AS band_idx, simhash % 65536 AS band_val FROM simsigs"
+    # 4 × 8-bit bands: mirrors dedup.SIMHASH_BANDS (pigeonhole guarantee
+    # for Hamming ≤ 3 on the 32-bit signature).
+    simbands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, (simhash // {1 << (8 * b)}) % 256 AS band_val FROM simsigs"
+        for b in range(4)
     )
 
     cluster_ctes = {

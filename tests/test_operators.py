@@ -96,6 +96,33 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_simhash_banding_has_full_hamming3_recall(spark, sf_dir):
+    """4×8-bit banding must surface EVERY pair within Hamming ≤ 3 of the
+    32-bit signature (pigeonhole: ≤3 flips leave ≥1 of 4 bands clean) —
+    compared against the brute-force all-pairs bit_count(xor) ground
+    truth."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sigs = dedup.simhash_signatures(docs).persist()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    sigs.unpersist()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dup_candidates(docs, max_hamming=3).collect()
+    }
+    assert got == truth and truth  # full recall, and the probe is non-vacuous
+
+
 def test_jaccard_max_df_caps_universal_shingle(spark):
     """Skew guard: a shingle shared by every document must not force the
     inverted-index join quadratic. With max_df below the corpus size,
