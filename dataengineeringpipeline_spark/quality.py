@@ -218,18 +218,29 @@ def freshness_check(
     )
 
 
-def iqr_outlier_bounds(df: DataFrame, column: str) -> DataFrame:
-    """IQR outlier detection (A9): exact percentiles (Q1/Q3), bounds
+def iqr_outlier_bounds(
+    df: DataFrame, column: str, exact: bool = True, accuracy: int = 10_000
+) -> DataFrame:
+    """IQR outlier detection (A9): percentiles (Q1/Q3), bounds
     Q1−1.5·IQR / Q3+1.5·IQR, outlier count, in two passes (quantile +
     count).
 
-    Uses exact ``percentile`` for oracle parity; at 100 TB swap in
-    ``percentile_approx(col, [0.25, 0.75], 10000)`` — single-pass sketch,
-    no sort — via ``exact=False``.
+    ``exact=True`` uses exact ``percentile`` (full sort of the column —
+    kept for oracle parity and small tables). At 100 TB set
+    ``exact=False``: ``approx_percentile`` is a single-pass mergeable
+    KLL-style sketch — no sort, bounded memory per partition, rank error
+    ≤ 1/``accuracy`` — which only perturbs the two cut points; the
+    outlier count itself is still an exact scan against those bounds.
     """
+    if exact:
+        q1c = F.expr(f"percentile({column}, 0.25)")
+        q3c = F.expr(f"percentile({column}, 0.75)")
+    else:
+        q1c = F.expr(f"approx_percentile({column}, 0.25, {accuracy})").cast("double")
+        q3c = F.expr(f"approx_percentile({column}, 0.75, {accuracy})").cast("double")
     q = df.agg(
-        F.expr(f"percentile({column}, 0.25)").alias("q1"),
-        F.expr(f"percentile({column}, 0.75)").alias("q3"),
+        q1c.alias("q1"),
+        q3c.alias("q3"),
         F.count(F.lit(1)).alias("total_count"),
     ).withColumn("iqr", F.col("q3") - F.col("q1"))
     bounds = q.select(

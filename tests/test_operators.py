@@ -96,6 +96,26 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_iqr_outlier_approx_path_matches_exact_at_small_scale(spark, sf_dir):
+    """The exact=False sketch path (single-pass approx_percentile, no
+    column sort) must track the exact path closely: the sketch picks a
+    real order statistic at rank error ≤ 1/accuracy (while exact
+    ``percentile`` interpolates between order stats), so the cut points
+    can differ by roughly one inter-row gap — never more."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    exact = quality.iqr_outlier_bounds(orders, "o_totalprice").collect()[0]
+    approx = quality.iqr_outlier_bounds(orders, "o_totalprice", exact=False).collect()[0]
+    assert approx.asDict().keys() == exact.asDict().keys()
+    for fld in ("q1", "q3", "lower_bound", "upper_bound"):
+        assert abs(approx[fld] - exact[fld]) <= 1e-3 * max(1.0, abs(exact[fld]))
+    assert approx["total_count"] == exact["total_count"]
+    # Bounds land deep in the distribution's tails, so a hair's shift in
+    # the cut points moves at most a handful of rows across them.
+    assert abs(approx["outlier_count"] - exact["outlier_count"]) <= max(
+        5, 0.01 * exact["total_count"]
+    )
+
+
 def test_simhash_banding_has_full_hamming3_recall(spark, sf_dir):
     """4×8-bit banding must surface EVERY pair within Hamming ≤ 3 of the
     32-bit signature (pigeonhole: ≤3 flips leave ≥1 of 4 bands clean) —
