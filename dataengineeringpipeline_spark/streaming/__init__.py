@@ -323,13 +323,17 @@ def sessionize_stream(
         import numpy as np
 
         last_ts, sessions, events_n = state.get if state.exists else (None, 0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # A large group arrives as MULTIPLE unordered Arrow chunks (default
+        # ~10k rows each); sorting per chunk would compute gaps across
+        # unsorted chunk boundaries. Accumulate the whole group, sort once.
+        # Memory is bounded by the user's rows in this micro-batch — the
+        # same bound the state-store update itself already implies.
+        chunks = [pdf["ts_us"].to_numpy() for pdf in pdfs if len(pdf)]
+        if chunks:
             # vectorized gap count: a session starts at each ts whose gap
             # from its predecessor exceeds the threshold (the first ts's
             # predecessor is the carried-over state boundary).
-            ts = np.sort(pdf["ts_us"].to_numpy())
+            ts = np.sort(np.concatenate(chunks))
             prev = np.concatenate(([last_ts if last_ts is not None else -(1 << 62)], ts[:-1]))
             sessions += int((ts - prev > gap_us).sum())
             last_ts = int(ts[-1])

@@ -231,6 +231,47 @@ print("REPLAY_COUNT", spark.read.parquet({silver!r}).count())
     assert int(count_line.split()[1]) == 2 * n  # replay did not append dupes
 
 
+def test_sessionize_group_spanning_many_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState delivers a large group as MULTIPLE Arrow
+    chunks with no ordering guarantee. 300 events for one user, written
+    in descending time order, forced through 64-row chunks: every event
+    is its own session (spacing > gap), so per-chunk sorting would
+    miscount gaps across chunk boundaries."""
+    import pandas as pd
+
+    n = 300
+    gap_us = streaming.DEFAULT_SESSION_GAP_MINUTES * 60_000_000
+    ts_us = [(n - 1 - i) * (gap_us + 1) for i in range(n)]  # descending
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [t * 1000 for t in ts_us],  # ns, matches EVENTS_DDL reader
+            "user_id": [7] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    # stream_events pathGlobFilter matches the FILE name "events.parquet",
+    # so surface the single part file under that exact name.
+    staging = tmp_path / "staging"
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    part.rename(src / "events.parquet")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = streaming.streaming_session_counts(spark, str(src)).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert [(r["user_id"], r["sessions"], r["events_seen"]) for r in got] == [(7, n, n)]
+
+
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
     streaming.run_available_now(
         streaming.sessionize_stream(streaming.stream_events(spark, sf_dir)),
