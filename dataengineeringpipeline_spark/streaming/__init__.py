@@ -236,11 +236,19 @@ def incremental_gold(
     counts re-sum), and written back via dynamic partition overwrite.
 
     Scale properties: per batch, only the touched date partitions are
-    read and rewritten (partition pruning on both sides); the merge
-    re-aggregates existing+new partials, so crash-replay of a batch is
-    idempotent (same input → same partition contents). This is the
+    read and rewritten (partition pruning on both sides). This is the
     reference's silver→gold incremental semantics (SURVEY.md §2.9)
     expressed as exactly-once micro-batches.
+
+    Crash-replay idempotence: every gold row carries
+    ``merged_through_batch`` — the id of the last batch merged into its
+    partition. If the partition overwrite commits but the checkpoint
+    commit does not (crash in between), the replayed batch sees its own
+    id already recorded in the partitions it touched and skips merging
+    its partials into them again — a blind re-merge would re-sum rows
+    that already contain this batch's contribution and double-count.
+    (foreachBatch batch ids are stable across checkpoint replays, which
+    is what makes the marker sound.)
     """
     from pyspark.errors import AnalysisException
 
@@ -251,12 +259,31 @@ def incremental_gold(
             return
         try:
             existing = spark.read.parquet(gold_dir).filter(F.col(date_col).isin(touched))
+        except AnalysisException:  # first batch: gold table doesn't exist yet
+            merged = partial.withColumn("merged_through_batch", F.lit(batch_id))
+        else:
+            # partitions whose marker already records this batch were
+            # written by a pre-crash attempt of THIS batch — leave them
+            # out entirely (dynamic overwrite only rewrites partitions
+            # present in the output, so they survive untouched).
+            replayed = existing.filter(F.col("merged_through_batch") >= batch_id)
+            done_dates = [r[date_col] for r in replayed.select(date_col).distinct().collect()]
+            fresh_partial = partial
+            if done_dates:
+                fresh_partial = partial.filter(~F.col(date_col).isin(done_dates))
+                if not fresh_partial.limit(1).count():
+                    return  # full replay: every touched partition already merged
+            to_merge = existing.filter(F.col("merged_through_batch") < batch_id).drop(
+                "merged_through_batch"
+            )
             # materialize before writing: the write overwrites the very
             # partitions the merge is reading (read-overwrite hazard on a
             # plain parquet table; a lakehouse format would version instead)
-            merged = merge(existing.unionByName(partial)).localCheckpoint()
-        except AnalysisException:  # first batch: gold table doesn't exist yet
-            merged = partial
+            merged = (
+                merge(to_merge.unionByName(fresh_partial))
+                .withColumn("merged_through_batch", F.lit(batch_id))
+                .localCheckpoint()
+            )
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

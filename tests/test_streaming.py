@@ -150,20 +150,67 @@ def test_incremental_gold_matches_batch_rollup(spark, sf_dir, tmp_path):
             money_sum("revenue_dec", "revenue_dec"),
         )
 
+    want = {
+        str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
+        for r in aggregate(orders).collect()
+    }
+
+    def gold_state():
+        return {
+            str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
+            for r in spark.read.parquet(gold).collect()
+        }
+
     for _ in range(2):  # second run: checkpoint says nothing new
         streaming.incremental_gold(
             spark, silver + "/f*", ORDERS_DDL, aggregate, merge, gold, ckpt,
             date_col="order_month",
         )
-        got = {
-            str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
-            for r in spark.read.parquet(gold).collect()
-        }
-        want = {
-            str(r["order_month"]): (r["order_count"], round(r["revenue_dec"], 2))
-            for r in aggregate(orders).collect()
-        }
-        assert got == want
+        assert gold_state() == want
+
+    # crash-replay idempotence: the partition overwrite committed but the
+    # checkpoint commit did not (crash in between) — the replayed batch
+    # must NOT re-merge its partials into partitions that already contain
+    # them (that would re-sum and double-count). Wipe the last commit and
+    # restart in a fresh process (in-session, Spark 4's commit-log guard
+    # reads the tampering as concurrent checkpoint use).
+    import os
+    import subprocess
+    import sys
+
+    last = max(f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # a real crash writes neither file
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {repr(os.getcwd())})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+from dataengineeringpipeline_spark.functions import money_sum
+
+def aggregate(df):
+    return df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("order_count"), money_sum("o_totalprice", "revenue_dec"))
+
+def merge(partials):
+    return partials.groupBy("order_month").agg(
+        F.sum("order_count").alias("order_count"), money_sum("revenue_dec", "revenue_dec"))
+
+streaming.incremental_gold(spark, {(silver + "/f*")!r}, {ORDERS_DDL!r},
+                           aggregate, merge, {gold!r}, {ckpt!r}, date_col="order_month")
+print("REPLAY_DONE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "REPLAY_DONE" in proc.stdout
+    assert gold_state() == want  # replay did not double-count
 
 
 def test_stream_etl_is_incremental_exactly_once(spark, sf_dir, tmp_path):
