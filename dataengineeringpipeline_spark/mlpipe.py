@@ -6,7 +6,9 @@ Spark-native counterpart of the reference's SageMaker scripts:
   ``pyspark.ml.classification`` on the gold feature table, split by the
   deterministic ``data_split`` column;
 - M2 metrics (``train.py:158-170``, ``evaluate.py:142-201``) →
-  ``MulticlassClassificationEvaluator`` / ``BinaryClassificationEvaluator``;
+  classification via ``MulticlassClassificationEvaluator`` /
+  ``BinaryClassificationEvaluator``; regression MSE/RMSE/MAE/R² via one
+  single-pass aggregation (:func:`regression_metrics`);
 - M3 k-fold CV (``evaluate.py:202-224``) → ``pyspark.ml.tuning.CrossValidator``;
 - M4/M5 paired t-test + Cohen's d and bootstrap CI comparison
   (``ab_testing.py:86-207``) → driver-side numpy over the (tiny) fold
@@ -109,6 +111,87 @@ def evaluate_classifier(model, test: DataFrame) -> dict:
         out[key] = MulticlassClassificationEvaluator(metricName=metric).evaluate(pred)
     out["roc_auc"] = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(pred)
     return out
+
+
+def make_regressor(model_type: str, **params):
+    """RF / GBT / linear regressor factory, mirroring
+    :func:`make_classifier`'s hyperparameter-name mapping
+    (``sagemaker/training/evaluate.py:182-201`` evaluates regressors with
+    the same model families)."""
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    if model_type == "random_forest":
+        return RandomForestRegressor(
+            numTrees=params.get("n_estimators", 100),
+            maxDepth=params.get("max_depth", 10),
+            seed=params.get("seed", 42),
+        )
+    if model_type == "gradient_boosting":
+        return GBTRegressor(
+            maxIter=params.get("n_estimators", 50),
+            maxDepth=params.get("max_depth", 5),
+            stepSize=params.get("learning_rate", 0.1),
+            seed=params.get("seed", 42),
+        )
+    if model_type == "linear_regression":
+        return LinearRegression(maxIter=params.get("max_iter", 100))
+    raise ValueError(f"unknown model_type {model_type!r}")
+
+
+def train_regressor(
+    features: DataFrame,
+    label_col: str = "lifetime_value",
+    model_type: str = "random_forest",
+    feature_cols: list[str] | None = None,
+    **params,
+):
+    """Train a regressor on the ``data_split == 'train'`` partition;
+    returns ``(model, metrics_dict)`` with held-out MSE/RMSE/MAE/R²
+    (M1+M2 regression side, ``evaluate.py:182-201``)."""
+    cols = [c for c in (feature_cols or DEFAULT_FEATURE_COLS) if c != label_col]
+    prepared = _prepare(features, label_col, cols)
+    train = prepared.filter(F.col("data_split") == "train")
+    test = prepared.filter(F.col("data_split") == "test")
+    model = make_regressor(model_type, **params).fit(train)
+    return model, evaluate_regressor(model, test)
+
+
+def evaluate_regressor(model, test: DataFrame) -> dict:
+    """MSE / RMSE / MAE / R² for a fitted regressor on a prepared test
+    split (M2 regression, ``evaluate.py:182-201``)."""
+    pred = model.transform(test)
+    out = regression_metrics(pred, "label", "prediction")
+    out["n_test"] = pred.count()
+    return out
+
+
+def regression_metrics(pred: DataFrame, label_col: str, pred_col: str) -> dict:
+    """MSE, RMSE, MAE, R² over a predictions DataFrame in ONE distributed
+    pass (a ``RegressionEvaluator`` per metric would re-scan the
+    predictions four times; one agg computes every sufficient statistic
+    together). Definitions match ``evaluate.py:190-195``:
+    R² = 1 − SS_res/SS_tot."""
+    err = F.col(label_col) - F.col(pred_col)
+    row = pred.agg(
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sum(err * err).alias("ss_res"),
+        F.avg(F.col(label_col)).alias("y_mean"),
+        F.sum(F.col(label_col) * F.col(label_col)).alias("y_sq_sum"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # SS_tot = Σy² − n·ȳ² (one pass; no second scan with the mean joined in)
+    ss_tot = row["y_sq_sum"] - row["n"] * row["y_mean"] ** 2
+    return {
+        "mse": row["mse"],
+        "rmse": math.sqrt(row["mse"]),
+        "mae": row["mae"],
+        "r2": 1.0 - row["ss_res"] / ss_tot if ss_tot > 0 else float("nan"),
+    }
 
 
 def cross_validate_scores(

@@ -43,6 +43,42 @@ def test_grid_search_picks_params(feats):
     assert len(out["avg_metrics"]) == 2
 
 
+def test_regression_metrics_hand_computed(spark):
+    """sklearn's canonical example: y=[3,-0.5,2,7], ŷ=[2.5,0,2,8] →
+    MSE=0.375, MAE=0.5, R²=1−1.5/29.1875."""
+    import math
+
+    pred = spark.createDataFrame(
+        [(3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0)], "y double, yhat double"
+    )
+    m = mlpipe.regression_metrics(pred, "y", "yhat")
+    assert abs(m["mse"] - 0.375) < 1e-12
+    assert abs(m["rmse"] - math.sqrt(0.375)) < 1e-12
+    assert abs(m["mae"] - 0.5) < 1e-12
+    assert abs(m["r2"] - (1.0 - 1.5 / 29.1875)) < 1e-12
+
+
+def test_regression_metrics_constant_label_is_nan_r2(spark):
+    pred = spark.createDataFrame([(2.0, 1.0), (2.0, 3.0)], "y double, yhat double")
+    m = mlpipe.regression_metrics(pred, "y", "yhat")
+    assert m["mse"] == 1.0 and m["mae"] == 1.0
+    assert m["r2"] != m["r2"]  # NaN: R² undefined when SS_tot = 0
+
+
+def test_train_regressor_rf_and_gbt(feats):
+    """lifetime_value is a deterministic function of the other feature
+    columns' inputs — a tree regressor on the remaining features should
+    beat the predict-the-mean baseline (R² > 0)."""
+    for mt in ("random_forest", "gradient_boosting", "linear_regression"):
+        model, metrics = mlpipe.train_regressor(
+            feats, label_col="lifetime_value", model_type=mt, n_estimators=20
+        )
+        assert metrics["n_test"] > 0, mt
+        assert metrics["rmse"] >= 0 and metrics["mse"] >= 0 and metrics["mae"] >= 0, mt
+        assert abs(metrics["rmse"] - metrics["mse"] ** 0.5) < 1e-9, mt
+        assert metrics["r2"] > 0.0, mt
+
+
 def test_paired_t_test_and_bootstrap():
     a = [0.90, 0.91, 0.89, 0.92, 0.90]
     b = [0.80, 0.81, 0.79, 0.82, 0.80]
