@@ -32,6 +32,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    from dataengineeringpipeline_spark.cache import release_caches
     from dataengineeringpipeline_spark.session import get_spark
 
     spark = get_spark(app_name="dep-spark-bench", cpus=cpus, shuffle_partitions=cpus)
@@ -53,7 +54,10 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
         # Operators persist shared subtrees scoped to their own run;
         # dropping them between queries keeps each timing independent
-        # and executor memory flat across the sweep.
+        # and executor memory flat across the sweep. release_caches()
+        # unpersists the tracked operator persists; clearCache sweeps
+        # anything else (e.g. test fixtures' .cache()).
+        release_caches()
         spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 

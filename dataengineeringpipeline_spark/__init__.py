@@ -19,9 +19,10 @@ Everything is built on the public PySpark DataFrame / SQL API; execution
 planning is delegated to Catalyst + AQE. No AWS or proprietary dependencies.
 """
 
+from dataengineeringpipeline_spark.cache import release_caches
 from dataengineeringpipeline_spark.session import get_spark
 from dataengineeringpipeline_spark.datalake import Lake, load_tables, TESTDATA_TABLES
 
-__all__ = ["get_spark", "Lake", "load_tables", "TESTDATA_TABLES"]
+__all__ = ["get_spark", "Lake", "load_tables", "TESTDATA_TABLES", "release_caches"]
 
 __version__ = "0.1.0"

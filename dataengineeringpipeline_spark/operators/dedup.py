@@ -23,10 +23,10 @@ bit-reproducible across engines, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataengineeringpipeline_spark.cache import tracked_persist
 from dataengineeringpipeline_spark.operators.text import word_hash, words_col
 
 #: Universal-hash modulus (prime > 1e9; products stay < 2^63).
@@ -126,7 +126,7 @@ def _pairwise_jaccard(items: DataFrame, key: str, max_df: int | None = DEDUP_MAX
     agg, the size agg), so it is persisted for the duration of the
     query — the shingle/word explode behind it runs once instead of
     three-plus times."""
-    items = items.persist(StorageLevel.MEMORY_AND_DISK)
+    items = tracked_persist(items)
     if max_df is not None:
         frequent = (
             items.groupBy(key)
@@ -271,8 +271,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     shingles); at 100 TB you'd materialize signatures to a lake table
     once per corpus snapshot instead of caching per query.
     """
-    sets = doc_shingle_hash_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(docs, hash_sets=sets).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = tracked_persist(doc_shingle_hash_sets(docs))
+    sigs = tracked_persist(minhash_signatures(docs, hash_sets=sets))
     bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")

@@ -16,9 +16,10 @@ Two tiers, mirroring what a 100 TB vector pipeline needs:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.cache import tracked_persist
 
 EMB_DIM = 64
 LSH_PLANES = 8
@@ -107,7 +108,7 @@ def embedding_near_dups(
     Signatures are persisted: both sides of the bucket self-join consume
     them, and each signature costs ``planes`` fold-dot-products per
     vector — computing that twice doubles the dominant cost."""
-    sigs = lsh_signatures(embeddings, planes).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = tracked_persist(lsh_signatures(embeddings, planes))
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = a.join(
@@ -223,10 +224,8 @@ def ann_ivf_recall(embeddings: DataFrame, k: int = 5) -> DataFrame:
     the hit semi-join); it is persisted so the brute-force scoring pass
     — the expensive side — runs once. The cached set is tiny
     (|queries|·k rows) while its lineage is the full O(|Q|·n) scan."""
-    exact = (
-        ann_bruteforce_topk(embeddings, k)
-        .select("query_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    exact = tracked_persist(
+        ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
     )
     approx = ann_ivf_topk(embeddings, k).select("query_id", "neighbor_id")
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")

@@ -96,6 +96,25 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_operator_persists_are_released_by_release_caches(spark, sf_dir):
+    """Operators persist shared subtrees that must outlive the call (the
+    caller's action populates them); release_caches() is the session's
+    way to drop them so a long-lived service doesn't accumulate cached
+    shingle sets/signatures across queries."""
+    from dataengineeringpipeline_spark.cache import _TRACKED, release_caches
+
+    release_caches()  # start clean regardless of earlier tests
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dedup.minhash_lsh_pairs(docs).limit(1).count()  # action populates the caches
+    assert len(_TRACKED) >= 2  # shingle sets + signatures
+    tracked = list(_TRACKED)
+    released = release_caches()
+    assert released == len(tracked) and not _TRACKED
+    for df in tracked:
+        assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+    assert release_caches() == 0  # idempotent
+
+
 def test_iqr_outlier_approx_path_matches_exact_at_small_scale(spark, sf_dir):
     """The exact=False sketch path (single-pass approx_percentile, no
     column sort) must track the exact path closely: the sketch picks a
