@@ -10,8 +10,9 @@ Spark-first shapes, all built on DataFrame ops (no Python UDFs):
   shingle ever meet, so the quadratic pair space is never materialized.
 - **MinHash+LSH**: signature of K=32 universal-hash minima, banded 8×4;
   documents colliding in ≥1 band become candidates, then candidates are
-  verified with exact Jaccard. At 100 TB this is the scalable path: cost
-  is O(docs × K) + band-bucket joins instead of O(docs²).
+  verified with exact shingle-set Jaccard. At 100 TB this is the
+  scalable path: cost is O(docs × K) + band-bucket joins instead of
+  O(docs²).
 - **SimHash**: 32-bit majority-vote fingerprint; near-dup candidates from
   4×8-bit band collisions (pigeonhole: ≤3 flips leave ≥1 band clean, so
   Hamming ≤ 3 recall is 100%), verified by exact Hamming distance ≤ 3.
@@ -255,8 +256,12 @@ def minhash_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, verified with exact word-set
-    Jaccard.
+    """MinHash-LSH near-duplicate pairs, verified with exact
+    **shingle-set** Jaccard (the same 3-gram shingle-hash sets the
+    signatures are built from — NOT word-set Jaccard; ``size_a`` /
+    ``size_b`` / ``jaccard`` are shingle-set statistics, which is the
+    similarity the LSH banding probability model is calibrated against.
+    Tune ``threshold`` in shingle-Jaccard terms).
 
     Candidates = pairs colliding in ≥1 band (≈ pairs with J ≥ ~0.47 for
     8×4 banding); each candidate is then verified exactly. The verify join
