@@ -19,6 +19,11 @@ Re-expresses the reference's extractor loop
 At 100 TB: the watermark predicate prunes both Parquet row groups and
 (YYYY/MM/DD-partitioned) directories, so each incremental run reads only
 the new tail, not the table.
+
+For real databases, :func:`jdbc_read` / :func:`jdbc_ingest` complete the
+S1 contract: watermark predicate inlined into the JDBC subquery (the DB
+scans its index, not Spark post-filtering a full pull) and a
+partitionColumn/bounds parallel range read.
 """
 
 from __future__ import annotations
@@ -168,6 +173,118 @@ def ingest(
         "watermark": next_wm,
         "skipped": False,
     }
+
+
+def _sql_literal(value: Any) -> str:
+    """Render a watermark value as a SQL literal for the pushdown
+    subquery. Strings are single-quoted with quote doubling; numbers pass
+    through. For timestamp/date columns pass the DB's literal syntax
+    as a string wrapped via ``raw=`` in :func:`jdbc_read`."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    watermark_column: str | None = None,
+    watermark_value: Any | None = None,
+    partition_column: str | None = None,
+    lower_bound: Any | None = None,
+    upper_bound: Any | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+    driver: str | None = None,
+    raw_predicate: str | None = None,
+) -> DataFrame:
+    """Parallel JDBC extract with watermark pushdown — the real-database
+    form of S1 (reference ``lambda/snowflake_extractor/lambda_function.py:
+    296-400``; the parquet+filter form in :func:`ingest` is the local
+    mapping).
+
+    - The watermark predicate is inlined into the ``dbtable`` subquery,
+      so the DATABASE evaluates it (index scan of the new tail) rather
+      than Spark post-filtering a full-table pull. ``raw_predicate``
+      accepts an arbitrary DB-dialect WHERE fragment (e.g. a timestamp
+      literal) when the generic ``column > literal`` form isn't enough.
+    - ``partition_column`` + bounds split the read into
+      ``num_partitions`` concurrent range queries — the difference
+      between 1 connection and N streaming in parallel. Bounds left as
+      ``None`` are probed with one cheap ``MIN()``/``MAX()`` round trip
+      (the reference's extractor does the same to size its batches).
+    - ``fetch_size`` keeps the per-connection row buffer bounded
+      (drivers default absurdly low or unbounded).
+    """
+    preds = []
+    if watermark_column is not None and watermark_value is not None:
+        preds.append(f"{watermark_column} > {_sql_literal(watermark_value)}")
+    if raw_predicate:
+        preds.append(f"({raw_predicate})")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    dbtable = f"(SELECT * FROM {table}{where}) src"
+
+    def _opts(reader):
+        reader = reader.option("url", url).option("fetchsize", str(fetch_size))
+        return reader.option("driver", driver) if driver else reader
+
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        probe = (
+            _opts(spark.read.format("jdbc"))
+            .option(
+                "query",
+                f"SELECT MIN({partition_column}) AS lo, MAX({partition_column}) AS hi "
+                f"FROM {table}{where}",
+            )
+            .load()
+            .collect()[0]
+        )
+        # positional: identifier case differs per DB (Derby uppercases)
+        lower_bound, upper_bound = probe[0], probe[1]
+        if lower_bound is None:  # empty slice: nothing to parallelize over
+            partition_column = None
+
+    reader = _opts(spark.read.format("jdbc")).option("dbtable", dbtable)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def jdbc_ingest(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    watermark_column: str,
+    store: WatermarkStore,
+    bronze_path: str,
+    source_system: str = "jdbc",
+    extraction_ts: str | None = None,
+    **jdbc_kwargs,
+) -> dict:
+    """Incremental JDBC extraction run: watermark-pushdown read (the DB
+    scans only rows past the stored watermark), stamp audit columns,
+    append to bronze, advance the watermark — :func:`ingest` with a real
+    database source (S1+S3+S8 end-to-end)."""
+    wm = store.get(table, watermark_column)
+    source = jdbc_read(
+        spark, url, table,
+        watermark_column=watermark_column if wm.value is not None else None,
+        watermark_value=wm.value,
+        **jdbc_kwargs,
+    )
+    return ingest(
+        spark, source, table, watermark_column, store, bronze_path,
+        source_system=source_system, extraction_ts=extraction_ts,
+    )
 
 
 #: Fixed demo watermark for the oracle query: 2024-01-20 00:00:00 UTC in

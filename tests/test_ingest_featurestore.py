@@ -76,3 +76,80 @@ def test_online_get_returns_latest_row(spark, sf_dir, tmp_path):
     log = featurestore.LineageLog(str(tmp_path / "lineage.json"))
     entry = featurestore.ingest_features(feats, "daily_user", str(tmp_path / "offline"), log)
     assert entry["version"] == 1 and entry["row_count"] == feats.count()
+
+
+# -- JDBC source (S1 real-database path, embedded Derby) ---------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_conn(spark, url):
+    """Open an embedded-Derby connection through the session JVM; skip the
+    test when the driver isn't on the classpath."""
+    import pytest
+
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return jvm.java.sql.DriverManager.getConnection(url)
+    except Exception:
+        pytest.skip("embedded Derby JDBC driver not available")
+
+
+def test_jdbc_read_watermark_pushdown_and_partitioned(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    conn = _derby_conn(spark, url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE src_events (id INT, ts BIGINT, val DOUBLE)")
+    ps = conn.prepareStatement("INSERT INTO src_events VALUES (?, ?, ?)")
+    for i in range(100):
+        ps.setInt(1, i)
+        ps.setLong(2, i * 10)
+        ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+
+    df = ingest.jdbc_read(
+        spark, url, "src_events",
+        watermark_column="ts", watermark_value=500,
+        partition_column="id", num_partitions=4, driver=DERBY_DRIVER,
+    )
+    # bounds were probed, so the scan really is 4 parallel range queries
+    assert df.rdd.getNumPartitions() == 4
+    got = {(r["ID"], r["TS"]) for r in df.collect()}
+    assert got == {(i, i * 10) for i in range(100) if i * 10 > 500}
+
+
+def test_jdbc_ingest_roundtrip_advances_watermark(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/jdbc_inc;create=true"
+    conn = _derby_conn(spark, url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE tx (id INT, amount DOUBLE)")
+    st.executeUpdate("INSERT INTO tx VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+
+    store = ingest.WatermarkStore(str(tmp_path / "wm.json"))
+    bronze = str(tmp_path / "bronze")
+    first = ingest.jdbc_ingest(
+        spark, url, "tx", "id", store, bronze,
+        extraction_ts="2024-02-01 00:00:00", driver=DERBY_DRIVER,
+    )
+    assert first["rows_extracted"] == 3 and first["watermark"] == 3
+
+    # no new rows: run is a skip, watermark unchanged
+    second = ingest.jdbc_ingest(
+        spark, url, "tx", "id", store, bronze,
+        extraction_ts="2024-02-02 00:00:00", driver=DERBY_DRIVER,
+    )
+    assert second["skipped"] and store.get("tx", "id").value == 3
+
+    # two new rows: only they are extracted (DB-side watermark pushdown)
+    st.executeUpdate("INSERT INTO tx VALUES (4, 40.0), (5, 50.0)")
+    conn.close()
+    third = ingest.jdbc_ingest(
+        spark, url, "tx", "id", store, bronze,
+        extraction_ts="2024-02-03 00:00:00", driver=DERBY_DRIVER,
+    )
+    assert third["rows_extracted"] == 2 and third["watermark"] == 5
+    out = spark.read.parquet(os.path.join(bronze, "tx"))
+    assert out.count() == 5  # 3 + 2 appended, nothing re-extracted
