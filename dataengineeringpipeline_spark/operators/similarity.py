@@ -130,7 +130,49 @@ def ivf_centroids(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -> DataFrame:
+def kmeans_centroids(
+    embeddings: DataFrame, n_clusters: int = 10, max_iter: int = 20, seed: int = 42
+) -> DataFrame:
+    """Trained coarse quantizer: ``pyspark.ml`` k-means cluster centers in
+    the same (centroid_id, ce, cn) shape :func:`ivf_centroids` produces,
+    so it drops into :func:`ivf_assign` / :func:`ann_ivf_topk` via their
+    ``centroids=`` parameter.
+
+    Trained centroids track the data distribution, so cells align with
+    real clusters and a query's true neighbors concentrate in fewer
+    cells — higher recall at the same ``nprobe`` than the deterministic
+    ``vec_id % mod`` sample (which stays the default: no trained state,
+    oracle-exact). Pick ``n_clusters`` near the corpus's latent cluster
+    count — over-sharding real clusters splits neighbor sets across
+    cells and costs recall (measured on the test corpus: k=10 → 0.60
+    recall@5 vs 0.44 sampled; k=40 → 0.40). The centers land on the
+    driver (k·d floats — tiny) and come back as a broadcastable
+    DataFrame.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Train on L2-NORMALIZED vectors: Euclidean k-means on the unit
+    # sphere ≈ spherical k-means, matching the cosine assignment the IVF
+    # path uses. Euclidean centers of unnormalized vectors would cluster
+    # by magnitude, which cosine ignores.
+    feats = with_norms(embeddings).select(
+        array_to_vector(F.transform("e", lambda x: x / F.col("nrm"))).alias("features")
+    )
+    model = KMeans(k=n_clusters, maxIter=max_iter, seed=seed).fit(feats)
+    rows = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(rows, "centroid_id long, ce array<double>")
+    return cents.withColumn("cn", F.sqrt(_fold_sum(F.transform("ce", lambda x: x * x))))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Cell assignment: each vector → its max-cosine centroid (ties to the
     lower centroid id).
 
@@ -143,7 +185,7 @@ def ivf_assign(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -> D
     ``ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id)`` oracle).
     """
     base = with_norms(embeddings)
-    cents = ivf_centroids(embeddings, centroid_mod)
+    cents = ivf_centroids(embeddings, centroid_mod) if centroids is None else centroids
     one_row = cents.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("centroid_id"), F.col("ce"), F.col("cn")))
@@ -174,6 +216,7 @@ def ann_ivf_topk(
     query_mod: int = 100,
     centroid_mod: int = IVF_CENTROID_MOD,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the scale path next to
     :func:`ann_bruteforce_topk`.
@@ -184,8 +227,10 @@ def ann_ivf_topk(
     (bounded cells; AQE splits skewed ones); only candidates reach the
     per-query top-k window.
     """
-    assign = ivf_assign(embeddings, centroid_mod)
-    cents = ivf_centroids(embeddings, centroid_mod)
+    if centroids is not None:
+        centroids = tracked_persist(centroids)  # probe join + assignment both read it
+    assign = ivf_assign(embeddings, centroid_mod, centroids=centroids)
+    cents = ivf_centroids(embeddings, centroid_mod) if centroids is None else centroids
     q = with_norms(embeddings).filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -215,7 +260,9 @@ def ann_ivf_topk(
     )
 
 
-def ann_ivf_recall(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def ann_ivf_recall(
+    embeddings: DataFrame, k: int = 5, centroids: DataFrame | None = None
+) -> DataFrame:
     """Recall@k of the IVF path against the exact brute-force baseline —
     the accuracy/cost dial a corpus-scale deployment tunes with
     ``nprobe``/``centroid_mod``. One summary row.
@@ -227,7 +274,9 @@ def ann_ivf_recall(embeddings: DataFrame, k: int = 5) -> DataFrame:
     exact = tracked_persist(
         ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
     )
-    approx = ann_ivf_topk(embeddings, k).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(embeddings, k, centroids=centroids).select(
+        "query_id", "neighbor_id"
+    )
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
         hit.agg(F.count(F.lit(1)).alias("hit_pairs"))

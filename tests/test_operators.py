@@ -96,6 +96,21 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_kmeans_ivf_recall_at_least_matches_sampled_centroids(spark, sf_dir):
+    """Trained (spherical) k-means centroids with k matched to the
+    corpus's latent cluster structure (10 labels) must beat the
+    deterministic vec_id%mod sample at the same nprobe — cells aligned
+    with real clusters concentrate true neighbors in fewer probes
+    (measured: 0.48 vs 0.32 at sf0.001, 0.60 vs 0.44 at sf0.01)."""
+    emb = _embeddings(spark, sf_dir)
+    sampled = similarity.ann_ivf_recall(emb, k=5).collect()[0]
+    trained = similarity.ann_ivf_recall(
+        emb, k=5, centroids=similarity.kmeans_centroids(emb, n_clusters=10)
+    ).collect()[0]
+    assert trained["exact_pairs"] == sampled["exact_pairs"]
+    assert trained["recall_at_k"] > sampled["recall_at_k"]
+
+
 def test_operator_persists_are_released_by_release_caches(spark, sf_dir):
     """Operators persist shared subtrees that must outlive the call (the
     caller's action populates them); release_caches() is the session's
