@@ -435,21 +435,28 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return wide.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-SIMHASH_BANDS = 4  # 4 × 8-bit pieces of the 32-bit signature
+SIMHASH_BANDS = 4  # pigeonhole guarantee for Hamming ≤ 3: ≥1 clean band
 
 
-def simhash_dup_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dup_candidates(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming.
 
-    Banding into 4 × 8-bit pieces: ≤3 bit flips across 4 bands leave at
+    Banding into 4 equal pieces: ≤3 bit flips across 4 bands leave at
     least one band untouched (pigeonhole), so every Hamming ≤ 3 pair is
     guaranteed to collide in some band — 100% recall, verified by the
-    exact ``bit_count(xor)`` filter. 8-bit bands are coarse (256 buckets
-    per band), fine up to ~10⁶ docs; at real corpus scale widen the
-    signature to 64 bits and band 4 × 16 (Manku et al.'s rotated-table
-    scheme) so buckets stay selective.
+    exact ``bit_count(xor)`` filter. Bucket selectivity scales with band
+    width: the default 32-bit signature gives 8-bit bands (256 buckets —
+    fine to ~10⁶ docs); pass ``bits=48`` (the full word-hash width) for
+    12-bit bands (4096 buckets per band, 16× fewer collisions) on real
+    corpora — Manku et al.'s rotated-table scheme at 64 bits is the next
+    step up and needs a wider base hash.
     """
-    sigs = simhash_signatures(docs)
+    if bits % SIMHASH_BANDS:
+        raise ValueError(f"bits={bits} must divide into {SIMHASH_BANDS} equal bands")
+    width = bits // SIMHASH_BANDS
+    sigs = simhash_signatures(docs, bits=bits)
     # Explode the bands into rows so candidate generation is a plain
     # equi-join on (band_idx, band_val) — an OR of band-matches would
     # force a nested-loop join, which dies at scale. One explode scans
@@ -458,7 +465,7 @@ def simhash_dup_candidates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                (F.expr(f"simhash div {1 << (8 * b)}") % 256).alias("band_val"),
+                (F.expr(f"simhash div {1 << (width * b)}") % (1 << width)).alias("band_val"),
             )
             for b in range(SIMHASH_BANDS)
         ]

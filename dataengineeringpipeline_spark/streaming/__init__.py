@@ -257,6 +257,16 @@ def incremental_gold(
         touched = [r[date_col] for r in partial.select(date_col).distinct().collect()]
         if not touched:
             return
+        # `touched` is bounded by dates-per-batch (a steady stream spans
+        # 1-2). A backfill batch spanning thousands of partitions would
+        # make the isin() predicate and the overwrite huge — fail loudly
+        # so the operator is re-run with a bounded source (e.g.
+        # maxFilesPerTrigger) instead of degrading into a full rewrite.
+        if len(touched) > 10_000:
+            raise ValueError(
+                f"batch {batch_id} touches {len(touched)} {date_col} partitions; "
+                "bound the micro-batch (maxFilesPerTrigger) for backfills"
+            )
         try:
             existing = spark.read.parquet(gold_dir).filter(F.col(date_col).isin(touched))
         except AnalysisException:  # first batch: gold table doesn't exist yet

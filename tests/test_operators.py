@@ -177,6 +177,33 @@ def test_simhash_banding_has_full_hamming3_recall(spark, sf_dir):
     assert got == truth and truth  # full recall, and the probe is non-vacuous
 
 
+def test_simhash_48bit_scale_variant_keeps_full_recall(spark, sf_dir):
+    """The bits=48 scale variant (12-bit bands, 16x more selective
+    buckets) must keep the pigeonhole recall guarantee on its own 48-bit
+    signature space."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sigs = dedup.simhash_signatures(docs, bits=48).persist()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    sigs.unpersist()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dup_candidates(docs, max_hamming=3, bits=48).collect()
+    }
+    # non-vacuous: the corpus has exact dups (identical sigs, Hamming 0)
+    assert got == truth and truth
+
+
 def test_jaccard_max_df_caps_universal_shingle(spark):
     """Skew guard: a shingle shared by every document must not force the
     inverted-index join quadratic. With max_df below the corpus size,
