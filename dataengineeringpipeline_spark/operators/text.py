@@ -175,3 +175,107 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(normalized).alias("md5_normalized"),
         F.conv(F.substring(F.md5(normalized), 1, 12), 16, 10).cast("long").alias("content_key"),
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-grams that
+    are repeats of an earlier n-gram in the same document (the single
+    strongest boilerplate/spam indicator in published LLM data-quality
+    rule sets — e.g. the repetition filters in the Gopher/MassiveText
+    paper, Rae et al. 2021).
+
+    Per-row array arithmetic only (no explode, no shuffle): build the
+    n-gram list, compare its size against its distinct size. A map-only
+    projection that scales embarrassingly."""
+    base = docs.select("doc_id", words_col().alias("ws"))
+    size = F.size("ws")
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = ", ".join(f"element_at(ws, CAST(i AS INT) + {j})" for j in range(n))
+    grams = F.expr(f"transform(idx, i -> concat_ws(' ', {parts}))")
+    return (
+        base.withColumn("idx", idx)
+        .select(
+            "doc_id",
+            F.size(F.col("idx")).alias("total_ngrams"),
+            F.size(F.array_distinct(grams)).alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "dup_ngram_ratio",
+            F.when(
+                F.col("total_ngrams") > 0,
+                (F.col("total_ngrams") - F.col("distinct_ngrams"))
+                / F.col("total_ngrams"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_repetitive", F.col("dup_ngram_ratio") > 0.2)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Token-window document chunking — the doc→training-sample explode
+    every LLM data pipeline runs before tokenization: fixed-size windows
+    of ``chunk_tokens`` tokens with ``overlap`` tokens of context carried
+    between consecutive chunks.
+
+    Tokens come from the same BPE-ish ``TOKEN_REGEX`` the stats use;
+    chunk text is the space-joined token slice (a deterministic,
+    engine-portable normalization). Chunking is per-row compute + one
+    explode into (doc_id, chunk_idx) rows — uniform-size units that
+    repartition evenly downstream, which is the point: downstream
+    tokenize/pack stages see bounded rows, never a 500-page outlier
+    document.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    base = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0).alias("toks")
+    )
+    n = F.size("toks")
+    # chunk starts: 0, stride, 2*stride, ... while start < n (so a doc
+    # shorter than chunk_tokens still yields its single partial chunk;
+    # an empty doc yields none)
+    num_chunks = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(F.lit(0))
+    # drop a trailing window that would be pure overlap of the previous
+    # one (start >= n - overlap with an earlier chunk already covering it)
+    num_chunks = F.when(
+        (num_chunks > 1) & ((num_chunks - 1) * stride + F.lit(overlap) >= n),
+        num_chunks - 1,
+    ).otherwise(num_chunks)
+    chunk_structs = F.expr(
+        f"transform(sequence(0, num_chunks - 1), c -> struct("
+        f"c AS chunk_idx, "
+        f"slice(toks, c * {stride} + 1, {chunk_tokens}) AS chunk_toks))"
+    )
+    return (
+        base.withColumn("num_chunks", num_chunks)
+        .filter(F.col("num_chunks") > 0)
+        .select("doc_id", F.explode(chunk_structs).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.size("ch.chunk_toks").alias("chunk_token_count"),
+            F.array_join("ch.chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_summary(docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Oracle-friendly rollup of :func:`chunk_documents`: per-document
+    chunk count, token totals, and bounds — verifies the chunking math
+    without hashing megabytes of chunk text."""
+    return (
+        chunk_documents(docs, chunk_tokens, overlap)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("chunk_count"),
+            F.sum("chunk_token_count").cast("long").alias("chunked_tokens"),
+            F.max("chunk_token_count").cast("int").alias("max_chunk_tokens"),
+            F.min("chunk_token_count").cast("int").alias("min_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -716,9 +716,62 @@ FROM documents
 """.strip()
 
 
+#: Mirrors text.repetition_stats (n=3): duplicate-ngram fraction per doc.
+_REPETITION_SQL = f"""
+SELECT doc_id,
+  CAST(len(grams) AS INTEGER) AS total_ngrams,
+  CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_ngrams,
+  CASE WHEN len(grams) > 0
+       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       ELSE 0.0 END AS dup_ngram_ratio,
+  (CASE WHEN len(grams) > 0
+        THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        ELSE 0.0 END) > 0.2 AS is_repetitive
+FROM (
+  SELECT doc_id, CASE WHEN len(ws) >= 3
+    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    ELSE [] END AS grams
+  FROM (SELECT doc_id, {_W} AS ws FROM documents)
+)
+""".strip()
+
+
+def _chunk_summary_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Mirrors text.chunk_summary: per-doc rollup of the token-window
+    chunking (chunk count / token totals / bounds)."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n FROM documents
+),
+counted AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN CAST(ceil(n / {stride}.0) AS INTEGER) ELSE 0 END AS num0
+  FROM toks
+),
+final AS (
+  SELECT doc_id, n,
+    CASE WHEN num0 > 1 AND (num0 - 1) * {stride} + {overlap} >= n
+         THEN num0 - 1 ELSE num0 END AS num
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, n, unnest(range(0, num)) AS ci FROM final WHERE num > 0
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS chunk_count,
+  CAST(SUM(LEAST({chunk_tokens}, n - ci * {stride})) AS BIGINT) AS chunked_tokens,
+  CAST(MAX(LEAST({chunk_tokens}, n - ci * {stride})) AS INTEGER) AS max_chunk_tokens,
+  CAST(MIN(LEAST({chunk_tokens}, n - ci * {stride})) AS INTEGER) AS min_chunk_tokens
+FROM chunks GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
 def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": _with({"base": TEXT_STATS}, _TEXT_STATS_DERIVED),
+        "repetition_stats": _REPETITION_SQL,
+        "chunk_summary": _chunk_summary_sql(),
         "text_quality": _with(
             {"base": TEXT_STATS, "stats": _TEXT_STATS_DERIVED},
             "SELECT *, quality_score >= 70 AS is_high_quality FROM (" + _QUALITY_BODY + ")",

@@ -96,6 +96,47 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Token-window chunking: stride/overlap math, the short-doc single
+    partial chunk, the empty doc yielding nothing, and the trailing
+    pure-overlap window being dropped."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    # pure-alpha tokens: the BPE-ish TOKEN_REGEX would split "t0" into
+    # a letter run + a digit run (two tokens)
+    toks = [f"t{chr(97 + i)}" for i in range(10)]  # ta tb ... tj
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),     # 10 tokens
+            (2, "a b c"),            # shorter than one chunk
+            (3, ""),                 # empty: no chunks
+            (4, " ".join(toks[:6])),  # 6 tokens = exactly chunk+overlap-2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_token_count"], r["chunk_text"])
+        for r in text_ops.chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: starts 0,2,4,6 then start 8 is pure overlap of chunk 3 → dropped
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert out[(1, 0)] == (4, "ta tb tc td")
+    assert out[(1, 1)] == (4, "tc td te tf")  # 2-token overlap carried
+    assert out[(1, 3)] == (4, "tg th ti tj")
+    assert out[(2, 0)] == (3, "a b c")  # single partial chunk
+    assert not [k for k in out if k[0] == 3]  # empty doc: no chunks
+    # doc 4 (6 tokens): starts 0,2 then the start-4 window (te tf) would
+    # be pure overlap of chunk 1 (which covers tc..tf) → dropped
+    assert {k for k in out if k[0] == 4} == {(4, 0), (4, 1)}
+    assert out[(4, 1)] == (4, "tc td te tf")
+    # every token of doc 1 appears in some chunk (coverage invariant)
+    covered = set()
+    for (d, _), (_, txt) in out.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == set(toks)
+
+
 def test_kmeans_ivf_recall_at_least_matches_sampled_centroids(spark, sf_dir):
     """Trained (spherical) k-means centroids with k matched to the
     corpus's latent cluster structure (10 labels) must beat the
