@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_summary": lambda spark, sf: text_ops.chunk_summary(
             _read(spark, sf, "documents")
         ),
+        "pack_summary": lambda spark, sf: text_ops.pack_summary(
+            _read(spark, sf, "documents")
+        ),
         # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -
         "exact_dedup": lambda spark, sf: dedup_ops.exact_dedup(_read(spark, sf, "documents")),
         "ngram_jaccard_pairs": lambda spark, sf: dedup_ops.ngram_jaccard_pairs(
@@ -183,7 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
             load_events(spark, sf)
         ),
-        "error_context": lambda spark, sf: events_analytics.error_context(load_events(spark, sf)),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
         # -- incremental ingestion + feature store --------------------------
         "incremental_events": lambda spark, sf: ingest.incremental_events(
@@ -265,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
             load_events(spark, sf)
         ),
+        "error_context": lambda spark, sf: events_analytics.error_context(load_events(spark, sf)),
         "user_activity_summary": lambda spark, sf: events_analytics.user_activity_summary(
             load_events(spark, sf)
         ),

@@ -14,7 +14,7 @@ required (the operator semantics are identical).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: A BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
@@ -278,4 +278,94 @@ def chunk_summary(docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16) ->
             F.min("chunk_token_count").cast("int").alias("min_chunk_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+#: Dialect-portable patterns (no backrefs/lookaheads — valid in both
+#: Java regex and RE2, so engines and oracles agree).
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+PHONE_REGEX = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus takes
+    before release: emails, URLs, and phone numbers replaced with typed
+    placeholder tokens, with per-document redaction counts kept for
+    audit. Pure ``regexp_replace``/``regexp_count`` projections — JVM
+    codegen, no shuffle, scales as a map-only pass.
+
+    Order matters: emails are scrubbed BEFORE URLs so ``mailto:``-style
+    strings can't be half-eaten by the URL pattern, and phones last so
+    digits inside URLs are already gone.
+    """
+    email_n = F.regexp_count("text", F.lit(EMAIL_REGEX))
+    url_n = F.regexp_count("text", F.lit(URL_REGEX))
+    phone_n = F.regexp_count("text", F.lit(PHONE_REGEX))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_REGEX, "[EMAIL]"),
+            URL_REGEX,
+            "[URL]",
+        ),
+        PHONE_REGEX,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        email_n.alias("email_count"),
+        url_n.alias("url_count"),
+        phone_n.alias("phone_count"),
+        (email_n + url_n + phone_n).alias("redaction_count"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def pack_chunks(
+    chunks: DataFrame, budget: int = 256, num_groups: int = 8
+) -> DataFrame:
+    """Assign token chunks to fixed-budget training sequences (GPT-style
+    packing: concatenate in a deterministic order, cut every ``budget``
+    tokens — a chunk straddling a cut belongs to the sequence where it
+    starts).
+
+    Scale shape: a single global running sum would be one-partition
+    sequential work; instead chunks are split into ``num_groups`` hash
+    groups (``doc_id % num_groups`` — deterministic and engine-portable)
+    and packed independently per group, so the cumulative-sum window
+    parallelizes across groups. The only cost is per-group tail
+    fragmentation: ≤ 1 partially-filled sequence per group.
+    """
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("chunk_token_count").over(w), F.lit(0))
+    return (
+        chunks.withColumn("pack_group", F.pmod(F.col("doc_id"), F.lit(num_groups)))
+        .withColumn("seq_start_offset", start.cast("long"))
+        .withColumn("seq_id", F.floor(F.col("seq_start_offset") / F.lit(budget)).cast("long"))
+    )
+
+
+def pack_summary(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16, budget: int = 256
+) -> DataFrame:
+    """Oracle-checkable rollup of the chunk→pack pipeline: per packed
+    sequence, its chunk count, token total, and fill ratio vs budget."""
+    packed = pack_chunks(chunk_documents(docs, chunk_tokens, overlap), budget)
+    return (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("chunk_count"),
+            F.sum("chunk_token_count").cast("long").alias("seq_tokens"),
+        )
+        .withColumn("fill_ratio", F.col("seq_tokens") / F.lit(budget))
+        .orderBy("pack_group", "seq_id")
     )

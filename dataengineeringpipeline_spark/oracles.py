@@ -767,11 +767,56 @@ FROM chunks GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
 
+def _pack_summary_sql(
+    chunk_tokens: int = 64, overlap: int = 16, budget: int = 256, num_groups: int = 8
+) -> str:
+    """Mirrors text.pack_summary: chunk → hash-group → running-sum pack →
+    per-sequence rollup."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n FROM documents
+),
+counted AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN CAST(ceil(n / {stride}.0) AS INTEGER) ELSE 0 END AS num0
+  FROM toks
+),
+final AS (
+  SELECT doc_id, n,
+    CASE WHEN num0 > 1 AND (num0 - 1) * {stride} + {overlap} >= n
+         THEN num0 - 1 ELSE num0 END AS num
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, n, unnest(range(0, num)) AS ci FROM final WHERE num > 0
+),
+sized AS (
+  SELECT doc_id, ci, LEAST({chunk_tokens}, n - ci * {stride}) AS sz,
+    doc_id % {num_groups} AS pack_group
+  FROM chunks
+),
+packed AS (
+  SELECT pack_group,
+    FLOOR(COALESCE(SUM(sz) OVER (PARTITION BY pack_group ORDER BY doc_id, ci
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}) AS seq_id,
+    sz
+  FROM sized
+)
+SELECT pack_group, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(COUNT(*) AS BIGINT) AS chunk_count,
+  CAST(SUM(sz) AS BIGINT) AS seq_tokens,
+  CAST(SUM(sz) AS DOUBLE) / {budget} AS fill_ratio
+FROM packed GROUP BY pack_group, seq_id ORDER BY pack_group, seq_id
+""".strip()
+
+
 def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": _with({"base": TEXT_STATS}, _TEXT_STATS_DERIVED),
         "repetition_stats": _REPETITION_SQL,
         "chunk_summary": _chunk_summary_sql(),
+        "pack_summary": _pack_summary_sql(),
         "text_quality": _with(
             {"base": TEXT_STATS, "stats": _TEXT_STATS_DERIVED},
             "SELECT *, quality_score >= 70 AS is_high_quality FROM (" + _QUALITY_BODY + ")",

@@ -137,6 +137,57 @@ def test_chunk_documents_windows_and_edges(spark):
     assert covered == set(toks)
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or visit https://a.io/p?q=1 now"),
+            (2, "call 555-123-4567 or +1 (555) 987-6543 today"),
+            (3, "clean document with no private data"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.scrub_pii(docs).collect()}
+    assert (out[1]["email_count"], out[1]["url_count"]) == (1, 1)
+    assert out[1]["scrubbed_text"] == "mail me at [EMAIL] or visit [URL] now"
+    assert out[2]["phone_count"] == 2
+    assert out[2]["scrubbed_text"] == "call [PHONE] or [PHONE] today"
+    assert out[3]["redaction_count"] == 0
+    assert out[3]["scrubbed_text"] == "clean document with no private data"
+    assert out[4]["redaction_count"] == 0
+
+
+def test_pack_chunks_fills_sequences_in_order(spark):
+    """Packing invariants: chunks keep their deterministic order inside a
+    group, offsets are the running token sum, and a sequence's id is the
+    budget-window its chunk STARTS in (straddling chunks stay whole)."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    chunks = spark.createDataFrame(
+        [(d, c, 60, f"x{d}-{c}") for d in (0, 8) for c in range(3)],  # same group (d%8=0)
+        "doc_id long, chunk_idx int, chunk_token_count int, chunk_text string",
+    )
+    packed = {
+        (r["doc_id"], r["chunk_idx"]): (r["pack_group"], r["seq_id"], r["seq_start_offset"])
+        for r in text_ops.pack_chunks(chunks, budget=128, num_groups=8).collect()
+    }
+    # order: (0,0)(0,1)(0,2)(8,0)(8,1)(8,2); offsets 0,60,120,180,240,300
+    # seq = floor(offset/128): 0,0,0,1,1,2
+    assert packed[(0, 0)] == (0, 0, 0)
+    assert packed[(0, 1)] == (0, 0, 60)
+    assert packed[(0, 2)] == (0, 0, 120)  # starts inside window 0 → stays whole
+    assert packed[(8, 0)] == (0, 1, 180)
+    assert packed[(8, 2)] == (0, 2, 300)
+    # partitioning independence: same assignment under a different layout
+    repacked = {
+        (r["doc_id"], r["chunk_idx"]): (r["pack_group"], r["seq_id"], r["seq_start_offset"])
+        for r in text_ops.pack_chunks(chunks.repartition(7), budget=128, num_groups=8).collect()
+    }
+    assert repacked == packed
+
+
 def test_kmeans_ivf_recall_at_least_matches_sampled_centroids(spark, sf_dir):
     """Trained (spherical) k-means centroids with k matched to the
     corpus's latent cluster structure (10 labels) must beat the
