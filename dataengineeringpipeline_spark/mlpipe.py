@@ -201,20 +201,24 @@ def cross_validate_scores(
     k: int = 5,
     metric: str = "f1",
     feature_cols: list[str] | None = None,
+    max_folds: int | None = None,
     **params,
 ) -> list[float]:
     """Per-fold scores via deterministic hash-bucket folds (M3).
 
     Folds come from ``split_bucket % k`` (already-computed deterministic
     buckets), so fold membership is reproducible across runs/engines —
-    the same property the engine's data_split has.
+    the same property the engine's data_split has. ``max_folds`` caps how
+    many of the k folds are actually evaluated (cheap screening passes —
+    fold *membership* still uses all k buckets, so a 1-fold screen
+    trains on (k-1)/k of the data exactly like the full CV's fold 0).
     """
     prepared = _prepare(features, label_col, feature_cols)
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
     scores = []
     evaluator = MulticlassClassificationEvaluator(metricName=metric)
-    for fold in range(k):
+    for fold in range(k if max_folds is None else min(k, max_folds)):
         is_fold = (F.col("split_bucket") % k) == fold
         model = make_classifier(model_type, **params).fit(prepared.filter(~is_fold))
         scores.append(evaluator.evaluate(model.transform(prepared.filter(is_fold))))
@@ -256,6 +260,67 @@ def grid_search(
         "best_num_trees": best.getNumTrees,
         "best_max_depth": best.getMaxDepth(),
         "avg_metrics": [float(m) for m in model.avgMetrics],
+    }
+
+
+def random_search(
+    features: DataFrame,
+    label_col: str = "churn_flag",
+    n_candidates: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    feature_cols: list[str] | None = None,
+    halving: bool = True,
+) -> dict:
+    """Seeded random hyperparameter search with successive halving — the
+    practical stand-in for the reference's Bayesian tuner
+    (``lambda/ml_pipeline_orchestrator/lambda_function.py:97-199``, ranges
+    n_estimators 50–200, max_depth 3–20, lr log-uniform 0.001–0.3).
+
+    Random sampling over the same ranges dominates grid search at equal
+    budget (Bergstra & Bengio, JMLR 2012); successive halving spends the
+    budget unevenly — every candidate gets a cheap 1-fold screen, only
+    the top half pays full k-fold CV. Fully deterministic: seeded
+    sampler + hash-bucket folds + seeded models.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cands = [
+        {
+            "n_estimators": int(rng.integers(50, 201)),
+            "max_depth": int(rng.integers(3, 21)),
+            "learning_rate": float(np.exp(rng.uniform(np.log(0.001), np.log(0.3)))),
+        }
+        for _ in range(n_candidates)
+    ]
+    prepared_kwargs = {"label_col": label_col, "feature_cols": feature_cols}
+
+    def score(params: dict, max_folds: int | None) -> float:
+        scores = cross_validate_scores(
+            features,
+            model_type="gradient_boosting",
+            k=k,
+            max_folds=max_folds,
+            **prepared_kwargs,
+            **params,
+        )
+        return sum(scores) / len(scores)
+
+    if halving:
+        screened = sorted(
+            (score(p, 1), i) for i, p in enumerate(cands)
+        )  # 1-of-k-fold screen: ~k× cheaper per candidate
+        survivors = [cands[i] for _, i in screened[-max(1, n_candidates // 2):]]
+    else:
+        survivors = cands
+    finals = sorted((score(p, None), i) for i, p in enumerate(survivors))
+    best_score, best_i = finals[-1]
+    return {
+        "best_params": survivors[best_i],
+        "best_score": best_score,
+        "n_evaluated": len(cands),
+        "n_full_cv": len(survivors),
     }
 
 

@@ -79,6 +79,18 @@ def test_train_regressor_rf_and_gbt(feats):
         assert metrics["r2"] > 0.0, mt
 
 
+def test_random_search_is_deterministic_and_in_range(feats):
+    out1 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
+    out2 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
+    assert out1 == out2  # seeded sampler + hash folds + seeded models
+    p = out1["best_params"]
+    assert 50 <= p["n_estimators"] <= 200
+    assert 3 <= p["max_depth"] <= 20
+    assert 0.001 <= p["learning_rate"] <= 0.3
+    assert 0.0 <= out1["best_score"] <= 1.0
+    assert out1["n_full_cv"] == 1  # halving: only the top half paid full CV
+
+
 def test_paired_t_test_and_bootstrap():
     a = [0.90, 0.91, 0.89, 0.92, 0.90]
     b = [0.80, 0.81, 0.79, 0.82, 0.80]
