@@ -88,3 +88,50 @@ def test_scd2_invariants(spark, base, update):
     assert sorted(r["id"] for r in closed) == sorted(changed)
     for r in closed:
         assert str(r["expiry_date"]) == "2024-06-01" and r["attr"] == base[r["id"]]
+
+
+# -- chunking/packing invariants over arbitrary corpora ----------------------
+
+_words = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(st.lists(_words, min_size=1, max_size=6), st.integers(2, 12), st.integers(0, 4))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token_exactly(spark, docs_words, chunk_tokens, overlap):
+    """For ANY corpus and any (chunk, overlap) config: concatenating each
+    doc's chunks with the overlap removed reproduces the doc's token
+    stream exactly — no token lost, none duplicated, order preserved."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.chunk_documents(docs, chunk_tokens, overlap).collect()
+    stride = chunk_tokens - overlap
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in enumerate(rows):
+        toks = docs_words[i]
+        chunks = by_doc.get(i, [])
+        if not toks:
+            assert chunks == []
+            continue
+        for r in chunks:
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ctoks) == r["chunk_token_count"] <= chunk_tokens
+        # chunk j starts at offset j*stride; overlaying each chunk at its
+        # offset must reproduce the token stream with no gap or mismatch
+        rebuilt: list = []
+        for r in chunks:
+            ctoks = r["chunk_text"].split(" ")
+            start = r["chunk_idx"] * stride
+            assert start <= len(rebuilt)  # no coverage gap between chunks
+            assert rebuilt[start:] == ctoks[: len(rebuilt) - start]  # overlap agrees
+            rebuilt = rebuilt[:start] + ctoks
+        assert rebuilt == toks

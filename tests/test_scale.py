@@ -92,3 +92,26 @@ def test_approx_quantiles_bracket_exact(spark, sf_dir):
     lo, hi = scale.approx_quantiles(orders, "o_totalprice", [0.25, 0.75])
     mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
     assert mn <= lo <= hi <= mx
+
+
+def test_map_only_text_ops_have_no_exchange(spark, sf_dir):
+    """repetition_stats and scrub_pii are per-row projections — their
+    physical plans must contain NO Exchange (shuffle): at 100 TB these
+    run as a single map-only pass over the corpus."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (text_ops.repetition_stats(docs), text_ops.scrub_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan.splitlines()[:5]
+
+
+def test_chunking_scan_prunes_to_two_columns(spark, sf_dir):
+    """chunk_documents must push column pruning to the parquet scan:
+    reading (doc_id, text) only, never lang/source/n_chars."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text_ops.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l or "Scan parquet" in l]
+    assert any("doc_id" in l and "text" in l and "lang" not in l for l in plan.splitlines()), scan_lines
