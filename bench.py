@@ -9,12 +9,17 @@ Each query is forced end-to-end with the ``noop`` sink (full execution,
 no collect-to-driver cost, no disk write skew). A JVM warm-up job runs
 first so the measurement isn't dominated by classloading.
 
-Per-query time is the MEDIAN of $SPARK_GRAFT_REPS runs (default 3):
-single-shot timings on this box vary 30-50% run-to-run (JIT, page
-cache, GC pauses), which made round-over-round comparisons chase noise
-— e.g. round 1 recorded supplier_performance at 7.7s where its steady
-state is ~1.2s. "value" stays the wall-clock of the whole sweep (all
-reps); "queries" holds the medians.
+Per-query time is the MEDIAN across up to $SPARK_GRAFT_REPS full sweeps
+(default 3): single-shot timings on this box vary 30-50% run-to-run
+(JIT, page cache, GC pauses), which made round-over-round comparisons
+chase noise — e.g. round 1 recorded supplier_performance at 7.7s where
+its steady state is ~1.2s. Repetition happens at SWEEP granularity
+under a wall-clock budget ($SPARK_GRAFT_BUDGET_S, default 420): the
+first sweep always completes (worst case ≡ the old single-shot bench),
+additional sweeps run only while budget remains, so a driver-side
+timeout can't be blown by the repetitions. "value" is the wall-clock of
+everything run; "queries" holds the per-query medians; "sweeps" says
+how many sweeps the medians cover.
 """
 
 from __future__ import annotations
@@ -54,23 +59,27 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
-    timings: dict[str, float] = {}
+    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "420"))
+    samples: dict[str, list[float]] = {name: [] for name in queries}
     t_all = time.perf_counter()
-    for name, fn in sorted(queries.items()):
-        samples = []
-        for _ in range(reps):
+    sweeps = 0
+    for sweep in range(reps):
+        for name, fn in sorted(queries.items()):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             # Operators persist shared subtrees scoped to their own run;
-            # dropping them between reps/queries keeps each timing
-            # independent and executor memory flat across the sweep.
-            # release_caches() unpersists the tracked operator persists;
-            # clearCache sweeps anything else.
+            # dropping them between queries keeps each timing independent
+            # and executor memory flat across the sweep. release_caches()
+            # unpersists the tracked operator persists; clearCache sweeps
+            # anything else.
             release_caches()
             spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 3)
+        sweeps += 1
+        if time.perf_counter() - t_all > budget_s:
+            break  # the first sweep always completes; extras are budget-gated
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = round(time.perf_counter() - t_all, 3)
 
     print(
@@ -81,6 +90,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "sweeps": sweeps,
             }
         )
     )
