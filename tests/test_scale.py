@@ -115,3 +115,33 @@ def test_chunking_scan_prunes_to_two_columns(spark, sf_dir):
     plan = text_ops.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l or "Scan parquet" in l]
     assert any("doc_id" in l and "text" in l and "lang" not in l for l in plan.splitlines()), scan_lines
+
+
+def test_lake_compaction_shrinks_file_count_preserving_data(spark, sf_dir, tmp_path):
+    """Small-file compaction: a fragmented partitioned table (many tiny
+    part files per partition, as streaming appends leave behind) rewrites
+    into ~1 file per partition with identical contents."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path / "lake"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # fragment: 12 writers per partition directory
+    lake.write(
+        orders.repartition(12), "silver", "orders_frag",
+        partition_by=("o_orderstatus",),
+    )
+    before = {
+        (r["o_orderkey"], float(r["o_totalprice"]))
+        for r in lake.read(spark, "silver", "orders_frag").collect()
+    }
+    report = lake.compact(
+        spark, "silver", "orders_frag", target_file_mb=512,
+        partition_by=("o_orderstatus",),
+    )
+    assert report["files_before"] >= 3 * 12
+    assert report["files_after"] <= 3  # one file per status partition
+    after = {
+        (r["o_orderkey"], float(r["o_totalprice"]))
+        for r in lake.read(spark, "silver", "orders_frag").collect()
+    }
+    assert after == before and report["rows"] == len(before)
