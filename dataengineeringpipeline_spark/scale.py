@@ -119,3 +119,48 @@ def approx_quantiles(df: DataFrame, column: str, probs: list[float], accuracy: i
     """Greenwald-Khanna approximate quantiles (the IQR outlier check's
     scale path — ``approxQuantile`` never collects the column)."""
     return df.approxQuantile(column, probs, 1.0 / accuracy)
+
+
+def key_skew_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Heavy-hitter diagnosis BEFORE a join/agg on ``keys``: the top-N key
+    groups by row count, each with its share of the table and a skew
+    factor vs the mean group size. A join whose build side has a
+    top-key share of several percent is the one that needs salting
+    (:func:`salted_aggregate`) or AQE skew splitting.
+
+    One aggregation + a tiny top-N sort — run it on a sample for
+    ad-hoc triage at full scale.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("rows"))
+    totals = counts.agg(
+        F.sum("rows").alias("total_rows"), F.avg("rows").alias("mean_rows")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "rows",
+            (F.col("rows") / F.col("total_rows")).alias("share"),
+            (F.col("rows") / F.col("mean_rows")).alias("skew_factor"),
+        )
+        .orderBy(F.desc("rows"), *keys)
+        .limit(top_n)
+    )
+
+
+def partition_balance(df: DataFrame) -> DataFrame:
+    """Physical-partition balance of ``df`` as it would execute: rows per
+    Spark partition plus min/max/mean — one summary row. A max/mean far
+    above ~2 means stragglers: repartition on a better key or let AQE
+    coalesce. Diagnostic companion to :func:`key_skew_profile` (logical
+    keys) — this one sees the actual layout."""
+    per = df.select(F.spark_partition_id().alias("pid")).groupBy("pid").agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("partitions"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"),
+        F.avg("rows").alias("mean_rows"),
+        (F.max("rows") / F.avg("rows")).alias("balance_factor"),
+    )

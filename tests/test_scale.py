@@ -145,3 +145,25 @@ def test_lake_compaction_shrinks_file_count_preserving_data(spark, sf_dir, tmp_p
         for r in lake.read(spark, "silver", "orders_frag").collect()
     }
     assert after == before and report["rows"] == len(before)
+
+
+def test_key_skew_profile_flags_heavy_hitter(spark):
+    from pyspark.sql import Row
+
+    rows = [Row(k="hot", v=i) for i in range(90)] + [Row(k=c, v=0) for c in "abcdefghij"]
+    df = spark.createDataFrame(rows)
+    top = scale.key_skew_profile(df, ["k"], top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["rows"] == 90
+    assert abs(top[0]["share"] - 0.9) < 1e-12
+    # mean group size = 100/11 rows; hot is ~9.9x the mean
+    assert top[0]["skew_factor"] > 9
+    assert top[1]["rows"] == 1  # everything else is singleton
+
+
+def test_partition_balance_reports_layout(spark):
+    df = spark.range(0, 10_000).repartition(8)
+    row = scale.partition_balance(df).collect()[0]
+    assert row["partitions"] == 8
+    assert row["min_rows"] + row["max_rows"] >= 2
+    assert abs(row["mean_rows"] - 1250.0) < 1e-9
+    assert row["balance_factor"] >= 1.0
