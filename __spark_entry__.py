@@ -30,6 +30,7 @@ from dataengineeringpipeline_spark import (
     streaming,
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
+from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import sampling as sampling_ops
@@ -150,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
             _read(spark, sf, "documents")
         ),
+        # -- end-to-end corpus construction (scrub→dedup→gates→chunk→pack) --
+        "training_corpus_funnel": lambda spark, sf: corpus_ops.training_corpus_funnel(
+            _read(spark, sf, "documents")
+        ),
         # -- multimodal (binary payloads + Arrow-batched feature kernel) ----
         "multimodal_features": lambda spark, sf: mm_ops.multimodal_features(
             _read(spark, sf, "documents")
@@ -176,9 +181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_counts": streaming.streaming_session_counts,
         # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
         "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
-        "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
-            load_events(spark, sf)
-        ),
         "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
             load_events(spark, sf)
         ),
@@ -264,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows), and everything here is still oracle-checked by
         # tests/test_oracle_parity.py.
         # -- event analytics near-duplicates --------------------------------
+        "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
+            load_events(spark, sf)
+        ),
         "event_type_summary": lambda spark, sf: events_analytics.event_type_summary(
             load_events(spark, sf)
         ),

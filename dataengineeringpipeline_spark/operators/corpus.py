@@ -1,0 +1,133 @@
+"""End-to-end training-corpus construction: the composition every LLM
+data pipeline runs, wired from this package's operators:
+
+    raw documents
+      → PII scrub                     (operators/text.scrub_pii)
+      → near-dup survivor selection   (operators/dedup.dedup_survivors)
+      → quality gate                  (operators/text.quality_score)
+      → repetition gate               (operators/text.repetition_stats)
+      → token-window chunking         (operators/text.chunk_documents)
+      → fixed-budget sequence packing (operators/text.pack_chunks)
+
+Dedup runs on the RAW text (before the quality gates): near-duplicate
+detection wants the original byte stream, and removing low-quality docs
+first would split duplicate clusters whose members straddle the quality
+threshold. Scrubbing precedes chunking so placeholder tokens count
+toward the token budget exactly as they will at training time.
+
+Every stage is a DataFrame transform — the whole funnel is one lazy
+plan; nothing materializes until the caller acts. At 100 TB you would
+checkpoint the survivor set and the chunk table to the lake between
+stages (they are reused by many downstream jobs), but the composition
+itself is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators.dedup import dedup_survivors
+from dataengineeringpipeline_spark.operators.text import (
+    chunk_documents,
+    pack_chunks,
+    quality_score,
+    repetition_stats,
+    scrub_pii,
+    text_stats,
+)
+
+DEFAULT_MIN_QUALITY = 40
+DEFAULT_MAX_DUP_RATIO = 0.2
+
+
+def corpus_keep_ids(
+    docs: DataFrame,
+    min_quality: int = DEFAULT_MIN_QUALITY,
+    max_dup_ratio: float = DEFAULT_MAX_DUP_RATIO,
+    dedup_threshold: float = 0.5,
+) -> DataFrame:
+    """doc_ids surviving dedup + quality + repetition gates.
+
+    Near-dup losers (clustered, not the quality-weighted survivor) are
+    removed; unclustered docs are implicit survivors. The gates then
+    keep docs with quality ≥ ``min_quality`` and duplicate-3-gram ratio
+    ≤ ``max_dup_ratio``."""
+    losers = dedup_survivors(docs, dedup_threshold).filter(~F.col("is_survivor")).select("doc_id")
+    kept = docs.join(losers, "doc_id", "left_anti")
+    good = quality_score(text_stats(kept)).filter(
+        F.col("quality_score") >= min_quality
+    ).select("doc_id")
+    calm = repetition_stats(kept).filter(
+        F.col("dup_ngram_ratio") <= max_dup_ratio
+    ).select("doc_id")
+    return kept.select("doc_id").join(good, "doc_id", "left_semi").join(
+        calm, "doc_id", "left_semi"
+    )
+
+
+def training_corpus(
+    docs: DataFrame,
+    min_quality: int = DEFAULT_MIN_QUALITY,
+    max_dup_ratio: float = DEFAULT_MAX_DUP_RATIO,
+    dedup_threshold: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    budget: int = 256,
+) -> DataFrame:
+    """Packed training chunks from the raw corpus — the full funnel.
+
+    Returns (doc_id, chunk_idx, chunk_token_count, chunk_text,
+    pack_group, seq_start_offset, seq_id)."""
+    keep = corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
+    scrubbed = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(
+            scrub_pii(docs).select("doc_id", "scrubbed_text"),
+            "doc_id",
+        )
+        .select("doc_id", F.col("scrubbed_text").alias("text"))
+    )
+    return pack_chunks(chunk_documents(scrubbed, chunk_tokens, overlap), budget)
+
+
+def training_corpus_funnel(
+    docs: DataFrame,
+    min_quality: int = DEFAULT_MIN_QUALITY,
+    max_dup_ratio: float = DEFAULT_MAX_DUP_RATIO,
+    dedup_threshold: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    budget: int = 256,
+) -> DataFrame:
+    """One-row funnel report — the corpus-construction observable a
+    pipeline owner watches: docs in, docs after each gate, and the
+    chunk/sequence/token yield of the packed output."""
+    n_docs = docs.count()
+    losers = dedup_survivors(docs, dedup_threshold).filter(~F.col("is_survivor"))
+    n_after_dedup = n_docs - losers.count()
+    keep = corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
+    n_after_gates = keep.count()
+    packed = training_corpus(
+        docs, min_quality, max_dup_ratio, dedup_threshold, chunk_tokens, overlap, budget
+    )
+    spark = docs.sparkSession
+    yield_row = packed.agg(
+        F.count(F.lit(1)).cast("long").alias("chunks"),
+        F.countDistinct("pack_group", "seq_id").cast("long").alias("sequences"),
+        F.sum("chunk_token_count").cast("long").alias("tokens"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_after_dedup,
+                n_after_gates,
+                yield_row["chunks"],
+                yield_row["sequences"],
+                yield_row["tokens"],
+            )
+        ],
+        "docs_in long, docs_after_dedup long, docs_after_gates long, "
+        "chunks long, sequences long, tokens long",
+    )

@@ -767,48 +767,61 @@ FROM chunks GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
 
+def _pack_ctes(
+    source: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    budget: int = 256,
+    num_groups: int = 8,
+    prefix: str = "pk_",
+) -> dict[str, str]:
+    """CTE chain mirroring text.chunk_documents -> text.pack_chunks over
+    ``source`` (a table/CTE with doc_id + text): the final CTE
+    ``<prefix>packed`` has one row per chunk with (pack_group, seq_id,
+    sz). ``prefix`` keeps names collision-free when composed into larger
+    statements (e.g. the training-corpus funnel)."""
+    stride = chunk_tokens - overlap
+    p = prefix
+    return {
+        f"{p}toks": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n FROM {source}"
+        ),
+        f"{p}counted": (
+            f"SELECT doc_id, n, CASE WHEN n > 0 THEN CAST(ceil(n / {stride}.0) AS INTEGER) "
+            f"ELSE 0 END AS num0 FROM {p}toks"
+        ),
+        f"{p}final": (
+            f"SELECT doc_id, n, CASE WHEN num0 > 1 AND (num0 - 1) * {stride} + {overlap} >= n "
+            f"THEN num0 - 1 ELSE num0 END AS num FROM {p}counted"
+        ),
+        f"{p}chunks": (
+            f"SELECT doc_id, n, unnest(range(0, num)) AS ci FROM {p}final WHERE num > 0"
+        ),
+        f"{p}sized": (
+            f"SELECT doc_id, ci, LEAST({chunk_tokens}, n - ci * {stride}) AS sz, "
+            f"doc_id % {num_groups} AS pack_group FROM {p}chunks"
+        ),
+        f"{p}packed": (
+            f"SELECT pack_group, FLOOR(COALESCE(SUM(sz) OVER (PARTITION BY pack_group "
+            f"ORDER BY doc_id, ci ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"/ {budget}) AS seq_id, sz FROM {p}sized"
+        ),
+    }
+
+
 def _pack_summary_sql(
     chunk_tokens: int = 64, overlap: int = 16, budget: int = 256, num_groups: int = 8
 ) -> str:
-    """Mirrors text.pack_summary: chunk → hash-group → running-sum pack →
+    """Mirrors text.pack_summary: chunk -> hash-group -> running-sum pack ->
     per-sequence rollup."""
-    stride = chunk_tokens - overlap
-    return f"""
-WITH toks AS (
-  SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n FROM documents
-),
-counted AS (
-  SELECT doc_id, n,
-    CASE WHEN n > 0 THEN CAST(ceil(n / {stride}.0) AS INTEGER) ELSE 0 END AS num0
-  FROM toks
-),
-final AS (
-  SELECT doc_id, n,
-    CASE WHEN num0 > 1 AND (num0 - 1) * {stride} + {overlap} >= n
-         THEN num0 - 1 ELSE num0 END AS num
-  FROM counted
-),
-chunks AS (
-  SELECT doc_id, n, unnest(range(0, num)) AS ci FROM final WHERE num > 0
-),
-sized AS (
-  SELECT doc_id, ci, LEAST({chunk_tokens}, n - ci * {stride}) AS sz,
-    doc_id % {num_groups} AS pack_group
-  FROM chunks
-),
-packed AS (
-  SELECT pack_group,
-    FLOOR(COALESCE(SUM(sz) OVER (PARTITION BY pack_group ORDER BY doc_id, ci
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}) AS seq_id,
-    sz
-  FROM sized
-)
+    body = f"""
 SELECT pack_group, CAST(seq_id AS BIGINT) AS seq_id,
   CAST(COUNT(*) AS BIGINT) AS chunk_count,
   CAST(SUM(sz) AS BIGINT) AS seq_tokens,
   CAST(SUM(sz) AS DOUBLE) / {budget} AS fill_ratio
-FROM packed GROUP BY pack_group, seq_id ORDER BY pack_group, seq_id
+FROM pk_packed GROUP BY pack_group, seq_id ORDER BY pack_group, seq_id
 """.strip()
+    return _with(_pack_ctes("documents", chunk_tokens, overlap, budget, num_groups), body)
 
 
 def _text_oracles() -> dict[str, str]:
@@ -995,10 +1008,65 @@ ORDER BY c.doc_id
 """.strip(),
     )
 
+    # -- end-to-end training-corpus funnel (operators/corpus.py) --------
+    # scrub → dedup-survivor anti-join → quality+repetition gates →
+    # chunk → pack, rolled into one funnel row. Reuses the recursive
+    # cluster CTEs above and the chunk/pack CTE builder.
+    from dataengineeringpipeline_spark.operators.text import (
+        EMAIL_REGEX,
+        PHONE_REGEX,
+        URL_REGEX,
+    )
+
+    scrub_cte = (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '"
+        + EMAIL_REGEX + "', '[EMAIL]', 'g'), '"
+        + URL_REGEX + "', '[URL]', 'g'), '"
+        + PHONE_REGEX + "', '[PHONE]', 'g') AS text FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM gates)"
+    )
+    funnel_sql = _with_recursive(
+        {
+            **cluster_ctes,
+            "clusters": clusters_cte,
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+            "surv": (
+                "SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+                "ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn "
+                "FROM clusters c JOIN q ON c.doc_id = q.doc_id"
+            ),
+            "losers": "SELECT doc_id FROM surv WHERE rn > 1",
+            "rep": _REPETITION_SQL,
+            "gates": (
+                "SELECT d.doc_id FROM documents d "
+                "LEFT JOIN losers l ON d.doc_id = l.doc_id "
+                "JOIN q ON d.doc_id = q.doc_id JOIN rep r ON d.doc_id = r.doc_id "
+                "WHERE l.doc_id IS NULL AND q.quality_score >= 40 "
+                "AND r.dup_ngram_ratio <= 0.2"
+            ),
+            "scrub": scrub_cte,
+            **_pack_ctes("scrub"),
+        },
+        """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs_in,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM losers) AS docs_after_dedup,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM gates) AS docs_after_gates,
+  CAST(COUNT(*) AS BIGINT) AS chunks,
+  CAST(COUNT(DISTINCT (pack_group, seq_id)) AS BIGINT) AS sequences,
+  CAST(SUM(sz) AS BIGINT) AS tokens
+FROM pk_packed
+""".strip(),
+    )
+
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dup_clusters": minhash_clusters,
         "dedup_survivors": dedup_survivors_sql,
+        "training_corpus_funnel": funnel_sql,
         "ngram_jaccard_pairs": _with(
             {"shingles": _SHINGLES},
             "SELECT * FROM ("

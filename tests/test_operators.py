@@ -203,6 +203,25 @@ def test_kmeans_ivf_recall_at_least_matches_sampled_centroids(spark, sf_dir):
     assert trained["recall_at_k"] > sampled["recall_at_k"]
 
 
+def test_training_corpus_funnel_is_monotone_and_consistent(spark, sf_dir):
+    """The end-to-end corpus pipeline only ever removes documents
+    (docs_in ≥ after_dedup ≥ after_gates), and the packed output's chunk
+    tokens reconcile with the packed chunk rows."""
+    from dataengineeringpipeline_spark.operators import corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    row = corpus.training_corpus_funnel(docs).collect()[0]
+    assert row["docs_in"] >= row["docs_after_dedup"] >= row["docs_after_gates"] > 0
+    assert row["docs_in"] > row["docs_after_dedup"]  # corpus HAS near-dups
+    packed = corpus.training_corpus(docs)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("chunks"), F.sum("chunk_token_count").alias("tokens")
+    ).collect()[0]
+    assert (agg["chunks"], agg["tokens"]) == (row["chunks"], row["tokens"])
+    # no packed chunk exceeds the chunk window
+    assert packed.filter(F.col("chunk_token_count") > 64).count() == 0
+
+
 def test_operator_persists_are_released_by_release_caches(spark, sf_dir):
     """Operators persist shared subtrees that must outlive the call (the
     caller's action populates them); release_caches() is the session's
