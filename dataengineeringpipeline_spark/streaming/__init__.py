@@ -395,6 +395,69 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_event_time(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES,
+    state_ttl_minutes: int = 24 * 60,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Always-on sessionization with EVENT-TIME state eviction: a user
+    idle for ``state_ttl_minutes`` of *event* time (watermark-driven, so
+    it is replay-deterministic — unlike the processing-time variant in
+    :func:`sessionize_stream`, a backfill at full speed evicts exactly
+    the same users a live run would) has their state dropped. Bounded
+    state is what keeps an always-on stream alive at 100 TB/day; the
+    documented trade is that a user returning after the TTL starts a
+    fresh count.
+
+    Same vectorized gap kernel as :func:`sessionize_stream`; the stream
+    must carry ``event_ts`` (watermark is applied here).
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60_000_000
+    ttl_ms = state_ttl_minutes * 60_000
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import numpy as np
+
+        last_ts, sessions, events_n = state.get if state.exists else (None, 0, 0)
+        chunks = [pdf["ts_us"].to_numpy() for pdf in pdfs if len(pdf)]
+        if chunks:
+            ts = np.sort(np.concatenate(chunks))
+            prev = np.concatenate(([last_ts if last_ts is not None else -(1 << 62)], ts[:-1]))
+            sessions += int((ts - prev > gap_us).sum())
+            last_ts = int(ts[-1])
+            events_n += len(ts)
+        state.update((last_ts, sessions, events_n))
+        # evict when the EVENT-TIME watermark passes last-seen + TTL; the
+        # timeout must sit strictly beyond the current watermark or Spark
+        # rejects it (a very stale group's deadline may already have passed)
+        deadline = (last_ts or 0) // 1000 + ttl_ms
+        state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "sessions": [sessions], "events_seen": [events_n]}
+        )
+
+    return (
+        events.withWatermark("event_ts", watermark_delay)
+        .select("user_id", "ts_us", "event_ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, sessions bigint, events_seen bigint",
+            stateStructType="last_ts bigint, sessions bigint, events_seen bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query (rows-only check: custom stateful streaming
     op, not SQL-expressible): final per-user session counts."""

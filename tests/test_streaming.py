@@ -337,3 +337,62 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     )
     diff = final.join(batch, "user_id").filter(final["sessions"] != batch["sessions"]).count()
     assert diff == 0
+
+
+def test_event_time_ttl_evicts_idle_state(spark, tmp_path):
+    """Event-time state TTL: a user idle past the TTL (by WATERMARK, so
+    replay-deterministic) is evicted and restarts counting; with a huge
+    TTL the same input keeps cumulative state. Four single-event files
+    drained one per micro-batch so the watermark advances between
+    batches."""
+    import os as _os
+
+    t0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+    hour = 3_600_000_000
+
+    def write_file(name, user_id, ts_us, mtime):
+        pdf = spark.createDataFrame(
+            [(user_id * 1000 + int(ts_us % 997), ts_us * 1000, user_id, "click", 1.0, "{}")],
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+        )
+        path = str(tmp_path / name)
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _d, files in _os.walk(path):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", 1, t0, 1_000)            # u1 @ t0
+    write_file("f2", 2, t0 + 3 * hour, 2_000)  # u2 advances watermark
+    write_file("f3", 3, t0 + 3 * hour + hour // 2, 3_000)  # u3: u1 evicts here
+    write_file("f4", 1, t0 + 4 * hour, 4_000)  # u1 returns after TTL
+
+    def drain(ttl_minutes, sink):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(streaming.EVENTS_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "f*"))
+            .withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        streaming.run_available_now(
+            streaming.sessionize_stream_event_time(
+                stream, state_ttl_minutes=ttl_minutes, watermark_delay="1 hour"
+            ),
+            sink,
+            output_mode="update",
+        )
+        return {
+            (r["user_id"], r["sessions"], r["events_seen"])
+            for r in spark.table(sink).collect()
+        }
+
+    evicted = drain(60, "t_ttl_evict")       # TTL 1h << the 4h gap
+    kept = drain(10**6, "t_ttl_keep")        # TTL ~2 years: nothing evicts
+    # with eviction, u1's return starts fresh: no cumulative (1,2,2) row
+    assert (1, 1, 1) in evicted and (1, 2, 2) not in evicted
+    # without eviction, the same input accumulates across the idle gap
+    assert (1, 2, 2) in kept
+    # single-event users are unaffected by the TTL in either mode
+    assert (2, 1, 1) in evicted and (2, 1, 1) in kept
+    assert (3, 1, 1) in evicted and (3, 1, 1) in kept
