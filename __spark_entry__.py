@@ -31,6 +31,7 @@ from dataengineeringpipeline_spark import (
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
+from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import sampling as sampling_ops
@@ -151,6 +152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
             _read(spark, sf, "documents")
         ),
+        # -- corpus hygiene (benchmark decontamination + boilerplate) -------
+        "decontamination_report": lambda spark, sf: decontam_ops.decontamination_report(
+            _read(spark, sf, "documents")
+        ),
+        "boilerplate_report": lambda spark, sf: decontam_ops.boilerplate_report(
+            _read(spark, sf, "documents")
+        ),
         # -- end-to-end corpus construction (scrub→dedup→gates→chunk→pack) --
         "training_corpus_funnel": lambda spark, sf: corpus_ops.training_corpus_funnel(
             _read(spark, sf, "documents")
@@ -179,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,
         "streaming_session_counts": streaming.streaming_session_counts,
+        "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
         "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
         "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
@@ -186,6 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- as-of join (point-in-time attribution; operators/asof.py) ------
         "purchase_attribution": lambda spark, sf: asof_ops.purchase_attribution(
+            load_events(spark, sf)
+        ),
+        # -- bucketed interval join (point-in-interval; operators/asof.py) --
+        "incident_window_events": lambda spark, sf: asof_ops.incident_window_events(
             load_events(spark, sf)
         ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),

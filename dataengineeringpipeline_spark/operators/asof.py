@@ -85,6 +85,123 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: match each ``left`` row (point ``ts_col``)
+    to every ``right`` row whose half-open interval
+    ``[start_col, end_col)`` contains it.
+
+    Spark's native plan for ``l.ts >= r.start AND l.ts < r.end`` is a
+    BroadcastNestedLoopJoin (fine for a handful of intervals, fatal for
+    millions). This is the scalable **bucketed** formulation: each
+    interval is exploded to the time buckets it overlaps, each point
+    falls in exactly one bucket, and the match becomes a plain shuffled
+    equi-join on the bucket plus a residual range filter. A (point,
+    interval) pair can meet in at most one bucket — the point's own — so
+    no post-join dedup is needed.
+
+    ``bucket_width`` (same unit as the time columns) should be on the
+    order of the typical interval length: too small and each interval
+    explodes into many buckets; too large and each bucket degenerates
+    toward all-pairs. Intervals vastly longer than ``bucket_width`` are
+    the skew case — split them upstream or raise the width.
+
+    ``how='left'`` keeps unmatched points (right columns null).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
+    b = F.lit(bucket_width)
+    r = right.withColumn(
+        "_rbucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                F.floor((F.col(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn("_lbucket", F.floor(F.col(ts_col) / b).cast("long"))
+    cond = (
+        (F.col("_lbucket") == F.col("_rbucket"))
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col))
+    )
+    return l.join(r, cond, how).drop("_lbucket", "_rbucket")
+
+
+#: Incident-window parameters for :func:`incident_window_events` — the
+#: top-K error hours become overlapping 70-minute windows (5 min of
+#: lead-in + the hour + 5 min of tail), so the join is genuinely
+#: interval-shaped rather than a disguised hour equi-join.
+INCIDENT_TOP_K = 20
+INCIDENT_LEAD_US = 5 * 60_000_000
+INCIDENT_TAIL_US = 65 * 60_000_000
+
+
+def incident_windows(events: DataFrame, top_k: int = INCIDENT_TOP_K) -> DataFrame:
+    """The ``top_k`` hours by error count (ties → earlier hour), widened
+    into half-open incident windows ``[hour−5min, hour+65min)``.
+
+    A relative (rank-based) trigger rather than an absolute threshold,
+    so the operator is meaningful at any corpus scale. The ranking is a
+    720-row global sort at any SF — the hourly pre-aggregation has
+    already collapsed the event volume.
+    """
+    hourly = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy((F.col("ts_us") / F.lit(3_600_000_000)).cast("long").alias("hour_idx"))
+        .agg(F.count(F.lit(1)).alias("error_count"))
+    )
+    w = Window.orderBy(F.desc("error_count"), F.asc("hour_idx"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "hour_idx",
+            "error_count",
+            (F.col("hour_idx") * 3_600_000_000 - INCIDENT_LEAD_US).alias("window_start_us"),
+            (F.col("hour_idx") * 3_600_000_000 + INCIDENT_TAIL_US).alias("window_end_us"),
+        )
+    )
+
+
+def incident_window_events(events: DataFrame) -> DataFrame:
+    """Driver-contract query: interval-join every event to the top-20
+    error-hour incident windows and profile each window — event volume,
+    error share, distinct users swept up.
+
+    The window set is tiny (20 rows) but the join deliberately runs
+    through :func:`interval_join`'s bucketed plan — the shape that holds
+    when the interval side is millions of maintenance windows, not 20.
+    """
+    ev = events.select("event_id", "ts_us", "user_id", "event_type")
+    windows = incident_windows(events)
+    joined = interval_join(
+        ev, windows, "ts_us", "window_start_us", "window_end_us", bucket_width=3_600_000_000
+    )
+    return (
+        joined.groupBy("hour_idx", "window_start_us", "window_end_us")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_window"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("errors_in_window"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .withColumn(
+            "error_share", F.col("errors_in_window") / F.col("events_in_window")
+        )
+        .orderBy("hour_idx")
+    )
+
+
 def purchase_attribution(events: DataFrame, tolerance_us: int | None = None) -> DataFrame:
     """Attribution query: each ``purchase`` event joined as-of to the
     user's latest preceding-or-simultaneous ``click``/``view`` event.

@@ -1523,6 +1523,113 @@ GROUP BY severity ORDER BY severity
     }
 
 
+# ---------------------------------------------------------------------------
+# Corpus hygiene (twins of operators/decontam.py) + interval join
+# (operators/asof.interval_join) + stream-stream join (streaming)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes_pred(pred: str) -> str:
+    """(doc_id, h) shingle-hash sets over a filtered slice of the
+    documents table — twin of dedup.doc_shingle_hash_sets(docs.filter(pred))."""
+    return rf"""
+SELECT doc_id, {_wh('shingle')} AS h FROM (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+      THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      ELSE [] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE {pred})
+  )
+)""".strip()
+
+
+def _corpus_hygiene_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.decontam import (
+        BENCHMARK_SOURCE,
+        BOILERPLATE_MIN_DF,
+    )
+
+    corpus_pred = f"source <> '{BENCHMARK_SOURCE}'"
+    bench_pred = f"source = '{BENCHMARK_SOURCE}'"
+    decontam = f"""
+WITH corpus AS ({_shingle_hashes_pred(corpus_pred)}),
+bench AS (SELECT DISTINCT h FROM ({_shingle_hashes_pred(bench_pred)})),
+totals AS (SELECT doc_id, COUNT(*) AS total FROM corpus GROUP BY doc_id),
+hits AS (SELECT c.doc_id, COUNT(*) AS hit FROM corpus c JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(t.total, 0) AS BIGINT) AS total_ngrams,
+  CAST(COALESCE(hh.hit, 0) AS BIGINT) AS contaminated_ngrams,
+  CASE WHEN COALESCE(t.total, 0) > 0
+       THEN CAST(COALESCE(hh.hit, 0) AS DOUBLE) / t.total END AS contamination_ratio,
+  COALESCE(hh.hit, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE {corpus_pred}) d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits hh ON d.doc_id = hh.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+    boilerplate = f"""
+WITH sets AS ({_shingle_hashes_pred('TRUE')}),
+frequent AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sets GROUP BY h) WHERE df > {BOILERPLATE_MIN_DF}),
+totals AS (SELECT doc_id, COUNT(*) AS total FROM sets GROUP BY doc_id),
+bp AS (SELECT s.doc_id, COUNT(*) AS n FROM sets s JOIN frequent f ON s.h = f.h GROUP BY s.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(t.total, 0) AS BIGINT) AS total_ngrams,
+  CAST(COALESCE(bp.n, 0) AS BIGINT) AS boilerplate_ngrams,
+  CASE WHEN COALESCE(t.total, 0) > 0
+       THEN CAST(COALESCE(bp.n, 0) AS DOUBLE) / t.total END AS boilerplate_ratio
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN bp ON d.doc_id = bp.doc_id
+ORDER BY d.doc_id
+""".strip()
+    return {"decontamination_report": decontam, "boilerplate_report": boilerplate}
+
+
+def _interval_join_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.asof import (
+        INCIDENT_LEAD_US,
+        INCIDENT_TAIL_US,
+        INCIDENT_TOP_K,
+    )
+
+    body = f"""
+SELECT t.hour_idx, t.window_start_us, t.window_end_us,
+  COUNT(*) AS events_in_window,
+  {sum_long_sql("CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END")} AS errors_in_window,
+  COUNT(DISTINCT e.user_id) AS distinct_users,
+  CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS error_share
+FROM (
+  SELECT hour_idx, error_count,
+    hour_idx * 3600000000 - {INCIDENT_LEAD_US} AS window_start_us,
+    hour_idx * 3600000000 + {INCIDENT_TAIL_US} AS window_end_us
+  FROM (
+    SELECT hour_idx, error_count,
+      ROW_NUMBER() OVER (ORDER BY error_count DESC, hour_idx) AS rk
+    FROM (SELECT ts_us // 3600000000 AS hour_idx, COUNT(*) AS error_count
+          FROM ev WHERE event_type = 'error' GROUP BY 1)
+  ) WHERE rk <= {INCIDENT_TOP_K}
+) t
+JOIN ev e ON e.ts_us >= t.window_start_us AND e.ts_us < t.window_end_us
+GROUP BY 1, 2, 3
+ORDER BY t.hour_idx
+""".strip()
+    return {"incident_window_events": _with({"ev": EVENTS_BASE}, body)}
+
+
+def _stream_join_oracles() -> dict[str, str]:
+    body = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+  p.ts_us AS purchase_ts_us, c.ts_us AS click_ts_us,
+  p.ts_us - c.ts_us AS gap_us
+FROM ev p JOIN ev c
+  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts_us <= p.ts_us AND c.ts_us > p.ts_us - 1800000000
+ORDER BY purchase_id, click_id
+""".strip()
+    return {"streaming_attribution_pairs": _with({"ev": EVENTS_BASE}, body)}
+
+
 ORACLES.update(_dq_oracles())
 ORACLES.update(_ingest_oracles())
 ORACLES.update(_streaming_oracles())
@@ -1531,3 +1638,6 @@ ORACLES.update(_text_oracles())
 ORACLES.update(_dedup_oracles())
 ORACLES.update(_sim_oracles())
 ORACLES.update(_sampling_oracles())
+ORACLES.update(_corpus_hygiene_oracles())
+ORACLES.update(_interval_join_oracles())
+ORACLES.update(_stream_join_oracles())

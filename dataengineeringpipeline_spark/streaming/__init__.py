@@ -315,6 +315,67 @@ def incremental_gold(
         raise TimeoutError(f"incremental_gold over {source_dir!r} did not finish within {timeout_s}s")
 
 
+def purchase_click_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 30,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (§2.9's hardest shape): each ``purchase``
+    event joined to the same user's ``click`` events in the preceding
+    ``window_minutes`` — streaming attribution, both sides unbounded.
+
+    Both inputs must carry ``event_ts``; each side gets its own
+    watermark, and the join condition includes the event-time range
+    (``click_ts ∈ (purchase_ts − window, purchase_ts]``) expressed on
+    the watermarked timestamp columns — that is what lets Spark compute
+    a state-eviction bound for BOTH sides (a click older than
+    watermark + window can never match a future purchase and its state
+    is dropped; without the time-range condition the join state grows
+    forever, which is the always-on-at-100TB killer).
+
+    Output is append-mode pair rows keyed by integer µs so the result is
+    timezone-free and oracle-comparable.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("event_ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("event_ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark_delay)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts_us",
+        "click_ts_us",
+        (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+def streaming_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: drain the stream-stream attribution join
+    over the events backlog; final append-mode pair set."""
+    ev = stream_events(spark, sf_dir)
+    joined = purchase_click_join_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    run_available_now(joined, "streaming_attribution_pairs", output_mode="append")
+    return spark.table("streaming_attribution_pairs").orderBy("purchase_id", "click_id")
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with

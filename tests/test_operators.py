@@ -455,3 +455,76 @@ def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     assert bad.count() > 0
     assert "quarantine_timestamp" in bad.columns
     assert os.path.isdir(report_path)
+
+
+def test_decontaminate_counts_benchmark_overlap(spark):
+    """Known 3-gram overlap: one corpus doc shares exactly one 3-gram with
+    the benchmark, one shares none, one is too short to shingle."""
+    from dataengineeringpipeline_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x alpha beta gamma y"),  # "alpha beta gamma" hits
+            Row(doc_id=2, text="delta epsilon zeta eta"),  # no overlap
+            Row(doc_id=3, text="one two"),  # < 3 words: no 3-grams at all
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma tail words here")])
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench).collect()}
+    assert got[1]["total_ngrams"] == 3 and got[1]["contaminated_ngrams"] == 1
+    assert got[1]["is_contaminated"] and abs(got[1]["contamination_ratio"] - 1 / 3) < 1e-12
+    assert got[2]["contaminated_ngrams"] == 0 and not got[2]["is_contaminated"]
+    assert got[3]["total_ngrams"] == 0 and got[3]["contamination_ratio"] is None
+
+
+def test_boilerplate_stats_flags_corpus_frequent_ngrams(spark):
+    """A 3-gram present in 4 documents (df > min_df=3) is boilerplate;
+    document-unique ngrams are not."""
+    from dataengineeringpipeline_spark.operators.decontam import boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared header line unique{i} tail{i}") for i in range(4)]
+    )
+    # each doc's 3-grams: "shared header line", "header line uniqueI",
+    # "line uniqueI tailI" -> exactly one corpus-wide frequent ngram (df=4)
+    got = {r["doc_id"]: r for r in boilerplate_stats(docs, min_df=3).collect()}
+    for i in range(4):
+        assert got[i]["total_ngrams"] == 3
+        assert got[i]["boilerplate_ngrams"] == 1
+        assert abs(got[i]["boilerplate_ratio"] - 1 / 3) < 1e-12
+
+
+def test_interval_join_matches_naive_and_handles_spans(spark):
+    """Bucketed interval join == naive theta-join, including intervals
+    spanning many buckets (no duplicate pairs) and left rows with no
+    interval (kept under how='left', dropped under inner)."""
+    from dataengineeringpipeline_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([5, 10, 99, 100, 150, 250, 999])],
+        "pid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 90, 160), (3, 100, 101), (4, 0, 1000)],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "s", "e", bucket_width=50).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive and got
+    # half-open semantics: ts=100 not in [0,100) but in [100,101) and [90,160)
+    assert (3, 1) not in got and (3, 3) in got and (3, 2) in got
+    left = interval_join(points, intervals, "ts", "s", "e", bucket_width=50, how="left")
+    matched = {(r["pid"], r["iid"]) for r in left.collect() if r["iid"] is not None}
+    assert matched == naive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(points, intervals, "ts", "s", "e", bucket_width=50, how="full")
