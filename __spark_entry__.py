@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": lambda spark, sf: sim_ops.embedding_near_dups(
             _read(spark, sf, "embeddings")
         ),
+        # -- product quantization (64x-compressed ADC + exact re-rank) ------
+        "pq_ann_topk": lambda spark, sf: sim_ops.pq_topk_rerank(_read(spark, sf, "embeddings")),
+        "pq_ann_recall": lambda spark, sf: sim_ops.pq_recall(_read(spark, sf, "embeddings")),
         # -- structured streaming (availableNow drain over the backlog) -----
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,

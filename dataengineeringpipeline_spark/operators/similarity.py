@@ -288,6 +288,231 @@ def ann_ivf_recall(
     )
 
 
+PQ_M = 8  # subspaces (64-dim embedding → 8 × 8-dim subvectors)
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 16  # codewords per subspace → 4 bits/subspace, 4 bytes/vector
+PQ_CODEBOOK_STRIDE = 3  # codeword c = subvectors of the vector vec_id = 3c
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """Deterministic product-quantization codebook: for each of the
+    ``PQ_M`` subspaces, the ``PQ_K`` codewords are the corresponding
+    subvectors of the (L2-normalized) corpus vectors at
+    ``vec_id = PQ_CODEBOOK_STRIDE * c`` — a fixed data-derived sample,
+    like :func:`ivf_centroids`: no trained state, any engine regenerates
+    it bit-identically. Swap in k-means-per-subspace offline for real
+    corpora; the search path below is unchanged.
+
+    Returns ``(m, code, cw)`` — ``PQ_M × PQ_K`` rows, trivially
+    broadcastable.
+    """
+    ids = [PQ_CODEBOOK_STRIDE * c for c in range(PQ_K)]
+    base = with_norms(embeddings).filter(F.col("vec_id").isin(ids))
+    unit = F.transform("e", lambda x: x / F.col("nrm"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(unit, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cw"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return base.select(
+        (F.col("vec_id") / PQ_CODEBOOK_STRIDE).cast("int").alias("code"),
+        F.explode(subs).alias("s"),
+    ).select(F.col("s.m").alias("m"), "code", F.col("s.cw").alias("cw"))
+
+
+def _sub_l2(sub: Column, cw: Column) -> Column:
+    """Squared L2 between two subvectors — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _codebook_row(codebook: DataFrame) -> DataFrame:
+    """The whole codebook as ONE broadcastable row: ``cb[m+1]`` is the
+    code-ordered array of (code, cw) structs for subspace ``m``."""
+    per_m = codebook.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cw"))).alias("cws")
+    )
+    return per_m.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "cws"))), lambda s: s["cws"]
+        ).alias("cb")
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
+    """PQ encoding: each (normalized) vector → ``PQ_M`` 4-bit codes, the
+    argmin-L2 codeword per subspace (ties → lower code).
+
+    Plan shape: the codebook collapses to one broadcast row and encoding
+    is a map-only fold-argmin — the corpus never shuffles, exactly like
+    :func:`ivf_assign`. At 100 TB this turns a 256-byte float vector
+    into 4 bytes (64×) — the memory step that lets a candidate set live
+    in RAM for re-scoring.
+    """
+    cb_row = _codebook_row(pq_codebook(embeddings) if codebook is None else codebook)
+    base = with_norms(embeddings)
+    unit = F.transform("e", lambda x: x / F.col("nrm"))
+    sub = lambda m: F.slice(unit, m * PQ_SUBDIM + 1, PQ_SUBDIM)  # noqa: E731
+
+    def argmin_code(m: int) -> Column:
+        init = F.struct(F.lit(float("inf")).alias("bd"), F.lit(-1).alias("bi"))
+        best = F.aggregate(
+            F.col("cb")[m],
+            init,
+            lambda acc, c: F.when(
+                _sub_l2(sub(m), c["cw"]) < acc["bd"],
+                F.struct(_sub_l2(sub(m), c["cw"]).alias("bd"), c["code"].alias("bi")),
+            ).otherwise(acc),
+        )
+        return best["bi"]
+
+    return (
+        base.join(F.broadcast(cb_row))
+        .withColumn("codes", F.array(*[argmin_code(m) for m in range(PQ_M)]))
+        .select("vec_id", "label", "codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 100, codebook: DataFrame | None = None
+) -> DataFrame:
+    """PQ/ADC approximate top-k: queries score the *compressed* corpus.
+
+    Asymmetric distance computation: each query precomputes its
+    ``PQ_M × PQ_K`` table of exact subvector distances to every codeword
+    (128 doubles per query), then a corpus vector's approximate distance
+    is ``Σ_m table[m][codes[m]]`` — 8 array lookups instead of a 64-dim
+    dot product. Vectors are L2-normalized first, so squared L2 is
+    ``2 − 2·cosine`` and the PQ ranking approximates the cosine ranking
+    the exact baseline uses.
+
+    Plan shape: queries+tables are broadcast; the encoded corpus is
+    scanned map-only; only the per-query top-k window shuffles (on
+    query_id). ``approx_dist`` is the ADC value — compare
+    :func:`pq_recall` for how well its ranking tracks the exact one.
+    """
+    codebook = pq_codebook(embeddings) if codebook is None else codebook
+    codebook = tracked_persist(codebook)  # consumed by encode + query tables
+    encoded = pq_encode(embeddings, codebook)
+    cb_row = _codebook_row(codebook)
+    q = (
+        with_norms(embeddings)
+        .filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("e", lambda x: x / F.col("nrm")).alias("qu"),
+        )
+    )
+    # tab[m*PQ_K + code + 1] = ‖q_sub_m − cw_{m,code}‖²; transform() passes
+    # the element index, which IS the subspace (cb is m-ordered).
+    tab = F.flatten(
+        F.transform(
+            F.col("cb"),
+            lambda cws, m: F.transform(
+                cws, lambda c: _sub_l2(F.slice(F.col("qu"), m * PQ_SUBDIM + 1, PQ_SUBDIM), c["cw"])
+            ),
+        )
+    )
+    qt = q.join(F.broadcast(cb_row)).select("query_id", tab.alias("tab"))
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(F.col("tab"), (m * PQ_K + F.element_at(F.col("codes"), m + 1) + 1).cast("int")),
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(encoded, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            approx.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+PQ_SHORTLIST = 50  # ADC shortlist size for the re-rank pass
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    query_mod: int = 100,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production ANN topology at
+    corpus scale: the 64×-compressed codes prune the corpus to
+    ``shortlist`` candidates per query (cheap, in-RAM), then ONLY those
+    candidates are scored with exact cosine against the full-precision
+    vectors (a |Q|·shortlist-row broadcast join, not a corpus scan).
+    ADC ranking error beyond the shortlist boundary is the only recall
+    loss — :func:`pq_recall` measures both stages.
+    """
+    short = pq_topk(embeddings, k=shortlist, query_mod=query_mod, codebook=codebook).select(
+        "query_id", "neighbor_id"
+    )
+    base = with_norms(embeddings)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cand = F.broadcast(short.join(q, "query_id")).join(
+        base, F.col("vec_id") == F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """Recall@k of the raw PQ/ADC ranking AND of the shortlist+re-rank
+    pipeline, against the exact cosine baseline — one summary row showing
+    what the 64× compression costs and how much the exact re-rank pass
+    buys back (the accuracy/cost dial a deployment tunes with
+    ``shortlist``)."""
+    exact = tracked_persist(
+        ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
+    )
+    adc = pq_topk(embeddings, k).select("query_id", "neighbor_id")
+    rr = pq_topk_rerank(embeddings, k, shortlist).select("query_id", "neighbor_id")
+    adc_hit = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+    rr_hit = exact.join(rr, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+        .join(adc_hit.agg(F.count(F.lit(1)).alias("adc_hits")))
+        .join(rr_hit.agg(F.count(F.lit(1)).alias("rerank_hits")))
+        .select(
+            F.lit(k).alias("k"),
+            "exact_pairs",
+            "adc_hits",
+            (F.col("adc_hits") / F.col("exact_pairs")).alias("adc_recall"),
+            "rerank_hits",
+            (F.col("rerank_hits") / F.col("exact_pairs")).alias("rerank_recall"),
+        )
+    )
+
+
 def ann_topk_arrow(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
     """Scale-path ANN kernel: Arrow-batched numpy matmul via mapInPandas.
 

@@ -1617,6 +1617,88 @@ ORDER BY t.hour_idx
     return {"incident_window_events": _with({"ev": EVENTS_BASE}, body)}
 
 
+def _pq_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.similarity import (
+        PQ_CODEBOOK_STRIDE,
+        PQ_K,
+        PQ_M,
+        PQ_SHORTLIST,
+        PQ_SUBDIM,
+    )
+
+    cb_ids = ", ".join(str(PQ_CODEBOOK_STRIDE * c) for c in range(PQ_K))
+    sub_l2 = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        "i -> (un.u[cb.m*{sd}+i] - cb.cw[i]) * (un.u[cb.m*{sd}+i] - cb.cw[i])), "
+        "(a, b) -> a + b)"
+    ).format(sd=PQ_SUBDIM)
+    ctes = f"""
+unit AS (SELECT vec_id, label, list_transform(e, x -> x / nrm) AS u FROM n),
+cb AS (
+  SELECT t.m, CAST(un.vec_id // {PQ_CODEBOOK_STRIDE} AS INTEGER) AS code,
+    un.u[t.m*{PQ_SUBDIM}+1 : t.m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cw
+  FROM unit un CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t
+  WHERE un.vec_id IN ({cb_ids})
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT un.vec_id, cb.m, cb.code,
+      ROW_NUMBER() OVER (PARTITION BY un.vec_id, cb.m ORDER BY {sub_l2} ASC, cb.code ASC) AS rn
+    FROM unit un CROSS JOIN cb
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT un.vec_id AS query_id, cb.m, cb.code, {sub_l2} AS d
+  FROM unit un CROSS JOIN cb WHERE un.vec_id % 100 = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rk
+  FROM (
+    SELECT qt.query_id, enc.vec_id AS neighbor_id,
+      list_reduce(list(qt.d ORDER BY qt.m), (a, b) -> a + b) AS approx_dist
+    FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.code
+    WHERE enc.vec_id <> qt.query_id
+    GROUP BY 1, 2
+  )
+),
+rr AS (
+  SELECT query_id, neighbor_id, label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM (
+    SELECT s.query_id, s.neighbor_id, v.label,
+      list_reduce(list_transform(range(1, 65), i -> q.e[i] * v.e[i]), (a, b) -> a + b) / (q.nrm * v.nrm) AS cosine
+    FROM (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {PQ_SHORTLIST}) s
+    JOIN n q ON q.vec_id = s.query_id
+    JOIN n v ON v.vec_id = s.neighbor_id
+  )
+)""".strip()
+
+    pq_topk = f"""
+WITH n AS ({_EMB_NORMS}),
+{ctes}
+SELECT query_id, neighbor_id, label, cosine, CAST(rk AS INTEGER) AS rank
+FROM rr WHERE rk <= 5 ORDER BY query_id, rank
+""".strip()
+
+    pq_recall = f"""
+WITH n AS ({_EMB_NORMS}),
+{ctes},
+exact_tk AS (SELECT query_id, neighbor_id FROM ({_ANN_BODY})),
+adc_tk AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5),
+rr_tk AS (SELECT query_id, neighbor_id FROM rr WHERE rk <= 5)
+SELECT CAST(5 AS INTEGER) AS k,
+  (SELECT count(*) FROM exact_tk) AS exact_pairs,
+  (SELECT count(*) FROM exact_tk e JOIN adc_tk a USING (query_id, neighbor_id)) AS adc_hits,
+  (SELECT count(*) FROM exact_tk e JOIN adc_tk a USING (query_id, neighbor_id))
+    / (SELECT count(*) FROM exact_tk) AS adc_recall,
+  (SELECT count(*) FROM exact_tk e JOIN rr_tk r USING (query_id, neighbor_id)) AS rerank_hits,
+  (SELECT count(*) FROM exact_tk e JOIN rr_tk r USING (query_id, neighbor_id))
+    / (SELECT count(*) FROM exact_tk) AS rerank_recall
+""".strip()
+    return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
+
+
 def _stream_join_oracles() -> dict[str, str]:
     body = """
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
@@ -1641,3 +1723,4 @@ ORACLES.update(_sampling_oracles())
 ORACLES.update(_corpus_hygiene_oracles())
 ORACLES.update(_interval_join_oracles())
 ORACLES.update(_stream_join_oracles())
+ORACLES.update(_pq_oracles())

@@ -528,3 +528,24 @@ def test_interval_join_matches_naive_and_handles_spans(spark):
 
     with _pytest.raises(ValueError):
         interval_join(points, intervals, "ts", "s", "e", bucket_width=50, how="full")
+
+
+def test_pq_encode_properties_and_rerank_dominates_adc(spark, sf_dir):
+    """PQ codes are in range and partitioning-independent; codebook
+    vectors encode to their own code in every subspace (distance 0); the
+    exact re-rank pass never has lower recall than the raw ADC ranking."""
+    from dataengineeringpipeline_spark.operators import similarity as s
+
+    emb = _embeddings(spark, sf_dir)
+    enc = {r["vec_id"]: r["codes"] for r in s.pq_encode(emb).collect()}
+    assert all(len(c) == s.PQ_M for c in enc.values())
+    assert all(0 <= v < s.PQ_K for c in enc.values() for v in c)
+    again = {r["vec_id"]: r["codes"] for r in s.pq_encode(emb.repartition(13)).collect()}
+    assert enc == again
+    for c in range(s.PQ_K):
+        vid = s.PQ_CODEBOOK_STRIDE * c
+        if vid in enc:
+            assert enc[vid] == [c] * s.PQ_M
+    r = s.pq_recall(emb).collect()[0]
+    assert r["rerank_hits"] >= r["adc_hits"]
+    assert r["exact_pairs"] >= r["rerank_hits"]
