@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from dataengineeringpipeline_spark.cache import tracked_persist
 from dataengineeringpipeline_spark.operators.text import word_hash, words_col
+from dataengineeringpipeline_spark.scale import spread
 
 #: Universal-hash modulus (prime > 1e9; products stay < 2^63).
 MINHASH_P = 1_000_000_007
@@ -78,7 +79,7 @@ def doc_word_hash_sets(docs: DataFrame, fast: bool = False) -> DataFrame:
     """(doc_id, word_hash) pairs — the distinct word set of each document."""
     w = words_col()
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(w)).alias("word"))
+        spread(docs, "doc_id").select("doc_id", F.explode(F.array_distinct(w)).alias("word"))
         .select("doc_id", word_hash(F.col("word"), fast=fast).alias("h"))
         .distinct()
     )
@@ -94,8 +95,12 @@ def doc_shingle_hash_sets(docs: DataFrame, n: int = 3, fast: bool = False) -> Da
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams (default 3)."""
-    base = docs.select("doc_id", words_col().alias("ws"))
+    """(doc_id, shingle) distinct word n-grams (default 3).
+
+    ``spread`` parallelizes the tokenize+shingle map on narrow inputs
+    (single-file corpus → one scan partition); no-op at cluster scale.
+    """
+    base = spread(docs, "doc_id").select("doc_id", words_col().alias("ws"))
     size = F.size("ws")
     idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
         F.array().cast("array<int>")

@@ -104,6 +104,41 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
+def spread(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
+    """Raise a narrow input's parallelism to the session default before
+    CPU-heavy per-row work (regex chains, shingle explodes, chunking).
+
+    A single small parquet file scans as ONE partition, serializing every
+    downstream map on one core even on a 32-core executor — the dominant
+    cost of the corpus funnel on compact inputs. ``spread`` repartitions
+    only when the input has fewer partitions than ``target`` (default
+    ``sc.defaultParallelism``): a cluster-scale table that already has
+    thousands of scan partitions passes through untouched — NO shuffle,
+    NO persist — so this is safe to leave in the 100 TB path. Pass
+    ``cols`` to hash-partition (avoids round-robin's defensive
+    per-partition sort); results never depend on partitioning — every
+    downstream op re-shuffles on its own keys or is per-row.
+
+    The repartitioned frame is persisted (tracked, released by
+    ``cache.release_caches``): a bare Exchange is NOT enough, because
+    Catalyst pushes deterministic filters/projects straight through
+    ``RepartitionByExpression`` back onto the narrow scan — the measured
+    plan ran the whole regex-scoring filter in the 1-task scan stage and
+    shuffled the surviving ids. The persist is an optimizer barrier (and
+    lets every branch of a multi-action funnel reuse one
+    materialization).
+    """
+    from dataengineeringpipeline_spark.cache import tracked_persist
+
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return tracked_persist(df.repartition(target, *[F.col(c) for c in cols]))
+    return tracked_persist(df.repartition(target))
+
+
 def approx_distinct_summary(
     df: DataFrame, key_cols: list[str], distinct_col: str, rsd: float = 0.02
 ) -> DataFrame:

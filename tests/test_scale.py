@@ -167,3 +167,32 @@ def test_partition_balance_reports_layout(spark):
     assert row["min_rows"] + row["max_rows"] >= 2
     assert abs(row["mean_rows"] - 1250.0) < 1e-9
     assert row["balance_factor"] >= 1.0
+
+
+def test_spread_parallelizes_narrow_input_and_keeps_results(spark, sf_dir):
+    """spread() must (a) leave well-partitioned input untouched, (b) lift
+    a single-partition scan to the session parallelism, and (c) keep the
+    heavy per-row work ABOVE the exchange — Catalyst would otherwise push
+    a deterministic filter through the repartition back onto the 1-task
+    scan, which is exactly the pathology spread exists to fix."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1
+    wide = spark.range(0, 1000).repartition(64)
+    assert scale.spread(wide) is wide  # no-op past the threshold
+
+    rep = scale.spread(docs, "doc_id")
+    target = spark.sparkContext.defaultParallelism
+    assert rep.rdd.getNumPartitions() == target
+    # heavy downstream filter still runs on `target` runtime partitions
+    filtered = rep.filter(F.length("text") > 0).select("doc_id")
+    parts = filtered.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts > 1
+    # identical result set
+    assert sorted(r["doc_id"] for r in filtered.collect()) == sorted(
+        r["doc_id"] for r in docs.filter(F.length("text") > 0).select("doc_id").collect()
+    )
+    from dataengineeringpipeline_spark.cache import release_caches
+
+    release_caches()
