@@ -27,12 +27,14 @@ from dataengineeringpipeline_spark import (
     quality,
     rules,
     scale,
+    scd,
     streaming,
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import mix as mix_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import sampling as sampling_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
@@ -174,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
             load_events(spark, sf)
         ),
+        # -- domain-mix planning + hash-deterministic sampling --------------
+        "domain_mix_summary": lambda spark, sf: mix_ops.domain_mix_summary(
+            _read(spark, sf, "documents")
+        ),
         # -- embedding similarity search (brute-force + IVF + LSH near-dup) -
         "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(
             _read(spark, sf, "embeddings")
@@ -181,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda spark, sf: sim_ops.ann_ivf_topk(_read(spark, sf, "embeddings")),
         "ann_ivf_recall": lambda spark, sf: sim_ops.ann_ivf_recall(_read(spark, sf, "embeddings")),
         "embedding_near_dups": lambda spark, sf: sim_ops.embedding_near_dups(
+            _read(spark, sf, "embeddings")
+        ),
+        "semantic_dup_clusters": lambda spark, sf: sim_ops.semantic_dup_clusters(
             _read(spark, sf, "embeddings")
         ),
         # -- product quantization (64x-compressed ADC + exact re-rank) ------
@@ -205,6 +214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
+        # -- SCD Type-2 versioned dimension history -------------------------
+        "customer_priority_scd2": lambda spark, sf: scd.customer_priority_scd2(
+            _orders(spark, sf)
+        ),
         # -- incremental ingestion + feature store --------------------------
         "incremental_events": lambda spark, sf: ingest.incremental_events(
             load_events(spark, sf)

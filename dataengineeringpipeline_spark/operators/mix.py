@@ -1,0 +1,131 @@
+"""Training-mix construction: hit a target domain composition exactly,
+deterministically, with no global pass beyond one per-domain count.
+
+A pretraining corpus is specified as *weights over domains* ("50% en,
+15% zh, ..."), but the raw pool has whatever composition crawling
+produced. The planner computes, per domain, the keep rate that realizes
+the largest corpus achievable under the weights without upsampling any
+domain (the scarcest weighted domain is used in full; every other domain
+is downsampled to its proportional share). Sampling membership is the
+same pure key-hash as :mod:`sampling` — stable under repartitioning,
+retries, and engine swaps.
+
+All planning arithmetic is integer (per-mille weights, floor division),
+so the plan — and therefore the sampled corpus — is bit-identical in any
+engine; the DuckDB oracle reproduces it exactly.
+
+Scale shape: one count per domain (map-side partial agg over the
+corpus), a ~|domains|-row plan broadcast back, and a pure map filter.
+No full-corpus shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators.sampling import per_mille_bucket
+
+#: Target composition (per mille) for the demo query over ``documents``.
+#: Domains absent from the table are simply unachievable (rate 0 rows);
+#: domains in the table but not in the target are dropped (weight 0).
+MIX_WEIGHTS_PER_MILLE: dict[str, int] = {
+    "en": 500,
+    "zh": 150,
+    "es": 150,
+    "fr": 100,
+    "de": 100,
+}
+
+
+def domain_mix_plan(
+    docs: DataFrame,
+    weights_per_mille: dict[str, int] | None = None,
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Per-domain sampling plan for the target mix.
+
+    With integer weights ``W_d`` (summing to 1000) and availability
+    ``n_d``, the largest total respecting the mix without upsampling is
+    ``T = min_d floor(n_d * 1000 / W_d)``; domain ``d`` then contributes
+    ``target_d = floor(W_d * T / 1000)`` docs, sampled at
+    ``rate_pm_d = floor(target_d * 1000 / n_d)`` per mille.
+
+    Returns one row per *targeted* domain:
+    ``(domain, available, weight_pm, planned_target, rate_pm)``.
+    """
+    weights = weights_per_mille or MIX_WEIGHTS_PER_MILLE
+    w_map = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    avail = (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("available"))
+        .withColumn("weight_pm", w_map[F.col("domain")])
+        .filter(F.col("weight_pm").isNotNull())
+    )
+    # T over all weighted domains: an unpartitioned min window over
+    # |domains| rows (post-aggregation — never the corpus itself).
+    # Integer `div` end-to-end: floor-of-double would invite last-ulp
+    # drift between engines; integer arithmetic is bit-exact everywhere.
+    t_total = F.min(F.expr("(available * 1000) div weight_pm")).over(Window.partitionBy())
+    return (
+        avail.withColumn("t_total", t_total)
+        .select(
+            "domain",
+            "available",
+            "weight_pm",
+            F.expr("(weight_pm * t_total) div 1000").alias("planned_target"),
+        )
+        .withColumn("rate_pm", F.expr("(planned_target * 1000) div available"))
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    weights_per_mille: dict[str, int] | None = None,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The sampled corpus realizing the target mix: join the (tiny,
+    broadcast) plan and keep rows whose key-hash bucket clears the
+    domain's rate. Pure map over the corpus — deterministic membership,
+    no shuffle of the text."""
+    plan = domain_mix_plan(docs, weights_per_mille, domain_col)
+    return docs.join(
+        F.broadcast(plan.select(F.col("domain").alias(domain_col), "rate_pm")),
+        domain_col,
+    ).filter(per_mille_bucket(key_col) < F.col("rate_pm"))
+
+
+def domain_mix_summary(
+    docs: DataFrame,
+    weights_per_mille: dict[str, int] | None = None,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Driver-contract query: the plan next to what it actually sampled —
+    per domain: availability, weight, planned target, rate, kept count,
+    and the achieved share of the sampled corpus."""
+    plan = domain_mix_plan(docs, weights_per_mille, domain_col)
+    kept = (
+        domain_mix_sample(docs, weights_per_mille, domain_col, key_col)
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("kept_count"))
+    )
+    total_kept = F.sum("kept_count").over(Window.partitionBy())
+    return (
+        plan.join(kept, "domain", "left")
+        .fillna({"kept_count": 0})
+        .withColumn("achieved_share", F.col("kept_count") / total_kept)
+        .select(
+            "domain",
+            "available",
+            "weight_pm",
+            "planned_target",
+            "rate_pm",
+            "kept_count",
+            "achieved_share",
+        )
+        .orderBy("domain")
+    )

@@ -513,6 +513,35 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
     )
 
 
+def semantic_dup_clusters(
+    embeddings: DataFrame, threshold: float = 0.35, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    embedding near-dup graph (:func:`embedding_near_dups`), each vector
+    labeled with its cluster's min vec_id and the cluster size, the
+    canonical member flagged.
+
+    This is the embedding-space twin of the text-side
+    ``dedup.minhash_dup_clusters`` — same min-label-propagation CC
+    kernel (one join + map-side min-agg per round, ``localCheckpoint``
+    lineage truncation), different pair generator. Keep-one semantic
+    dedup = filter ``is_canonical``.
+    """
+    from dataengineeringpipeline_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dups(embeddings, threshold, planes)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
 def ann_topk_arrow(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
     """Scale-path ANN kernel: Arrow-batched numpy matmul via mapInPandas.
 

@@ -1211,11 +1211,28 @@ SELECT vec_a, vec_b, cosine FROM (
         "  (SELECT count(*) FROM exact_tk e JOIN ivf_tk i USING (query_id, neighbor_id))\n"
         "    / (SELECT count(*) FROM exact_tk) AS recall_at_k"
     )
+    semantic_clusters = (
+        f"WITH RECURSIVE n AS ({_EMB_NORMS}),\n"
+        f"sigs AS ({sigs}),\n"
+        f"pairs AS ({near_dups}),\n"
+        "und AS (SELECT vec_a AS src, vec_b AS dst FROM pairs"
+        " UNION SELECT vec_b AS src, vec_a AS dst FROM pairs),\n"
+        "reach(src, dst) AS (\n"
+        "  SELECT src, src AS dst FROM und UNION SELECT src, dst FROM und\n"
+        "  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src\n"
+        ")\n"
+        "SELECT vec_id, cluster_id,\n"
+        "  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,\n"
+        "  vec_id = cluster_id AS is_canonical\n"
+        "FROM (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)\n"
+        "ORDER BY vec_id"
+    )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
         "ann_ivf_topk": ivf_topk,
         "ann_ivf_recall": ivf_recall,
         "embedding_near_dups": _with({"n": _EMB_NORMS, "sigs": sigs}, near_dups),
+        "semantic_dup_clusters": semantic_clusters,
     }
 
 
@@ -1699,6 +1716,72 @@ SELECT CAST(5 AS INTEGER) AS k,
     return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
 
 
+def _scd_oracles() -> dict[str, str]:
+    body = """
+SELECT customer_key, priority, change_date AS valid_from,
+  LEAD(change_date) OVER w2 AS valid_to,
+  CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+  LEAD(change_date) OVER w2 IS NULL AS is_current
+FROM (
+  SELECT customer_key, priority, change_date, order_key FROM (
+    SELECT *,
+      (LAG(change_date) OVER w IS NULL)
+      OR (priority IS DISTINCT FROM LAG(priority) OVER w) AS _open
+    FROM ch
+    WINDOW w AS (PARTITION BY customer_key ORDER BY change_date ASC, order_key ASC)
+  ) WHERE _open
+)
+WINDOW w2 AS (PARTITION BY customer_key ORDER BY change_date ASC, order_key ASC)
+ORDER BY customer_key, version
+""".strip()
+    ch = (
+        "SELECT o_custkey AS customer_key, o_orderpriority AS priority, "
+        "CAST(o_orderdate AS DATE) AS change_date, o_orderkey AS order_key FROM orders"
+    )
+    return {"customer_priority_scd2": _with({"ch": ch}, body)}
+
+
+def _mix_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.operators.mix import MIX_WEIGHTS_PER_MILLE
+
+    w_values = ", ".join(f"('{d}', {w})" for d, w in sorted(MIX_WEIGHTS_PER_MILLE.items()))
+    body = f"""
+SELECT p.domain, p.available, p.weight_pm, p.planned_target, p.rate_pm,
+  COALESCE(k.kept_count, 0) AS kept_count,
+  CAST(COALESCE(k.kept_count, 0) AS DOUBLE)
+    / SUM(COALESCE(k.kept_count, 0)) OVER () AS achieved_share
+FROM (
+  SELECT domain, available, weight_pm,
+    (weight_pm * t_total) // 1000 AS planned_target,
+    (((weight_pm * t_total) // 1000) * 1000) // available AS rate_pm
+  FROM (
+    SELECT a.lang AS domain, a.available, w.weight_pm,
+      MIN((a.available * 1000) // w.weight_pm) OVER () AS t_total
+    FROM (SELECT lang, COUNT(*) AS available FROM documents GROUP BY lang) a
+    JOIN (VALUES {w_values}) w(domain, weight_pm) ON a.lang = w.domain
+  )
+) p
+LEFT JOIN (
+  SELECT d.lang AS domain, COUNT(*) AS kept_count
+  FROM documents d
+  JOIN (
+    SELECT domain,
+      (((weight_pm * t_total) // 1000) * 1000) // available AS rate_pm
+    FROM (
+      SELECT a.lang AS domain, a.available, w.weight_pm,
+        MIN((a.available * 1000) // w.weight_pm) OVER () AS t_total
+      FROM (SELECT lang, COUNT(*) AS available FROM documents GROUP BY lang) a
+      JOIN (VALUES {w_values}) w(domain, weight_pm) ON a.lang = w.domain
+    )
+  ) r ON d.lang = r.domain
+  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < r.rate_pm
+  GROUP BY d.lang
+) k ON p.domain = k.domain
+ORDER BY p.domain
+""".strip()
+    return {"domain_mix_summary": body}
+
+
 def _stream_join_oracles() -> dict[str, str]:
     body = """
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
@@ -1724,3 +1807,5 @@ ORACLES.update(_corpus_hygiene_oracles())
 ORACLES.update(_interval_join_oracles())
 ORACLES.update(_stream_join_oracles())
 ORACLES.update(_pq_oracles())
+ORACLES.update(_mix_oracles())
+ORACLES.update(_scd_oracles())

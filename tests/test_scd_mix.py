@@ -1,0 +1,162 @@
+"""SCD Type-2 and domain-mix operators: semantics not covered by the
+oracle sweep (incremental merge, mix invariants, cluster properties)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dataengineeringpipeline_spark import scd
+from dataengineeringpipeline_spark.operators import mix as mix_ops
+
+
+def _d(s: str) -> datetime.date:
+    return datetime.date.fromisoformat(s)
+
+
+def _hist_rows(df):
+    rows = [
+        (
+            r["customer_key"],
+            r["priority"],
+            r["valid_from"],
+            r["valid_to"],
+            r["version"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    ]
+    return sorted(rows, key=lambda t: (t[0], t[4]))
+
+
+def test_scd2_history_suppresses_dups_and_chains_intervals(spark):
+    changes = spark.createDataFrame(
+        [
+            # key 1: A, A (suppressed), B, A  -> 3 versions
+            (1, "A", _d("2024-01-01"), 10),
+            (1, "A", _d("2024-02-01"), 11),
+            (1, "B", _d("2024-03-01"), 12),
+            (1, "A", _d("2024-04-01"), 13),
+            # key 2: same-day tie broken by order_key: B(5) then A(6)
+            (2, "B", _d("2024-01-15"), 5),
+            (2, "A", _d("2024-01-15"), 6),
+        ],
+        "customer_key int, priority string, change_date date, order_key int",
+    )
+    hist = scd.scd2_history(
+        changes, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    assert _hist_rows(hist) == [
+        (1, "A", _d("2024-01-01"), _d("2024-03-01"), 1, False),
+        (1, "B", _d("2024-03-01"), _d("2024-04-01"), 2, False),
+        (1, "A", _d("2024-04-01"), None, 3, True),
+        (2, "B", _d("2024-01-15"), _d("2024-01-15"), 1, False),
+        (2, "A", _d("2024-01-15"), None, 2, True),
+    ]
+
+
+def test_scd2_merge_touches_only_updated_keys(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "A", _d("2024-01-01"), 1),
+            (1, "B", _d("2024-02-01"), 2),
+            (2, "X", _d("2024-01-01"), 3),
+        ],
+        "customer_key int, priority string, change_date date, order_key int",
+    )
+    dim = scd.scd2_history(
+        changes, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "C", _d("2024-03-01"), 4),  # changes key 1
+            (2, "X", _d("2024-04-01"), 5),  # no-op: same attrs as current
+            (3, "N", _d("2024-03-15"), 6),  # brand-new key
+        ],
+        "customer_key int, priority string, change_date date, order_key int",
+    )
+    merged = scd.scd2_apply_changes(
+        dim, updates, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    assert _hist_rows(merged) == [
+        (1, "A", _d("2024-01-01"), _d("2024-02-01"), 1, False),
+        (1, "B", _d("2024-02-01"), _d("2024-03-01"), 2, False),
+        (1, "C", _d("2024-03-01"), None, 3, True),
+        (2, "X", _d("2024-01-01"), None, 1, True),
+        (3, "N", _d("2024-03-15"), None, 1, True),
+    ]
+    # idempotence: re-applying the same batch changes nothing
+    again = scd.scd2_apply_changes(
+        merged, updates, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    assert _hist_rows(again) == _hist_rows(merged)
+
+
+def test_scd2_merge_splices_late_arriving_change(spark):
+    changes = spark.createDataFrame(
+        [(1, "A", _d("2024-01-01"), 1), (1, "C", _d("2024-03-01"), 2)],
+        "customer_key int, priority string, change_date date, order_key int",
+    )
+    dim = scd.scd2_history(
+        changes, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    late = spark.createDataFrame(
+        [(1, "B", _d("2024-02-01"), 3)],
+        "customer_key int, priority string, change_date date, order_key int",
+    )
+    merged = scd.scd2_apply_changes(
+        dim, late, ["customer_key"], ["priority"], "change_date", ["order_key"]
+    )
+    assert _hist_rows(merged) == [
+        (1, "A", _d("2024-01-01"), _d("2024-02-01"), 1, False),
+        (1, "B", _d("2024-02-01"), _d("2024-03-01"), 2, False),
+        (1, "C", _d("2024-03-01"), None, 3, True),
+    ]
+
+
+def test_domain_mix_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    summary = {r["domain"]: r for r in mix_ops.domain_mix_summary(docs).collect()}
+    weights = mix_ops.MIX_WEIGHTS_PER_MILLE
+    assert set(summary) <= set(weights)
+    for d, row in summary.items():
+        # never upsample: target and kept within availability
+        assert 0 <= row["planned_target"] <= row["available"]
+        assert 0 <= row["kept_count"] <= row["available"]
+        assert 0 <= row["rate_pm"] <= 1000
+    # the scarcest weighted domain is used at (nearly) full rate
+    assert any(row["rate_pm"] >= 990 for row in summary.values())
+    # achieved shares sum to 1 and track the target weights loosely
+    # (hash-sampling noise at small n, hence the wide tolerance)
+    total_share = sum(row["achieved_share"] for row in summary.values())
+    assert total_share == pytest.approx(1.0)
+    for d, row in summary.items():
+        assert row["achieved_share"] == pytest.approx(weights[d] / 1000, abs=0.08)
+    # deterministic under repartitioning
+    again = {
+        r["domain"]: r["kept_count"]
+        for r in mix_ops.domain_mix_summary(docs.repartition(13)).collect()
+    }
+    assert again == {d: row["kept_count"] for d, row in summary.items()}
+
+
+def test_semantic_dup_clusters_match_pair_graph(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = sim.embedding_near_dups(emb).collect()
+    clusters = sim.semantic_dup_clusters(emb).collect()
+    label = {r["vec_id"]: r["cluster_id"] for r in clusters}
+    # every pair endpoint is clustered together
+    for p in pairs:
+        assert label[p["vec_a"]] == label[p["vec_b"]]
+    # cluster ids are the min member, canonical flag matches
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    for r in clusters:
+        assert r["is_canonical"] == (r["vec_id"] == r["cluster_id"])
+        assert r["cluster_size"] == len(by_cluster[r["cluster_id"]])
