@@ -42,8 +42,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def with_norms(embeddings: DataFrame) -> DataFrame:
+    # spread: a single-file embeddings table scans as one partition,
+    # serializing every fold-dot-product/argmin map downstream (no-op on
+    # well-partitioned cluster-scale input).
+    from dataengineeringpipeline_spark.scale import spread
+
     e = _to_double("embedding")
-    return embeddings.select(
+    return spread(embeddings, "vec_id").select(
         "vec_id", "label", e.alias("e"), F.sqrt(_fold_sum(F.transform(e, lambda x: x * x))).alias("nrm")
     )
 
@@ -360,16 +365,14 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataF
     sub = lambda m: F.slice(unit, m * PQ_SUBDIM + 1, PQ_SUBDIM)  # noqa: E731
 
     def argmin_code(m: int) -> Column:
-        init = F.struct(F.lit(float("inf")).alias("bd"), F.lit(-1).alias("bi"))
-        best = F.aggregate(
+        # materialize (distance, code) pairs once, then array_min's
+        # lexicographic struct ordering IS argmin-with-lower-code-ties —
+        # a fold with `when` would evaluate each _sub_l2 twice.
+        dists = F.transform(
             F.col("cb")[m],
-            init,
-            lambda acc, c: F.when(
-                _sub_l2(sub(m), c["cw"]) < acc["bd"],
-                F.struct(_sub_l2(sub(m), c["cw"]).alias("bd"), c["code"].alias("bi")),
-            ).otherwise(acc),
+            lambda c: F.struct(_sub_l2(sub(m), c["cw"]).alias("bd"), c["code"].alias("bi")),
         )
-        return best["bi"]
+        return F.array_min(dists)["bi"]
 
     return (
         base.join(F.broadcast(cb_row))
@@ -464,6 +467,13 @@ def pq_topk_rerank(
     short = pq_topk(embeddings, k=shortlist, query_mod=query_mod, codebook=codebook).select(
         "query_id", "neighbor_id"
     )
+    return _rerank_shortlist(embeddings, short, k, query_mod)
+
+
+def _rerank_shortlist(
+    embeddings: DataFrame, short: DataFrame, k: int, query_mod: int
+) -> DataFrame:
+    """Exact-cosine re-rank of ``(query_id, neighbor_id)`` candidates."""
     base = with_norms(embeddings)
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -490,12 +500,22 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
     pipeline, against the exact cosine baseline — one summary row showing
     what the 64× compression costs and how much the exact re-rank pass
     buys back (the accuracy/cost dial a deployment tunes with
-    ``shortlist``)."""
+    ``shortlist``).
+
+    One ADC corpus scan serves both measurements: the ADC top-k is a
+    rank-prefix of the same shortlist the re-rank consumes (identical
+    ordering), so the encode+score pass — the dominant cost — runs once.
+    """
     exact = tracked_persist(
         ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
     )
-    adc = pq_topk(embeddings, k).select("query_id", "neighbor_id")
-    rr = pq_topk_rerank(embeddings, k, shortlist).select("query_id", "neighbor_id")
+    short = tracked_persist(
+        pq_topk(embeddings, k=shortlist).select("query_id", "neighbor_id", "rank")
+    )
+    adc = short.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    rr = _rerank_shortlist(
+        embeddings, short.select("query_id", "neighbor_id"), k, query_mod=100
+    ).select("query_id", "neighbor_id")
     adc_hit = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
     rr_hit = exact.join(rr, ["query_id", "neighbor_id"], "left_semi")
     return (
