@@ -110,13 +110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering is deliberate: the driver's correctness record covers the
-    first ~50 entries in insertion order, so the newest / riskiest
-    operators (LLM training-data ops: text, dedup, multimodal, sampling,
-    similarity) lead the dict. The trailing entries past the window are
-    the silver basics and simple DQ profiles — every gold query calls
-    the silver cleaners transitively, and the DQ profiles are covered by
-    the pytest oracle-parity suite (tests/test_oracle_parity.py runs ALL
-    entries regardless of position).
+    first ~50 entries in insertion order, so entries are ranked by
+    novelty/risk — LLM training-data ops (text, dedup, mix, multimodal,
+    sampling, similarity/PQ) first, then streaming/events/SCD2, then the
+    long-stable gold aggregations and DQ checks, and finally the silver
+    basics (exercised transitively by every gold query). Everything past
+    the window is still oracle-checked by the pytest parity suite
+    (tests/test_oracle_parity.py runs ALL entries regardless of
+    position).
     """
     return {
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
@@ -135,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "pack_summary": lambda spark, sf: text_ops.pack_summary(
+            _read(spark, sf, "documents")
+        ),
+        "token_histogram": lambda spark, sf: text_ops.token_histogram(
             _read(spark, sf, "documents")
         ),
         # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -
@@ -225,6 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
             load_events(spark, sf)
         ),
+        # -- heavy-hitter skew triage (scale.py) ----------------------------
+        "event_heavy_hitters": lambda spark, sf: scale.key_skew_profile(
+            load_events(spark, sf), ["user_id"], top_n=20
+        ),
         # -- skew-safe two-stage aggregation (scale.py) ---------------------
         "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
             _silver_orders(spark, sf).select("order_status", "total_price"),
@@ -288,7 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
             _silver_orders(spark, sf), QUARANTINE_RULES
         ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
-        # ===== entries past the driver's ~50-query record window ===========
+        # ===== lowest-risk tail (beyond the driver's ~50-query window) =====
         # These trail on purpose: the silver cleaners run transitively
         # inside every gold query above, the trailing events queries are
         # near-duplicates of in-window patterns (A7 group-count, lag/lead

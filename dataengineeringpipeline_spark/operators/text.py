@@ -165,6 +165,48 @@ def language_id_eval(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_histogram(docs: DataFrame) -> DataFrame:
+    """Power-of-two token-count histogram — the sequence-length
+    distribution a corpus owner reads before choosing chunk sizes and
+    packing budgets (one glance answers "how much of the corpus is
+    shorter than the context window?").
+
+    Bucket = number of binary digits of ``token_count`` (``[2^(b-1),
+    2^b-1]``; empty docs land in bucket 0) — integer arithmetic via
+    ``bin()`` string length, bit-identical in any engine, unlike
+    ``floor(log2(n))`` whose float rounding can disagree at exact powers
+    of two. One narrow aggregation; the window for cumulative shares
+    runs over ≤64 bucket rows.
+    """
+    stats = text_stats(docs).select("doc_id", "token_count")
+    bucket = (
+        F.when(F.col("token_count") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin("token_count")))
+        .cast("int")
+    )
+    per = stats.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("token_count").cast("long").alias("tokens"),
+    )
+    lo = F.expr("CASE WHEN bucket = 0 THEN 0 ELSE shiftleft(1, bucket - 1) END")
+    hi = F.expr("CASE WHEN bucket = 0 THEN 0 ELSE shiftleft(1, bucket) - 1 END")
+    totals = Window.partitionBy()
+    cum = Window.partitionBy().orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.select(
+            "bucket",
+            lo.cast("long").alias("bucket_lo"),
+            hi.cast("long").alias("bucket_hi"),
+            "docs",
+            "tokens",
+        )
+        .withColumn("doc_share", F.col("docs") / F.sum("docs").over(totals))
+        .withColumn("token_share", F.col("tokens") / F.sum("tokens").over(totals))
+        .withColumn("cum_doc_share", F.sum("docs").over(cum) / F.sum("docs").over(totals))
+        .orderBy("bucket")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: exact md5, normalized md5 (case/whitespace
     folded), and a deterministic 48-bit content key for joins."""

@@ -1716,6 +1716,43 @@ SELECT CAST(5 AS INTEGER) AS k,
     return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
 
 
+def _histogram_oracles() -> dict[str, str]:
+    tok = f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS token_count FROM documents"
+    body = """
+SELECT bucket,
+  CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END AS BIGINT) AS bucket_lo,
+  CAST(CASE WHEN bucket = 0 THEN 0 ELSE (1 << bucket) - 1 END AS BIGINT) AS bucket_hi,
+  docs, tokens,
+  CAST(docs AS DOUBLE) / SUM(docs) OVER () AS doc_share,
+  CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS token_share,
+  CAST(SUM(docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+    / SUM(docs) OVER () AS cum_doc_share
+FROM (
+  SELECT CASE WHEN token_count <= 0 THEN 0 ELSE CAST(length(bin(token_count)) AS INTEGER) END AS bucket,
+    COUNT(*) AS docs, CAST(SUM(token_count) AS BIGINT) AS tokens
+  FROM tok GROUP BY 1
+)
+ORDER BY bucket
+""".strip()
+    hh_body = """
+SELECT user_id, rows, share, skew_factor FROM (
+  SELECT c.user_id, c.rows,
+    CAST(c.rows AS DOUBLE) / t.total_rows AS share,
+    c.rows / t.mean_rows AS skew_factor
+  FROM (SELECT user_id, COUNT(*) AS rows FROM ev GROUP BY user_id) c
+  CROSS JOIN (
+    SELECT SUM(rows) AS total_rows, AVG(rows) AS mean_rows
+    FROM (SELECT user_id, COUNT(*) AS rows FROM ev GROUP BY user_id)
+  ) t
+)
+ORDER BY rows DESC, user_id ASC LIMIT 20
+""".strip()
+    return {
+        "token_histogram": _with({"tok": tok}, body),
+        "event_heavy_hitters": _with({"ev": EVENTS_BASE}, hh_body),
+    }
+
+
 def _scd_oracles() -> dict[str, str]:
     body = """
 SELECT customer_key, priority, change_date AS valid_from,
@@ -1809,3 +1846,4 @@ ORACLES.update(_stream_join_oracles())
 ORACLES.update(_pq_oracles())
 ORACLES.update(_mix_oracles())
 ORACLES.update(_scd_oracles())
+ORACLES.update(_histogram_oracles())
