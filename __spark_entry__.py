@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _orders(spark, sf), "o_totalprice"
         ),
         "dq_referential_integrity": _dq_referential_integrity,
+        "dq_daily_anomalies": lambda spark, sf: quality.daily_volume_anomalies(
+            _silver_orders(spark, sf)
+        ),
         "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
             _silver_orders(spark, sf), QUARANTINE_RULES
         ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),

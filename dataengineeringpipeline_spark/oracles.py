@@ -1716,6 +1716,33 @@ SELECT CAST(5 AS INTEGER) AS k,
     return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
 
 
+def _anomaly_oracles() -> dict[str, str]:
+    body = """
+SELECT day, rows,
+  CASE WHEN n >= 1 THEN mean END AS trailing_mean,
+  CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END AS trailing_std,
+  CASE WHEN n >= 2 AND var > 0 THEN (rows - mean) / sqrt(var) END AS z_score,
+  COALESCE(CASE WHEN n >= 2 AND var > 0
+    THEN abs((rows - mean) / sqrt(var)) > 2.0 END, FALSE) AS is_anomaly
+FROM (
+  SELECT day, rows, n, mean, (sxx - n * mean * mean) / (n - 1) AS var
+  FROM (
+    SELECT day, rows,
+      COUNT(*) OVER w AS n,
+      CAST(SUM(rows) OVER w AS BIGINT) / COUNT(*) OVER w AS mean,
+      CAST(SUM(rows * rows) OVER w AS BIGINT) AS sxx
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+  )
+)
+ORDER BY day
+""".strip()
+    daily = "SELECT order_date AS day, CAST(COUNT(*) AS BIGINT) AS rows FROM so GROUP BY 1"
+    return {
+        "dq_daily_anomalies": _with({"so": SILVER_ORDERS, "daily": daily}, body)
+    }
+
+
 def _histogram_oracles() -> dict[str, str]:
     tok = f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS token_count FROM documents"
     body = """
@@ -1847,3 +1874,4 @@ ORACLES.update(_pq_oracles())
 ORACLES.update(_mix_oracles())
 ORACLES.update(_scd_oracles())
 ORACLES.update(_histogram_oracles())
+ORACLES.update(_anomaly_oracles())

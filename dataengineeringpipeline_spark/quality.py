@@ -309,3 +309,52 @@ def quarantine(
     report = evaluate_rules(df, rules)
     report_path = lake.write_json_report(report, "quarantine", f"{table}_report")
     return data_path, report_path
+
+
+def daily_volume_anomalies(
+    df: DataFrame,
+    date_col: str = "order_date",
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly detection: each day's row count z-scored against
+    the trailing ``window_days`` days — the "did yesterday's load drop
+    to half?" check a pipeline owner alerts on (the reference's DQ suite
+    profiles static ranges only; this adds the time dimension).
+
+    The trailing mean/std come from exact integer window sums
+    (``Σx, Σx², n``) with the variance expanded as
+    ``(Σx² − n·mean²)/(n−1)`` in a fixed expression order — bit-identical
+    in any engine, unlike built-in ``stddev`` whose streaming update
+    order is implementation-defined. Days with fewer than 2 trailing
+    observations emit NULL z (never flagged). One shuffle (the daily
+    count) + a per-day window over ~365 rows/year of history.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(F.col(date_col).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("rows").over(w).cast("long")
+    sxx = F.sum(F.col("rows") * F.col("rows")).over(w).cast("long")
+    mean = sx / n
+    var = (sxx - n * mean * mean) / (n - 1)
+    z = F.when(
+        (n >= 2) & (var > 0), (F.col("rows") - mean) / F.sqrt(var)
+    )
+    return (
+        daily.select(
+            "day",
+            "rows",
+            F.when(n >= 1, mean).alias("trailing_mean"),
+            F.when((n >= 2) & (var > 0), F.sqrt(var)).alias("trailing_std"),
+            z.alias("z_score"),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z_score")) > F.lit(z_threshold), F.lit(False)),
+        )
+        .orderBy("day")
+    )
