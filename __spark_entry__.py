@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_clusters": lambda spark, sf: dedup_ops.minhash_dup_clusters(
             _read(spark, sf, "documents")
         ),
+        "minhash_recall": lambda spark, sf: dedup_ops.minhash_recall(
+            _read(spark, sf, "documents")
+        ),
         "dedup_survivors": lambda spark, sf: dedup_ops.dedup_survivors(
             _read(spark, sf, "documents")
         ),

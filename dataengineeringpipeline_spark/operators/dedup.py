@@ -439,6 +439,40 @@ def minhash_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def minhash_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH banding recall gauge: verified MinHash-LSH pairs vs ALL exact
+    shingle-set Jaccard ≥ ``threshold`` pairs — the dedup twin of
+    ``similarity.ann_ivf_recall``. Banding only *misses* (verification
+    re-checks exact Jaccard, so precision is 1 by construction); the
+    recall number is what you tune bands×rows against.
+
+    The exact side is the full inverted-index pairwise pass (no
+    frequent-shingle cap — the ground truth must not drop pairs), so
+    this gauge costs what :func:`ngram_jaccard_pairs` costs; run it on a
+    sample at corpus scale.
+    """
+    exact = tracked_persist(
+        _pairwise_jaccard(doc_shingle_hash_sets(docs), "h", max_df=None)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    lsh = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+        .join(lsh.agg(F.count(F.lit(1)).alias("lsh_pairs")))
+        .join(hits.agg(F.count(F.lit(1)).alias("hit_pairs")))
+        .select(
+            "exact_pairs",
+            "lsh_pairs",
+            "hit_pairs",
+            F.when(
+                F.col("exact_pairs") > 0, F.col("hit_pairs") / F.col("exact_pairs")
+            ).alias("recall"),
+        )
+    )
+
+
 def dedup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Quality-weighted survivor selection: within each near-dup cluster,
     keep the highest-quality doc (ties → lowest doc id) — the "which copy

@@ -1077,6 +1077,29 @@ FROM pk_packed
             {"shingles": _SHINGLES, "shingle_hashes": _SHINGLE_HASHES, "sigs": sigs, "bands": bands},
             minhash_pairs,
         ),
+        "minhash_recall": _with(
+            {
+                "shingles": _SHINGLES,
+                "shingle_hashes": _SHINGLE_HASHES,
+                "sigs": sigs,
+                "bands": bands,
+                "exact": (
+                    f"SELECT doc_a, doc_b FROM ({_jaccard_sql('shingle_hashes', 'h')}) "
+                    "WHERE jaccard >= 0.5"
+                ),
+                "lshp": f"SELECT doc_a, doc_b FROM ({minhash_pairs})",
+            },
+            """
+SELECT
+  (SELECT COUNT(*) FROM exact) AS exact_pairs,
+  (SELECT COUNT(*) FROM lshp) AS lsh_pairs,
+  (SELECT COUNT(*) FROM exact e JOIN lshp l USING (doc_a, doc_b)) AS hit_pairs,
+  CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+    (SELECT COUNT(*) FROM exact e JOIN lshp l USING (doc_a, doc_b))
+      / (SELECT COUNT(*) FROM exact)
+  END AS recall
+""".strip(),
+        ),
         "simhash_dup_candidates": _with(
             {
                 "shingles": _SHINGLES,
