@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,
         "streaming_session_counts": streaming.streaming_session_counts,
+        "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
         "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),

@@ -1739,6 +1739,34 @@ SELECT CAST(5 AS INTEGER) AS k,
     return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
 
 
+def _session_window_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.streaming import DEFAULT_SESSION_GAP_MINUTES
+
+    gap_us = DEFAULT_SESSION_GAP_MINUTES * 60_000_000
+    body = f"""
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS sessions,
+  CAST(SUM(n) AS BIGINT) AS events_seen,
+  CAST(SUM(t1 - t0 + {gap_us}) AS BIGINT) AS total_session_us
+FROM (
+  SELECT user_id, sid, COUNT(*) AS n, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+  FROM (
+    SELECT user_id, ts_us,
+      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (
+      SELECT user_id, ts_us,
+        CASE WHEN LAG(ts_us) OVER w IS NULL
+          OR ts_us - LAG(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    )
+  ) GROUP BY user_id, sid
+)
+GROUP BY user_id ORDER BY user_id
+""".strip()
+    return {"streaming_session_windows": _with({"ev": EVENTS_BASE}, body)}
+
+
 def _anomaly_oracles() -> dict[str, str]:
     body = """
 SELECT day, rows,
@@ -1898,3 +1926,4 @@ ORACLES.update(_mix_oracles())
 ORACLES.update(_scd_oracles())
 ORACLES.update(_histogram_oracles())
 ORACLES.update(_anomaly_oracles())
+ORACLES.update(_session_window_oracles())

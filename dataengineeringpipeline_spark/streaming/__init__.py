@@ -541,6 +541,57 @@ def sessionize_stream_event_time(
     )
 
 
+def session_window_stats(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MINUTES) -> DataFrame:
+    """Native ``session_window`` sessionization — the built-in answer to
+    gap-based sessions (use it BEFORE reaching for the
+    ``applyInPandasWithState`` kernel in :func:`sessionize_stream`; the
+    custom operator exists for semantics this can't express, e.g.
+    cross-batch carried counters with TTL eviction).
+
+    One row per closed session: ``(user_id, session_start_us,
+    session_end_us, events_in_session)`` where the window end is
+    ``last event + gap`` (Spark's session_window contract). Keys by
+    integer µs — timezone-free, oracle-comparable.
+    """
+    return (
+        events.groupBy(
+            F.session_window("event_ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "events_in_session",
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: drain the native session_window rollup over
+    the events backlog (complete mode — a bounded backlog needs no
+    watermark eviction; an always-on stream would use watermark+append),
+    then summarize per user: session count, events, and total session
+    µs (each session's span is ``last − first + gap``)."""
+    run_available_now(
+        session_window_stats(stream_events(spark, sf_dir)),
+        "streaming_session_windows",
+        output_mode="complete",
+    )
+    t = spark.table("streaming_session_windows")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sessions"),
+            F.sum("events_in_session").cast("long").alias("events_seen"),
+            F.sum(F.col("session_end_us") - F.col("session_start_us"))
+            .cast("long")
+            .alias("total_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query (rows-only check: custom stateful streaming
     op, not SQL-expressible): final per-user session counts."""

@@ -396,3 +396,18 @@ def test_event_time_ttl_evicts_idle_state(spark, tmp_path):
     # single-event users are unaffected by the TTL in either mode
     assert (2, 1, 1) in evicted and (2, 1, 1) in kept
     assert (3, 1, 1) in evicted and (3, 1, 1) in kept
+
+
+def test_native_session_window_agrees_with_custom_kernel(spark, sf_dir):
+    """Two independent sessionizers — built-in session_window (complete
+    mode) and the applyInPandasWithState kernel — must produce identical
+    per-user session/event counts over the same backlog."""
+    native = {
+        r["user_id"]: (r["sessions"], r["events_seen"])
+        for r in streaming.streaming_session_windows(spark, sf_dir).collect()
+    }
+    custom = {
+        r["user_id"]: (r["sessions"], r["events_seen"])
+        for r in streaming.streaming_session_counts(spark, sf_dir).collect()
+    }
+    assert native == custom
