@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
         "session_summary": lambda spark, sf: events_analytics.session_summary(load_events(spark, sf)),
+        # -- product analytics: cohort retention + ordered funnel -----------
+        "cohort_retention": lambda spark, sf: events_analytics.cohort_retention(
+            load_events(spark, sf)
+        ),
+        "conversion_funnel": lambda spark, sf: events_analytics.conversion_funnel(
+            load_events(spark, sf)
+        ),
         # -- SCD Type-2 versioned dimension history -------------------------
         "customer_priority_scd2": lambda spark, sf: scd.customer_priority_scd2(
             _orders(spark, sf)

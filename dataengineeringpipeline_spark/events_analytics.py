@@ -215,3 +215,96 @@ def user_activity_summary(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_
             F.col("total_session_us") / F.col("session_count") / F.lit(60_000_000.0),
         )
     )
+
+
+def cohort_retention(events: DataFrame, period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their first
+    event; each later period's row counts how many of that cohort came
+    back. The canonical product-analytics rollup (the reference has
+    nothing like it; any event warehouse grows one).
+
+    Periods are integer epoch-day buckets (``day_idx div period_days``) —
+    no calendar/timezone arithmetic anywhere. Two shuffles total: the
+    per-user first-seen aggregation and the (cohort, offset) rollup over
+    distinct user-periods.
+    """
+    activity = events.select(
+        "user_id",
+        F.expr(f"datediff(event_date, date'1970-01-01') div {period_days}")
+        .cast("long")
+        .alias("period"),
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("period").alias("cohort_period"))
+    cohort_sizes = first.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_period", (F.col("period") - F.col("cohort_period")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+        .join(cohort_sizes, "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "cohort_users",
+            "active_users",
+            (F.col("active_users") / F.col("cohort_users")).alias("retention"),
+        )
+        .orderBy("cohort_period", "period_offset")
+    )
+
+
+#: Ordered step sequence for the demo conversion funnel.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def conversion_funnel(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered-sequence conversion funnel: a user completes step N when
+    their earliest step-N event STRICTLY follows their step-(N−1)
+    completion time (first-touch semantics, deterministic for any tie
+    layout because each step time is a min over an exact integer µs
+    predicate).
+
+    One shuffle on ``user_id``; each step is another window pass over
+    the same partitioning (no re-shuffle). Output: one row per step with
+    completing-user counts and conversion vs the previous step and vs
+    all users.
+    """
+    wu = Window.partitionBy("user_id")
+    df = events.select("user_id", "event_type", "ts_us")
+    prev: F.Column | None = None
+    step_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("ts_us") > prev)
+        col_name = f"_t{i}"
+        df = df.withColumn(col_name, F.min(F.when(cond, F.col("ts_us"))).over(wu))
+        prev = F.col(col_name)
+        step_cols.append(col_name)
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(c).alias(c) for c in step_cols]
+    )
+    total = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("users_total"),
+        *[
+            F.count(F.col(c)).cast("long").alias(f"_n{i}")
+            for i, c in enumerate(step_cols)
+        ],
+    )
+    rows = None
+    for i, step in enumerate(steps):
+        prev_n = F.col("users_total") if i == 0 else F.col(f"_n{i - 1}")
+        row = total.select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"_n{i}").alias("users_completed"),
+            F.when(prev_n > 0, F.col(f"_n{i}") / prev_n).alias("conversion_from_prev"),
+            F.when(
+                F.col("users_total") > 0, F.col(f"_n{i}") / F.col("users_total")
+            ).alias("conversion_from_start"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("step_idx")

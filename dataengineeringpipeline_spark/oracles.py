@@ -1739,6 +1739,70 @@ SELECT CAST(5 AS INTEGER) AS k,
     return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
 
 
+def _cohort_funnel_oracles() -> dict[str, str]:
+    from dataengineeringpipeline_spark.events_analytics import FUNNEL_STEPS
+
+    cohort_body = """
+SELECT a.cohort_period, a.period_offset, s.cohort_users, a.active_users,
+  CAST(a.active_users AS DOUBLE) / s.cohort_users AS retention
+FROM (
+  SELECT f.cohort_period, act.period - f.cohort_period AS period_offset,
+    CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM act JOIN first f ON act.user_id = f.user_id
+  GROUP BY 1, 2
+) a
+JOIN (
+  SELECT cohort_period, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY 1
+) s ON a.cohort_period = s.cohort_period
+ORDER BY a.cohort_period, a.period_offset
+""".strip()
+    act = (
+        "SELECT DISTINCT user_id,"
+        " CAST((event_date - DATE '1970-01-01') // 7 AS BIGINT) AS period FROM ev"
+    )
+    first = "SELECT user_id, MIN(period) AS cohort_period FROM act GROUP BY user_id"
+    cohort = _with({"ev": EVENTS_BASE, "act": act, "first": first}, cohort_body)
+
+    t_defs, prev = [], None
+    for i, step in enumerate(FUNNEL_STEPS):
+        cond = f"event_type = '{step}'"
+        if prev is not None:
+            cond += f" AND ts_us > {prev}"
+        t_defs.append(f"MIN(CASE WHEN {cond} THEN ts_us END) OVER (PARTITION BY user_id) AS _t{i}")
+        prev = f"_t{i}"
+    # nested selects so each step's window can reference the previous one
+    inner = "SELECT user_id, event_type, ts_us FROM ev"
+    for i in range(len(FUNNEL_STEPS)):
+        inner = f"SELECT *, {t_defs[i]} FROM ({inner})"
+    per_user = (
+        f"SELECT user_id, {', '.join(f'MAX(_t{i}) AS _t{i}' for i in range(len(FUNNEL_STEPS)))} "
+        f"FROM ({inner}) GROUP BY user_id"
+    )
+    totals = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS users_total, "
+        + ", ".join(
+            f"CAST(COUNT(_t{i}) AS BIGINT) AS _n{i}" for i in range(len(FUNNEL_STEPS))
+        )
+        + " FROM pu"
+    )
+    step_rows = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        prev_n = "users_total" if i == 0 else f"_n{i - 1}"
+        step_rows.append(
+            f"SELECT CAST({i + 1} AS INTEGER) AS step_idx, '{step}' AS step,"
+            f" _n{i} AS users_completed,"
+            f" CASE WHEN {prev_n} > 0 THEN CAST(_n{i} AS DOUBLE) / {prev_n} END AS conversion_from_prev,"
+            f" CASE WHEN users_total > 0 THEN CAST(_n{i} AS DOUBLE) / users_total END AS conversion_from_start"
+            " FROM t"
+        )
+    funnel = _with(
+        {"ev": EVENTS_BASE, "pu": per_user, "t": totals},
+        " UNION ALL ".join(step_rows) + " ORDER BY step_idx",
+    )
+    return {"cohort_retention": cohort, "conversion_funnel": funnel}
+
+
 def _session_window_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.streaming import DEFAULT_SESSION_GAP_MINUTES
 
@@ -1927,3 +1991,4 @@ ORACLES.update(_scd_oracles())
 ORACLES.update(_histogram_oracles())
 ORACLES.update(_anomaly_oracles())
 ORACLES.update(_session_window_oracles())
+ORACLES.update(_cohort_funnel_oracles())

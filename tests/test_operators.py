@@ -549,3 +549,23 @@ def test_pq_encode_properties_and_rerank_dominates_adc(spark, sf_dir):
     r = s.pq_recall(emb).collect()[0]
     assert r["rerank_hits"] >= r["adc_hits"]
     assert r["exact_pairs"] >= r["rerank_hits"]
+
+
+def test_funnel_monotone_and_cohort_offset_zero_full(spark, sf_dir):
+    """Funnel step counts can only shrink along the sequence; a cohort's
+    offset-0 row is by definition every cohort member (retention 1.0)."""
+    from dataengineeringpipeline_spark import events_analytics as ea
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    ev = load_events(spark, sf_dir)
+    steps = ea.conversion_funnel(ev).collect()
+    counts = [r["users_completed"] for r in sorted(steps, key=lambda r: r["step_idx"])]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["conversion_from_prev"] <= 1.0 for r in steps)
+
+    rows = ea.cohort_retention(ev).collect()
+    for r in rows:
+        if r["period_offset"] == 0:
+            assert r["active_users"] == r["cohort_users"]
+            assert r["retention"] == 1.0
+        assert 0 < r["active_users"] <= r["cohort_users"]
