@@ -271,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
         "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
+        "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
+            _silver_orders(spark, sf)
+        ),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
         "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
             _silver_orders(spark, sf)

@@ -455,3 +455,36 @@ def top_n(df: DataFrame, order_col: str, n: int = 1, tiebreak: str | None = None
     this as TakeOrderedAndProject (no full sort)."""
     keys = [F.desc(order_col)] + ([F.asc(tiebreak)] if tiebreak else [])
     return df.orderBy(*keys).limit(n)
+
+
+def status_priority_cube(silver_orders: DataFrame) -> DataFrame:
+    """All four grouping-set combinations of (status, priority) in ONE
+    aggregation pass (``df.cube`` — like :func:`sales_rollup`, the
+    grouping sets expand before the shuffle so map-side partial
+    aggregation still applies; four separate groupBys would scan the
+    fact four times). ``grouping()`` flags disambiguate subtotal rows
+    from genuine key values, and the sort keys include them so the
+    output order is fully deterministic."""
+    return (
+        silver_orders.cube("order_status", "order_priority")
+        .agg(
+            F.count("*").alias("total_orders"),
+            money_sum("total_price", "total_revenue"),
+            F.grouping("order_status").cast("int").alias("status_is_total"),
+            F.grouping("order_priority").cast("int").alias("priority_is_total"),
+        )
+        .select(
+            "order_status",
+            "order_priority",
+            "status_is_total",
+            "priority_is_total",
+            "total_orders",
+            "total_revenue",
+        )
+        .orderBy(
+            "status_is_total",
+            "priority_is_total",
+            F.asc_nulls_first("order_status"),
+            F.asc_nulls_first("order_priority"),
+        )
+    )

@@ -211,6 +211,18 @@ GROUP BY ROLLUP(order_year, order_month)
 ORDER BY order_year NULLS FIRST, order_month NULLS FIRST
 """.strip()
 
+_CUBE_BODY = f"""
+SELECT order_status, order_priority,
+  CAST(GROUPING(order_status) AS INTEGER) AS status_is_total,
+  CAST(GROUPING(order_priority) AS INTEGER) AS priority_is_total,
+  COUNT(*) AS total_orders,
+  {money_sum_sql('total_price')} AS total_revenue
+FROM silver_orders
+GROUP BY CUBE(order_status, order_priority)
+ORDER BY status_is_total, priority_is_total,
+  order_status NULLS FIRST, order_priority NULLS FIRST
+""".strip()
+
 _PRIORITY_BODY = f"""
 SELECT order_priority, total_orders, priority_revenue,
   priority_revenue / CAST(CAST(SUM(CAST(priority_revenue AS DECIMAL(27,2))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
@@ -1284,6 +1296,7 @@ ORACLES: dict[str, str] = {
     ),
     "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
     "sales_rollup": _with({"silver_orders": SILVER_ORDERS}, _ROLLUP_BODY),
+    "status_priority_cube": _with({"silver_orders": SILVER_ORDERS}, _CUBE_BODY),
     "salted_status_summary": _with(
         {"silver_orders": SILVER_ORDERS},
         f"""
