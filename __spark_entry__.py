@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_lifetime_metrics": lambda spark, sf: gold.customer_lifetime_metrics(
             _silver_orders(spark, sf)
         ),
+        "customer_value_deciles": lambda spark, sf: gold.customer_value_deciles(
+            _silver_orders(spark, sf)
+        ),
         "customer_analytics": lambda spark, sf: gold.customer_analytics(
             _silver_customers(spark, sf), _silver_orders(spark, sf)
         ),

@@ -488,3 +488,38 @@ def status_priority_cube(silver_orders: DataFrame) -> DataFrame:
             F.asc_nulls_first("order_priority"),
         )
     )
+
+
+def customer_value_deciles(silver_orders: DataFrame) -> DataFrame:
+    """Decile segmentation of customers by lifetime value (`ntile(10)`
+    with a customer-key tiebreak, so bucket membership is deterministic
+    for any spend-tie layout), rolled up to one row per decile with the
+    value range and totals each decile contributes.
+
+    Plan: one per-customer aggregation, one global ntile window (sorting
+    only the ~|customers| aggregate rows, never order lines), one tiny
+    10-row rollup.
+    """
+    ltv = customer_lifetime_metrics(silver_orders).select(
+        "customer_key", "lifetime_value", "total_orders"
+    )
+    w = Window.orderBy(F.desc("lifetime_value"), F.asc("customer_key"))
+    return (
+        ltv.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("customers"),
+            F.min("lifetime_value").alias("min_ltv"),
+            F.max("lifetime_value").alias("max_ltv"),
+            money_sum("lifetime_value", "decile_value"),
+            sum_long(F.col("total_orders"), "decile_orders"),
+        )
+        .withColumn(
+            "value_share",
+            F.col("decile_value")
+            / F.sum(F.col("decile_value").cast("decimal(27,2)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+        )
+        .orderBy("decile")
+    )

@@ -223,6 +223,27 @@ ORDER BY status_is_total, priority_is_total,
   order_status NULLS FIRST, order_priority NULLS FIRST
 """.strip()
 
+_DECILE_BODY = f"""
+SELECT decile, customers, min_ltv, max_ltv, decile_value, decile_orders,
+  decile_value / CAST(CAST(SUM(CAST(decile_value AS DECIMAL(27,2))) OVER () AS VARCHAR) AS DOUBLE) AS value_share
+FROM (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS customers,
+    MIN(lifetime_value) AS min_ltv, MAX(lifetime_value) AS max_ltv,
+    {money_sum_sql('lifetime_value')} AS decile_value,
+    {sum_long_sql('total_orders')} AS decile_orders
+  FROM (
+    SELECT customer_key, lifetime_value, total_orders,
+      CAST(NTILE(10) OVER (ORDER BY lifetime_value DESC, customer_key ASC) AS INTEGER) AS decile
+    FROM (
+      SELECT customer_key, COUNT(*) AS total_orders,
+        {money_sum_sql('total_price')} AS lifetime_value
+      FROM silver_orders WHERE is_complete_order GROUP BY customer_key
+    )
+  ) GROUP BY decile
+)
+ORDER BY decile
+""".strip()
+
 _PRIORITY_BODY = f"""
 SELECT order_priority, total_orders, priority_revenue,
   priority_revenue / CAST(CAST(SUM(CAST(priority_revenue AS DECIMAL(27,2))) OVER () AS VARCHAR) AS DOUBLE) * 100.0 AS revenue_share_pct,
@@ -1297,6 +1318,7 @@ ORACLES: dict[str, str] = {
     "monthly_sales_summary": _with({"silver_orders": SILVER_ORDERS}, _MONTHLY_BODY),
     "sales_rollup": _with({"silver_orders": SILVER_ORDERS}, _ROLLUP_BODY),
     "status_priority_cube": _with({"silver_orders": SILVER_ORDERS}, _CUBE_BODY),
+    "customer_value_deciles": _with({"silver_orders": SILVER_ORDERS}, _DECILE_BODY),
     "salted_status_summary": _with(
         {"silver_orders": SILVER_ORDERS},
         f"""
