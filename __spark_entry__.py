@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- product quantization (64x-compressed ADC + exact re-rank) ------
         "pq_ann_topk": lambda spark, sf: sim_ops.pq_topk_rerank(_read(spark, sf, "embeddings")),
         "pq_ann_recall": lambda spark, sf: sim_ops.pq_recall(_read(spark, sf, "embeddings")),
+        # -- IVF+PQ composed (FAISS-IVFPQ topology: probe -> ADC -> re-rank)
+        "ann_ivfpq_topk": lambda spark, sf: sim_ops.ann_ivfpq_topk(
+            _read(spark, sf, "embeddings")
+        ),
         # -- structured streaming (availableNow drain over the backlog) -----
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,

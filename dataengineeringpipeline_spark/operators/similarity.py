@@ -402,6 +402,33 @@ def pq_topk(
     codebook = pq_codebook(embeddings) if codebook is None else codebook
     codebook = tracked_persist(codebook)  # consumed by encode + query tables
     encoded = pq_encode(embeddings, codebook)
+    qt = _pq_query_tables(embeddings, codebook, query_mod)
+    scored = (
+        F.broadcast(qt)
+        .join(encoded, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            _adc_dist().alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_query_tables(
+    embeddings: DataFrame, codebook: DataFrame, query_mod: int
+) -> DataFrame:
+    """Per-query ADC lookup tables: ``tab[m*PQ_K + code + 1]`` is the
+    exact squared L2 from the query's m-th subvector to codeword
+    ``(m, code)`` — 128 doubles per query, trivially broadcastable.
+    ``transform()`` passes the element index, which IS the subspace
+    (``cb`` is m-ordered)."""
     cb_row = _codebook_row(codebook)
     q = (
         with_norms(embeddings)
@@ -411,8 +438,6 @@ def pq_topk(
             F.transform("e", lambda x: x / F.col("nrm")).alias("qu"),
         )
     )
-    # tab[m*PQ_K + code + 1] = ‖q_sub_m − cw_{m,code}‖²; transform() passes
-    # the element index, which IS the subspace (cb is m-ordered).
     tab = F.flatten(
         F.transform(
             F.col("cb"),
@@ -421,28 +446,17 @@ def pq_topk(
             ),
         )
     )
-    qt = q.join(F.broadcast(cb_row)).select("query_id", tab.alias("tab"))
-    approx = F.aggregate(
+    return q.join(F.broadcast(cb_row)).select("query_id", tab.alias("tab"))
+
+
+def _adc_dist() -> Column:
+    """ADC distance of a ``codes`` row against the query's ``tab``:
+    ``Σ_m tab[m][codes[m]]`` — 8 array lookups per corpus vector."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
         lambda acc, m: acc
         + F.element_at(F.col("tab"), (m * PQ_K + F.element_at(F.col("codes"), m + 1) + 1).cast("int")),
-    )
-    scored = (
-        F.broadcast(qt)
-        .join(encoded, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            approx.alias("approx_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -531,6 +545,68 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
             (F.col("rerank_hits") / F.col("exact_pairs")).alias("rerank_recall"),
         )
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    query_mod: int = 100,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF+PQ composed — the FAISS-IVFPQ production ANN topology, built
+    entirely from this module's pieces:
+
+    1. coarse cells (:func:`ivf_assign`) prune the corpus to the
+       query's ``nprobe`` probed cells (~nprobe/cells of the data);
+    2. ADC over the 64×-compressed codes (:func:`pq_encode`) scores
+       ONLY those cells' vectors — 8 table lookups each, no
+       full-precision reads;
+    3. the per-query ``shortlist`` survivors are re-ranked with exact
+       cosine against the full vectors (a |Q|·shortlist broadcast join).
+
+    At 100 TB this is the only ANN shape that works: the corpus is
+    touched once to assign+encode (map-only, broadcast quantizers), the
+    per-query work is proportional to probed-cell code bytes, and full
+    vectors are read for shortlist rows alone. Everything is
+    deterministic (fixed data-derived quantizers, lowest-id ties), so
+    the DuckDB oracle reproduces it bit-exactly.
+    """
+    codebook = tracked_persist(pq_codebook(embeddings))
+    assign = ivf_assign(embeddings, centroid_mod).select("vec_id", "centroid_id")
+    enc_cells = pq_encode(embeddings, codebook).join(assign, "vec_id")
+    cents = ivf_centroids(embeddings, centroid_mod)
+    q = with_norms(embeddings).filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    qt = _pq_query_tables(embeddings, codebook, query_mod)
+    cand = (
+        enc_cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qt), "query_id")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_dist().alias("approx_dist")
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_shortlist(embeddings, short, k, query_mod)
 
 
 def semantic_dup_clusters(

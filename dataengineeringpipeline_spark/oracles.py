@@ -1771,7 +1771,49 @@ SELECT CAST(5 AS INTEGER) AS k,
   (SELECT count(*) FROM exact_tk e JOIN rr_tk r USING (query_id, neighbor_id))
     / (SELECT count(*) FROM exact_tk) AS rerank_recall
 """.strip()
-    return {"pq_ann_topk": pq_topk, "pq_ann_recall": pq_recall}
+    from dataengineeringpipeline_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_NPROBE,
+    )
+
+    ivf_cells = _IVF_CELLS.format(cmod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE)
+    ivfpq_topk = f"""
+WITH n AS ({_EMB_NORMS}),
+{ivf_cells},
+{ctes},
+pranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rk
+  FROM (
+    SELECT qt.query_id, enc.vec_id AS neighbor_id,
+      list_reduce(list(qt.d ORDER BY qt.m), (a, b) -> a + b) AS approx_dist
+    FROM enc
+    JOIN assign a2 ON a2.vec_id = enc.vec_id
+    JOIN probes p ON p.centroid_id = a2.centroid_id
+    JOIN qt ON enc.m = qt.m AND enc.code = qt.code AND qt.query_id = p.query_id
+    WHERE enc.vec_id <> qt.query_id
+    GROUP BY qt.query_id, enc.vec_id
+  )
+),
+prr AS (
+  SELECT query_id, neighbor_id, label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM (
+    SELECT s.query_id, s.neighbor_id, v.label,
+      list_reduce(list_transform(range(1, 65), i -> q2.e[i] * v.e[i]), (a, b) -> a + b) / (q2.nrm * v.nrm) AS cosine
+    FROM (SELECT query_id, neighbor_id FROM pranked WHERE rk <= {PQ_SHORTLIST}) s
+    JOIN n q2 ON q2.vec_id = s.query_id
+    JOIN n v ON v.vec_id = s.neighbor_id
+  )
+)
+SELECT query_id, neighbor_id, label, cosine, CAST(rk AS INTEGER) AS rank
+FROM prr WHERE rk <= 5 ORDER BY query_id, rank
+""".strip()
+    return {
+        "pq_ann_topk": pq_topk,
+        "pq_ann_recall": pq_recall,
+        "ann_ivfpq_topk": ivfpq_topk,
+    }
 
 
 def _cohort_funnel_oracles() -> dict[str, str]:

@@ -569,3 +569,21 @@ def test_funnel_monotone_and_cohort_offset_zero_full(spark, sf_dir):
             assert r["active_users"] == r["cohort_users"]
             assert r["retention"] == 1.0
         assert 0 < r["active_users"] <= r["cohort_users"]
+
+
+def test_ivfpq_with_all_cells_probed_equals_pq_rerank(spark, sf_dir):
+    """With nprobe >= the cell count the IVF restriction vanishes, so
+    IVF+PQ must reduce to exactly the plain PQ shortlist + re-rank —
+    the composition adds pruning, never different answers."""
+    from dataengineeringpipeline_spark.operators import similarity as s
+
+    emb = _embeddings(spark, sf_dir)
+    full = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in s.ann_ivfpq_topk(emb, nprobe=10**6).collect()
+    ]
+    plain = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in s.pq_topk_rerank(emb).collect()
+    ]
+    assert sorted(full) == sorted(plain)
