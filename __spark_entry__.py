@@ -183,6 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
             load_events(spark, sf)
         ),
+        # -- leakage-safe splits (cluster-hashed train/val/test) ------------
+        "split_summary": lambda spark, sf: sampling_ops.split_summary(
+            _read(spark, sf, "documents")
+        ),
         # -- domain-mix planning + hash-deterministic sampling --------------
         "domain_mix_summary": lambda spark, sf: mix_ops.domain_mix_summary(
             _read(spark, sf, "documents")

@@ -15,7 +15,7 @@ trick as the MinHash/LSH plane recipes in this repo).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Per-class keep rates (per mille) for the demo query: downsample the
@@ -52,6 +52,63 @@ def stratified_sample(
         rate = branch if rate is None else rate.when(F.col(class_col) == cls, F.lit(r))
     rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
     return df.filter(per_mille_bucket(key_col) < rate)
+
+
+#: Default split budget (per mille): 80 / 10 / 10.
+SPLIT_TRAIN_PM = 800
+SPLIT_VAL_PM = 100
+
+
+def leakage_safe_splits(
+    docs: DataFrame, train_pm: int = SPLIT_TRAIN_PM, val_pm: int = SPLIT_VAL_PM
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split decision hashes the document's *dedup cluster id*
+    (its own id when unclustered), so every member of a near-dup cluster
+    lands in the same split — the guard that keeps eval sets honest when
+    the corpus contains paraphrase/boilerplate families. Random per-doc
+    splitting would put one copy in train and its twin in test.
+
+    Same pure key-hash membership as :func:`stratified_sample` —
+    deterministic under repartitioning, retries, and engine swaps.
+    Returns ``(doc_id, split_key, bucket, split)``.
+    """
+    from dataengineeringpipeline_spark.operators.dedup import minhash_dup_clusters
+
+    clusters = minhash_dup_clusters(docs).select("doc_id", "cluster_id")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = per_mille_bucket(key)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            bucket.cast("long").alias("bucket"),
+            F.when(bucket < train_pm, "train")
+            .when(bucket < train_pm + val_pm, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def split_summary(
+    docs: DataFrame, train_pm: int = SPLIT_TRAIN_PM, val_pm: int = SPLIT_VAL_PM
+) -> DataFrame:
+    """Driver-contract query: per-split doc and distinct-cluster counts
+    plus achieved share for :func:`leakage_safe_splits`."""
+    assigned = leakage_safe_splits(docs, train_pm, val_pm)
+    total = Window.partitionBy()
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.countDistinct("split_key").cast("long").alias("split_keys"),
+        )
+        .withColumn("doc_share", F.col("docs") / F.sum("docs").over(total))
+        .orderBy("split")
+    )
 
 
 def stratified_sample_summary(events: DataFrame) -> DataFrame:

@@ -1095,8 +1095,40 @@ FROM pk_packed
 """.strip(),
     )
 
+    from dataengineeringpipeline_spark.operators.sampling import (
+        SPLIT_TRAIN_PM,
+        SPLIT_VAL_PM,
+    )
+
+    split_summary_sql = _with_recursive(
+        {
+            **cluster_ctes,
+            "clusters": clusters_cte,
+            "assigned": (
+                "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key "
+                "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id"
+            ),
+            "b": (
+                "SELECT doc_id, split_key,"
+                " ((split_key % 1000003) * 2654435761) % 1000 AS bucket FROM assigned"
+            ),
+        },
+        f"""
+SELECT split, docs, split_keys, CAST(docs AS DOUBLE) / SUM(docs) OVER () AS doc_share
+FROM (
+  SELECT CASE WHEN bucket < {SPLIT_TRAIN_PM} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PM + SPLIT_VAL_PM} THEN 'val'
+              ELSE 'test' END AS split,
+    CAST(COUNT(*) AS BIGINT) AS docs,
+    CAST(COUNT(DISTINCT split_key) AS BIGINT) AS split_keys
+  FROM b GROUP BY 1
+) ORDER BY split
+""".strip(),
+    )
+
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
+        "split_summary": split_summary_sql,
         "minhash_dup_clusters": minhash_clusters,
         "dedup_survivors": dedup_survivors_sql,
         "training_corpus_funnel": funnel_sql,

@@ -587,3 +587,25 @@ def test_ivfpq_with_all_cells_probed_equals_pq_rerank(spark, sf_dir):
         for r in s.pq_topk_rerank(emb).collect()
     ]
     assert sorted(full) == sorted(plain)
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
+    """No dedup cluster may straddle two splits (the whole point), and
+    assignment must be deterministic under repartitioning."""
+    from dataengineeringpipeline_spark.operators import dedup, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = sampling.leakage_safe_splits(docs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in assigned}
+    clusters = dedup.minhash_dup_clusters(docs).collect()
+    by_cluster: dict[int, set] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(split_of[r["doc_id"]])
+    assert by_cluster, "test corpus has no dup clusters - guard untestable"
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, f"cluster {cid} spans {splits}"
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_safe_splits(docs.repartition(13)).collect()
+    }
+    assert again == split_of
