@@ -128,7 +128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_eval": lambda spark, sf: text_ops.language_id_eval(
             _read(spark, sf, "documents")
         ),
-        "doc_fingerprints": lambda spark, sf: text_ops.fingerprint(_read(spark, sf, "documents")),
         "repetition_stats": lambda spark, sf: text_ops.repetition_stats(
             _read(spark, sf, "documents")
         ),
@@ -217,7 +216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
-        "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
         "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
             load_events(spark, sf)
         ),
@@ -242,9 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _orders(spark, sf)
         ),
         # -- incremental ingestion + feature store --------------------------
-        "incremental_events": lambda spark, sf: ingest.incremental_events(
-            load_events(spark, sf)
-        ),
         "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
             load_events(spark, sf)
         ),
@@ -270,6 +265,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_driven_features": lambda spark, sf: rules.rule_driven_features(
             gold.customer_lifetime_metrics(_silver_orders(spark, sf))
         ),
+        "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
+            _silver_orders(spark, sf)
+        ),
+        "customer_value_deciles": lambda spark, sf: gold.customer_value_deciles(
+            _silver_orders(spark, sf)
+        ),
+        "dq_daily_anomalies": lambda spark, sf: quality.daily_volume_anomalies(
+            _silver_orders(spark, sf)
+        ),
         # -- ML feature engineering (A4 + §2.8 + deterministic split) -------
         "ml_customer_features": lambda spark, sf: features.ml_customer_features(
             _silver_orders(spark, sf)
@@ -279,17 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
         "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
-        "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
-            _silver_orders(spark, sf)
-        ),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),
         "comprehensive_sales_summary": lambda spark, sf: gold.comprehensive_sales_summary(
             _silver_orders(spark, sf)
         ),
         "customer_lifetime_metrics": lambda spark, sf: gold.customer_lifetime_metrics(
-            _silver_orders(spark, sf)
-        ),
-        "customer_value_deciles": lambda spark, sf: gold.customer_value_deciles(
             _silver_orders(spark, sf)
         ),
         "customer_analytics": lambda spark, sf: gold.customer_analytics(
@@ -318,9 +316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _orders(spark, sf), "o_totalprice"
         ),
         "dq_referential_integrity": _dq_referential_integrity,
-        "dq_daily_anomalies": lambda spark, sf: quality.daily_volume_anomalies(
-            _silver_orders(spark, sf)
-        ),
         "dq_quarantine_rows": lambda spark, sf: quality.failing_rows(
             _silver_orders(spark, sf), QUARANTINE_RULES
         ).select("order_key", "order_status", "total_price", "order_date").orderBy("order_key"),
@@ -331,6 +326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows), and everything here is still oracle-checked by
         # tests/test_oracle_parity.py.
         # -- event analytics near-duplicates --------------------------------
+        "doc_fingerprints": lambda spark, sf: text_ops.fingerprint(_read(spark, sf, "documents")),
+        "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
+        "incremental_events": lambda spark, sf: ingest.incremental_events(
+            load_events(spark, sf)
+        ),
         "hourly_event_summary": lambda spark, sf: events_analytics.hourly_event_summary(
             load_events(spark, sf)
         ),
