@@ -37,9 +37,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: Events parquet schema with nanosecond timestamps read as raw BIGINT
-#: (the vectorized reader rejects TIMESTAMP(NANOS) otherwise).
-EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+#: Events schema template; ``{ts}`` is filled with the type the parquet
+#: writer actually used (bigint = raw nanos under the ``nanosAsLong``
+#: conf, else timestamp / timestamp_ntz = TIMESTAMP(MICROS)). A stream
+#: source cannot infer schemas, so :func:`stream_events` probes the batch
+#: reader once and emits the matching DDL — keeping the stream an exact
+#: twin of :func:`dataengineeringpipeline_spark.datalake.load_events`
+#: whichever way the testdata is typed.
+EVENTS_DDL_TEMPLATE = (
+    "event_id bigint, ts {ts}, user_id bigint, event_type string, value double, props string"
+)
+
+#: Nanos-as-bigint instance of the template — synthetic-file tests write
+#: this shape directly.
+EVENTS_DDL = EVENTS_DDL_TEMPLATE.format(ts="bigint")
 
 DEFAULT_SESSION_GAP_MINUTES = 30
 
@@ -47,19 +58,33 @@ DEFAULT_SESSION_GAP_MINUTES = 30
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over ``<sf_dir>/events.parquet`` with the batch
     loader's integer-µs event-time columns plus a proper TimestampType
-    ``event_ts`` for watermarks/windows (epoch-µs based → tz-free)."""
+    ``event_ts`` for watermarks/windows (epoch-µs based → tz-free).
+
+    The ``ts`` physical type is probed from the batch reader (one footer
+    read, no data scan) and both the stream DDL and the µs derivation
+    adapt via :func:`~dataengineeringpipeline_spark.datalake.raw_ts_us_expr`
+    — the stream and :func:`~dataengineeringpipeline_spark.datalake.load_events`
+    can never disagree on event time regardless of how the parquet writer
+    typed the column (raw-nanos BIGINT vs TIMESTAMP(MICROS))."""
+    from ..datalake import raw_ts_us_expr
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_type = dict(probe.dtypes)["ts"]
+    ts_us = raw_ts_us_expr(ts_type)
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(EVENTS_DDL_TEMPLATE.format(ts=ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        raw.withColumn("ts_us", F.expr(ts_us))
         .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
         .withColumn(
             "event_date",
-            F.expr("date_add(date'1970-01-01', cast((ts div 1000) div 86400000000 as int))"),
+            F.expr(f"date_add(date'1970-01-01', cast(({ts_us}) div 86400000000 as int))"),
         )
     )
 
@@ -600,11 +625,19 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming_session_counts",
         output_mode="update",
     )
-    # update-mode memory sink may hold one row per micro-batch per user;
-    # the final state per user is the max-events row.
+    # update-mode memory sink holds one row per micro-batch per user; the
+    # final state per user is the row with the most events seen. max over
+    # a (events_seen, sessions) struct is totally ordered — deterministic
+    # even if the sink retained duplicate rows for the same state (max_by
+    # alone breaks ties by encounter order, which depends on retention).
     t = spark.table("streaming_session_counts")
     return (
         t.groupBy("user_id")
-        .agg(F.max_by("sessions", "events_seen").alias("sessions"), F.max("events_seen").alias("events_seen"))
+        .agg(F.max(F.struct("events_seen", "sessions")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.sessions").alias("sessions"),
+            F.col("s.events_seen").alias("events_seen"),
+        )
         .orderBy("user_id")
     )

@@ -10,6 +10,79 @@ from dataengineeringpipeline_spark import events_analytics, streaming
 from dataengineeringpipeline_spark.datalake import load_events
 
 
+def test_stream_events_ts_matches_batch_loader(spark, sf_dir):
+    """stream_events must derive the SAME integer-µs event time as
+    load_events regardless of how the testdata parquet types ``ts``
+    (raw-nanos BIGINT vs TIMESTAMP(MICROS)) — a type flip in a future
+    round must not silently shear the stream off the batch twin again."""
+    streaming.run_available_now(
+        streaming.stream_events(spark, sf_dir).agg(
+            F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"), F.count("*").alias("n")
+        ),
+        "t_ts_parity",
+    )
+    got = spark.table("t_ts_parity").collect()[0]
+    want = load_events(spark, sf_dir).agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (got["lo"], got["hi"], got["n"]) == (want["lo"], want["hi"], want["n"])
+
+
+def test_session_counts_stable_across_multi_batch_drain(spark, sf_dir, tmp_path):
+    """streaming_session_counts' final answer must not depend on how many
+    micro-batches the backlog drained in: split events across 3 files,
+    drain with maxFilesPerTrigger=1 (update-mode sink then retains one row
+    per user PER BATCH), and require per-user parity with the batch
+    sessionizer."""
+    import os as _os
+
+    src = tmp_path / "multi"
+    src.mkdir()
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    step = (hi - lo) // 3 + 1
+    # time-ordered tercile files with increasing mtimes: the file source
+    # replays them as in-order micro-batches (the kernel's delivery
+    # contract — sessions legitimately spanning file boundaries exercise
+    # the carried state).
+    for i in range(3):
+        sub = src / f"part{i}"
+        ev.filter(
+            (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+        ).select(
+            "event_id", (F.col("ts_us") * 1000).alias("ts"), "user_id", "event_type",
+            "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(str(sub))
+        for root, _d, files in _os.walk(str(sub)):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (1000 * (i + 1), 1000 * (i + 1)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(streaming.EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part*"))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    streaming.run_available_now(
+        streaming.sessionize_stream(stream), "t_multi_batch_sessions", output_mode="update"
+    )
+    t = spark.table("t_multi_batch_sessions")
+    final = (
+        t.groupBy("user_id")
+        .agg(F.max(F.struct("events_seen", "sessions")).alias("s"))
+        .select("user_id", F.col("s.sessions").alias("sessions"))
+    )
+    batch = (
+        events_analytics.sessionize(ev)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("sessions"))
+    )
+    diff = final.join(batch, "user_id").filter(final["sessions"] != batch["sessions"]).count()
+    assert diff == 0
+    assert final.count() == batch.count()
+
+
 def test_stream_equals_batch_hourly(spark, sf_dir):
     streaming.run_available_now(
         streaming.hourly_stream_counts(streaming.stream_events(spark, sf_dir)),
