@@ -111,15 +111,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering is deliberate: the driver's correctness record covers the
     first ~50 entries in insertion order, so entries are ranked by
-    novelty/risk — LLM training-data ops (text, dedup, mix, multimodal,
-    sampling, similarity/PQ) first, then streaming/events/SCD2, then the
-    long-stable gold aggregations and DQ checks, and finally the silver
-    basics (exercised transitively by every gold query). Everything past
-    the window is still oracle-checked by the pytest parity suite
+    novelty/risk — streaming first (the entries that went red in round 2
+    when the events parquet changed ts type; leading the window means any
+    future testdata flip is caught by the driver, not just by pytest),
+    then LLM training-data ops (text, dedup, mix, multimodal, sampling,
+    similarity/PQ), then events/SCD2, then the long-stable gold
+    aggregations and DQ checks, and finally the silver basics (exercised
+    transitively by every gold query). Everything past the window is
+    still oracle-checked by the pytest parity suite
     (tests/test_oracle_parity.py runs ALL entries regardless of
     position).
     """
     return {
+        # -- structured streaming (availableNow drain over the backlog) -----
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,
+        "streaming_severity_counts": streaming.streaming_severity_counts,
+        "streaming_session_counts": streaming.streaming_session_counts,
+        "streaming_session_windows": streaming.streaming_session_windows,
+        "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
         "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),
         "text_quality": lambda spark, sf: text_ops.quality_score(
@@ -209,12 +218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": lambda spark, sf: sim_ops.ann_ivfpq_topk(
             _read(spark, sf, "embeddings")
         ),
-        # -- structured streaming (availableNow drain over the backlog) -----
-        "streaming_hourly_counts": streaming.streaming_hourly_counts,
-        "streaming_severity_counts": streaming.streaming_severity_counts,
-        "streaming_session_counts": streaming.streaming_session_counts,
-        "streaming_session_windows": streaming.streaming_session_windows,
-        "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         # -- event analytics (§2.9 batch side + lag/lead sessionization) ----
         "sliding_window_summary": lambda spark, sf: events_analytics.sliding_window_summary(
             load_events(spark, sf)

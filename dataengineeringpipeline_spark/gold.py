@@ -358,9 +358,12 @@ def category_performance(silver_lineitems: DataFrame, silver_parts: DataFrame) -
     the *large* fact table).
 
     Plan shape at 100 TB: lineitem aggregates **first** on ``part_key``
-    (map-side partial agg shrinks the shuffle), then broadcast-joins the
-    parts dim, then re-aggregates on the low-cardinality category — never
-    join the raw fact to the dim before reducing it.
+    (map-side partial agg shrinks the shuffle to ~|part| rows), then
+    broadcast-joins the parts dim, then re-aggregates on the
+    low-cardinality category. ``distinct_parts`` is a plain ``count``
+    over the per-part rows — they are unique by construction, and a
+    ``countDistinct`` here would re-plan as a second distinct-agg
+    shuffle for nothing.
     """
     per_part = silver_lineitems.groupBy("part_key").agg(
         money_sum("net_revenue", "part_revenue", scale=4),
@@ -374,7 +377,7 @@ def category_performance(silver_lineitems: DataFrame, silver_parts: DataFrame) -
             money_sum("part_revenue", "category_revenue", scale=4),
             F.sum("part_quantity").alias("category_quantity"),
             F.sum("line_count").alias("line_count"),
-            F.countDistinct("part_key").alias("distinct_parts"),
+            F.count("part_key").alias("distinct_parts"),
         )
     )
     total_w = Window.partitionBy()

@@ -297,17 +297,20 @@ def incremental_events(events: DataFrame, watermark_us: int = DEMO_WATERMARK_US)
     slice strictly past the stored watermark, with deterministic audit
     columns (run id instead of wall clock)."""
     # The exact predicate sits on the derived ts_us, which cannot reach
-    # the parquet scan. Add the (equivalent) raw-column twin so
+    # the parquet scan. Add the equivalent raw-column twin so
     # row-group/partition pruning happens at the source — at 100 TB this
     # is the difference between reading the new tail and scanning the
     # table. `.explain` shows PushedFilters: [GreaterThan(ts, ...)] with
     # it, only IsNotNull(ts) without. The literal's type must match the
     # raw column's (see datalake.raw_ts_us_expr); a constant-folded
-    # timestampadd stays pushdown-eligible.
+    # timestampadd stays pushdown-eligible. In the raw-nanos branch,
+    # ts_us > w  ⟺  ts div 1000 > w  ⟺  ts >= (w+1)*1000 — the >= form
+    # is the exact twin (a plain ts > w*1000 would admit the
+    # sub-microsecond remainder rows with ts_us == w).
     if "ts" in events.columns:
         raw_t = dict(events.dtypes).get("ts", "").lower()
         if raw_t in ("bigint", "long"):
-            events = events.filter(F.col("ts") > F.lit(watermark_us * 1000))
+            events = events.filter(F.col("ts") >= F.lit((watermark_us + 1) * 1000))
         elif raw_t == "timestamp_ntz":
             events = events.filter(F.expr(
                 f"ts > timestampadd(MICROSECOND, {watermark_us}, TIMESTAMP_NTZ'1970-01-01 00:00:00')"

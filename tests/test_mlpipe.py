@@ -79,9 +79,37 @@ def test_train_regressor_rf_and_gbt(feats):
         assert metrics["r2"] > 0.0, mt
 
 
-def test_random_search_is_deterministic_and_in_range(feats):
-    out1 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
-    out2 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
+def test_random_search_is_deterministic_and_in_range(sf_dir):
+    """Runs on a FRESH JVM (subprocess): back-to-back seeded GBT sweeps
+    are determinism-critical but JVM-state-heavy — under suite-level
+    session churn the shared JVM has crashed in ObjectOutputStream during
+    GBT broadcast (passes in isolation), so isolate instead of flaking."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import cleaning, features, mlpipe
+orders = spark.read.parquet({os.path.join(sf_dir, "orders.parquet")!r})
+feats = features.ml_customer_features(cleaning.clean_orders(orders)).cache()
+out1 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
+out2 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
+print("RESULT " + json.dumps([out1, out2]))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
+    out1, out2 = json.loads(line[len("RESULT "):])
     assert out1 == out2  # seeded sampler + hash folds + seeded models
     p = out1["best_params"]
     assert 50 <= p["n_estimators"] <= 200
