@@ -14,9 +14,12 @@ Spark-native counterpart of the reference's SageMaker scripts:
   (``ab_testing.py:86-207``) → driver-side numpy over the (tiny) fold
   scores — per the reference, comparison statistics run on collected
   scores, never on distributed data;
-- M6 hyperparameter search (``ml_pipeline_orchestrator``) →
-  ``ParamGridBuilder`` grid via CrossValidator (grid, not Bayesian —
-  fidelity note in SURVEY.md §2.11).
+- M6 hyperparameter search (``ml_pipeline_orchestrator``) → three
+  tiers: ``ParamGridBuilder`` grid via CrossValidator, seeded random
+  search + successive halving (:func:`random_search`), and a real
+  GP-surrogate Bayesian optimizer (:func:`bayesian_search`, Snoek et
+  al. 2012 — matches the reference's declared tuner over the same
+  ranges).
 
 Scale: training data stays a DataFrame end-to-end; only fold *scores*
 (K floats) ever reach the driver.
@@ -321,6 +324,107 @@ def random_search(
         "best_score": best_score,
         "n_evaluated": len(cands),
         "n_full_cv": len(survivors),
+    }
+
+
+#: Search-space bounds shared by the tuners — the reference's ranges
+#: (``lambda/ml_pipeline_orchestrator/lambda_function.py:97-199``):
+#: n_estimators 50–200, max_depth 3–20, learning_rate log-uniform
+#: 0.001–0.3 (searched in log space, as the reference declares).
+_HPO_SPACE = (("n_estimators", 50.0, 200.0), ("max_depth", 3.0, 20.0))
+
+
+def bayesian_search(
+    features: DataFrame,
+    label_col: str = "churn_flag",
+    n_init: int = 3,
+    n_iterations: int = 5,
+    k: int = 3,
+    seed: int = 42,
+    feature_cols: list[str] | None = None,
+    n_acq_candidates: int = 512,
+    exploration_xi: float = 0.01,
+) -> dict:
+    """Bayesian hyperparameter optimization — the reference's declared
+    tuner (``lambda/ml_pipeline_orchestrator/lambda_function.py:97-199``)
+    implemented from the public recipe (Snoek, Larochelle & Adams,
+    *Practical Bayesian Optimization of Machine Learning Algorithms*,
+    NeurIPS 2012): a Gaussian-process surrogate with an RBF kernel over
+    the unit-cube-normalized search space and an expected-improvement
+    acquisition maximized by seeded candidate sampling.
+
+    Loop: ``n_init`` seeded space-filling evaluations, then
+    ``n_iterations`` rounds of fit-GP → argmax-EI → evaluate. Every
+    evaluation is a full deterministic k-fold CV of a seeded GBT (the
+    expensive, cluster-side step — the GP algebra is driver-side numpy
+    on ≤ n_init+n_iterations points, a few O(n³≤~10³) solves).
+
+    Fully deterministic: one seeded generator drives both the initial
+    design and the acquisition candidates; folds are hash-bucketed;
+    models are seeded. Numpy-only (no scipy): the normal CDF uses
+    ``math.erf`` vectorized over the candidate batch.
+    """
+    import numpy as np
+
+    lo = np.array([b for _, b, _ in _HPO_SPACE] + [np.log(0.001)])
+    hi = np.array([t for _, _, t in _HPO_SPACE] + [np.log(0.3)])
+
+    def to_params(u: "np.ndarray") -> dict:
+        v = lo + u * (hi - lo)
+        return {
+            "n_estimators": int(round(v[0])),
+            "max_depth": int(round(v[1])),
+            "learning_rate": float(np.exp(v[2])),
+        }
+
+    def score(params: dict) -> float:
+        scores = cross_validate_scores(
+            features,
+            model_type="gradient_boosting",
+            k=k,
+            label_col=label_col,
+            feature_cols=feature_cols,
+            **params,
+        )
+        return sum(scores) / len(scores)
+
+    rng = np.random.default_rng(seed)
+    X = [rng.uniform(size=3) for _ in range(n_init)]
+    y = [score(to_params(x)) for x in X]
+
+    length_scale, noise = 0.25, 1e-6
+    erf = np.vectorize(math.erf)
+
+    def rbf(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / (2.0 * length_scale * length_scale))
+
+    for _ in range(n_iterations):
+        A, yv = np.asarray(X), np.asarray(y)
+        sd = yv.std()
+        yn = (yv - yv.mean()) / (sd if sd > 0 else 1.0)
+        L = np.linalg.cholesky(rbf(A, A) + noise * np.eye(len(A)))
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        cand = rng.uniform(size=(n_acq_candidates, 3))
+        Ks = rbf(cand, A)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        sigma = np.sqrt(np.clip(1.0 - (v**2).sum(axis=0), 1e-12, None))
+        z = (mu - yn.max() - exploration_xi) / sigma
+        ei = (mu - yn.max() - exploration_xi) * 0.5 * (1.0 + erf(z / np.sqrt(2.0))) + sigma * np.exp(
+            -0.5 * z * z
+        ) / np.sqrt(2.0 * np.pi)
+        x_next = cand[int(ei.argmax())]
+        X.append(x_next)
+        y.append(score(to_params(x_next)))
+
+    i_best = int(np.argmax(y))
+    return {
+        "best_params": to_params(X[i_best]),
+        "best_score": float(y[i_best]),
+        "n_evaluated": len(X),
+        "n_init": n_init,
+        "history": [float(s) for s in y],
     }
 
 

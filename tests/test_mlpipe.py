@@ -119,6 +119,46 @@ print("RESULT " + json.dumps([out1, out2]))
     assert out1["n_full_cv"] == 1  # halving: only the top half paid full CV
 
 
+def test_bayesian_search_deterministic_in_range_and_improving(sf_dir):
+    """GP-surrogate Bayesian HPO on a fresh JVM (same isolation rationale
+    as the random-search test): two seeded runs must agree exactly, pick
+    in-range params, and the acquisition must never do worse than the
+    best initial point (argmax over a history that contains them)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import cleaning, features, mlpipe
+orders = spark.read.parquet({os.path.join(sf_dir, "orders.parquet")!r})
+feats = features.ml_customer_features(cleaning.clean_orders(orders)).cache()
+out1 = mlpipe.bayesian_search(feats, n_init=2, n_iterations=2, k=2, seed=11)
+out2 = mlpipe.bayesian_search(feats, n_init=2, n_iterations=2, k=2, seed=11)
+print("RESULT " + json.dumps([out1, out2]))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
+    out1, out2 = json.loads(line[len("RESULT "):])
+    assert out1 == out2  # seeded GP + seeded folds + seeded models
+    p = out1["best_params"]
+    assert 50 <= p["n_estimators"] <= 200
+    assert 3 <= p["max_depth"] <= 20
+    assert 0.001 <= p["learning_rate"] <= 0.3
+    assert out1["n_evaluated"] == 4 and len(out1["history"]) == 4
+    assert out1["best_score"] >= max(out1["history"][:2])  # never below init
+
+
 def test_paired_t_test_and_bootstrap():
     a = [0.90, 0.91, 0.89, 0.92, 0.90]
     b = [0.80, 0.81, 0.79, 0.82, 0.80]
