@@ -211,6 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_clusters": lambda spark, sf: sim_ops.semantic_dup_clusters(
             _read(spark, sf, "embeddings")
         ),
+        # -- Arrow/numpy scale kernel vs fold kernel (rows-only gauge: the
+        #    SIMD matmul's float order differs in the last ulp by design) -
+        "ann_arrow_recall": lambda spark, sf: sim_ops.ann_arrow_recall(
+            _read(spark, sf, "embeddings")
+        ),
         # -- product quantization (64x-compressed ADC + exact re-rank) ------
         "pq_ann_topk": lambda spark, sf: sim_ops.pq_topk_rerank(_read(spark, sf, "embeddings")),
         "pq_ann_recall": lambda spark, sf: sim_ops.pq_recall(_read(spark, sf, "embeddings")),

@@ -677,3 +677,26 @@ def ann_topk_arrow(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> D
     scored = base.select("vec_id", "e").mapInPandas(score_batches, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_arrow_recall(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
+    """Recall@k of the Arrow/numpy scale kernel (:func:`ann_topk_arrow`)
+    against the fold-based oracle kernel (:func:`ann_bruteforce_topk`) —
+    proves the 100 TB kernel is live and agrees on top-k *membership*
+    even though its SIMD-ordered float sums can differ from the fold
+    kernel in the last ulp (which is why the oracle gate uses the fold
+    version and this is a rows-only gauge). One summary row, same shape
+    as :func:`ann_ivf_recall`."""
+    exact = tracked_persist(
+        ann_bruteforce_topk(embeddings, k, query_mod).select("query_id", "neighbor_id")
+    )
+    approx = ann_topk_arrow(embeddings, k, query_mod).select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
+        hit.agg(F.count(F.lit(1)).alias("hit_pairs"))
+    ).select(
+        F.lit(k).alias("k"),
+        "exact_pairs",
+        "hit_pairs",
+        (F.col("hit_pairs") / F.col("exact_pairs")).alias("recall_at_k"),
+    )

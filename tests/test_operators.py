@@ -32,6 +32,8 @@ def test_arrow_ann_matches_fold_topk(spark, sf_dir):
         for r in similarity.ann_topk_arrow(emb, k=5).collect()
     }
     assert fold == arrow
+    gauge = similarity.ann_arrow_recall(emb, k=5).collect()
+    assert len(gauge) == 1 and gauge[0]["recall_at_k"] == 1.0
 
 
 def test_ivf_assignment_covers_corpus_and_is_partitioning_independent(spark, sf_dir):
