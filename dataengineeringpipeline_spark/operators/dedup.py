@@ -94,8 +94,9 @@ def doc_shingle_hash_sets(docs: DataFrame, n: int = 3, fast: bool = False) -> Da
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams (default 3).
+def _shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shs) — the distinct word-``n``-gram array per document,
+    the pre-explode form both shingle consumers derive from.
 
     ``spread`` parallelizes the tokenize+shingle map on narrow inputs
     (single-file corpus → one scan partition); no-op at cluster scale.
@@ -108,7 +109,24 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     parts = ", ".join(f"element_at(ws, CAST(i AS INT) + {j})" for j in range(n))
     shingles = F.expr(f"transform(idx, i -> concat_ws(' ', {parts}))")
     return base.withColumn("idx", idx).select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "doc_id", F.array_distinct(shingles).alias("shs")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams (default 3)."""
+    return _shingle_arrays(docs, n).select("doc_id", F.explode("shs").alias("shingle"))
+
+
+def doc_shingle_hash_arrays(docs: DataFrame, n: int = 3, fast: bool = False) -> DataFrame:
+    """(doc_id, hs) — each document's shingle-hash array, **map-only**
+    (no explode, no shuffle): the scale-path front end for MinHash.
+    Documents with no shingles (< ``n`` words) are dropped, matching the
+    exploded form's implicit absence from any ``groupBy(doc_id)``."""
+    return (
+        _shingle_arrays(docs, n)
+        .filter(F.size("shs") > 0)
+        .select("doc_id", F.transform("shs", lambda s: word_hash(s, fast=fast)).alias("hs"))
     )
 
 
@@ -207,24 +225,45 @@ def _minhash_params(j: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = MINHASH_K, hash_sets: DataFrame | None = None
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    hash_sets: DataFrame | None = None,
+    hash_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as K columns ``sig_0..sig_{K-1}``.
 
-    ``sig_j = min over shingle hashes of (a_j·(h mod P) + b_j) mod P`` — an
-    aggregation over the exploded shingle set: one shuffle on doc_id, all
-    arithmetic in int64, fully order-independent.
+    ``sig_j = min over shingle hashes of (a_j·(h mod P) + b_j) mod P``.
+    Default path: **map-only** — ``array_min(transform(hs, …))`` over the
+    per-doc hash array (:func:`doc_shingle_hash_arrays`), zero shuffle;
+    the arithmetic is identical to an aggregation over the exploded set
+    (min is order-free), so signatures are partitioning-independent
+    either way. At 100 TB this keeps the corpus text/hash bytes out of
+    any exchange — the only shuffled artifacts downstream are the K-int
+    signatures' band keys.
 
-    ``hash_sets`` lets a caller that already materialized
-    :func:`doc_shingle_hash_sets` (e.g. for candidate verification) feed
-    it in, so the shingle explode isn't computed twice.
+    ``hash_arrays`` lets a caller that already persisted the arrays feed
+    them in; ``hash_sets`` accepts the legacy exploded (doc_id, h) form
+    and aggregates it (one shuffle) — kept for callers that materialize
+    the exploded set anyway.
     """
-    hashes = doc_shingle_hash_sets(docs) if hash_sets is None else hash_sets
-    aggs = []
+    if hash_sets is not None and hash_arrays is None:
+        aggs = []
+        for j in range(k):
+            a, b = _minhash_params(j)
+            aggs.append(
+                F.min((F.lit(a) * (F.col("h") % MINHASH_P) + b) % MINHASH_P).alias(f"sig_{j}")
+            )
+        return hash_sets.groupBy("doc_id").agg(*aggs)
+    arrays = doc_shingle_hash_arrays(docs) if hash_arrays is None else hash_arrays
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + b) % MINHASH_P
+
+    cols = []
     for j in range(k):
         a, b = _minhash_params(j)
-        aggs.append(F.min((F.lit(a) * (F.col("h") % MINHASH_P) + b) % MINHASH_P).alias(f"sig_{j}"))
-    return hashes.groupBy("doc_id").agg(*aggs)
+        cols.append(F.array_min(F.transform("hs", perm(a, b))).alias(f"sig_{j}"))
+    return arrays.select("doc_id", *cols)
 
 
 def _band_hash(sig_cols: list[Column]) -> Column:
@@ -269,20 +308,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Tune ``threshold`` in shingle-Jaccard terms).
 
     Candidates = pairs colliding in ≥1 band (≈ pairs with J ≥ ~0.47 for
-    8×4 banding); each candidate is then verified exactly. The verify join
-    reuses the shingle-hash sets — only candidate pairs pay the
-    intersection cost.
+    8×4 banding); each candidate is then verified exactly. The verify
+    joins the (small, distinct) candidate pair set against the per-doc
+    hash arrays — only candidate pairs pay the intersection cost.
 
-    The shingle-hash sets and signatures are consumed by several
-    branches of the plan (signature agg, both sides of the verify join,
-    the size agg, both sides of the band self-join), so both are
-    persisted MEMORY_AND_DISK — computed once on the first action, then
-    served from cache. The cache is session-scoped and O(corpus
-    shingles); at 100 TB you'd materialize signatures to a lake table
-    once per corpus snapshot instead of caching per query.
+    Plan shape at 100 TB: the hash arrays are built **map-only** (no
+    explode, no exchange — :func:`doc_shingle_hash_arrays`) and persisted
+    once for the two verify branches; signatures are a map-only
+    projection of the same arrays; the only corpus-wide shuffle in the
+    whole operator is the band self-join on ``(band_idx, band_hash)`` —
+    8 int rows per doc. Candidate pairs are few by LSH construction, so
+    they broadcast and the verify's array lookups stay map-side;
+    ``shared`` is ``size(array_intersect(ha, hb))`` computed per pair
+    (hash values are unique within a doc's array up to 48-bit collisions,
+    the same assumption the exploded join-count form made). The persisted
+    arrays are session-scoped; at 100 TB you'd materialize arrays and
+    signatures to a lake table once per corpus snapshot instead.
     """
-    sets = tracked_persist(doc_shingle_hash_sets(docs))
-    sigs = tracked_persist(minhash_signatures(docs, hash_sets=sets))
+    arrays = tracked_persist(doc_shingle_hash_arrays(docs))
+    sigs = minhash_signatures(docs, hash_arrays=arrays)
     bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -296,31 +340,22 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Candidate-driven verification: intersections are computed ONLY for
-    # candidate pairs (fan the pair out over doc_a's set, equi-join on
-    # (doc_b, h)) — never the all-pairs inverted-index join, which is the
-    # O(n²)-ish cost LSH exists to avoid.
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
-    shared = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     return (
-        shared.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"),
-            "doc_a",
+        candidates.join(
+            arrays.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")), "doc_a"
         )
         .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"),
+            arrays.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")), "doc_b"
+        )
+        .select(
+            "doc_a",
             "doc_b",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("shared"),
+            F.size("ha").cast("long").alias("size_a"),
+            F.size("hb").cast("long").alias("size_b"),
         )
         .withColumn("jaccard", F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
