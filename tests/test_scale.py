@@ -117,6 +117,40 @@ def test_chunking_scan_prunes_to_two_columns(spark, sf_dir):
     assert any("doc_id" in l and "text" in l and "lang" not in l for l in plan.splitlines()), scan_lines
 
 
+def test_minhash_signatures_are_map_only_on_wide_input(spark, sf_dir, tmp_path):
+    """The MinHash front end's scale claim: on a well-partitioned corpus
+    (where ``spread`` is a no-op) signature computation is a pure
+    projection — hash arrays + array_min(transform) — with NO Exchange
+    anywhere in the physical plan. The exploded-aggregation form this
+    replaced shuffled every shingle-hash row."""
+    from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+
+    wide = str(tmp_path / "docs_wide")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(wide)
+    docs = spark.read.parquet(wide)
+    plan = dedup_ops.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan.splitlines()[:8]
+
+
+def test_ab_split_scoring_is_shuffle_free(spark, sf_dir):
+    """Deployment A/B scoring: variant assignment is a key-hash filter and
+    model inference is a map — the scored population plan must contain no
+    Exchange (the union of two map-only branches)."""
+    from dataengineeringpipeline_spark import cleaning, deployment, features, mlpipe
+
+    feats = features.ml_customer_features(
+        cleaning.clean_orders(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    )
+    prepared = mlpipe._prepare(feats, "churn_flag", None).localCheckpoint()
+    model_a = mlpipe.make_classifier("random_forest", n_estimators=3).fit(prepared)
+    model_b = mlpipe.make_classifier("random_forest", n_estimators=3).fit(prepared)
+    scored = deployment.ab_split_score(prepared, model_a, model_b, key_col="customer_key")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan.splitlines()[:8]
+
+
 def test_lake_compaction_shrinks_file_count_preserving_data(spark, sf_dir, tmp_path):
     """Small-file compaction: a fragmented partitioned table (many tiny
     part files per partition, as streaming appends leave behind) rewrites
