@@ -415,8 +415,24 @@ def connected_components(
     Both paths produce the identical labeling (component-minimum id),
     so the threshold only moves work, never answers.
     """
+    # Both edge directions come from ONE explode over the pair row — a
+    # union of (fwd, swapped) would duplicate the entire upstream
+    # candidate-generation subtree in the plan (Catalyst shares
+    # exchanges, not arbitrary subtrees; measured: the LSH chain ran
+    # twice, 3.2s vs 1.8s at sf0.1).
     fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    edges = (
+        fwd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .persist()
+    )
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         try:
