@@ -31,6 +31,12 @@ import sys
 import time
 
 
+def _touch_numpy(batches):
+    import numpy  # noqa: F401  (import cost is the warm-up target)
+
+    yield from batches
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -57,6 +63,15 @@ def main() -> int:
 
     # JVM / codegen warm-up (not measured)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker warm-up (not measured): mapInPandas queries pay a
+    # per-executor-core python process spawn + numpy import on first
+    # use, and idle workers are reaped between sweeps — without this the
+    # alphabetically-first Arrow query absorbs ~6s of environment
+    # startup as if it were plan cost (measured: 7.97s bench median vs
+    # 2.1s steady state).
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        _touch_numpy, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "420"))
