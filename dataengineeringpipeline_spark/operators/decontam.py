@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataengineeringpipeline_spark.cache import tracked_persist
-from dataengineeringpipeline_spark.operators.dedup import doc_shingle_hash_sets
+from dataengineeringpipeline_spark.operators.dedup import _shingle_arrays, doc_shingle_hash_sets
+from dataengineeringpipeline_spark.operators.text import word_hash
 
 #: Default n-gram width for contamination checks. Public data cards use
 #: 8-13 for natural text; the synthetic fixture corpus draws ~50-word
@@ -101,32 +102,44 @@ def boilerplate_stats(
     ``min_df``.
 
     Returns ``(doc_id, total_ngrams, boilerplate_ngrams,
-    boilerplate_ratio)``. The document-frequency aggregation is one
-    map-side-partial shuffle on the shingle hash; the resulting frequent
-    set is broadcast (heavy hitters are few by definition — the same
-    observation behind the dedup module's ``DEDUP_MAX_DF`` skew guard).
+    boilerplate_ratio)``; short documents (< ``n`` words) report 0 total
+    and a NULL ratio.
+
+    Plan shape: the per-doc shingle-hash ARRAYS (map-only — no explode
+    shuffle of corpus text, the same compact front end MinHash uses) are
+    persisted once; the document-frequency side explodes the cached
+    int64 arrays (cheap — no re-tokenization) into the one corpus-wide
+    shuffle on the shingle hash; the frequent set it yields is collapsed
+    to a single ``collect_list`` row (heavy hitters are few by
+    definition — the observation behind the dedup module's
+    ``DEDUP_MAX_DF`` skew guard; a frequent set too big for one row
+    would mean ``min_df`` is misconfigured for the corpus) and
+    broadcast, so the per-doc counts are a map-only
+    ``size(array_intersect(hs, freq))`` projection of the cached
+    arrays — no doc_id shuffle, no rejoin against ``docs``.
+
+    Arrays are distinct within a document, so ``size`` / intersect
+    counts equal the exploded-set counts exactly (modulo md5 hash
+    collisions, the same assumption the DuckDB oracle makes).
     """
-    doc_sets = tracked_persist(doc_shingle_hash_sets(docs, n=n, fast=fast))
+    arrays = tracked_persist(
+        _shingle_arrays(docs, n).select(
+            "doc_id", F.transform("shs", lambda s: word_hash(s, fast=fast)).alias("hs")
+        )
+    )
     frequent = (
-        doc_sets.groupBy("h")
+        arrays.select(F.explode("hs").alias("h"))
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > min_df)
-        .select("h")
-    )
-    totals = doc_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_ngrams"))
-    bp = (
-        doc_sets.join(F.broadcast(frequent), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("bp_ngrams"))
+        .agg(F.collect_list("h").alias("freq"))
     )
     return (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(bp, "doc_id", "left")
+        arrays.crossJoin(F.broadcast(frequent))
         .select(
             "doc_id",
-            F.coalesce("total_ngrams", F.lit(0)).cast("long").alias("total_ngrams"),
-            F.coalesce("bp_ngrams", F.lit(0)).cast("long").alias("boilerplate_ngrams"),
+            F.size("hs").cast("long").alias("total_ngrams"),
+            F.size(F.array_intersect("hs", "freq")).cast("long").alias("boilerplate_ngrams"),
         )
         .withColumn(
             "boilerplate_ratio",
