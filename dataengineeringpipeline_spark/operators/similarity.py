@@ -53,7 +53,18 @@ def with_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ann_bruteforce_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
+def _norm_base(embeddings: DataFrame, base: DataFrame | None) -> DataFrame:
+    """Resolve the shared normalized-corpus frame: callers that run
+    several ANN stages against the same corpus compute
+    ``with_norms(embeddings)`` ONCE (usually ``tracked_persist``-ed) and
+    thread it through every stage via ``base=`` — otherwise each stage
+    re-pays the spread shuffle + fold-norm map per plan branch."""
+    return with_norms(embeddings) if base is None else base
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 100, base: DataFrame | None = None
+) -> DataFrame:
     """Exact cosine top-k neighbors for the query subset
     ``vec_id % query_mod == 0``.
 
@@ -62,7 +73,7 @@ def ann_bruteforce_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 100)
     kernel — then per-query top-k via ranked window (TakeOrdered per
     partition key).
     """
-    base = with_norms(embeddings)
+    base = _norm_base(embeddings, base)
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -126,11 +137,15 @@ def embedding_near_dups(
     return cand.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
-def ivf_centroids(embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD) -> DataFrame:
+def ivf_centroids(
+    embeddings: DataFrame,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """Deterministic coarse quantizer: the vectors at ``vec_id % mod == 7``
     serve as centroids (a fixed data-derived sample — no trained k-means
     state to ship, any engine regenerates the same quantizer)."""
-    return with_norms(embeddings).filter(F.col("vec_id") % centroid_mod == 7).select(
+    return _norm_base(embeddings, base).filter(F.col("vec_id") % centroid_mod == 7).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
 
@@ -177,6 +192,7 @@ def ivf_assign(
     embeddings: DataFrame,
     centroid_mod: int = IVF_CENTROID_MOD,
     centroids: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Cell assignment: each vector → its max-cosine centroid (ties to the
     lower centroid id).
@@ -189,8 +205,8 @@ def ivf_assign(
     lowest id among bit-equal cosines (same ordering as a
     ``ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id)`` oracle).
     """
-    base = with_norms(embeddings)
-    cents = ivf_centroids(embeddings, centroid_mod) if centroids is None else centroids
+    base = _norm_base(embeddings, base)
+    cents = ivf_centroids(embeddings, centroid_mod, base=base) if centroids is None else centroids
     one_row = cents.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("centroid_id"), F.col("ce"), F.col("cn")))
@@ -222,6 +238,7 @@ def ann_ivf_topk(
     centroid_mod: int = IVF_CENTROID_MOD,
     nprobe: int = IVF_NPROBE,
     centroids: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the scale path next to
     :func:`ann_bruteforce_topk`.
@@ -231,12 +248,18 @@ def ann_ivf_topk(
     O(|Q|·n·nprobe/cells). The candidate join shuffles on ``centroid_id``
     (bounded cells; AQE splits skewed ones); only candidates reach the
     per-query top-k window.
+
+    The normalized corpus feeds three branches (assignment, centroid
+    derivation, query set); unless a caller supplies ``base`` it is
+    persisted here so the spread+norm map runs once, not per branch.
     """
     if centroids is not None:
         centroids = tracked_persist(centroids)  # probe join + assignment both read it
-    assign = ivf_assign(embeddings, centroid_mod, centroids=centroids)
-    cents = ivf_centroids(embeddings, centroid_mod) if centroids is None else centroids
-    q = with_norms(embeddings).filter(F.col("vec_id") % query_mod == 0).select(
+    if base is None:
+        base = tracked_persist(with_norms(embeddings))
+    assign = ivf_assign(embeddings, centroid_mod, centroids=centroids, base=base)
+    cents = ivf_centroids(embeddings, centroid_mod, base=base) if centroids is None else centroids
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     qc = q.join(F.broadcast(cents)).select(
@@ -275,11 +298,13 @@ def ann_ivf_recall(
     The exact top-k feeds two plan branches (the denominator count and
     the hit semi-join); it is persisted so the brute-force scoring pass
     — the expensive side — runs once. The cached set is tiny
-    (|queries|·k rows) while its lineage is the full O(|Q|·n) scan."""
+    (|queries|·k rows) while its lineage is the full O(|Q|·n) scan.
+    Exact and approximate sides share one persisted normalized base."""
+    base = tracked_persist(with_norms(embeddings))
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
+        ann_bruteforce_topk(embeddings, k, base=base).select("query_id", "neighbor_id")
     )
-    approx = ann_ivf_topk(embeddings, k, centroids=centroids).select(
+    approx = ann_ivf_topk(embeddings, k, centroids=centroids, base=base).select(
         "query_id", "neighbor_id"
     )
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -299,7 +324,7 @@ PQ_K = 16  # codewords per subspace → 4 bits/subspace, 4 bytes/vector
 PQ_CODEBOOK_STRIDE = 3  # codeword c = subvectors of the vector vec_id = 3c
 
 
-def pq_codebook(embeddings: DataFrame) -> DataFrame:
+def pq_codebook(embeddings: DataFrame, base: DataFrame | None = None) -> DataFrame:
     """Deterministic product-quantization codebook: for each of the
     ``PQ_M`` subspaces, the ``PQ_K`` codewords are the corresponding
     subvectors of the (L2-normalized) corpus vectors at
@@ -312,7 +337,7 @@ def pq_codebook(embeddings: DataFrame) -> DataFrame:
     broadcastable.
     """
     ids = [PQ_CODEBOOK_STRIDE * c for c in range(PQ_K)]
-    base = with_norms(embeddings).filter(F.col("vec_id").isin(ids))
+    base = _norm_base(embeddings, base).filter(F.col("vec_id").isin(ids))
     unit = F.transform("e", lambda x: x / F.col("nrm"))
     subs = F.array(
         *[
@@ -349,7 +374,11 @@ def _codebook_row(codebook: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame | None = None,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """PQ encoding: each (normalized) vector → ``PQ_M`` 4-bit codes, the
     argmin-L2 codeword per subspace (ties → lower code).
 
@@ -359,8 +388,8 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataF
     into 4 bytes (64×) — the memory step that lets a candidate set live
     in RAM for re-scoring.
     """
-    cb_row = _codebook_row(pq_codebook(embeddings) if codebook is None else codebook)
-    base = with_norms(embeddings)
+    cb_row = _codebook_row(pq_codebook(embeddings, base=base) if codebook is None else codebook)
+    base = _norm_base(embeddings, base)
     unit = F.transform("e", lambda x: x / F.col("nrm"))
     sub = lambda m: F.slice(unit, m * PQ_SUBDIM + 1, PQ_SUBDIM)  # noqa: E731
 
@@ -382,7 +411,11 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataF
 
 
 def pq_topk(
-    embeddings: DataFrame, k: int = 5, query_mod: int = 100, codebook: DataFrame | None = None
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    codebook: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: queries score the *compressed* corpus.
 
@@ -399,10 +432,12 @@ def pq_topk(
     query_id). ``approx_dist`` is the ADC value — compare
     :func:`pq_recall` for how well its ranking tracks the exact one.
     """
-    codebook = pq_codebook(embeddings) if codebook is None else codebook
+    if base is None:
+        base = tracked_persist(with_norms(embeddings))
+    codebook = pq_codebook(embeddings, base=base) if codebook is None else codebook
     codebook = tracked_persist(codebook)  # consumed by encode + query tables
-    encoded = pq_encode(embeddings, codebook)
-    qt = _pq_query_tables(embeddings, codebook, query_mod)
+    encoded = pq_encode(embeddings, codebook, base=base)
+    qt = _pq_query_tables(embeddings, codebook, query_mod, base=base)
     scored = (
         F.broadcast(qt)
         .join(encoded, F.col("vec_id") != F.col("query_id"))
@@ -422,7 +457,10 @@ def pq_topk(
 
 
 def _pq_query_tables(
-    embeddings: DataFrame, codebook: DataFrame, query_mod: int
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    query_mod: int,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup tables: ``tab[m*PQ_K + code + 1]`` is the
     exact squared L2 from the query's m-th subvector to codeword
@@ -431,7 +469,7 @@ def _pq_query_tables(
     (``cb`` is m-ordered)."""
     cb_row = _codebook_row(codebook)
     q = (
-        with_norms(embeddings)
+        _norm_base(embeddings, base)
         .filter(F.col("vec_id") % query_mod == 0)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -469,6 +507,7 @@ def pq_topk_rerank(
     shortlist: int = PQ_SHORTLIST,
     query_mod: int = 100,
     codebook: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact re-rank — the production ANN topology at
     corpus scale: the 64×-compressed codes prune the corpus to
@@ -478,17 +517,23 @@ def pq_topk_rerank(
     ADC ranking error beyond the shortlist boundary is the only recall
     loss — :func:`pq_recall` measures both stages.
     """
-    short = pq_topk(embeddings, k=shortlist, query_mod=query_mod, codebook=codebook).select(
-        "query_id", "neighbor_id"
-    )
-    return _rerank_shortlist(embeddings, short, k, query_mod)
+    if base is None:
+        base = tracked_persist(with_norms(embeddings))
+    short = pq_topk(
+        embeddings, k=shortlist, query_mod=query_mod, codebook=codebook, base=base
+    ).select("query_id", "neighbor_id")
+    return _rerank_shortlist(embeddings, short, k, query_mod, base=base)
 
 
 def _rerank_shortlist(
-    embeddings: DataFrame, short: DataFrame, k: int, query_mod: int
+    embeddings: DataFrame,
+    short: DataFrame,
+    k: int,
+    query_mod: int,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine re-rank of ``(query_id, neighbor_id)`` candidates."""
-    base = with_norms(embeddings)
+    base = _norm_base(embeddings, base)
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -519,16 +564,19 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
     One ADC corpus scan serves both measurements: the ADC top-k is a
     rank-prefix of the same shortlist the re-rank consumes (identical
     ordering), so the encode+score pass — the dominant cost — runs once.
+    Exact baseline, ADC scan, and re-rank all read one persisted
+    normalized base.
     """
+    base = tracked_persist(with_norms(embeddings))
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k).select("query_id", "neighbor_id")
+        ann_bruteforce_topk(embeddings, k, base=base).select("query_id", "neighbor_id")
     )
     short = tracked_persist(
-        pq_topk(embeddings, k=shortlist).select("query_id", "neighbor_id", "rank")
+        pq_topk(embeddings, k=shortlist, base=base).select("query_id", "neighbor_id", "rank")
     )
     adc = short.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     rr = _rerank_shortlist(
-        embeddings, short.select("query_id", "neighbor_id"), k, query_mod=100
+        embeddings, short.select("query_id", "neighbor_id"), k, query_mod=100, base=base
     ).select("query_id", "neighbor_id")
     adc_hit = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
     rr_hit = exact.join(rr, ["query_id", "neighbor_id"], "left_semi")
@@ -572,12 +620,17 @@ def ann_ivfpq_topk(
     vectors are read for shortlist rows alone. Everything is
     deterministic (fixed data-derived quantizers, lowest-id ties), so
     the DuckDB oracle reproduces it bit-exactly.
+
+    One persisted normalized base feeds assignment, encoding, centroid
+    derivation, the query set, the ADC tables, and the re-rank — without
+    it the spread+norm subtree re-executes in every branch per action.
     """
-    codebook = tracked_persist(pq_codebook(embeddings))
-    assign = ivf_assign(embeddings, centroid_mod).select("vec_id", "centroid_id")
-    enc_cells = pq_encode(embeddings, codebook).join(assign, "vec_id")
-    cents = ivf_centroids(embeddings, centroid_mod)
-    q = with_norms(embeddings).filter(F.col("vec_id") % query_mod == 0).select(
+    base = tracked_persist(with_norms(embeddings))
+    codebook = tracked_persist(pq_codebook(embeddings, base=base))
+    assign = ivf_assign(embeddings, centroid_mod, base=base).select("vec_id", "centroid_id")
+    enc_cells = pq_encode(embeddings, codebook, base=base).join(assign, "vec_id")
+    cents = ivf_centroids(embeddings, centroid_mod, base=base)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     qc = q.join(F.broadcast(cents)).select(
@@ -591,7 +644,7 @@ def ann_ivfpq_topk(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "centroid_id")
     )
-    qt = _pq_query_tables(embeddings, codebook, query_mod)
+    qt = _pq_query_tables(embeddings, codebook, query_mod, base=base)
     cand = (
         enc_cells.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -606,7 +659,7 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    return _rerank_shortlist(embeddings, short, k, query_mod)
+    return _rerank_shortlist(embeddings, short, k, query_mod, base=base)
 
 
 def semantic_dup_clusters(
