@@ -393,6 +393,27 @@ def test_connected_components_chain_triangle_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_distributed_matches_driver(spark, sf_dir):
+    """The distributed min-label-propagation branch (forced with
+    driver_threshold=0) must produce the exact labeling the driver
+    union-find produces on the real sf corpus candidate graph — the
+    threshold only moves work, never answers. Without this forcing, every
+    test corpus stays under the 2M-edge bound and the distributed branch
+    would never execute in CI."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    via_driver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    via_distributed = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver, "test corpus yielded no candidate pairs - parity untestable"
+    assert via_distributed == via_driver
+
+
 def test_asof_join_semantics(spark):
     """<= match, same-timestamp right row wins, ties to larger id, no
     match before any right row, tolerance voids stale matches."""
