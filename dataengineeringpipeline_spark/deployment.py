@@ -62,21 +62,33 @@ class ModelRegistry:
         params: str = "{}",
         run_id: str = "run-0",
     ) -> int:
-        """Append the next version row for ``model_name``; returns it."""
+        """Append the next version row for ``model_name``; returns it.
+
+        Only the missing-table analysis error falls back to version 1 —
+        a transient IO/corruption error must propagate, not silently
+        reset versioning and append a duplicate version (registration is
+        read-increment-append, not atomic; concurrent registrations
+        should serialize at the orchestrator)."""
+        from pyspark.errors import AnalysisException
+
         try:
             current = spark.read.parquet(self._path()).filter(
                 F.col("model_name") == model_name
             )
             version = (current.agg(F.max("version")).collect()[0][0] or 0) + 1
-        except Exception:  # first registration: table doesn't exist yet
+        except AnalysisException:  # first registration: table doesn't exist yet
             version = 1
         row = [(model_name, version, stage, metric_name, float(metric_value), params, run_id)]
         spark.createDataFrame(row, REGISTRY_SCHEMA).write.mode("append").parquet(self._path())
         return version
 
     def latest(self, spark: SparkSession) -> DataFrame:
-        """One row per model name: the highest version."""
-        w = Window.partitionBy("model_name").orderBy(F.desc("version"))
+        """One row per model name: the highest version (ties — which only
+        arise if an external writer bypassed :meth:`register` — resolve
+        deterministically by latest ``registered_run``)."""
+        w = Window.partitionBy("model_name").orderBy(
+            F.desc("version"), F.desc("registered_run")
+        )
         return (
             spark.read.parquet(self._path())
             .withColumn("rn", F.row_number().over(w))
@@ -115,11 +127,15 @@ def ab_split_score(
     repartitioning and re-runs, and the same entity always gets the same
     variant (session-consistent, which randomized endpoint weights are
     not). Each model scores only its own slice; the result is the union
-    with a ``variant`` column.
+    with a ``variant`` column. Rows with a NULL key cannot hash to a
+    bucket and are routed to the champion explicitly (every row is
+    scored exactly once; negative keys bucket correctly via the pmod in
+    :func:`..operators.sampling.per_mille_bucket`).
     """
     bucket = per_mille_bucket(key_col)
-    challenger_rows = prepared.filter(bucket < challenger_pm)
-    champion_rows = prepared.filter(bucket >= challenger_pm)
+    is_challenger = F.col(key_col).isNotNull() & (bucket < challenger_pm)
+    challenger_rows = prepared.filter(is_challenger)
+    champion_rows = prepared.filter(F.col(key_col).isNull() | (bucket >= challenger_pm))
     return batch_transform(champion, champion_rows).withColumn(
         "variant", F.lit("champion")
     ).unionByName(
@@ -154,8 +170,18 @@ def promote_challenger(
     beats the champion's by more than ``min_lift``, register a new
     champion version; otherwise record the challenger as rejected.
     Returns the decision record either way (deterministic given the
-    metrics table)."""
+    metrics table). Raises a descriptive ``ValueError`` if either
+    variant slice is empty (``challenger_pm`` of 0/1000, or an empty
+    scored population) — a bare KeyError would be opaque for a function
+    whose product is a decision record."""
     rows = {r["variant"]: r for r in variant_metrics.collect()}
+    missing = [v for v in ("champion", "challenger") if v not in rows]
+    if missing:
+        raise ValueError(
+            f"promotion for {model_name!r} needs metrics for both variants; "
+            f"missing {missing} (empty variant slice - check challenger_pm "
+            "and that the scored population is non-empty)"
+        )
     champ, chall = rows["champion"], rows["challenger"]
     promoted = chall["accuracy"] > champ["accuracy"] + min_lift
     version = registry.register(

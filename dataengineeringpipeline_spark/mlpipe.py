@@ -18,8 +18,10 @@ Spark-native counterpart of the reference's SageMaker scripts:
   tiers: ``ParamGridBuilder`` grid via CrossValidator, seeded random
   search + successive halving (:func:`random_search`), and a real
   GP-surrogate Bayesian optimizer (:func:`bayesian_search`, Snoek et
-  al. 2012 — matches the reference's declared tuner over the same
-  ranges).
+  al. 2012 — the reference's declared tuner over the same continuous
+  ranges; the reference also searches a categorical model-type
+  dimension (RF/GBT/LogReg) which this tier pins to GBT — run
+  :func:`bayesian_search` per model type and take the max to cover it).
 
 Scale: training data stays a DataFrame end-to-end; only fold *scores*
 (K floats) ever reach the driver.
@@ -352,6 +354,13 @@ def bayesian_search(
     NeurIPS 2012): a Gaussian-process surrogate with an RBF kernel over
     the unit-cube-normalized search space and an expected-improvement
     acquisition maximized by seeded candidate sampling.
+
+    Fidelity note: the reference's search space adds a CATEGORICAL
+    model-type dimension (random_forest / gradient_boosting /
+    logistic_regression) which this implementation pins to
+    gradient_boosting — a GP with an RBF kernel has no native
+    categorical support; cover it by running one search per model type
+    and taking the best (3 independent GPs, the standard decomposition).
 
     Loop: ``n_init`` seeded space-filling evaluations, then
     ``n_iterations`` rounds of fit-GP → argmax-EI → evaluate. Every

@@ -30,9 +30,14 @@ EVENT_RATES_PER_MILLE = {
 
 
 def per_mille_bucket(key: str | Column) -> Column:
-    """Deterministic [0, 1000) bucket from an integer key."""
+    """Deterministic [0, 1000) bucket from an integer key.
+
+    ``pmod`` keeps the bucket non-negative for negative keys (Spark's
+    ``%`` follows the dividend's sign, which would yield buckets in
+    (-1000, 0] and silently skew any threshold comparison); identical to
+    ``%`` for the non-negative keys the testdata uses."""
     c = F.col(key) if isinstance(key, str) else key
-    return ((c % F.lit(1_000_003)) * F.lit(2_654_435_761)) % F.lit(1000)
+    return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2_654_435_761), F.lit(1000))
 
 
 def stratified_sample(
