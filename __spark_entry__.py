@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataengineeringpipeline_spark import (
+    alerts,
     cleaning,
     events_analytics,
     features,
@@ -280,6 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _silver_orders(spark, sf)
         ),
         "dq_daily_anomalies": lambda spark, sf: quality.daily_volume_anomalies(
+            _silver_orders(spark, sf)
+        ),
+        # -- alert classification + routing (severity-ranked, channel fan-out)
+        "pipeline_alerts": lambda spark, sf: alerts.pipeline_alerts(
             _silver_orders(spark, sf)
         ),
         # -- ML feature engineering (A4 + §2.8 + deterministic split) -------

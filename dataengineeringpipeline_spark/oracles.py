@@ -1321,6 +1321,15 @@ SELECT vec_a, vec_b, cosine FROM (
     # == |brute-force top-k pairs| and recall exactly 1.0. A genuine tie
     # flip would show up as a hash mismatch here AND in
     # tests/test_operators.py::test_arrow_ann_matches_fold_topk.
+    # Caveat (liveness gauge, not an independent check): if a corpus had
+    # a genuine cosine TIE at the k boundary (e.g. duplicate embeddings),
+    # SIMD summation order could legitimately flip membership and this
+    # closed form would report it as a correctness failure. The test
+    # vectors are tie-free at every shipped SF (measured min rank-5/6
+    # cosine gap ≥ 3e-4 at sf0.001/0.01/0.1 — ~12 orders above double
+    # rounding); regenerate tie-free vectors or add a
+    # tie-margin-aware membership check before pointing this oracle at a
+    # corpus that may contain duplicate embeddings.
     arrow_recall = (
         f"WITH n AS ({_EMB_NORMS}),\n"
         f"exact_tk AS (SELECT query_id, neighbor_id FROM ({_ANN_BODY}))\n"
@@ -2098,6 +2107,107 @@ ORDER BY purchase_id, click_id
     return {"streaming_attribution_pairs": _with({"ev": EVENTS_BASE}, body)}
 
 
+def _alert_oracles() -> dict[str, str]:
+    """Twin of :func:`alerts.pipeline_alerts` — the DQ rule report and
+    the volume-anomaly detector (both already oracled verbatim above)
+    classified into severities and fanned out per routing rule."""
+    from dataengineeringpipeline_spark.alerts import (
+        DEFAULT_ALERT_RULES,
+        DQ_CRITICAL_SHORTFALL,
+        DQ_WARN_MARGIN,
+        SEVERITY_PRIORITY,
+        VOL_CRITICAL_Z,
+        VOL_ERROR_Z,
+        VOL_WARN_Z,
+    )
+    from dataengineeringpipeline_spark.quality import ORDERS_RULES
+
+    wide_cols = ["COUNT(*) AS total_count"]
+    for i, r in enumerate(ORDERS_RULES):
+        expr = r.duck_expression or r.expression
+        wide_cols.append(
+            f"CAST(SUM(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+        )
+    report_unions = "\n  UNION ALL ".join(
+        f"SELECT '{r.name}' AS rule_name, p{i} AS passed_count, total_count, "
+        f"CAST({r.threshold} AS DOUBLE) AS threshold FROM wide"
+        for i, r in enumerate(ORDERS_RULES)
+    )
+    sev_priority = " ".join(
+        f"WHEN severity = '{s}' THEN {p}" for s, p in SEVERITY_PRIORITY.items()
+    )
+    route_unions = "\n  UNION ALL ".join(
+        "SELECT a.*, '{ch}' AS channel FROM alerts a WHERE "
+        "regexp_matches(pipeline_name, '{pat}'){type_pred} AND priority >= {minp}".format(
+            ch=r.channel,
+            pat=r.pipeline_pattern,
+            type_pred=(
+                "" if r.alert_type is None else f" AND alert_type = '{r.alert_type}'"
+            ),
+            minp=SEVERITY_PRIORITY[r.min_severity],
+        )
+        for r in DEFAULT_ALERT_RULES
+    )
+    body = f"""
+report AS (
+  SELECT rule_name, passed_count, total_count,
+    passed_count/total_count AS pass_rate, threshold,
+    passed_count/total_count >= threshold AS passed
+  FROM ({report_unions})
+),
+dq AS (
+  SELECT 'orders_pipeline' AS pipeline_name, 'data_quality' AS alert_type,
+    rule_name AS source_name,
+    CASE WHEN NOT passed AND threshold - pass_rate >= {DQ_CRITICAL_SHORTFALL} THEN 'CRITICAL'
+         WHEN NOT passed THEN 'ERROR'
+         WHEN pass_rate - threshold <= {DQ_WARN_MARGIN} THEN 'WARNING'
+         ELSE 'INFO' END AS severity,
+    CAST(pass_rate AS DOUBLE) AS metric_value
+  FROM report
+),
+daily AS (SELECT order_date AS day, CAST(COUNT(*) AS BIGINT) AS rows FROM so GROUP BY 1),
+anom AS (
+  SELECT day, CASE WHEN n >= 2 AND var > 0 THEN (rows - mean) / sqrt(var) END AS z_score
+  FROM (
+    SELECT day, rows, n, mean, (sxx - n * mean * mean) / (n - 1) AS var
+    FROM (
+      SELECT day, rows,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(rows) OVER w AS BIGINT) / COUNT(*) OVER w AS mean,
+        CAST(SUM(rows * rows) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+  )
+),
+vol AS (
+  SELECT 'orders_pipeline' AS pipeline_name, 'volume_anomaly' AS alert_type,
+    CAST(day AS VARCHAR) AS source_name,
+    CASE WHEN abs(z_score) >= {VOL_CRITICAL_Z} THEN 'CRITICAL'
+         WHEN abs(z_score) >= {VOL_ERROR_Z} THEN 'ERROR'
+         ELSE 'WARNING' END AS severity,
+    CAST(z_score AS DOUBLE) AS metric_value
+  FROM anom WHERE z_score IS NOT NULL AND abs(z_score) >= {VOL_WARN_Z}
+),
+alerts AS (
+  SELECT pipeline_name, alert_type, source_name, severity,
+    CAST(CASE {sev_priority} END AS INTEGER) AS priority, metric_value
+  FROM (SELECT * FROM dq UNION ALL SELECT * FROM vol)
+)
+SELECT DISTINCT * FROM ({route_unions})
+ORDER BY priority DESC, alert_type, source_name, channel
+""".strip()
+    # body is a bare CTE list (starts at `report AS`) so it splices into
+    # ONE WITH clause alongside the source CTEs.
+    sql = (
+        f"WITH so AS (\n{SILVER_ORDERS}\n),\n"
+        f"wide AS (SELECT {', '.join(wide_cols)} FROM so),\n"
+        f"{body}"
+    )
+    return {"pipeline_alerts": sql}
+
+
+ORACLES.update(_alert_oracles())
 ORACLES.update(_dq_oracles())
 ORACLES.update(_ingest_oracles())
 ORACLES.update(_streaming_oracles())

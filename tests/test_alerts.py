@@ -1,0 +1,128 @@
+"""Alert classification + routing (alerts.py) — severity tiers, rule
+fan-out, and the execution-record mapping."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringpipeline_spark import alerts, quality
+from dataengineeringpipeline_spark.alerts import AlertRule
+
+
+def _report(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "rule_name string, passed_count long, total_count long, "
+        "pass_rate double, threshold double, passed boolean",
+    )
+
+
+def test_dq_alert_severity_tiers(spark):
+    """CRITICAL at ≥5pt shortfall, ERROR on any other failure, WARNING
+    within 1pt of the threshold, INFO otherwise."""
+    report = _report(
+        spark,
+        [
+            ("deep_fail", 80, 100, 0.80, 0.95, False),   # shortfall 0.15
+            ("shallow_fail", 94, 100, 0.94, 0.95, False),  # shortfall 0.01
+            ("near_miss", 955, 1000, 0.955, 0.95, True),   # margin 0.005
+            ("comfortable", 100, 100, 1.0, 0.95, True),
+        ],
+    )
+    got = {r["source_name"]: r for r in alerts.dq_alerts(report).collect()}
+    assert got["deep_fail"]["severity"] == "CRITICAL"
+    assert got["shallow_fail"]["severity"] == "ERROR"
+    assert got["near_miss"]["severity"] == "WARNING"
+    assert got["comfortable"]["severity"] == "INFO"
+    assert got["deep_fail"]["priority"] == 4
+    assert got["comfortable"]["priority"] == 1
+    assert got["near_miss"]["metric_value"] == pytest.approx(0.955)
+
+
+def test_volume_alert_tiers_and_quiet_days(spark):
+    """|z| tiers map to WARNING/ERROR/CRITICAL; quiet and warmup (NULL z)
+    days emit nothing; the signed z survives as metric_value."""
+    anom = spark.createDataFrame(
+        [
+            ("2024-01-01", 100, None),
+            ("2024-01-02", 100, 1.5),
+            ("2024-01-03", 100, -2.5),
+            ("2024-01-04", 100, 3.5),
+            ("2024-01-05", 100, -4.5),
+        ],
+        "day string, rows long, z_score double",
+    )
+    got = {r["source_name"]: r for r in alerts.volume_alerts(anom).collect()}
+    assert set(got) == {"2024-01-03", "2024-01-04", "2024-01-05"}
+    assert got["2024-01-03"]["severity"] == "WARNING"
+    assert got["2024-01-04"]["severity"] == "ERROR"
+    assert got["2024-01-05"]["severity"] == "CRITICAL"
+    assert got["2024-01-05"]["metric_value"] == pytest.approx(-4.5)
+
+
+def test_route_alerts_fan_out_threshold_and_drop(spark):
+    """Each alert reaches every matching channel exactly once; severity
+    thresholds and type filters apply; an alert matching no rule is
+    dropped; two rules naming one channel don't duplicate rows."""
+    rows = [
+        ("orders_pipeline", "data_quality", "r1", "CRITICAL", 4, 0.5),
+        ("orders_pipeline", "data_quality", "r2", "INFO", 1, 1.0),
+        ("events_pipeline", "volume_anomaly", "d1", "WARNING", 2, 2.5),
+    ]
+    adf = spark.createDataFrame(rows, alerts.ALERT_SCHEMA)
+    rules = (
+        AlertRule("pager", "pager", ".*", None, "CRITICAL"),
+        AlertRule("pager_dq_dup", "pager", ".*", "data_quality", "CRITICAL"),
+        AlertRule("orders_only", "orders-chan", "^orders_", None, "INFO"),
+        AlertRule("vol_only", "volume-watch", ".*", "volume_anomaly", "WARNING"),
+    )
+    got = sorted(
+        (r["source_name"], r["channel"])
+        for r in alerts.route_alerts(adf, rules).collect()
+    )
+    assert got == [
+        ("d1", "volume-watch"),        # type-matched; not orders_, below CRITICAL
+        ("r1", "orders-chan"),
+        ("r1", "pager"),               # matched two pager rules → one row
+        ("r2", "orders-chan"),         # INFO reaches only the INFO-floor rule
+    ]
+
+
+def test_job_status_alerts_mappings(spark):
+    """succeeded→INFO, failed→ERROR, skipped→WARNING per job; overall
+    PARTIAL→WARNING when successes mix with failures, FAILED→ERROR when
+    nothing succeeded, COMPLETED→INFO when everything did."""
+    partial = {
+        "job_status": {"a": "succeeded", "b": "failed", "c": "skipped"},
+    }
+    got = {r["source_name"]: r for r in alerts.job_status_alerts(spark, partial).collect()}
+    assert got["a"]["severity"] == "INFO"
+    assert got["b"]["severity"] == "ERROR"
+    assert got["c"]["severity"] == "WARNING"
+    assert got["__overall__"]["severity"] == "WARNING"
+
+    all_green = {"job_status": {"a": "succeeded", "b": "succeeded"}}
+    got = {r["source_name"]: r for r in alerts.job_status_alerts(spark, all_green).collect()}
+    assert got["__overall__"]["severity"] == "INFO"
+
+    all_red = {"job_status": {"a": "failed"}}
+    got = {r["source_name"]: r for r in alerts.job_status_alerts(spark, all_red).collect()}
+    assert got["__overall__"]["severity"] == "ERROR"
+
+
+def test_pipeline_alerts_end_to_end(spark, sf_dir):
+    """The contract query produces severity-sorted routed rows; every
+    CRITICAL alert reaches the pager; no channel outside the rule set."""
+    so = None
+    from dataengineeringpipeline_spark import cleaning
+
+    so = cleaning.clean_orders(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = alerts.pipeline_alerts(so).collect()
+    assert out, "expected at least the DQ INFO alerts"
+    channels = {r["channel"] for r in out}
+    assert channels <= {"pager", "ops-alerts", "data-quality", "volume-watch", "audit"}
+    crit_sources = {r["source_name"] for r in out if r["severity"] == "CRITICAL"}
+    paged = {r["source_name"] for r in out if r["channel"] == "pager"}
+    assert crit_sources == paged
+    priorities = [r["priority"] for r in out]
+    assert priorities == sorted(priorities, reverse=True)
