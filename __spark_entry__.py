@@ -107,29 +107,93 @@ def entry(spark: SparkSession) -> DataFrame:
     return gold.daily_sales_summary(_silver_orders(spark, SF0001))
 
 
+#: The driver's correctness record covers roughly the first 50 entries of
+#: ``queries()`` in insertion order. This list rotates the window each
+#: round: lead with (a) queries NEW or with changed source this round and
+#: (b) the block whose most recent driver check is oldest (round 4: the
+#: gold/dq/events/silver block last checked in r01, plus
+#: dq_daily_anomalies last checked in r02), then the streaming block
+#: (shared-infrastructure risk), then the queries whose operators were
+#: touched by this round's perf work. Everything else keeps its grouped
+#: order below and is still oracle-checked every round by
+#: tests/test_oracle_parity.py, which runs ALL entries.
+WINDOW_HEAD = [
+    # new this round
+    "pipeline_alerts",
+    "streaming_heavy_hitters",
+    # staleness rotation: last driver-checked r02/r01
+    "dq_daily_anomalies",
+    "ml_customer_features",
+    "daily_sales_summary",
+    "daily_metrics_long",
+    "monthly_sales_summary",
+    "sales_rollup",
+    "priority_performance",
+    "comprehensive_sales_summary",
+    "customer_lifetime_metrics",
+    "customer_analytics",
+    "top_customers_per_segment",
+    "segment_summary",
+    "supplier_performance",
+    "category_performance",
+    "dq_rule_report",
+    "dq_outliers",
+    "dq_referential_integrity",
+    "dq_quarantine_rows",
+    "doc_fingerprints",
+    "events_enriched",
+    "incremental_events",
+    "hourly_event_summary",
+    "event_type_summary",
+    "error_context",
+    "user_activity_summary",
+    "silver_orders",
+    "silver_customers",
+    "silver_parts",
+    "silver_lineitems",
+    "dq_null_profile",
+    "dq_duplicates",
+    "dq_range_violations",
+    "dq_freshness",
+    # streaming: shared stream_events infrastructure
+    "streaming_hourly_counts",
+    "streaming_severity_counts",
+    "streaming_session_counts",
+    "streaming_session_windows",
+    "streaming_attribution_pairs",
+    # operators touched by round-4 perf work (boilerplate front end,
+    # shared normalized-embeddings persist, fused funnel)
+    "boilerplate_report",
+    "decontamination_report",
+    "training_corpus_funnel",
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "pq_ann_topk",
+    "pq_ann_recall",
+    "ann_arrow_recall",
+    "ann_bruteforce_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering is deliberate: the driver's correctness record covers the
-    first ~50 entries in insertion order, so entries are ranked by
-    novelty/risk — streaming first (the entries that went red in round 2
-    when the events parquet changed ts type; leading the window means any
-    future testdata flip is caught by the driver, not just by pytest),
-    then LLM training-data ops (text, dedup, mix, multimodal, sampling,
-    similarity/PQ), then events/SCD2, then the long-stable gold
-    aggregations and DQ checks, and finally the silver basics (exercised
-    transitively by every gold query). Everything past the window is
-    still oracle-checked by the pytest parity suite
-    (tests/test_oracle_parity.py runs ALL entries regardless of
-    position).
+    The dict below is grouped by subsystem for readability; the returned
+    dict is re-ordered so ``WINDOW_HEAD`` (this round's driver
+    correctness window) leads. See the WINDOW_HEAD comment for the
+    rotation policy.
     """
-    return {
+    q = {
         # -- structured streaming (availableNow drain over the backlog) -----
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,
         "streaming_session_counts": streaming.streaming_session_counts,
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
+        # -- event-time top-k heavy hitters per window (streaming twin of
+        #    scale.key_skew_profile) --------------------------------------
+        "streaming_heavy_hitters": streaming.streaming_heavy_hitters,
         # -- text analysis (training-data ops: stats/quality/lang-id/fp) ----
         "text_stats": lambda spark, sf: text_ops.text_stats(_read(spark, sf, "documents")),
         "text_quality": lambda spark, sf: text_ops.quality_score(
@@ -371,6 +435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf), "ts_us", quality.EVENTS_AS_OF_US
         ),
     }
+    missing = [k for k in WINDOW_HEAD if k not in q]
+    if missing:  # fail loudly: a typo here would silently shrink coverage
+        raise KeyError(f"WINDOW_HEAD names unknown queries: {missing}")
+    return {**{k: q[k] for k in WINDOW_HEAD}, **{k: v for k, v in q.items() if k not in WINDOW_HEAD}}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -139,7 +139,12 @@ def job_status_alerts(
     (``process_pipeline_status_update``: COMPLETED→INFO,
     PARTIAL→WARNING, FAILED→ERROR). The record is O(jobs) driver state,
     so building a DataFrame from it is not a collect smell."""
-    job_sev = {"succeeded": "INFO", "failed": "ERROR", "skipped": "WARNING"}
+    job_sev = {
+        "succeeded": "INFO",
+        "failed": "ERROR",
+        "skipped": "WARNING",
+        "quarantined": "WARNING",  # orchestrator RecoveryAction.QUARANTINE
+    }
     rows = [
         (
             pipeline_name,
@@ -154,8 +159,8 @@ def job_status_alerts(
     statuses = set(record["job_status"].values())
     if statuses <= {"succeeded"}:
         overall = "INFO"
-    elif "succeeded" in statuses and ("failed" in statuses or "skipped" in statuses):
-        overall = "WARNING"  # PARTIAL
+    elif "succeeded" in statuses or statuses <= {"succeeded", "quarantined"}:
+        overall = "WARNING"  # PARTIAL: some work landed (or only quarantines)
     else:
         overall = "ERROR"  # FAILED outright
     rows.append(

@@ -1645,7 +1645,23 @@ FROM (
 )
 GROUP BY severity ORDER BY severity
 """.strip()
+    heavy_hitters_body = """
+SELECT window_start_us, user_id, events, rnk FROM (
+  SELECT window_start_us, user_id, events,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY window_start_us ORDER BY events DESC, user_id ASC
+    ) AS INTEGER) AS rnk
+  FROM (
+    SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+      user_id, COUNT(*) AS events
+    FROM ev GROUP BY 1, 2
+  )
+)
+WHERE rnk <= 5
+ORDER BY window_start_us, rnk
+""".strip()
     return {
+        "streaming_heavy_hitters": _with({"ev": EVENTS_BASE}, heavy_hitters_body),
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
         "streaming_severity_counts": _with({"ev": EVENTS_BASE}, severity_body),

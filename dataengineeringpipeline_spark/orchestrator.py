@@ -21,11 +21,19 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any, Callable
 
 
 class CircuitBreakerOpen(RuntimeError):
     """Raised when a job is invoked while its breaker is open."""
+
+
+class DataQualityError(RuntimeError):
+    """Raised by quality gates when data fails validation hard enough to
+    stop a job (the engine-side analog of the reference's DQ alarm —
+    ``auto_recovery.py:239-241`` routes 'data-quality' alarms to a
+    validation re-run rather than a blind restart)."""
 
 
 @dataclass
@@ -88,6 +96,121 @@ def execute_with_retry(
     raise last_exc  # type: ignore[misc]
 
 
+class ErrorClass(Enum):
+    """Failure taxonomy — the reference's ``ErrorType``
+    (``lambda/snowflake_extractor/error_handler.py:22-29``), minus the
+    vendor-specific members' transports."""
+
+    TRANSIENT = "transient"
+    RESOURCE_LIMIT = "resource_limit"
+    DATA_QUALITY = "data_quality"
+    CONFIGURATION = "configuration"
+    AUTHENTICATION = "authentication"
+    PERMANENT = "permanent"
+
+
+#: Keyword → class tiers, checked in order (first match wins) — the
+#: reference's string-heuristic fallback (``error_handler.py:121-134``)
+#: with the same precedence: network-ish beats resource-ish beats
+#: config-ish, unknown defaults to PERMANENT.
+_ERROR_KEYWORDS: tuple[tuple[ErrorClass, tuple[str, ...]], ...] = (
+    (ErrorClass.AUTHENTICATION, ("authentication", "credential", "access denied", "unauthorized")),
+    (ErrorClass.TRANSIENT, ("timeout", "connection", "network", "dns", "unavailable")),
+    (ErrorClass.RESOURCE_LIMIT, ("memory", "resource", "limit", "throttl", "quota")),
+    (ErrorClass.CONFIGURATION, ("config", "parameter", "invalid", "not found", "no such")),
+)
+
+
+def classify_error(exc: BaseException) -> ErrorClass:
+    """Map an exception to its :class:`ErrorClass`
+    (``error_handler.py:82-134``, re-keyed to Spark-native exception
+    types: AnalysisException is a plan/catalog problem = CONFIGURATION,
+    a breaker trip means downstream pressure = RESOURCE_LIMIT, and this
+    package's :class:`DataQualityError` is first-class)."""
+    if isinstance(exc, DataQualityError):
+        return ErrorClass.DATA_QUALITY
+    if isinstance(exc, CircuitBreakerOpen):
+        return ErrorClass.RESOURCE_LIMIT
+    try:  # typed before stringly: the Spark exception hierarchy when present
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException):
+            return ErrorClass.CONFIGURATION
+    except ImportError:  # pragma: no cover — pyspark is a hard dep here
+        pass
+    if isinstance(exc, MemoryError):
+        return ErrorClass.RESOURCE_LIMIT
+    if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+        return ErrorClass.TRANSIENT
+    text = f"{type(exc).__name__} {exc}".lower()
+    for cls, needles in _ERROR_KEYWORDS:
+        if any(n in text for n in needles):
+            return cls
+    return ErrorClass.PERMANENT
+
+
+class RecoveryAction(Enum):
+    """What the orchestrator does with a classified failure."""
+
+    RETRY = "retry"          #: re-drive the job with backoff (bounded)
+    QUARANTINE = "quarantine"  #: record the failure, let dependents run
+    SKIP = "skip"            #: record the failure, dependents are skipped
+    HALT = "halt"            #: stop the pipeline, remaining jobs skipped
+
+
+#: Default class → action mapping, mirroring the reference's routing:
+#: transient/resource alarms restart the job (``auto_recovery.py:233-237``),
+#: data-quality alarms re-validate and the pipeline continues
+#: (``auto_recovery.py:239-241``), auth/config/permanent failures page a
+#: human — no automated recovery is sound, so the DAG halts.
+DEFAULT_RECOVERY_ACTIONS: dict[ErrorClass, RecoveryAction] = {
+    ErrorClass.TRANSIENT: RecoveryAction.RETRY,
+    ErrorClass.RESOURCE_LIMIT: RecoveryAction.RETRY,
+    ErrorClass.DATA_QUALITY: RecoveryAction.QUARANTINE,
+    ErrorClass.CONFIGURATION: RecoveryAction.HALT,
+    ErrorClass.AUTHENTICATION: RecoveryAction.HALT,
+    ErrorClass.PERMANENT: RecoveryAction.HALT,
+}
+
+
+@dataclass
+class RecoveryPolicy:
+    """Bounded auto-recovery — the engine half of the reference's recovery
+    Lambda (``terraform/modules/monitoring/lambda_functions/auto_recovery.py:29-104``):
+    classify the failure, act per class, and never exceed
+    ``max_recovery_attempts`` re-drives of one job
+    (``MAX_RECOVERY_ATTEMPTS`` at ``auto_recovery.py:24,63-72`` — when the
+    bound is hit the reference notifies and stops retrying; here the
+    exhausted job falls through to its class's non-retry consequence,
+    recorded in the execution record the alerting surface consumes).
+
+    Scale note: recovery state is O(jobs) driver memory, exactly like the
+    rest of the orchestrator — the reference needs a DynamoDB attempt
+    table only because its control plane is stateless Lambdas.
+    """
+
+    actions: dict[ErrorClass, RecoveryAction] = field(
+        default_factory=lambda: dict(DEFAULT_RECOVERY_ACTIONS)
+    )
+    max_recovery_attempts: int = 3
+    base_delay_s: float = 1.0
+    max_delay_s: float = 60.0
+    #: what an exhausted retryable job degrades to (reference: notify +
+    #: stop — i.e. the failure stands and the DAG decides; SKIP keeps
+    #: sibling branches alive, HALT would stop the world).
+    exhausted_action: RecoveryAction = RecoveryAction.SKIP
+
+    def decide(self, exc: BaseException, attempts_so_far: int) -> tuple[ErrorClass, RecoveryAction]:
+        cls = classify_error(exc)
+        action = self.actions.get(cls, RecoveryAction.HALT)
+        if action is RecoveryAction.RETRY and attempts_so_far >= self.max_recovery_attempts:
+            return cls, self.exhausted_action
+        return cls, action
+
+    def delay_s(self, attempt: int) -> float:
+        return min(self.base_delay_s * (2**attempt), self.max_delay_s)
+
+
 @dataclass
 class Job:
     """One pipeline node: a named transform with upstream dependencies.
@@ -111,10 +234,18 @@ class Pipeline:
     dependencies are all satisfied (``get_ready_jobs``,
     ``lambda_function.py:283-307``), execute them, record per-job status,
     stop on failure of any job (downstream jobs are marked ``skipped``).
+
+    With a :class:`RecoveryPolicy` attached, a job failure is classified
+    and acted on instead of standing: transient/resource failures are
+    re-driven with backoff (bounded), data-quality failures are
+    quarantined and their dependents still run, config/auth/permanent
+    failures halt the DAG — the reference's alarm-driven recovery loop
+    folded into the driver.
     """
 
     jobs: list[Job] = field(default_factory=list)
     max_iterations: int = 50
+    recovery: RecoveryPolicy | None = None
 
     def add(self, name: str, fn, depends_on: tuple[str, ...] = (), max_retries: int = 0) -> "Pipeline":
         if any(j.name == name for j in self.jobs):
@@ -133,42 +264,87 @@ class Pipeline:
         self, inputs: dict[str, Any] | None = None, sleep: Callable[[float], None] = time.sleep
     ) -> dict[str, Any]:
         """Execute the DAG; returns an execution record:
-        ``{status, results, job_status, failed, iterations}``."""
+        ``{status, results, job_status, failed, recovery, iterations}``.
+
+        ``status`` is ``succeeded`` / ``failed``, or ``partial`` when the
+        only degradations are quarantined data-quality jobs (the
+        reference's COMPLETED / FAILED / PARTIAL ladder,
+        ``notification_alerting/lambda_function.py`` status mapping).
+        """
         self._validate()
         results: dict[str, Any] = dict(inputs or {})
         status: dict[str, str] = {j.name: "pending" for j in self.jobs}
         failed: dict[str, str] = {}
+        recovery_log: dict[str, dict[str, Any]] = {}
+        halted = False
+        #: a quarantined upstream still unblocks dependents — its
+        #: dependents must tolerate the missing result key.
+        satisfied = ("succeeded", "quarantined")
 
         for iteration in range(1, self.max_iterations + 1):
             ready = [
                 j
                 for j in self.jobs
                 if status[j.name] == "pending"
-                and all(status.get(d) == "succeeded" for d in j.depends_on)
+                and all(status.get(d) in satisfied for d in j.depends_on)
             ]
-            if not ready:
+            if not ready or halted:
                 break
             for job in ready:
-                try:
-                    results[job.name] = execute_with_retry(
-                        lambda job=job: job.fn(results),
-                        max_retries=job.max_retries,
-                        sleep=sleep,
-                    )
-                    status[job.name] = "succeeded"
-                except Exception as exc:  # noqa: BLE001
-                    status[job.name] = "failed"
-                    failed[job.name] = f"{type(exc).__name__}: {exc}"
+                attempts = 0
+                while True:
+                    try:
+                        results[job.name] = execute_with_retry(
+                            lambda job=job: job.fn(results),
+                            max_retries=job.max_retries,
+                            sleep=sleep,
+                        )
+                        status[job.name] = "succeeded"
+                    except Exception as exc:  # noqa: BLE001
+                        failed[job.name] = f"{type(exc).__name__}: {exc}"
+                        if self.recovery is None:
+                            status[job.name] = "failed"
+                            break
+                        cls, action = self.recovery.decide(exc, attempts)
+                        recovery_log[job.name] = {
+                            "error_class": cls.value,
+                            "action": action.value,
+                            "attempts": attempts,
+                        }
+                        if action is RecoveryAction.RETRY:
+                            sleep(self.recovery.delay_s(attempts))
+                            attempts += 1
+                            continue  # re-drive; a new failure re-classifies
+                        if action is RecoveryAction.QUARANTINE:
+                            status[job.name] = "quarantined"
+                        else:  # SKIP and HALT both leave the job failed
+                            status[job.name] = "failed"
+                            halted = action is RecoveryAction.HALT
+                        break
+                    else:
+                        if attempts:
+                            failed.pop(job.name, None)  # recovered: not a failure
+                            recovery_log[job.name]["recovered"] = True
+                        break
+                if halted:
+                    break
 
-        for j in self.jobs:  # anything still pending is unreachable
+        for j in self.jobs:  # anything still pending is unreachable or halted
             if status[j.name] == "pending":
                 status[j.name] = "skipped"
 
-        overall = "succeeded" if all(s == "succeeded" for s in status.values()) else "failed"
+        states = set(status.values())
+        if states <= {"succeeded"}:
+            overall = "succeeded"
+        elif states <= {"succeeded", "quarantined"}:
+            overall = "partial"
+        else:
+            overall = "failed"
         return {
             "status": overall,
             "results": results,
             "job_status": status,
             "failed": failed,
+            "recovery": recovery_log,
             "iterations": iteration if self.jobs else 0,
         }

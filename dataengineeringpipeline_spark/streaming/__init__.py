@@ -423,6 +423,61 @@ def streaming_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_attribution_pairs").orderBy("purchase_id", "click_id")
 
 
+def windowed_user_counts(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Per-(tumbling-hour, user) event counts — the streaming state that
+    backs heavy-hitter detection. Keys by integer µs (timezone-free).
+
+    Scale shape: state is one counter row per (window, active user),
+    partitioned by the grouping key across executors; in an always-on
+    append-mode deployment the watermark closes windows and evicts their
+    counters, so state is bounded by users-per-horizon, not by history.
+    For cardinalities where even that is too much state, the sketch
+    answer is count-min + a candidate heap per partition — the exact
+    windowed count here is the oracle-checkable baseline.
+    """
+    return (
+        events.withWatermark("event_ts", watermark_delay)
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id",
+            "events",
+        )
+    )
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Driver-contract query: event-time top-k heavy hitters per hourly
+    window — the streaming twin of ``scale.key_skew_profile`` (which
+    ranks whole-table key mass; this ranks within each event-time
+    window, the shape an always-on skew monitor actually needs).
+
+    Topology: the stream maintains per-(window, user) counts
+    (:func:`windowed_user_counts`); ranking is a batch window function
+    over the drained counts — top-k is not expressible inside a
+    streaming agg, and doesn't need to be: the rank input is already
+    reduced to O(windows × active users), a tiny fraction of the event
+    volume. Ties break on ``user_id`` so the result is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    run_available_now(
+        windowed_user_counts(stream_events(spark, sf_dir)),
+        "streaming_windowed_user_counts",
+    )
+    t = spark.table("streaming_windowed_user_counts")
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start_us").orderBy(F.desc("events"), F.asc("user_id"))
+    )
+    return (
+        t.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("window_start_us", "user_id", "events", "rnk")
+        .orderBy("window_start_us", "rnk")
+    )
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with

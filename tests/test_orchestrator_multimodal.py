@@ -92,6 +92,144 @@ def test_circuit_breaker_opens_and_recovers():
     assert br.failures == 0 and br.opened_at is None
 
 
+def test_classify_error_taxonomy():
+    cls = orchestrator.classify_error
+    EC = orchestrator.ErrorClass
+    assert cls(orchestrator.DataQualityError("nulls over budget")) is EC.DATA_QUALITY
+    assert cls(orchestrator.CircuitBreakerOpen("open")) is EC.RESOURCE_LIMIT
+    assert cls(ConnectionError("refused")) is EC.TRANSIENT
+    assert cls(RuntimeError("read timeout talking to source")) is EC.TRANSIENT
+    assert cls(MemoryError()) is EC.RESOURCE_LIMIT
+    assert cls(RuntimeError("throttled: request limit exceeded")) is EC.RESOURCE_LIMIT
+    assert cls(RuntimeError("access denied for role etl")) is EC.AUTHENTICATION
+    assert cls(ValueError("invalid parameter: watermark_column")) is EC.CONFIGURATION
+    from pyspark.errors import AnalysisException
+
+    assert cls(AnalysisException("TABLE_OR_VIEW_NOT_FOUND")) is EC.CONFIGURATION
+    assert cls(RuntimeError("segfault in worker")) is EC.PERMANENT
+
+
+def test_recovery_transient_is_retried_and_recovers():
+    attempts = {"n": 0}
+
+    def flaky(_):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ConnectionError("connection reset")
+        return "ok"
+
+    p = orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy())
+    p.add("ingest", flaky).add("downstream", lambda r: r["ingest"] + "!", depends_on=("ingest",))
+    record = p.run(sleep=_no_sleep)
+    assert record["status"] == "succeeded"
+    assert attempts["n"] == 3
+    assert record["failed"] == {}  # a recovered job is not a failure
+    assert record["recovery"]["ingest"] == {
+        "error_class": "transient",
+        "action": "retry",
+        "attempts": 1,
+        "recovered": True,
+    }
+    assert record["results"]["downstream"] == "ok!"
+
+
+def test_recovery_retry_bound_degrades_to_skip():
+    attempts = {"n": 0}
+
+    def always_down(_):
+        attempts["n"] += 1
+        raise ConnectionError("still down")
+
+    p = orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy(max_recovery_attempts=2))
+    p.add("ingest", always_down)
+    p.add("dependent", lambda r: 1, depends_on=("ingest",))
+    p.add("sibling", lambda r: 2)
+    record = p.run(sleep=_no_sleep)
+    assert attempts["n"] == 3  # initial + 2 bounded re-drives, then stop
+    assert record["job_status"]["ingest"] == "failed"
+    assert record["job_status"]["dependent"] == "skipped"
+    assert record["job_status"]["sibling"] == "succeeded"  # SKIP spares siblings
+    assert record["recovery"]["ingest"]["action"] == "skip"
+    assert record["status"] == "failed"
+
+
+def test_recovery_permanent_halts_pipeline():
+    def corrupt(_):
+        raise RuntimeError("segment decode failure")  # unknown → PERMANENT
+
+    ran = []
+    p = orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy())
+    p.add("a", lambda r: ran.append("a"))
+    p.add("bad", corrupt, depends_on=("a",))
+    p.add("independent", lambda r: ran.append("independent"), depends_on=("a",))
+    record = p.run(sleep=_no_sleep)
+    assert record["job_status"]["bad"] == "failed"
+    # HALT stops the world: even dependency-satisfied siblings scheduled
+    # after the failure are skipped, unlike the SKIP branch above.
+    assert record["job_status"]["independent"] == "skipped"
+    assert record["recovery"]["bad"] == {
+        "error_class": "permanent",
+        "action": "halt",
+        "attempts": 0,
+    }
+    assert record["status"] == "failed"
+
+
+def test_recovery_data_quality_is_quarantined_and_continues():
+    def gate(_):
+        raise orchestrator.DataQualityError("null rate 12% > 5% budget")
+
+    p = orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy())
+    p.add("extract", lambda r: "rows")
+    p.add("dq_gate", gate, depends_on=("extract",))
+    # dependents of a quarantined job still run (they must tolerate the
+    # missing upstream result — the quarantine contract)
+    p.add("gold", lambda r: r.get("dq_gate", "degraded"), depends_on=("dq_gate",))
+    record = p.run(sleep=_no_sleep)
+    assert record["job_status"] == {
+        "extract": "succeeded",
+        "dq_gate": "quarantined",
+        "gold": "succeeded",
+    }
+    assert record["results"]["gold"] == "degraded"
+    assert record["recovery"]["dq_gate"]["action"] == "quarantine"
+    assert "dq_gate" in record["failed"]  # the quarantine reason is recorded
+    assert record["status"] == "partial"
+
+
+def test_recovery_record_feeds_job_status_alerts(spark):
+    """The execution record with quarantined/partial states classifies
+    cleanly through the alerting surface."""
+    from dataengineeringpipeline_spark import alerts
+
+    def gate(_):
+        raise orchestrator.DataQualityError("dq budget blown")
+
+    p = orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy())
+    p.add("extract", lambda r: 1).add("dq_gate", gate, depends_on=("extract",))
+    record = p.run(sleep=_no_sleep)
+    rows = {
+        r["source_name"]: r["severity"]
+        for r in alerts.job_status_alerts(spark, record).collect()
+    }
+    assert rows["extract"] == "INFO"
+    assert rows["dq_gate"] == "WARNING"
+    assert rows["__overall__"] == "WARNING"  # PARTIAL
+
+
+def test_recovery_backoff_delays_are_bounded():
+    policy = orchestrator.RecoveryPolicy(base_delay_s=1.0, max_delay_s=4.0)
+    delays = []
+
+    def always_down(_):
+        raise ConnectionError("down")
+
+    p = orchestrator.Pipeline(recovery=policy)
+    p.add("j", always_down)
+    p.run(sleep=delays.append)
+    assert delays == [1.0, 2.0, 4.0]  # 2^n backoff, capped at max_delay_s
+
+
 def test_end_to_end_medallion_dag(spark, sf_dir, tmp_path):
     """Bronze→silver→gold as a DAG over a temp lake — the reference's
     pipeline shape in-process."""

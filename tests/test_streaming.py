@@ -104,6 +104,39 @@ def test_stream_equals_batch_hourly(spark, sf_dir):
     assert got == batch
 
 
+def test_streaming_heavy_hitters_match_batch_topk(spark, sf_dir):
+    """The drained streaming top-k per window equals the same ranking
+    computed purely in batch over the loader — stream/batch parity for
+    the windowed-counts state."""
+    from pyspark.sql.window import Window
+
+    got = streaming.streaming_heavy_hitters(spark, sf_dir, k=3).collect()
+    ev = load_events(spark, sf_dir)
+    counts = (
+        ev.groupBy(
+            ((F.col("ts_us") / 3_600_000_000).cast("long") * 3_600_000_000).alias(
+                "window_start_us"
+            ),
+            "user_id",
+        ).agg(F.count(F.lit(1)).alias("events"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start_us").orderBy(F.desc("events"), F.asc("user_id"))
+    )
+    want = (
+        counts.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start_us", "rnk")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # no window emits more than k rows; sparse windows emit what they have
+    per_window: dict = {}
+    for r in got:
+        per_window[r["window_start_us"]] = per_window.get(r["window_start_us"], 0) + 1
+    assert max(per_window.values()) == 3 and min(per_window.values()) >= 1
+
+
 def test_append_mode_withholds_open_windows(spark, sf_dir):
     """With outputMode=append, windows not yet past the watermark are
     withheld at backlog end — the late-data contract."""
