@@ -79,6 +79,14 @@ def main() -> int:
     t_all = time.perf_counter()
     sweeps = 0
     for sweep in range(reps):
+        # Re-warm python workers each sweep: executors reap idle workers,
+        # and a full sweep runs >60s of JVM-only queries before the first
+        # Arrow query of the next sweep — without this, that query is
+        # billed ~5s of process spawn + numpy import that is environment
+        # cost, not plan cost (same rationale as the pre-timing warm-up).
+        spark.range(cpus).repartition(cpus).mapInPandas(
+            _touch_numpy, "id long"
+        ).write.mode("overwrite").format("noop").save()
         for name, fn in sorted(queries.items()):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -431,9 +431,16 @@ def pq_topk(
     scanned map-only; only the per-query top-k window shuffles (on
     query_id). ``approx_dist`` is the ADC value — compare
     :func:`pq_recall` for how well its ranking tracks the exact one.
+
+    The base is deliberately NOT persisted here (unlike the IVF family):
+    the full corpus feeds exactly one branch (encode — the codebook and
+    query-table branches are tiny filtered slices whose filters push to
+    the scan), so a persist would pay a full materialization of the
+    64-double arrays to save one cheap norm-map recompute — measured
+    ~40% slower with the persist at sf0.1. ``spread``'s persist of the
+    raw scan is still shared across branches via cache-plan matching.
     """
-    if base is None:
-        base = tracked_persist(with_norms(embeddings))
+    base = _norm_base(embeddings, base)
     codebook = pq_codebook(embeddings, base=base) if codebook is None else codebook
     codebook = tracked_persist(codebook)  # consumed by encode + query tables
     encoded = pq_encode(embeddings, codebook, base=base)
@@ -517,8 +524,7 @@ def pq_topk_rerank(
     ADC ranking error beyond the shortlist boundary is the only recall
     loss — :func:`pq_recall` measures both stages.
     """
-    if base is None:
-        base = tracked_persist(with_norms(embeddings))
+    base = _norm_base(embeddings, base)
     short = pq_topk(
         embeddings, k=shortlist, query_mod=query_mod, codebook=codebook, base=base
     ).select("query_id", "neighbor_id")
@@ -564,10 +570,12 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
     One ADC corpus scan serves both measurements: the ADC top-k is a
     rank-prefix of the same shortlist the re-rank consumes (identical
     ordering), so the encode+score pass — the dominant cost — runs once.
-    Exact baseline, ADC scan, and re-rank all read one persisted
-    normalized base.
+    The shared base is threaded unpersisted (see :func:`pq_topk` — the
+    expensive branches here, exact and short, are persisted themselves,
+    each reading the base's cheap norm map once over spread's cached
+    scan).
     """
-    base = tracked_persist(with_norms(embeddings))
+    base = with_norms(embeddings)
     exact = tracked_persist(
         ann_bruteforce_topk(embeddings, k, base=base).select("query_id", "neighbor_id")
     )
