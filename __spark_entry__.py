@@ -121,6 +121,7 @@ WINDOW_HEAD = [
     # new this round
     "pipeline_alerts",
     "streaming_heavy_hitters",
+    "cms_heavy_hitters",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -179,12 +180,21 @@ WINDOW_HEAD = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The dict below is grouped by subsystem for readability; the returned
-    dict is re-ordered so ``WINDOW_HEAD`` (this round's driver
-    correctness window) leads. See the WINDOW_HEAD comment for the
-    rotation policy.
+    The dict below is grouped by subsystem; the returned dict is
+    re-ordered so ``WINDOW_HEAD`` (this round's driver correctness
+    window) leads. See the WINDOW_HEAD comment for the rotation policy.
+    (bench.py iterates ``sorted(...)``, so the rotation affects only the
+    driver's correctness window, never bench timings.)
     """
-    q = {
+    q = _grouped_queries()
+    missing = [k for k in WINDOW_HEAD if k not in q]
+    if missing:  # fail loudly: a typo here would silently shrink coverage
+        raise KeyError(f"WINDOW_HEAD names unknown queries: {missing}")
+    return {**{k: q[k] for k in WINDOW_HEAD}, **{k: v for k, v in q.items() if k not in WINDOW_HEAD}}
+
+
+def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
         # -- structured streaming (availableNow drain over the backlog) -----
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_severity_counts": streaming.streaming_severity_counts,
@@ -320,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_heavy_hitters": lambda spark, sf: scale.key_skew_profile(
             load_events(spark, sf), ["user_id"], top_n=20
         ),
+        # -- count-min sketch heavy hitters (bounded-state skew triage) -----
+        "cms_heavy_hitters": lambda spark, sf: scale.cms_heavy_hitters(
+            load_events(spark, sf), "user_id", top_n=20
+        ),
         # -- skew-safe two-stage aggregation (scale.py) ---------------------
         "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
             _silver_orders(spark, sf).select("order_status", "total_price"),
@@ -435,10 +449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf), "ts_us", quality.EVENTS_AS_OF_US
         ),
     }
-    missing = [k for k in WINDOW_HEAD if k not in q]
-    if missing:  # fail loudly: a typo here would silently shrink coverage
-        raise KeyError(f"WINDOW_HEAD names unknown queries: {missing}")
-    return {**{k: q[k] for k in WINDOW_HEAD}, **{k: v for k, v in q.items() if k not in WINDOW_HEAD}}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2038,9 +2038,31 @@ SELECT user_id, rows, share, skew_factor FROM (
 )
 ORDER BY rows DESC, user_id ASC LIMIT 20
 """.strip()
+    # Count-min sketch twin: same pure-integer row hashes as
+    # scale._cms_bucket — (key%P · (2654435761 + d·1013904223) + 40503(d+1))
+    # mod P mod width, P=1000003, width=1024, depth=4.
+    cms_hash = (  # CAST the row index: VALUES yields INT32, d·1013904223 overflows it
+        "((({k} % 1000003) * (2654435761 + CAST({d} AS BIGINT) * 1013904223)"
+        " + 40503 * (CAST({d} AS BIGINT) + 1)) % 1000003) % 1024"
+    )
+    cms_body = f"""
+SELECT user_id, est_count, true_count, est_count - true_count AS overcount
+FROM (
+  SELECT e.user_id, e.true_count, MIN(s.c) AS est_count
+  FROM (SELECT user_id, COUNT(*) AS true_count FROM ev GROUP BY user_id) e
+  JOIN (
+    SELECT d, {cms_hash.format(k='user_id', d='d')} AS bucket, COUNT(*) AS c
+    FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) ds(d)
+    GROUP BY 1, 2
+  ) s ON s.bucket = {cms_hash.format(k='e.user_id', d='s.d')}
+  GROUP BY e.user_id, e.true_count
+)
+ORDER BY est_count DESC, user_id ASC LIMIT 20
+""".strip()
     return {
         "token_histogram": _with({"tok": tok}, body),
         "event_heavy_hitters": _with({"ev": EVENTS_BASE}, hh_body),
+        "cms_heavy_hitters": _with({"ev": EVENTS_BASE}, cms_body),
     }
 
 

@@ -199,3 +199,95 @@ def partition_balance(df: DataFrame) -> DataFrame:
         F.avg("rows").alias("mean_rows"),
         (F.max("rows") / F.avg("rows")).alias("balance_factor"),
     )
+
+
+# -- count-min sketch heavy hitters ----------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_P = 1_000_003  # prime modulus; same style as sampling's hash buckets
+
+
+def _cms_bucket(key: Column, d: int, width: int) -> Column:
+    """Row-``d`` sketch bucket for ``key`` — pure integer arithmetic
+    (Knuth multiplicative constants offset per row), so any engine
+    reproduces it bit-identically; no engine-specific hash function.
+    Max intermediate is ~(P·6e9) ≈ 6e15, well inside int64."""
+    a = 2_654_435_761 + d * 1_013_904_223
+    b = 40_503 * (d + 1)
+    return F.pmod(F.pmod(F.pmod(key, _CMS_P) * F.lit(a) + F.lit(b), _CMS_P), width)
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution:
+    ``depth × width`` counters, returned as ``(d, bucket, c)`` rows.
+
+    The 100 TB property: sketch state is O(depth·width) — a few KB —
+    regardless of key cardinality, and counters are mergeable (sum) across
+    partitions, days, or stream micro-batches, so a fleet of jobs can
+    each sketch its shard and the union is one ``groupBy(d, bucket).sum``.
+    The aggregation's map-side combine reduces each task's output to at
+    most ``depth × width`` rows before any exchange; the explode is
+    ``depth`` small ints per input row, never the row's payload.
+    """
+    key = F.col(key_col)
+    buckets = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_bucket(key, d, width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(buckets).alias("b"))
+        .groupBy(F.col("b.d").alias("d"), F.col("b.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-``top_n`` keys by count-min ESTIMATE, with the exact count and
+    the overestimate alongside — the bounded-state twin of
+    :func:`key_skew_profile` and the gauge that shows what the sketch's
+    collision error costs on this corpus (estimate ≥ truth always; CM
+    never undercounts).
+
+    Plan shape: the sketch collapses to ONE broadcast row (a
+    ``depth × width`` int map — ~32 KB), so per-key estimation is a
+    map-only ``least()`` of ``depth`` map lookups over the per-key exact
+    counts (one aggregation — the same single shuffle
+    :func:`key_skew_profile` pays; a production deployment that cannot
+    afford even that keeps per-partition candidate heaps instead and
+    estimates only the candidates). Top-n is ``orderBy().limit()`` —
+    TakeOrdered, no single-partition window. Ties break on the key, so
+    the result is deterministic and oracle-exact.
+    """
+    key = F.col(key_col)
+    sk = cms_sketch(df, key_col, depth, width)
+    sketch_row = sk.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct((F.col("d") * width + F.col("bucket")).alias("k"), F.col("c")))
+        ).alias("m")
+    )
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_count"))
+    est = F.least(
+        *[F.col("m")[_cms_bucket(key, d, width) + d * width] for d in range(depth)]
+    )
+    return (
+        exact.crossJoin(F.broadcast(sketch_row))
+        .select(
+            key_col,
+            est.alias("est_count"),
+            "true_count",
+            (est - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), F.asc(key_col))
+        .limit(top_n)
+    )

@@ -194,6 +194,25 @@ def test_key_skew_profile_flags_heavy_hitter(spark):
     assert top[1]["rows"] == 1  # everything else is singleton
 
 
+def test_cms_never_undercounts_and_ranks_heavy_hitter(spark):
+    """Count-min invariants: estimate >= exact count for EVERY key, a
+    clear heavy hitter tops the estimate ranking, and the sketch state
+    is depth x width regardless of key cardinality."""
+    from pyspark.sql import Row
+
+    rows = [Row(k=999) for _ in range(500)] + [Row(k=i) for i in range(400)]
+    df = spark.createDataFrame(rows)
+    hh = scale.cms_heavy_hitters(df, "k", top_n=401).collect()
+    assert all(r["overcount"] >= 0 for r in hh)  # CM never undercounts
+    assert hh[0]["k"] == 999 and hh[0]["true_count"] == 500
+    assert hh[0]["est_count"] >= 500
+    sk = scale.cms_sketch(df, "k")
+    assert sk.count() <= scale.CMS_DEPTH * scale.CMS_WIDTH
+    # total mass per sketch row equals the input row count (mergeability)
+    per_d = {r["d"]: r["s"] for r in sk.groupBy("d").agg(F.sum("c").alias("s")).collect()}
+    assert set(per_d.values()) == {900}
+
+
 def test_partition_balance_reports_layout(spark):
     df = spark.range(0, 10_000).repartition(8)
     row = scale.partition_balance(df).collect()[0]
