@@ -184,3 +184,52 @@ def training_corpus_funnel(
         "docs_in long, docs_after_dedup long, docs_after_gates long, "
         "chunks long, sequences long, tokens long",
     )
+
+
+def materialize_corpus(
+    docs: DataFrame,
+    lake,
+    snapshot: str = "snap1",
+    min_quality: int = DEFAULT_MIN_QUALITY,
+    max_dup_ratio: float = DEFAULT_MAX_DUP_RATIO,
+    dedup_threshold: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    budget: int = 256,
+) -> dict[str, str]:
+    """Checkpoint the funnel's reusable intermediates to the lake — the
+    100 TB shape this module's docstrings promise: the survivor id set
+    and the packed chunk table are consumed by MANY downstream jobs
+    (train/val/test splits, domain mixes, tokenizer runs, epoch
+    shuffles), so a production pipeline derives them ONCE per corpus
+    snapshot and every consumer reads the parquet tables — re-running
+    the LSH→verify→cluster chain per consumer would multiply the most
+    expensive shuffle in the whole engine by the consumer count.
+
+    Writes ``gold/corpus_<snapshot>_keep_ids`` (doc_id) and
+    ``gold/corpus_<snapshot>_chunks`` (the :func:`training_corpus`
+    schema), returns ``{"keep_ids": path, "chunks": path}``. The chunk
+    table is written as-is (pack_chunks already spread the rows across
+    the cluster via its hash-group shuffle); at warehouse scale, bucket
+    it on ``doc_id`` (``scale.write_bucketed``) if chunk↔doc joins are
+    a recurring downstream pattern.
+
+    Idempotent per snapshot: overwrite mode — re-materializing a
+    snapshot replaces it atomically at the table level.
+    """
+    docs = spread(docs, "doc_id")
+    keep = tracked_persist(
+        corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
+    )
+    keep_path = lake.write(keep, "gold", f"corpus_{snapshot}_keep_ids")
+    chunks = _pack_kept(docs, keep, chunk_tokens, overlap, budget)
+    chunks_path = lake.write(chunks, "gold", f"corpus_{snapshot}_chunks")
+    return {"keep_ids": keep_path, "chunks": chunks_path}
+
+
+def read_corpus(spark, lake, snapshot: str = "snap1") -> dict[str, DataFrame]:
+    """Read a materialized corpus snapshot's tables back from the lake."""
+    return {
+        "keep_ids": lake.read(spark, "gold", f"corpus_{snapshot}_keep_ids"),
+        "chunks": lake.read(spark, "gold", f"corpus_{snapshot}_chunks"),
+    }

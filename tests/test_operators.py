@@ -480,6 +480,68 @@ def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     assert os.path.isdir(report_path)
 
 
+def test_materialized_corpus_matches_lazy_funnel(spark, sf_dir, tmp_path):
+    """Lake-checkpointed snapshot == the lazy funnel: same survivor ids,
+    same packed chunks, and consumers read parquet instead of re-running
+    the LSH chain."""
+    from dataengineeringpipeline_spark.operators import corpus as corpus_ops
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lake = Lake(str(tmp_path / "lake"))
+    paths = corpus_ops.materialize_corpus(docs, lake, snapshot="t1")
+    snap = corpus_ops.read_corpus(spark, lake, snapshot="t1")
+    want_keep = {r["doc_id"] for r in corpus_ops.corpus_keep_ids(docs).collect()}
+    got_keep = {r["doc_id"] for r in snap["keep_ids"].collect()}
+    assert got_keep == want_keep and len(got_keep) > 0
+    want_chunks = sorted(
+        (r["doc_id"], r["chunk_idx"], r["seq_id"], r["chunk_token_count"])
+        for r in corpus_ops.training_corpus(docs).collect()
+    )
+    got_chunks = sorted(
+        (r["doc_id"], r["chunk_idx"], r["seq_id"], r["chunk_token_count"])
+        for r in snap["chunks"].collect()
+    )
+    assert got_chunks == want_chunks
+    assert paths["chunks"].endswith("gold/corpus_t1_chunks")
+
+
+def test_read_any_dispatches_all_formats(spark, sf_dir, tmp_path):
+    """S7 multi-format reader: parquet/csv/json/orc round-trip through
+    read_any with extension inference and explicit fmt override."""
+    from dataengineeringpipeline_spark.datalake import read_any
+
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+    rows = [(r["r_regionkey"], r["r_name"]) for r in src.collect()]
+    paths = {
+        "parquet": str(tmp_path / "t.parquet"),
+        "csv": str(tmp_path / "t.csv"),
+        "json": str(tmp_path / "t.json"),
+        "orc": str(tmp_path / "t.orc"),
+    }
+    src.write.parquet(paths["parquet"])
+    src.write.option("header", "true").csv(paths["csv"])
+    src.write.json(paths["json"])
+    src.write.orc(paths["orc"])
+    for fmt, path in paths.items():
+        got = read_any(spark, path)  # inferred from extension
+        assert sorted(
+            (int(r["r_regionkey"]), r["r_name"]) for r in got.collect()
+        ) == rows, fmt
+    # explicit fmt overrides a non-indicative path
+    plain = str(tmp_path / "plain_dir_orc")
+    src.write.orc(plain)
+    got = read_any(spark, plain, fmt="orc")
+    assert got.count() == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, str(tmp_path / "t.avro"), fmt="avro")
+
+
 def test_decontaminate_counts_benchmark_overlap(spark):
     """Known 3-gram overlap: one corpus doc shares exactly one 3-gram with
     the benchmark, one shares none, one is too short to shingle."""
