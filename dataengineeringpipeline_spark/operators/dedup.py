@@ -299,7 +299,9 @@ def minhash_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, hash_arrays: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact
     **shingle-set** Jaccard (the same 3-gram shingle-hash sets the
     signatures are built from — NOT word-set Jaccard; ``size_a`` /
@@ -324,8 +326,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     the same assumption the exploded join-count form made). The persisted
     arrays are session-scoped; at 100 TB you'd materialize arrays and
     signatures to a lake table once per corpus snapshot instead.
+
+    ``hash_arrays`` lets a caller that already persisted the per-doc
+    arrays (e.g. :func:`minhash_recall`, whose exact side reads the same
+    shingle hashes) feed them in, so the corpus is tokenized+shingled
+    once per query instead of once per branch.
     """
-    arrays = tracked_persist(doc_shingle_hash_arrays(docs))
+    arrays = (
+        tracked_persist(doc_shingle_hash_arrays(docs)) if hash_arrays is None else hash_arrays
+    )
     sigs = minhash_signatures(docs, hash_arrays=arrays)
     bands = minhash_bands(sigs)
     a = bands.alias("a")
@@ -501,13 +510,21 @@ def minhash_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     frequent-shingle cap — the ground truth must not drop pairs), so
     this gauge costs what :func:`ngram_jaccard_pairs` costs; run it on a
     sample at corpus scale.
+
+    Both sides read ONE persisted per-doc hash-array pass: the exact
+    side explodes the cached arrays (cheap — no re-tokenization) and the
+    LSH side consumes them directly, so the tokenize+shingle map — the
+    dominant per-row cost — runs once per gauge instead of twice.
     """
+    arrays = tracked_persist(doc_shingle_hash_arrays(docs))
     exact = tracked_persist(
-        _pairwise_jaccard(doc_shingle_hash_sets(docs), "h", max_df=None)
+        _pairwise_jaccard(
+            arrays.select("doc_id", F.explode("hs").alias("h")), "h", max_df=None
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    lsh = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs, threshold, hash_arrays=arrays).select("doc_a", "doc_b")
     hits = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
