@@ -547,14 +547,22 @@ def dedup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     feeds the training set" decision that completes a dedup pipeline
     (candidates → verify → cluster → select).
 
-    The quality join touches only docs that appear in clusters, and the
-    survivor pick is a per-cluster window over those few rows — the
-    full corpus never re-shuffles.
+    The quality pass touches only docs that appear in clusters: the
+    cluster labels (tiny — near-dup members only) are persisted and
+    broadcast-semi-joined into the corpus BEFORE ``text_stats``, so the
+    regex-heavy stats map runs over cluster members instead of the whole
+    corpus (a join placed after the projection would still evaluate the
+    stats for every row — Catalyst pushes predicates below projections,
+    not joins). The survivor pick is a per-cluster window over those few
+    rows — the full corpus never re-shuffles.
     """
     from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
 
-    clusters = minhash_dup_clusters(docs, threshold)
-    quality = quality_score(text_stats(docs)).select("doc_id", "quality_score")
+    clusters = tracked_persist(minhash_dup_clusters(docs, threshold))
+    clustered_docs = docs.join(
+        F.broadcast(clusters.select("doc_id")), "doc_id", "left_semi"
+    )
+    quality = quality_score(text_stats(clustered_docs)).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
     return (
         clusters.join(quality, "doc_id")
