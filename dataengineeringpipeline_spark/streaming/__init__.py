@@ -478,6 +478,65 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
     )
 
 
+def stream_cms_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain a count-min sketch of ``key_col`` over a file stream —
+    the streaming face of ``scale.cms_sketch`` and the demonstration of
+    why a sketch is the right heavy-hitter state at 100 TB/day: each
+    micro-batch reduces to a ≤ depth×width partial sketch (KBs), and
+    partial sketches MERGE by counter addition, so the running state is
+    bounded regardless of key cardinality or stream age.
+
+    Exactly-once by layout, not by bookkeeping: each batch's partial
+    sketch is written to its own ``batch_id=<n>`` partition (dynamic
+    overwrite), so a crash-replayed batch overwrites itself instead of
+    double-counting — the same idempotence shape as ``stream_etl``. The
+    merged view is :func:`read_cms_sketch`'s ``groupBy(d, bucket).sum``
+    over the partition rows (merge-on-read; compact old partitions into
+    a base sketch when batch count grows into the thousands).
+    """
+    from ..scale import cms_sketch
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_sketch(batch_df, key_col).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:  # bound batch size on backlogs
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_cms_sketch over {source_dir!r} did not finish within {timeout_s}s")
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The merged (d, bucket, c) sketch across all streamed batches —
+    counter addition IS the CMS merge operation."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with

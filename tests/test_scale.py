@@ -213,6 +213,20 @@ def test_cms_never_undercounts_and_ranks_heavy_hitter(spark):
     assert set(per_d.values()) == {900}
 
 
+def test_cms_plan_shape(spark, sf_dir):
+    """The CMS scale claims, plan-asserted: the sketch aggregation is the
+    only corpus-wide work (partial aggregation before its exchange), the
+    sketch reaches the estimator via broadcast (no shuffle join), and
+    top-n is TakeOrdered, never a single-partition global sort."""
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    ev = load_events(spark, sf_dir)
+    plan = scale.cms_heavy_hitters(ev, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan.splitlines()[:8]
+    assert "TakeOrderedAndProject" in plan, plan.splitlines()[:8]
+    assert "SortMergeJoin" not in plan, plan.splitlines()[:8]
+
+
 def test_partition_balance_reports_layout(spark):
     df = spark.range(0, 10_000).repartition(8)
     row = scale.partition_balance(df).collect()[0]

@@ -194,6 +194,43 @@ def test_file_source_processes_each_file_as_micro_batch(spark, sf_dir, tmp_path)
     assert sum(n for _, n in batch_ids) == 1000
 
 
+def test_stream_cms_sketch_merge_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Per-micro-batch partial sketches merged by counter addition must
+    equal the batch sketch of the whole stream — the CMS mergeability
+    property the streaming maintainer relies on."""
+    from dataengineeringpipeline_spark.scale import cms_sketch
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    ev = load_events(spark, sf_dir).limit(600).select(
+        "event_id", (F.col("ts_us") * 1000).alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    streaming.stream_cms_sketch(
+        spark,
+        str(src / "*"),
+        streaming.EVENTS_DDL,
+        "user_id",
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    merged = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in streaming.read_cms_sketch(spark, str(tmp_path / "sketch")).collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["c"] for r in cms_sketch(ev, "user_id").collect()
+    }
+    assert merged == want and len(merged) > 0
+    # at least two batch partitions landed (one per file)
+    import os as _os
+
+    parts = [p for p in _os.listdir(tmp_path / "sketch") if p.startswith("batch_id=")]
+    assert len(parts) >= 2
+
+
 def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     """The same events file delivered twice (at-least-once source) must
     come out once through the watermarked dedup stream."""
