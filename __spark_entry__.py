@@ -122,6 +122,7 @@ WINDOW_HEAD = [
     "pipeline_alerts",
     "streaming_heavy_hitters",
     "cms_heavy_hitters",
+    "hybrid_dup_clusters",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -240,6 +241,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_survivors": lambda spark, sf: dedup_ops.dedup_survivors(
             _read(spark, sf, "documents")
+        ),
+        # -- cross-modal: lexical ∪ semantic near-dup evidence ---------------
+        "hybrid_dup_clusters": lambda spark, sf: dedup_ops.hybrid_dup_clusters(
+            _read(spark, sf, "documents"), _read(spark, sf, "embeddings")
         ),
         "simhash_dup_candidates": lambda spark, sf: dedup_ops.simhash_dup_candidates(
             _read(spark, sf, "documents")

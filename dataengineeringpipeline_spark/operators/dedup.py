@@ -499,6 +499,44 @@ def minhash_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def hybrid_dup_clusters(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_threshold: float = 0.5,
+    cos_threshold: float = 0.35,
+) -> DataFrame:
+    """Duplicate clusters from the UNION of lexical and semantic
+    near-dup evidence: a pair is an edge if the documents share surface
+    form (MinHash-LSH-verified shingle Jaccard ≥ ``text_threshold``) OR
+    meaning (hyperplane-LSH-bucketed embedding cosine ≥
+    ``cos_threshold``). Paraphrases that lexical dedup misses and
+    boilerplate variants that embedding dedup misses both collapse into
+    one cluster — the evidence union every production training-data
+    dedup runs. ``docs.doc_id`` and ``embeddings.vec_id`` must share an
+    id space (the embedding of document *i* is vector *i*).
+
+    Scale shape: both pair generators are the bucketed (never
+    all-pairs) paths documented on their operators; the union is a
+    dedup over the (small) verified edge lists; clustering is the
+    shared hybrid CC kernel.
+    """
+    # function-local import: similarity imports this module's CC kernel
+    from dataengineeringpipeline_spark.operators.similarity import embedding_near_dups
+
+    text_pairs = minhash_lsh_pairs(docs, text_threshold).select("doc_a", "doc_b")
+    sem_pairs = embedding_near_dups(embeddings, cos_threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    pairs = text_pairs.unionByName(sem_pairs).distinct()
+    comp = connected_components(pairs)
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def minhash_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH banding recall gauge: verified MinHash-LSH pairs vs ALL exact
     shingle-set Jaccard ≥ ``threshold`` pairs — the dedup twin of

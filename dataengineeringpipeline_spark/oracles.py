@@ -1025,6 +1025,52 @@ WHERE CAST(bit_count(xor(simhash_a, simhash_b)) AS INTEGER) <= 3
     minhash_clusters = _with_recursive(
         {**cluster_ctes, "clusters": clusters_cte}, "SELECT * FROM clusters ORDER BY doc_id"
     )
+
+    # -- hybrid (lexical ∪ semantic) clusters: the MinHash pair CTEs
+    # renamed to tpairs, the embedding hyperplane-LSH near-dup CTEs
+    # renamed esigs/epairs (both sides' names collide on sigs/pairs),
+    # union → same recursive reach kernel.
+    from dataengineeringpipeline_spark.operators.similarity import (
+        EMB_DIM as _EDIM,
+        LSH_PLANES as _EPLANES,
+        _plane_coef,
+    )
+
+    eterms = []
+    for p in range(_EPLANES):
+        dot_p = (
+            f"list_reduce(list_transform(range(0, {_EDIM}), "
+            f"i -> e[i + 1] * {_plane_coef(p)}), (acc, x) -> acc + x)"
+        )
+        eterms.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
+    esigs = f"SELECT vec_id, e, nrm, CAST({' + '.join(eterms)} AS BIGINT) AS bucket FROM n"
+    epairs = f"""
+SELECT vec_a, vec_b FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_reduce(list_transform(range(1, {_EDIM + 1}), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+  FROM esigs a JOIN esigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+""".strip()
+    hybrid_clusters = _with_recursive(
+        {
+            "shingles": _SHINGLES,
+            "shingle_hashes": _SHINGLE_HASHES,
+            "sigs": sigs,
+            "bands": bands,
+            "tpairs": minhash_pairs,
+            "n": _EMB_NORMS,
+            "esigs": esigs,
+            "epairs": epairs,
+            "pairs": (
+                "SELECT doc_a, doc_b FROM tpairs "
+                "UNION SELECT vec_a AS doc_a, vec_b AS doc_b FROM epairs"
+            ),
+            "und": cluster_ctes["und"],
+            "reach(src, dst)": cluster_ctes["reach(src, dst)"],
+            "clusters": clusters_cte,
+        },
+        "SELECT * FROM clusters ORDER BY doc_id",
+    )
     dedup_survivors_sql = _with_recursive(
         {
             **cluster_ctes,
@@ -1130,6 +1176,7 @@ FROM (
         "exact_dedup": EXACT_DEDUP_SQL,
         "split_summary": split_summary_sql,
         "minhash_dup_clusters": minhash_clusters,
+        "hybrid_dup_clusters": hybrid_clusters,
         "dedup_survivors": dedup_survivors_sql,
         "training_corpus_funnel": funnel_sql,
         "ngram_jaccard_pairs": _with(

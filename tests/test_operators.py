@@ -480,6 +480,41 @@ def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     assert os.path.isdir(report_path)
 
 
+def test_hybrid_clusters_merge_lexical_and_semantic_evidence(spark):
+    """Doc 1-2 share text (lexical edge), doc 2-3 share an embedding
+    (semantic edge), docs 1 and 3 share nothing directly — the hybrid
+    union must still place all three in one cluster, which neither
+    single-modality clustering would."""
+    from pyspark.sql import Row
+
+    from dataengineeringpipeline_spark.operators.dedup import (
+        hybrid_dup_clusters,
+        minhash_dup_clusters,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=same),
+            Row(doc_id=2, text=same),
+            Row(doc_id=3, text="entirely different words about unrelated machinery and tools"),
+        ]
+    )
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=e1, label=0), Row(vec_id=2, embedding=e2, label=0),
+         Row(vec_id=3, embedding=e2, label=0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in
+           hybrid_dup_clusters(docs, emb).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+    # lexical-only clustering sees just the 1-2 pair
+    lex = {r["doc_id"] for r in minhash_dup_clusters(docs).collect()}
+    assert lex == {1, 2}
+
+
 def test_materialized_corpus_matches_lazy_funnel(spark, sf_dir, tmp_path):
     """Lake-checkpointed snapshot == the lazy funnel: same survivor ids,
     same packed chunks, and consumers read parquet instead of re-running
