@@ -135,3 +135,56 @@ def test_chunking_covers_every_token_exactly(spark, docs_words, chunk_tokens, ov
             assert rebuilt[start:] == ctoks[: len(rebuilt) - start]  # overlap agrees
             rebuilt = rebuilt[:start] + ctoks
         assert rebuilt == toks
+
+
+# -- count-min sketch: never undercounts, mass-preserving --------------------
+
+_keys = st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=120)
+
+
+@given(_keys)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cms_estimate_dominates_truth_for_any_keys(spark, keys):
+    """CM property: for EVERY key (negatives included — pmod bucketing),
+    estimate >= exact count, and each sketch row carries the full input
+    mass (the mergeability invariant)."""
+    from collections import Counter
+
+    from dataengineeringpipeline_spark import scale
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {r["k"]: (r["est_count"], r["true_count"]) for r in
+           scale.cms_heavy_hitters(df, "k", top_n=len(keys)).collect()}
+    truth = Counter(keys)
+    assert set(got) == set(truth)
+    for k, (est, true) in got.items():
+        assert true == truth[k] and est >= true
+    per_d = {r["d"]: r["s"] for r in
+             scale.cms_sketch(df, "k").groupBy("d").sum("c").withColumnRenamed("sum(c)", "s").collect()}
+    assert set(per_d.values()) == {len(keys)}
+
+
+# -- error classifier / recovery policy: total and bounded --------------------
+
+
+@given(st.text(max_size=80), st.sampled_from([RuntimeError, ValueError, OSError, ConnectionError, TimeoutError, KeyError]))
+@settings(max_examples=100, deadline=None)
+def test_classify_error_is_total(msg, exc_type):
+    from dataengineeringpipeline_spark import orchestrator
+
+    cls = orchestrator.classify_error(exc_type(msg))
+    assert isinstance(cls, orchestrator.ErrorClass)
+
+
+@given(st.integers(0, 10), st.integers(1, 5))
+@settings(max_examples=50, deadline=None)
+def test_recovery_never_retries_past_the_bound(attempts, bound):
+    from dataengineeringpipeline_spark import orchestrator
+
+    policy = orchestrator.RecoveryPolicy(max_recovery_attempts=bound)
+    _, action = policy.decide(ConnectionError("down"), attempts)
+    if attempts >= bound:
+        assert action is not orchestrator.RecoveryAction.RETRY
+    else:
+        assert action is orchestrator.RecoveryAction.RETRY
+    assert policy.delay_s(attempts) <= policy.max_delay_s
