@@ -698,3 +698,107 @@ def simhash_dup_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a materialized signature snapshot
+# ---------------------------------------------------------------------------
+
+
+def materialize_signatures(docs: DataFrame, lake, snapshot: str = "sig1") -> dict[str, str]:
+    """Write the corpus's dedup state — per-doc shingle-hash arrays and
+    LSH band keys — to gold tables, so future increments match against
+    the STORED state instead of re-reading (or re-shingling) the
+    existing corpus. This is the incremental-ingestion answer the
+    module docstrings promise at 100 TB: signature tables grow by the
+    increment size only, and the corpus text is touched exactly once,
+    at its own ingestion time.
+
+    Returns ``{"arrays": path, "bands": path}``.
+    """
+    arrays = tracked_persist(doc_shingle_hash_arrays(docs))
+    bands = minhash_bands(minhash_signatures(docs, hash_arrays=arrays))
+    return {
+        "arrays": lake.write(arrays, "gold", f"dedup_{snapshot}_arrays"),
+        "bands": lake.write(bands, "gold", f"dedup_{snapshot}_bands"),
+    }
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    spark,
+    lake,
+    snapshot: str = "sig1",
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Match NEW documents against a materialized signature snapshot and
+    (by default) fold them into it — the arriving-batch half of a
+    production dedup pipeline.
+
+    Plan shape: the increment's band keys equi-join the stored band
+    table (shuffle bounded by the 8-ints-per-doc band rows on BOTH
+    sides — corpus text and hash arrays never enter the exchange);
+    candidates verify with exact ``array_intersect`` Jaccard against the
+    stored arrays, joined by doc id. Each new doc reports its best match
+    (highest Jaccard, ties to the lowest existing id).
+
+    Returns ``(doc_id, dup_of, jaccard, is_duplicate)`` — one row per
+    new doc; ``dup_of``/``jaccard`` NULL for unique docs. Intra-batch
+    duplicates are a separate (cheap, increment-sized) concern: run
+    :func:`minhash_lsh_pairs` on ``new_docs`` alongside.
+
+    ``append=True`` writes the increment's arrays+bands into the
+    snapshot tables so the next increment sees this one — dup detection
+    state stays O(corpus signatures), never O(corpus text).
+    """
+    new_arrays = tracked_persist(doc_shingle_hash_arrays(new_docs))
+    new_bands = minhash_bands(minhash_signatures(new_docs, hash_arrays=new_arrays))
+    old_bands = lake.read(spark, "gold", f"dedup_{snapshot}_bands")
+    old_arrays = lake.read(spark, "gold", f"dedup_{snapshot}_arrays")
+    cand = (
+        new_bands.alias("n")
+        .join(
+            old_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    verified = (
+        cand.join(new_arrays.select("doc_id", F.col("hs").alias("ha")), "doc_id")
+        .join(
+            old_arrays.select(F.col("doc_id").alias("dup_of"), F.col("hs").alias("hb")),
+            "dup_of",
+        )
+        .select(
+            "doc_id",
+            "dup_of",
+            (
+                F.size(F.array_intersect("ha", "hb"))
+                / (
+                    F.size("ha")
+                    + F.size("hb")
+                    - F.size(F.array_intersect("ha", "hb"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    matches = (
+        verified.withColumn("pick", F.row_number().over(best))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+    out = (
+        new_docs.select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select("doc_id", "dup_of", "jaccard", F.col("dup_of").isNotNull().alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+    if append:
+        lake.write(new_arrays, "gold", f"dedup_{snapshot}_arrays", mode="append")
+        lake.write(new_bands, "gold", f"dedup_{snapshot}_bands", mode="append")
+    return out

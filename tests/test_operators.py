@@ -480,6 +480,51 @@ def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     assert os.path.isdir(report_path)
 
 
+def test_incremental_dedup_matches_full_corpus_pairs(spark, sf_dir, tmp_path):
+    """Splitting the corpus into base + increment and matching the
+    increment against the materialized snapshot must flag exactly the
+    increment docs that the FULL-corpus LSH links to a base doc; the
+    appended state then serves a second increment."""
+    from dataengineeringpipeline_spark.operators.dedup import (
+        incremental_dedup,
+        materialize_signatures,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    cut = (2 * n_docs) // 3
+    base, inc = docs.filter(F.col("doc_id") < cut), docs.filter(F.col("doc_id") >= cut)
+    lake = Lake(str(tmp_path / "lake"))
+    materialize_signatures(base, lake, snapshot="s")
+    got = {
+        r["doc_id"]: r
+        for r in incremental_dedup(inc, spark, lake, snapshot="s").collect()
+    }
+    assert set(got) == {r["doc_id"] for r in inc.select("doc_id").collect()}
+    # ground truth: full-corpus verified pairs straddling the cut
+    cross = {}
+    for r in minhash_lsh_pairs(docs).collect():
+        if r["doc_a"] < cut <= r["doc_b"]:
+            cross.setdefault(r["doc_b"], []).append((r["jaccard"], r["doc_a"]))
+    assert len(cross) > 0  # the fixture corpus has dup families across the cut
+    for doc_id, cands in cross.items():
+        best_j, best_a = max(((j, -a) for j, a in cands))
+        assert got[doc_id]["is_duplicate"], doc_id
+        assert got[doc_id]["dup_of"] == -best_a and abs(got[doc_id]["jaccard"] - best_j) < 1e-12
+    for doc_id, r in got.items():
+        if doc_id not in cross:
+            assert not r["is_duplicate"] and r["dup_of"] is None
+    # append folded the increment in: an identical re-increment matches itself
+    again = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            inc.limit(5), spark, lake, snapshot="s", append=False
+        ).collect()
+    }
+    assert all(r["is_duplicate"] and r["jaccard"] == 1.0 for r in again.values())
+
+
 def test_hybrid_clusters_merge_lexical_and_semantic_evidence(spark):
     """Doc 1-2 share text (lexical edge), doc 2-3 share an embedding
     (semantic edge), docs 1 and 3 share nothing directly — the hybrid
