@@ -761,3 +761,144 @@ def ann_arrow_recall(embeddings: DataFrame, k: int = 5, query_mod: int = 100) ->
         "hit_pairs",
         (F.col("hit_pairs") / F.col("exact_pairs")).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized IVF+PQ index: train once, append forever, query from tables
+# ---------------------------------------------------------------------------
+
+
+def materialize_ann_index(
+    embeddings: DataFrame,
+    lake,
+    snapshot: str = "ann1",
+    centroid_mod: int = IVF_CENTROID_MOD,
+) -> dict[str, str]:
+    """Write the IVF+PQ index state to gold tables — coarse centroids,
+    PQ codebook, and the encoded+assigned corpus (4 bytes of codes + a
+    cell id per vector). This is the FAISS lifecycle done lake-native:
+    quantizers are derived ONCE from the training corpus and frozen;
+    later batches are folded in with :func:`ann_index_append` (assign +
+    encode against the STORED quantizers — the corpus is never
+    re-clustered); queries run from the tables
+    (:func:`ann_index_topk`). At 100 TB the encoded table is ~64×
+    smaller than the vectors and is the only thing a query's candidate
+    stage reads.
+    """
+    base = tracked_persist(with_norms(embeddings))
+    cents = ivf_centroids(embeddings, centroid_mod, base=base)
+    codebook = tracked_persist(pq_codebook(embeddings, base=base))
+    encoded = pq_encode(embeddings, codebook, base=base).join(
+        ivf_assign(embeddings, centroid_mod, centroids=cents, base=base).select(
+            "vec_id", "centroid_id"
+        ),
+        "vec_id",
+    )
+    return {
+        "centroids": lake.write(cents, "gold", f"ann_{snapshot}_centroids"),
+        "codebook": lake.write(codebook, "gold", f"ann_{snapshot}_codebook"),
+        "encoded": lake.write(encoded, "gold", f"ann_{snapshot}_encoded"),
+    }
+
+
+def ann_index_append(
+    new_embeddings: DataFrame, spark, lake, snapshot: str = "ann1"
+) -> None:
+    """Fold a new batch into the materialized index: assign + encode
+    against the FROZEN stored quantizers (map-only over the batch — the
+    existing corpus is untouched) and append to the encoded table. The
+    documented trade (same as FAISS `add`): quantizers drift from the
+    data distribution as the corpus grows; retrain by materializing a
+    fresh snapshot when recall degrades."""
+    cents = lake.read(spark, "gold", f"ann_{snapshot}_centroids")
+    codebook = lake.read(spark, "gold", f"ann_{snapshot}_codebook")
+    base = tracked_persist(with_norms(new_embeddings))
+    encoded = pq_encode(new_embeddings, codebook, base=base).join(
+        ivf_assign(new_embeddings, centroids=cents, base=base).select(
+            "vec_id", "centroid_id"
+        ),
+        "vec_id",
+    )
+    lake.write(encoded, "gold", f"ann_{snapshot}_encoded", mode="append")
+
+
+def ann_index_topk(
+    query_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    spark,
+    lake,
+    snapshot: str = "ann1",
+    k: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF+PQ query against the materialized index tables: probe the
+    stored centroids, ADC-score the stored codes in the probed cells,
+    re-rank the shortlist with exact cosine against the full-precision
+    vectors (read from ``corpus_embeddings`` by id — at 100 TB the raw
+    vector table is only touched for |Q|·shortlist rows).
+
+    ``query_embeddings`` is any ``(vec_id, embedding)`` frame; its ids
+    become ``query_id``. Same deterministic plan shapes as
+    :func:`ann_ivfpq_topk`, with every quantizer/code input read from
+    the lake instead of derived inline.
+    """
+    cents = lake.read(spark, "gold", f"ann_{snapshot}_centroids")
+    codebook = lake.read(spark, "gold", f"ann_{snapshot}_codebook")
+    encoded = lake.read(spark, "gold", f"ann_{snapshot}_encoded")
+    qbase = with_norms(query_embeddings)
+    q = qbase.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cb_row = _codebook_row(codebook)
+    unit = F.transform("qe", lambda x: x / F.col("qn"))
+    tab = F.flatten(
+        F.transform(
+            F.col("cb"),
+            lambda cws, m: F.transform(
+                cws, lambda c: _sub_l2(F.slice(unit, m * PQ_SUBDIM + 1, PQ_SUBDIM), c["cw"])
+            ),
+        )
+    )
+    qt = q.join(F.broadcast(cb_row)).select("query_id", "qe", "qn", tab.alias("tab"))
+    cand = (
+        encoded.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qt.select("query_id", "tab")), "query_id")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_dist().alias("approx_dist")
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = with_norms(corpus_embeddings)
+    cand_rr = F.broadcast(short.join(q, "query_id")).join(
+        corpus, F.col("vec_id") == F.col("neighbor_id")
+    )
+    rr = cand_rr.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -480,6 +480,38 @@ def test_quarantine_roundtrip(spark, sf_dir, tmp_path):
     assert os.path.isdir(report_path)
 
 
+def test_materialized_ann_index_matches_inline_ivfpq(spark, sf_dir, tmp_path):
+    """Querying the lake-materialized IVF+PQ index must reproduce the
+    inline ann_ivfpq_topk exactly (same frozen deterministic quantizers,
+    same corpus); appended vectors become findable without touching the
+    existing encoded rows."""
+    from dataengineeringpipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lake = Lake(str(tmp_path / "lake"))
+    sim.materialize_ann_index(emb, lake, snapshot="i1")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sim.ann_index_topk(queries, emb, spark, lake, snapshot="i1").collect()
+    want = sim.ann_ivfpq_topk(emb).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and len(got) > 0
+
+    # append: re-encode a shifted copy of some vectors under new ids
+    shifted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    sim.ann_index_append(shifted, spark, lake, snapshot="i1")
+    n_all = spark.read.parquet(str(tmp_path / "lake/gold/ann_i1_encoded")).count()
+    assert n_all == emb.count() + 5
+    # a query identical to an appended vector finds it at cosine ~1
+    probe = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus_all = emb.unionByName(shifted)
+    top = sim.ann_index_topk(probe, corpus_all, spark, lake, snapshot="i1", k=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] in (2, 100_002)
+    assert top[0]["cosine"] > 0.999999
+
+
 def test_incremental_dedup_matches_full_corpus_pairs(spark, sf_dir, tmp_path):
     """Splitting the corpus into base + increment and matching the
     increment against the materialized snapshot must flag exactly the
