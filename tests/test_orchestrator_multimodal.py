@@ -230,6 +230,59 @@ def test_recovery_backoff_delays_are_bounded():
     assert delays == [1.0, 2.0, 4.0]  # 2^n backoff, capped at max_delay_s
 
 
+def test_medallion_dag_with_quarantined_dq_gate(spark, sf_dir, tmp_path):
+    """End-to-end: a DQ gate blowing its budget is quarantined, the gold
+    job still builds from silver, the run reports PARTIAL, and the
+    alerting surface classifies the record — the recovery loop as a user
+    would actually wire it."""
+    from dataengineeringpipeline_spark import alerts, cleaning, gold, quality
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path / "lake"))
+
+    def silver(r):
+        df = cleaning.clean_orders(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+        lake.write(df, "silver", "orders")
+        return df
+
+    def dq_gate(r):
+        report = quality.evaluate_rules(
+            lake.read(spark, "silver", "orders"),
+            # impossible threshold: every order under $1 — gate must blow
+            (quality.Rule("cheap_orders_only", "total_price < 1.0", 0.99),),
+        )
+        failed = report.filter(~F.col("passed")).count()
+        if failed:
+            raise orchestrator.DataQualityError(f"{failed} rule(s) failed")
+        return report
+
+    def daily(r):
+        df = gold.daily_sales_summary(lake.read(spark, "silver", "orders"))
+        lake.write(df, "gold", "daily_sales")
+        return df
+
+    record = (
+        orchestrator.Pipeline(recovery=orchestrator.RecoveryPolicy())
+        .add("silver", silver)
+        .add("dq_gate", dq_gate, depends_on=("silver",))
+        .add("gold", daily, depends_on=("dq_gate",))
+        .run(sleep=_no_sleep)
+    )
+    assert record["status"] == "partial"
+    assert record["job_status"] == {
+        "silver": "succeeded",
+        "dq_gate": "quarantined",
+        "gold": "succeeded",
+    }
+    assert record["recovery"]["dq_gate"]["error_class"] == "data_quality"
+    assert lake.read(spark, "gold", "daily_sales").count() > 0
+    sev = {
+        r["source_name"]: r["severity"]
+        for r in alerts.job_status_alerts(spark, record).collect()
+    }
+    assert sev["dq_gate"] == "WARNING" and sev["__overall__"] == "WARNING"
+
+
 def test_end_to_end_medallion_dag(spark, sf_dir, tmp_path):
     """Bronze→silver→gold as a DAG over a temp lake — the reference's
     pipeline shape in-process."""
