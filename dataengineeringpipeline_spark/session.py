@@ -40,6 +40,21 @@ ENGINE_CONF = {
 }
 
 
+def _ensure_jvm_code_cache(size: str = "1g") -> None:
+    """Raise the JVM's JIT code cache before the gateway launches.
+
+    The default 240 MB ReservedCodeCacheSize cannot hold the compiled
+    whole-stage-codegen methods of a ~90-query workload: once it fills,
+    the JVM flushes hot compiled methods and repeated queries run
+    interpreted — measured 3-4× slower on the dedup family by the third
+    bench sweep, back to normal at 1g. Must be in SPARK_SUBMIT_OPTS
+    before the first SparkSession (JVM flags cannot change later); a
+    no-op if the caller already set one or the JVM is up."""
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:ReservedCodeCacheSize={size}".strip()
+
+
 def get_spark(
     app_name: str = "dataengineeringpipeline-spark",
     cpus: int | None = None,
@@ -55,6 +70,7 @@ def get_spark(
     value cheap).
     """
     cpus = cpus or DEFAULT_CPUS
+    _ensure_jvm_code_cache()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
