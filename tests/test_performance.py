@@ -36,6 +36,45 @@ def test_throughput_degrades_sublinearly(spark):
     assert big / small > 0.5, f"throughput degraded: {small:.0f} -> {big:.0f} rows/s"
 
 
+def _keyed_rows_per_sec(spark, sf_dir: str, fn) -> float:
+    from dataengineeringpipeline_spark.cache import release_caches
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    ev = load_events(spark, sf_dir)
+    n = ev.count()
+    t0 = time.perf_counter()
+    fn(ev).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    release_caches()
+    spark.catalog.clearCache()
+    return n / dt
+
+
+def test_new_operator_throughput_degrades_sublinearly(spark):
+    """The reference's >0.5 throughput-ratio bound, applied to this
+    round's operators: CMS heavy hitters (sketch agg + broadcast
+    estimate) and the windowed top-k ranking shape. 10× the events must
+    not cost 10× the time."""
+    from dataengineeringpipeline_spark import scale
+    from pyspark.sql.window import Window
+
+    def cms(ev):
+        return scale.cms_heavy_hitters(ev, "user_id", top_n=20)
+
+    def windowed_topk(ev):
+        counts = ev.groupBy(
+            ((F.col("ts_us") / 3_600_000_000).cast("long")).alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("events"))
+        rnk = F.row_number().over(Window.partitionBy("w").orderBy(F.desc("events"), "user_id"))
+        return counts.withColumn("r", rnk).filter(F.col("r") <= 5)
+
+    for fn in (cms, windowed_topk):
+        _keyed_rows_per_sec(spark, "/root/testdata/sf0.001", fn)  # warm
+        small = _keyed_rows_per_sec(spark, "/root/testdata/sf0.001", fn)
+        big = _keyed_rows_per_sec(spark, "/root/testdata/sf0.01", fn)
+        assert big / small > 0.5, f"{fn.__name__} degraded: {small:.0f} -> {big:.0f} rows/s"
+
+
 def test_parquet_beats_json_format(spark, tmp_path):
     """Format requirement from the reference (test_performance.py:415-449).
 
