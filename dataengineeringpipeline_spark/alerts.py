@@ -173,6 +173,28 @@ def job_status_alerts(
             None,
         )
     )
+    # auto-recovery events (the reference's send_recovery_notification /
+    # send_max_attempts_notification surface, auto_recovery.py:374-448):
+    # one row per recovered/acted-on job, severity by what the policy did,
+    # metric = re-drive attempts consumed.
+    action_sev = {
+        "retry": "INFO",       # re-driven and (if logged last) recovered
+        "quarantine": "WARNING",
+        "skip": "ERROR",       # retry budget exhausted or policy skip
+        "halt": "CRITICAL",    # stopped the DAG
+    }
+    for name, info in sorted(record.get("recovery", {}).items()):
+        sev2 = action_sev.get(info.get("action"), "WARNING")
+        rows.append(
+            (
+                pipeline_name,
+                "auto_recovery",
+                name,
+                sev2,
+                SEVERITY_PRIORITY[sev2],
+                float(info.get("attempts", 0)),
+            )
+        )
     return spark.createDataFrame(rows, ALERT_SCHEMA)
 
 

@@ -110,6 +110,28 @@ def test_job_status_alerts_mappings(spark):
     assert got["__overall__"]["severity"] == "ERROR"
 
 
+def test_job_status_alerts_include_recovery_events(spark):
+    """The execution record's recovery log becomes auto_recovery alert
+    rows: recovered retries are INFO (attempts as the metric),
+    quarantines WARNING, halts CRITICAL — and a halt reaches the pager
+    through the default routing rules."""
+    record = {
+        "job_status": {"a": "succeeded", "dq": "quarantined", "x": "failed"},
+        "recovery": {
+            "a": {"error_class": "transient", "action": "retry", "attempts": 2, "recovered": True},
+            "dq": {"error_class": "data_quality", "action": "quarantine", "attempts": 0},
+            "x": {"error_class": "permanent", "action": "halt", "attempts": 0},
+        },
+    }
+    rows = alerts.job_status_alerts(spark, record).collect()
+    rec = {r["source_name"]: r for r in rows if r["alert_type"] == "auto_recovery"}
+    assert rec["a"]["severity"] == "INFO" and rec["a"]["metric_value"] == 2.0
+    assert rec["dq"]["severity"] == "WARNING"
+    assert rec["x"]["severity"] == "CRITICAL"
+    routed = alerts.route_alerts(alerts.job_status_alerts(spark, record)).collect()
+    assert any(r["channel"] == "pager" and r["source_name"] == "x" for r in routed)
+
+
 def test_pipeline_alerts_end_to_end(spark, sf_dir):
     """The contract query produces severity-sorted routed rows; every
     CRITICAL alert reaches the pager; no channel outside the rule set."""
