@@ -107,26 +107,60 @@ def main() -> int:
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = round(time.perf_counter() - t_all, 3)
 
-    # Supplementary noise diagnostics (headline medians unchanged, so the
-    # series stays comparable across rounds): per-query MINIMA — the
-    # classic noise-floor estimator, robust when a whole run is degraded
-    # by host-level CPU steal (observed: identical code measuring 93s /
-    # 110s / 139s sum-of-medians purely with ambient steal) — plus the
-    # run's measured steal share so a hot round is visibly hot.
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
-                "cpu_steal_pct": _steal_pct(),
-                "sf": _sf_from_dir(sf_dir),
-                "sweeps": sweeps,
-            }
-        )
-    )
+    # The harness that records this bench keeps only the last ~2000
+    # characters of output and json-parses the final line within that
+    # window: a single line carrying all per-query medians is ~2400+
+    # chars and silently fails to parse (observed in two consecutive
+    # recorded rounds). So the FULL detail — every median, every
+    # minimum (the classic noise-floor estimator, robust when a run is
+    # degraded by host-level CPU steal: identical code has measured
+    # 93s/110s/139s sum-of-medians purely with ambient steal), and the
+    # measured steal share — is printed first AND written to
+    # BENCH_DETAIL.json next to this script, while the final line is a
+    # guaranteed-parsable compact summary: headline total plus as many
+    # per-query medians as fit, slowest first (the ones a reader acts
+    # on), with the count of elided fast queries.
+    detail = {
+        "metric": "all_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
+        "cpu_steal_pct": _steal_pct(),
+        "sf": _sf_from_dir(sf_dir),
+        "sweeps": sweeps,
+    }
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the printed line above still has everything
+
+    head = {
+        "metric": "all_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(sf_dir),
+        "sweeps": sweeps,
+        "cpu_steal_pct": _steal_pct(),
+        "queries_total": len(timings),
+        "queries_elided": 0,
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    budget = 1900  # line budget well under the 2000-char capture window
+    by_slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for i, (name, sec) in enumerate(by_slowest):
+        head["queries"][name] = sec
+        head["queries_elided"] = len(timings) - i - 1
+        if len(json.dumps(head, separators=(",", ":"))) > budget - 40:
+            del head["queries"][name]
+            head["queries_elided"] = len(timings) - i
+            break
+    print(json.dumps(head, separators=(",", ":")))
     return 0
 
 
