@@ -123,6 +123,7 @@ WINDOW_HEAD = [
     "streaming_heavy_hitters",
     "cms_heavy_hitters",
     "hybrid_dup_clusters",
+    "duplicate_span_coverage",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -227,6 +228,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -
         "exact_dedup": lambda spark, sf: dedup_ops.exact_dedup(_read(spark, sf, "documents")),
+        "duplicate_span_coverage": lambda spark, sf: dedup_ops.duplicate_span_coverage(
+            _read(spark, sf, "documents")
+        ),
         "ngram_jaccard_pairs": lambda spark, sf: dedup_ops.ngram_jaccard_pairs(
             _read(spark, sf, "documents")
         ),

@@ -802,3 +802,128 @@ def incremental_dedup(
         lake.write(new_arrays, "gold", f"dedup_{snapshot}_arrays", mode="append")
         lake.write(new_bands, "gold", f"dedup_{snapshot}_bands", mode="append")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicate-span coverage)
+# ---------------------------------------------------------------------------
+
+#: Character width of a duplicate-span window. Public substring-dedup
+#: recipes (Lee et al. 2022, "Deduplicating Training Data Makes Language
+#: Models Better") use ~50 tokens; the fixture corpus has ~300-char
+#: documents, where 40 chars (~6 words) is the equivalent granularity.
+SPAN_WINDOW = 40
+#: Stride between window starts. A stride below the window overlaps
+#: consecutive windows so a duplicated region is covered end-to-end at
+#: 1/stride the window count of the fully-dense slide.
+SPAN_STRIDE = 10
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    window: int = SPAN_WINDOW,
+    stride: int = SPAN_STRIDE,
+    fast: bool = False,
+) -> DataFrame:
+    """Substring-level exact dedup: per-document coverage by character
+    spans that occur (verbatim) more than once anywhere in the corpus.
+
+    Doc-level dedup (exact/MinHash/SimHash above) misses the classic
+    contamination mode where *parts* of documents repeat — quoted
+    passages, templated paragraphs, licence blocks spliced into
+    otherwise-unique pages. The public recipe (Lee et al. 2022) finds
+    exact duplicated substrings and removes or down-weights them; this
+    operator computes its decision input: for every document, how much
+    of it is covered by corpus-repeated spans.
+
+    Mechanics: slide a ``window``-char window with ``stride`` over each
+    document (map-only: a position ``sequence`` + ``transform`` hash of
+    each ``substr`` — the same no-explode front end MinHash uses); a
+    window hash seen ≥ 2 times corpus-wide (another document OR another
+    position of the same document — self-repetition is repetition) marks
+    its span duplicated; per document, overlapping/adjacent duplicated
+    spans are merged (gaps-and-islands over start position) and the
+    union's character length is reported.
+
+    Returns ``(doc_id, doc_chars, total_windows, dup_windows, dup_chars,
+    dup_char_ratio)`` for every document; documents shorter than
+    ``window`` report 0 windows and ratio 0 (nothing repeated at span
+    granularity, vacuously).
+
+    Scale shape (100 TB): the window-hash front end is map-only; the
+    duplicate-hash set is derived with one shuffle keyed by the 48-bit
+    span hash (high-cardinality, well spread) and is NOT broadcast (its
+    size is corpus-dependent, unlike the bounded boilerplate frequent
+    set) — marking is an equi-join on that same hash, linear in window
+    count because the duplicate side carries one row per hash. The
+    island merge shuffles only the *duplicated* spans, keyed by doc_id.
+    A span repeated across millions of documents (boilerplate) costs one
+    join-probe row per occurrence — never quadratic.
+    """
+    base = spread(docs, "doc_id").select(
+        "doc_id",
+        F.length("text").alias("doc_chars"),
+        F.when(
+            F.length("text") >= window,
+            F.sequence(F.lit(1), F.length("text") - window + 1, F.lit(stride)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("ps"),
+        "text",
+    )
+    hashed = tracked_persist(
+        base.select(
+            "doc_id",
+            "doc_chars",
+            "ps",
+            F.transform(
+                "ps", lambda p: word_hash(F.substr("text", p, F.lit(window)), fast=fast)
+            ).alias("whs"),
+        )
+    )
+    wins = hashed.select(
+        "doc_id", F.explode(F.arrays_zip("ps", "whs")).alias("z")
+    ).select("doc_id", F.col("z.ps").alias("pos"), F.col("z.whs").alias("h"))
+    dup_hashes = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(F.col("occ") >= 2).select("h")
+    )
+    spans = wins.join(dup_hashes, "h").select(
+        "doc_id", "pos", (F.col("pos") + window - 1).alias("end")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+            F.sum("w").alias("dup_windows"),
+        )
+    )
+    return (
+        hashed.select("doc_id", "doc_chars", F.size("ps").alias("total_windows"))
+        .join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("doc_chars").cast("long").alias("doc_chars"),
+            F.col("total_windows").cast("long").alias("total_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.when(
+                F.col("doc_chars") > 0,
+                F.coalesce("dup_chars", F.lit(0)) / F.col("doc_chars"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_char_ratio"),
+        )
+    )

@@ -931,6 +931,44 @@ SELECT doc_id, md5_exact, group_size, group_size > 1 AS had_duplicates FROM g WH
 """.strip()
 
 
+def _dup_span_sql(window: int, stride: int) -> str:
+    """Twin of dedup.duplicate_span_coverage: sliding char-window hashes,
+    ≥2-occurrence duplicate marking, per-doc gaps-and-islands union."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS doc_chars, text FROM documents
+),
+wins AS (
+  SELECT doc_id, pos, {_wh(f'substring(text, pos, {window})')} AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, doc_chars - {window - 1}, {stride})) AS pos
+    FROM base WHERE doc_chars >= {window}
+  )
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+ds AS (SELECT w.doc_id, w.pos, w.pos + {window - 1} AS e FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1 THEN 1 ELSE 0 END AS ni
+  FROM ds
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl
+),
+per_isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2, COUNT(*) AS c FROM isl2 GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, SUM(e2 - s + 1) AS dup_chars, SUM(c) AS dup_windows FROM per_isl GROUP BY 1)
+SELECT b.doc_id,
+  CAST(b.doc_chars AS BIGINT) AS doc_chars,
+  CAST(CASE WHEN b.doc_chars >= {window} THEN (b.doc_chars - {window}) // {stride} + 1 ELSE 0 END AS BIGINT) AS total_windows,
+  CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(COALESCE(d.dup_chars, 0) AS BIGINT) AS dup_chars,
+  CASE WHEN b.doc_chars > 0 THEN CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / b.doc_chars ELSE 0.0 END AS dup_char_ratio
+FROM base b LEFT JOIN per_doc d USING (doc_id)
+ORDER BY doc_id
+""".strip()
+
+
 def _dedup_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.operators.dedup import (
         DEDUP_MAX_DF,
@@ -938,6 +976,8 @@ def _dedup_oracles() -> dict[str, str]:
         LSH_ROWS,
         MINHASH_P,
         SIMHASH_BITS,
+        SPAN_STRIDE,
+        SPAN_WINDOW,
         _minhash_params,
     )
 
@@ -1174,6 +1214,7 @@ FROM (
 
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
+        "duplicate_span_coverage": _dup_span_sql(SPAN_WINDOW, SPAN_STRIDE),
         "split_summary": split_summary_sql,
         "minhash_dup_clusters": minhash_clusters,
         "hybrid_dup_clusters": hybrid_clusters,

@@ -806,3 +806,52 @@ def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
         for r in sampling.leakage_safe_splits(docs.repartition(13)).collect()
     }
     assert again == split_of
+
+
+def test_duplicate_span_coverage_closed_form(spark):
+    """Hand-computed span coverage: a 100-char block shared between two
+    docs at grid-aligned offsets, an internal self-repeat, a unique doc,
+    and a doc too short to window."""
+    import random
+
+    from dataengineeringpipeline_spark.operators.dedup import duplicate_span_coverage
+
+    rng = random.Random(7)
+
+    def rand_text(n, alphabet="abcdefghijklmnopqrstuvwxyz"):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    B = rand_text(100)
+    P = rand_text(45, "ABCDEFGHIJKLMNOP")
+    docs = spark.createDataFrame(
+        [
+            # B at pos 41 (grid-aligned with doc 2's B at pos 1: offsets
+            # differ by a stride multiple, so window hashes collide)
+            Row(doc_id=1, text=rand_text(40, "0123456789") + B),
+            Row(doc_id=2, text=B + rand_text(37, "QRSTUVWXYZ")),
+            # internal repetition: P ... P, second copy at pos 51
+            Row(doc_id=3, text=P + "zzzzz" + P),
+            Row(doc_id=4, text=rand_text(120, "!@#$%^&*()")),  # unique
+            Row(doc_id=5, text="short"),  # < window: no windows at all
+        ]
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_coverage(docs).collect()}
+
+    # doc 1: L=140, windows at 1..101; those at 41..101 sit inside B and
+    # match doc 2's offsets 0,10,..,60 -> one island covering B (41..140)
+    assert got[1]["total_windows"] == 11
+    assert got[1]["dup_windows"] == 7
+    assert got[1]["dup_chars"] == 100
+    assert abs(got[1]["dup_char_ratio"] - 100 / 140) < 1e-12
+    # doc 2: L=137, windows at 1..91; 1..61 inside B -> island 1..100
+    assert got[2]["total_windows"] == 10
+    assert got[2]["dup_windows"] == 7
+    assert got[2]["dup_chars"] == 100
+    # doc 3: L=95; windows 1 and 51 are both exactly P[0:40] (self-repeat)
+    # -> two islands [1,40] and [51,90]
+    assert got[3]["dup_windows"] == 2
+    assert got[3]["dup_chars"] == 80
+    assert abs(got[3]["dup_char_ratio"] - 80 / 95) < 1e-12
+    # unique and too-short docs report zero coverage (ratio 0, not NULL)
+    assert got[4]["dup_windows"] == 0 and got[4]["dup_char_ratio"] == 0.0
+    assert got[5]["total_windows"] == 0 and got[5]["dup_chars"] == 0
