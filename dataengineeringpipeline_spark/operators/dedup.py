@@ -852,9 +852,11 @@ def duplicate_span_coverage(
 
     Scale shape (100 TB): the window-hash front end is map-only; the
     duplicate-hash set is derived with one shuffle keyed by the 48-bit
-    span hash (high-cardinality, well spread) and is NOT broadcast (its
-    size is corpus-dependent, unlike the bounded boilerplate frequent
-    set) — marking is an equi-join on that same hash, linear in window
+    span hash (high-cardinality, well spread) and is never *assumed*
+    broadcastable (no hint — its size is corpus-dependent, unlike the
+    bounded boilerplate frequent set; AQE may still pick a broadcast
+    join when the measured set is small, which is the right call) —
+    marking is an equi-join on that same hash, linear in window
     count because the duplicate side carries one row per hash. The
     island merge shuffles only the *duplicated* spans, keyed by doc_id.
     A span repeated across millions of documents (boilerplate) costs one
