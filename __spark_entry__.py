@@ -124,6 +124,7 @@ WINDOW_HEAD = [
     "cms_heavy_hitters",
     "hybrid_dup_clusters",
     "duplicate_span_coverage",
+    "doc_length_distribution",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -224,6 +225,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "token_histogram": lambda spark, sf: text_ops.token_histogram(
+            _read(spark, sf, "documents")
+        ),
+        "doc_length_distribution": lambda spark, sf: text_ops.doc_length_distribution(
             _read(spark, sf, "documents")
         ),
         # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -

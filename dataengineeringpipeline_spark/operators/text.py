@@ -411,3 +411,59 @@ def pack_summary(
         .withColumn("fill_ratio", F.col("seq_tokens") / F.lit(budget))
         .orderBy("pack_group", "seq_id")
     )
+
+
+#: Percentile grid for :func:`doc_length_distribution`.
+LENGTH_PERCENTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def doc_length_distribution(
+    docs: DataFrame,
+    percentiles: tuple[float, ...] = LENGTH_PERCENTILES,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-source document-size distribution profile: exact (or sketched)
+    percentiles of character and word counts, plus deterministic means.
+
+    Length distributions drive training-data curation decisions —
+    truncation budgets, chunk sizing, the short-doc floor and the
+    outlier ceiling — and a mean alone hides the skew those decisions
+    care about, so the profile reports the quartiles and the p90/p99
+    tail alongside.
+
+    ``exact=True`` (default, the oracle-parity mode) uses ``percentile``,
+    which buffers each group's values — fine per *source* (group count is
+    tiny and values are ints) but the buffer is O(group size), so at
+    corpus scale switch ``exact=False``: ``percentile_approx`` is a
+    bounded-memory mergeable sketch (same switch the IQR outlier gate in
+    ``quality.iqr_outlier_bounds`` documents; its approx-vs-exact
+    bracketing is tested in ``tests/test_scale.py``). Counts are
+    integers, so the means are exact long sums divided as doubles —
+    bit-reproducible under any partitioning.
+    """
+    st = text_stats(docs).select("source", "char_count", "word_count")
+    grid = F.array(*[F.lit(p) for p in percentiles])
+
+    def perc(name: str) -> Column:
+        col = F.col(name).cast("double")
+        if exact:
+            return F.percentile(col, grid)
+        return F.percentile_approx(col, grid, 10_000)
+
+    agg = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        perc("char_count").alias("cps"),
+        perc("word_count").alias("wps"),
+        F.sum("char_count").cast("double").alias("sum_chars"),
+        F.sum("word_count").cast("double").alias("sum_words"),
+    )
+    out_cols = [F.col("source"), F.col("docs")]
+    for i, p in enumerate(percentiles):
+        tag = round(p * 100)
+        out_cols.append(F.col("cps")[i].cast("double").alias(f"char_p{tag}"))
+    for i, p in enumerate(percentiles):
+        tag = round(p * 100)
+        out_cols.append(F.col("wps")[i].cast("double").alias(f"word_p{tag}"))
+    out_cols.append((F.col("sum_chars") / F.col("docs")).alias("avg_chars"))
+    out_cols.append((F.col("sum_words") / F.col("docs")).alias("avg_words"))
+    return agg.select(*out_cols).orderBy("source")

@@ -857,9 +857,32 @@ FROM pk_packed GROUP BY pack_group, seq_id ORDER BY pack_group, seq_id
     return _with(_pack_ctes("documents", chunk_tokens, overlap, budget, num_groups), body)
 
 
+def _length_distribution_sql() -> str:
+    """Twin of text.doc_length_distribution (exact mode): quantile_cont
+    over doubles interpolates with the same lo + (hi-lo)*frac arithmetic
+    as Spark's percentile, so the grid is bit-exact; means are exact
+    integer sums divided as doubles."""
+    from dataengineeringpipeline_spark.operators.text import LENGTH_PERCENTILES
+
+    cols = []
+    for name in ("char", "word"):
+        cols += [
+            f"quantile_cont(CAST({name}_count AS DOUBLE), {p}) AS {name}_p{round(p * 100)}"
+            for p in LENGTH_PERCENTILES
+        ]
+    body = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, {', '.join(cols)},
+  CAST(SUM(char_count) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(word_count) AS DOUBLE) / COUNT(*) AS avg_words
+FROM base GROUP BY source ORDER BY source
+""".strip()
+    return _with({"base": TEXT_STATS}, body)
+
+
 def _text_oracles() -> dict[str, str]:
     return {
         "text_stats": _with({"base": TEXT_STATS}, _TEXT_STATS_DERIVED),
+        "doc_length_distribution": _length_distribution_sql(),
         "repetition_stats": _REPETITION_SQL,
         "chunk_summary": _chunk_summary_sql(),
         "pack_summary": _pack_summary_sql(),

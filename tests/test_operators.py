@@ -855,3 +855,25 @@ def test_duplicate_span_coverage_closed_form(spark):
     # unique and too-short docs report zero coverage (ratio 0, not NULL)
     assert got[4]["dup_windows"] == 0 and got[4]["dup_char_ratio"] == 0.0
     assert got[5]["total_windows"] == 0 and got[5]["dup_chars"] == 0
+
+
+def test_doc_length_distribution_closed_form_and_approx_brackets(spark):
+    """Known word/char counts: interpolated percentiles are hand-checked,
+    and the approx (scale) path stays within the group's value range."""
+    from dataengineeringpipeline_spark.operators.text import doc_length_distribution
+
+    # 5 docs of 1..5 words ("a", "a a", ...): word_count = k, char_count = 2k-1
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=" ".join(["a"] * k), lang="en", source="s") for k in range(1, 6)]
+    )
+    row = doc_length_distribution(docs).collect()[0]
+    assert row["docs"] == 5
+    # percentile over [1..5]: p25 -> 2.0, p50 -> 3.0, p90 -> 1 + 0.9*4 = 4.6
+    assert row["word_p25"] == 2.0 and row["word_p50"] == 3.0
+    assert abs(row["word_p90"] - 4.6) < 1e-12
+    assert row["avg_words"] == 3.0
+    # char counts [1,3,5,7,9]: p50 -> 5.0, mean 5.0
+    assert row["char_p50"] == 5.0 and row["avg_chars"] == 5.0
+    approx = doc_length_distribution(docs, exact=False).collect()[0]
+    assert 1.0 <= approx["word_p50"] <= 5.0
+    assert approx["docs"] == 5
