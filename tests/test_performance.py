@@ -153,3 +153,30 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     # column pruning: ReadSchema only carries the needed columns
     rs_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_orderdate" not in rs_line
+
+
+def _docs_rows_per_sec(spark, sf_dir: str, fn) -> float:
+    from dataengineeringpipeline_spark.cache import release_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    t0 = time.perf_counter()
+    fn(docs).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    release_caches()
+    spark.catalog.clearCache()
+    return n / dt
+
+
+def test_span_and_distribution_throughput_degrades_sublinearly(spark):
+    """The reference's >0.5 throughput-ratio bound applied to the
+    substring-span dedup and the length-distribution profile: 10× the
+    documents must not cost 10× the time."""
+    from dataengineeringpipeline_spark.operators.dedup import duplicate_span_coverage
+    from dataengineeringpipeline_spark.operators.text import doc_length_distribution
+
+    for fn in (duplicate_span_coverage, doc_length_distribution):
+        _docs_rows_per_sec(spark, "/root/testdata/sf0.001", fn)  # warm
+        small = _docs_rows_per_sec(spark, "/root/testdata/sf0.001", fn)
+        big = _docs_rows_per_sec(spark, "/root/testdata/sf0.01", fn)
+        assert big / small > 0.5, f"{fn.__name__} degraded: {small:.0f} -> {big:.0f} rows/s"
