@@ -280,3 +280,24 @@ def test_duplicate_span_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cluster_by_collapses_read_amplification(spark, sf_dir, tmp_path):
+    """A round-robin-written table interleaves the full ts range through
+    every file (point probe hits every row group); range-clustering on
+    ts_us collapses the footer-stats read amplification to ~1 while
+    preserving the data."""
+    from dataengineeringpipeline_spark.datalake import Lake, load_events
+
+    lake = Lake(str(tmp_path))
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    n = ev.count()
+    checksum = ev.agg(F.sum("ts_us")).collect()[0][0]
+    lake.write(ev.repartition(8), "silver", "ev_scrambled")
+    rep = lake.cluster_by(spark, "silver", "ev_scrambled", ("ts_us",), target_file_mb=1)
+    assert rep["rows"] == n
+    assert rep["read_amplification_before"] > 3.0, rep
+    assert rep["read_amplification_after"] < 1.5, rep
+    back = spark.read.parquet(lake.path("silver", "ev_scrambled"))
+    assert back.count() == n
+    assert back.agg(F.sum("ts_us")).collect()[0][0] == checksum
