@@ -125,6 +125,7 @@ WINDOW_HEAD = [
     "hybrid_dup_clusters",
     "duplicate_span_coverage",
     "doc_length_distribution",
+    "semantic_decontamination",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -289,6 +290,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- embedding similarity search (brute-force + IVF + LSH near-dup) -
         "ann_bruteforce_topk": lambda spark, sf: sim_ops.ann_bruteforce_topk(
+            _read(spark, sf, "embeddings")
+        ),
+        "semantic_decontamination": lambda spark, sf: sim_ops.semantic_decontamination(
             _read(spark, sf, "embeddings")
         ),
         "ann_ivf_topk": lambda spark, sf: sim_ops.ann_ivf_topk(_read(spark, sf, "embeddings")),

@@ -902,3 +902,67 @@ def ann_index_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def semantic_decontamination(
+    embeddings: DataFrame, query_mod: int = 100, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose cosine to ANY benchmark vector reaches ``threshold``.
+
+    The paraphrase-contamination complement to the n-gram
+    ``decontam.decontaminate``: a reworded eval question shares no exact
+    n-grams with the benchmark but still sits next to it in embedding
+    space, so production data cards run both gates. Benchmark =
+    ``vec_id % query_mod == 0`` (the module's query-set convention);
+    corpus = everything else; ``threshold`` defaults to the module's
+    near-dup cosine bar.
+
+    Scale shape (100 TB): benchmark sets are thousands of vectors vs a
+    billions-row corpus — the benchmark side collapses to ONE sorted
+    ``collect_list`` row and broadcasts, and scoring is a map-only
+    fold-argmax per corpus vector (the :func:`ivf_assign` shape): the
+    corpus is never shuffled and never joined row-per-benchmark. The
+    fold scans benchmark vectors in ascending-id order with strictly-
+    greater replacement, so bit-equal cosines keep the lowest id —
+    matching a ``ROW_NUMBER() OVER (ORDER BY cosine DESC, bid)`` oracle.
+
+    Returns ``(vec_id, label, best_match_id, best_cosine,
+    is_contaminated)`` for every corpus vector.
+    """
+    base = with_norms(embeddings)
+    bench = base.filter(F.col("vec_id") % query_mod == 0)
+    corpus = base.filter(F.col("vec_id") % query_mod != 0)
+    one_row = bench.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("bid"), F.col("e").alias("be"), F.col("nrm").alias("bn")
+                )
+            )
+        ).alias("bs")
+    )
+    init = F.struct(F.lit(-2.0).alias("bc"), F.lit(-1).cast("long").alias("bi"))
+    best = F.aggregate(
+        F.col("bs"),
+        init,
+        lambda acc, b: F.when(
+            _dot(F.col("e"), b["be"]) / (F.col("nrm") * b["bn"]) > acc["bc"],
+            F.struct(
+                (_dot(F.col("e"), b["be"]) / (F.col("nrm") * b["bn"])).alias("bc"),
+                b["bid"].alias("bi"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        corpus.join(F.broadcast(one_row))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "label",
+            F.col("best.bi").alias("best_match_id"),
+            F.col("best.bc").alias("best_cosine"),
+            (F.col("best.bc") >= threshold).alias("is_contaminated"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1337,6 +1337,21 @@ SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INTEGER) AS rank FROM 
 """.strip()
 
 
+#: Twin of similarity.semantic_decontamination (benchmark = vec_id%100=0,
+#: threshold = the module's 0.35 near-dup cosine bar; ties keep lowest bid).
+_SEM_DECON_BODY = """
+SELECT vec_id, label, bid AS best_match_id, cosine AS best_cosine, cosine >= 0.35 AS is_contaminated
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bid ASC) AS rn FROM (
+    SELECT c.vec_id, c.label, q.bid,
+      list_reduce(list_transform(range(1, 65), i -> c.e[i] * q.be[i]), (a, b) -> a + b) / (c.nrm * q.bn) AS cosine
+    FROM (SELECT vec_id, label, e, nrm FROM n WHERE vec_id % 100 <> 0) c
+    CROSS JOIN (SELECT vec_id AS bid, e AS be, nrm AS bn FROM n WHERE vec_id % 100 = 0) q
+  )
+) WHERE rn = 1 ORDER BY vec_id
+""".strip()
+
+
 _IVF_CELLS = """
 cent AS (
   SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id % {cmod} = 7
@@ -1451,6 +1466,7 @@ SELECT vec_a, vec_b, cosine FROM (
     )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
+        "semantic_decontamination": _with({"n": _EMB_NORMS}, _SEM_DECON_BODY),
         "ann_ivf_topk": ivf_topk,
         "ann_ivf_recall": ivf_recall,
         "ann_arrow_recall": arrow_recall,

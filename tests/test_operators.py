@@ -877,3 +877,28 @@ def test_doc_length_distribution_closed_form_and_approx_brackets(spark):
     approx = doc_length_distribution(docs, exact=False).collect()[0]
     assert 1.0 <= approx["word_p50"] <= 5.0
     assert approx["docs"] == 5
+
+
+def test_semantic_decontamination_flags_and_tiebreaks(spark):
+    """Known geometry: a corpus vector parallel to a benchmark vector is
+    contaminated (cosine 1.0, scale-invariant), an orthogonal one is not,
+    and a vector equidistant to two identical benchmark vectors reports
+    the LOWER benchmark id."""
+    from dataengineeringpipeline_spark.operators.similarity import semantic_decontamination
+
+    rows = [
+        Row(vec_id=0, label="b", embedding=[1.0, 0.0, 0.0, 0.0]),    # benchmark
+        Row(vec_id=100, label="b", embedding=[1.0, 0.0, 0.0, 0.0]),  # benchmark twin
+        Row(vec_id=1, label="c", embedding=[2.0, 0.0, 0.0, 0.0]),    # parallel -> hit, tie -> bid 0
+        Row(vec_id=2, label="c", embedding=[0.0, 3.0, 0.0, 0.0]),    # orthogonal -> clean
+        Row(vec_id=3, label="c", embedding=[1.0, 1.0, 0.0, 0.0]),    # cos = 1/sqrt(2)
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontamination(spark.createDataFrame(rows), threshold=0.9).collect()
+    }
+    assert set(got) == {1, 2, 3}  # benchmark rows are not scored
+    assert got[1]["is_contaminated"] and got[1]["best_cosine"] == 1.0
+    assert got[1]["best_match_id"] == 0  # tie between 0 and 100 -> lowest id
+    assert not got[2]["is_contaminated"] and abs(got[2]["best_cosine"]) < 1e-12
+    assert abs(got[3]["best_cosine"] - 2**-0.5) < 1e-12 and not got[3]["is_contaminated"]
