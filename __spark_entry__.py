@@ -126,6 +126,7 @@ WINDOW_HEAD = [
     "duplicate_span_coverage",
     "doc_length_distribution",
     "semantic_decontamination",
+    "hll_sketch_summary",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -350,6 +351,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- count-min sketch heavy hitters (bounded-state skew triage) -----
         "cms_heavy_hitters": lambda spark, sf: scale.cms_heavy_hitters(
             load_events(spark, sf), "user_id", top_n=20
+        ),
+        # -- HyperLogLog distinct sketch (bounded-state distinct counts) ----
+        "hll_sketch_summary": lambda spark, sf: scale.hll_sketch_summary(
+            _read(spark, sf, "events")
         ),
         # -- skew-safe two-stage aggregation (scale.py) ---------------------
         "salted_status_summary": lambda spark, sf: scale.salted_aggregate(

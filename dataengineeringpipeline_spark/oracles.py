@@ -2186,10 +2186,42 @@ FROM (
 )
 ORDER BY est_count DESC, user_id ASC LIMIT 20
 """.strip()
+    # HyperLogLog twin (scale.hll_sketch_summary): same 48-bit md5-prefix
+    # hash of the stringified key, bucket = top HLL_P bits, rho via bin()
+    # string length (no float log2). Pure-integer digest — the estimator's
+    # linear-counting ln is libm-dependent and stays out of the oracle.
+    from dataengineeringpipeline_spark.scale import HLL_P, HLL_REGISTER_BITS
+
+    wmod = 1 << HLL_REGISTER_BITS
+    m = 1 << HLL_P
+    rb = HLL_REGISTER_BITS
+    hll_body = f"""
+SELECT event_type, occupied_buckets, register_sum, deepest_register, exact_distinct,
+  CAST(occupied_buckets AS DOUBLE) / {m} AS occupancy
+FROM (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS occupied_buckets,
+    CAST(SUM(max_rho) AS BIGINT) AS register_sum,
+    CAST(MAX(max_rho) AS INTEGER) AS deepest_register
+  FROM (
+    SELECT event_type, h // {wmod} AS bucket,
+      MAX(CASE WHEN h % {wmod} = 0 THEN {rb + 1}
+          ELSE {rb} - (length(bin(h % {wmod})) - 1) END) AS max_rho
+    FROM (SELECT event_type, {_wh('CAST(user_id AS VARCHAR)')} AS h FROM events)
+    GROUP BY 1, 2
+  ) r GROUP BY r.event_type
+) s
+JOIN (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+) x USING (event_type)
+ORDER BY event_type
+""".strip()
     return {
         "token_histogram": _with({"tok": tok}, body),
         "event_heavy_hitters": _with({"ev": EVENTS_BASE}, hh_body),
         "cms_heavy_hitters": _with({"ev": EVENTS_BASE}, cms_body),
+        "hll_sketch_summary": hll_body,
     }
 
 

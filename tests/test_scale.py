@@ -301,3 +301,39 @@ def test_cluster_by_collapses_read_amplification(spark, sf_dir, tmp_path):
     back = spark.read.parquet(lake.path("silver", "ev_scrambled"))
     assert back.count() == n
     assert back.agg(F.sum("ts_us")).collect()[0][0] == checksum
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """HLL properties: shard registers max-merge to exactly the
+    whole-data registers (the mergeable-sketch contract), and the
+    estimator lands within 3 sigma (~10% at p=10) of truth in both the
+    linear-counting and raw-harmonic branches."""
+    from dataengineeringpipeline_spark.scale import hll_estimate, hll_registers
+
+    for n in (500, 200_000):  # small range (linear counting) and raw branch
+        df = spark.range(n).selectExpr("id AS k", "CAST(id % 2 AS INT) AS half")
+        full = hll_registers(df, "k")
+        merged = (
+            hll_registers(df.filter("half = 0"), "k")
+            .unionByName(hll_registers(df.filter("half = 1"), "k"))
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+        est = hll_estimate(full).collect()[0]["hll_estimate"]
+        assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_hll_distinct_report_matches_sketch_summary(spark, sf_dir):
+    """The tested gauge and the oracle-checked digest agree on the exact
+    side, and the estimate is within 3 sigma of it per event type."""
+    from dataengineeringpipeline_spark.scale import hll_distinct_report, hll_sketch_summary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gauge = {r["event_type"]: r for r in hll_distinct_report(ev).collect()}
+    digest = {r["event_type"]: r for r in hll_sketch_summary(ev).collect()}
+    assert set(gauge) == set(digest)
+    for t, g in gauge.items():
+        assert g["exact_distinct"] == digest[t]["exact_distinct"]
+        assert g["rel_error"] < 0.10, (t, g)
