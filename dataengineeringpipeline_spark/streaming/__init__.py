@@ -537,6 +537,61 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain HyperLogLog distinct-count registers of ``key_col`` over
+    a file stream — the streaming face of ``scale.hll_registers`` and
+    the CMS twin's sibling for distinct counts: each micro-batch reduces
+    to a ≤ 2^p register partial (KBs), and register partials MERGE by
+    MAX, so the running state is bounded regardless of key cardinality
+    or stream age, and a crash-replayed batch is harmless twice over
+    (its partition overwrites itself AND max is idempotent).
+
+    Same exactly-once-by-layout shape as :func:`stream_cms_sketch`; the
+    merged view is :func:`read_hll_sketch`'s ``groupBy(bucket).max``.
+    """
+    from ..scale import hll_registers
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, key_col).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:  # bound batch size on backlogs
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_hll_sketch over {source_dir!r} did not finish within {timeout_s}s")
+
+
+def read_hll_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The merged (bucket, max_rho) registers across all streamed
+    batches — MAX IS the HLL merge operation."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with

@@ -554,3 +554,40 @@ def test_native_session_window_agrees_with_custom_kernel(spark, sf_dir):
         for r in streaming.streaming_session_counts(spark, sf_dir).collect()
     }
     assert native == custom
+
+
+def test_stream_hll_sketch_merge_equals_batch_registers(spark, sf_dir, tmp_path):
+    """Per-micro-batch HLL register partials merged by MAX must equal
+    the batch registers of the whole stream — and because max is
+    idempotent, re-merging a batch's partition twice changes nothing
+    (the replay-safety property on top of the partition overwrite)."""
+    from dataengineeringpipeline_spark.scale import hll_registers
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    ev = load_events(spark, sf_dir).limit(600).select(
+        "event_id", (F.col("ts_us") * 1000).alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    streaming.stream_hll_sketch(
+        spark,
+        str(src / "*"),
+        streaming.EVENTS_DDL,
+        "user_id",
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    merged_df = streaming.read_hll_sketch(spark, str(tmp_path / "sketch"))
+    merged = {r["bucket"]: r["max_rho"] for r in merged_df.collect()}
+    want = {r["bucket"]: r["max_rho"] for r in hll_registers(ev, "user_id").collect()}
+    assert merged == want and len(merged) > 0
+    # replay idempotence: double-reading every partition still merges equal
+    doubled = (
+        spark.read.parquet(str(tmp_path / "sketch"))
+        .unionByName(spark.read.parquet(str(tmp_path / "sketch")))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert {r["bucket"]: r["max_rho"] for r in doubled.collect()} == want
