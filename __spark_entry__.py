@@ -127,6 +127,7 @@ WINDOW_HEAD = [
     "doc_length_distribution",
     "semantic_decontamination",
     "hll_sketch_summary",
+    "top_ngrams_per_source",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -261,6 +262,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- corpus hygiene (benchmark decontamination + boilerplate) -------
         "decontamination_report": lambda spark, sf: decontam_ops.decontamination_report(
+            _read(spark, sf, "documents")
+        ),
+        "top_ngrams_per_source": lambda spark, sf: decontam_ops.top_ngrams_per_source(
             _read(spark, sf, "documents")
         ),
         "boilerplate_report": lambda spark, sf: decontam_ops.boilerplate_report(

@@ -170,3 +170,40 @@ def decontamination_report(docs: DataFrame) -> DataFrame:
 def boilerplate_report(docs: DataFrame) -> DataFrame:
     """Driver-contract query: corpus-wide boilerplate profile."""
     return boilerplate_stats(docs).orderBy("doc_id")
+
+
+def top_ngrams_per_source(
+    docs: DataFrame, n: int = DECONTAM_NGRAM, top_k: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Per-source vocabulary profile: each source's ``top_k`` word
+    ``n``-grams by document frequency — the first thing a corpus owner
+    reads when a source looks templated (one glance shows whether a
+    domain is navigation chrome, licence blurbs, or real prose), and
+    the per-source drill-down of :func:`boilerplate_stats`'s
+    corpus-wide frequent set.
+
+    Only n-grams repeated across at least ``min_df`` documents rank
+    (singleton n-grams are not vocabulary, they're content). That floor
+    is also the scale guard: the per-source ranking window would
+    otherwise pass every distinct shingle of the source through one
+    reducer — the singleton long tail is the bulk of that row count,
+    and the floor prunes it BEFORE the window's per-source shuffle
+    (the count aggregation itself is keyed by (source, shingle) —
+    high-cardinality, map-side combined, well spread).
+    """
+    from dataengineeringpipeline_spark.operators.dedup import doc_shingles
+    from pyspark.sql import Window
+
+    counts = (
+        doc_shingles(docs, n)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("doc_freq"), F.asc("shingle"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .orderBy("source", "rank")
+    )

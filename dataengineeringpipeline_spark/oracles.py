@@ -1857,7 +1857,24 @@ LEFT JOIN totals t ON d.doc_id = t.doc_id
 LEFT JOIN bp ON d.doc_id = bp.doc_id
 ORDER BY d.doc_id
 """.strip()
-    return {"decontamination_report": decontam, "boilerplate_report": boilerplate}
+    # Twin of decontam.top_ngrams_per_source (n=3, top_k=5, min_df=2).
+    top_ngrams = f"""
+WITH shingles AS ({_SHINGLES}),
+counts AS (
+  SELECT d.source, s.shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM shingles s JOIN documents d USING (doc_id)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT source, shingle, doc_freq, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_freq DESC, shingle ASC) AS INTEGER) AS rank
+  FROM counts
+) WHERE rank <= 5 ORDER BY source, rank
+""".strip()
+    return {
+        "decontamination_report": decontam,
+        "boilerplate_report": boilerplate,
+        "top_ngrams_per_source": top_ngrams,
+    }
 
 
 def _interval_join_oracles() -> dict[str, str]:

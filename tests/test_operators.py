@@ -902,3 +902,29 @@ def test_semantic_decontamination_flags_and_tiebreaks(spark):
     assert got[1]["best_match_id"] == 0  # tie between 0 and 100 -> lowest id
     assert not got[2]["is_contaminated"] and abs(got[2]["best_cosine"]) < 1e-12
     assert abs(got[3]["best_cosine"] - 2**-0.5) < 1e-12 and not got[3]["is_contaminated"]
+
+
+def test_top_ngrams_per_source_floor_and_ties(spark):
+    """min_df floor excludes singleton n-grams; ranking is doc-frequency
+    desc with alphabetical tie-break; per-doc counting is distinct (a
+    doc repeating the n-gram internally counts once)."""
+    from dataengineeringpipeline_spark.operators.decontam import top_ngrams_per_source
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="a b c x y z"),       # "a b c" + "x y z"(via windows)
+            Row(doc_id=2, source="s1", text="a b c a b c"),       # repeats "a b c" internally
+            Row(doc_id=3, source="s1", text="a b c unique words"),
+            Row(doc_id=4, source="s2", text="only one doc here"),  # all singletons
+        ]
+    )
+    got = top_ngrams_per_source(docs).collect()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r["source"], []).append(r)
+    # s2 has no n-gram in >= 2 docs: no rows at all
+    assert "s2" not in by_source
+    top = by_source["s1"][0]
+    assert top["shingle"] == "a b c" and top["doc_freq"] == 3 and top["rank"] == 1
+    # doc 2's internal repetition did not inflate doc_freq past the 3 docs
+    assert all(r["doc_freq"] <= 3 for r in by_source["s1"])
