@@ -128,6 +128,7 @@ WINDOW_HEAD = [
     "semantic_decontamination",
     "hll_sketch_summary",
     "top_ngrams_per_source",
+    "streaming_volume_alerts",
     # staleness rotation: last driver-checked r02/r01
     "dq_daily_anomalies",
     "ml_customer_features",
@@ -207,6 +208,7 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_counts": streaming.streaming_session_counts,
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
+        "streaming_volume_alerts": streaming.streaming_volume_alerts,
         # -- event-time top-k heavy hitters per window (streaming twin of
         #    scale.key_skew_profile) --------------------------------------
         "streaming_heavy_hitters": streaming.streaming_heavy_hitters,

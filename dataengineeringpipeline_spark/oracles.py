@@ -1787,7 +1787,50 @@ SELECT window_start_us, user_id, events, rnk FROM (
 WHERE rnk <= 5
 ORDER BY window_start_us, rnk
 """.strip()
+    # Twin of streaming.streaming_volume_alerts: per-hour-of-day baseline
+    # (exact integer sums, fixed float-op order) + per-window z and the
+    # alert severity ladder. Expression order mirrors the Spark side
+    # exactly: mean = sx/n, var = (sxx - n*mean*mean)/(n-1).
+    from dataengineeringpipeline_spark.alerts import (
+        SEVERITY_PRIORITY,
+        VOL_CRITICAL_Z,
+        VOL_ERROR_Z,
+        VOL_WARN_Z,
+    )
+
+    prio_case = " ".join(f"WHEN '{s}' THEN {p}" for s, p in SEVERITY_PRIORITY.items())
+    volume_body = f"""
+SELECT window_start_us, event_count, z_score,
+  severity, CAST(CASE severity {prio_case} END AS INTEGER) AS priority
+FROM (
+  SELECT w.window_start_us, w.event_count,
+    CASE WHEN b.std_rows > 0 THEN (w.event_count - b.mean_rows) / b.std_rows END AS z_score,
+    CASE
+      WHEN abs(CASE WHEN b.std_rows > 0 THEN (w.event_count - b.mean_rows) / b.std_rows END) >= {VOL_CRITICAL_Z} THEN 'CRITICAL'
+      WHEN abs(CASE WHEN b.std_rows > 0 THEN (w.event_count - b.mean_rows) / b.std_rows END) >= {VOL_ERROR_Z} THEN 'ERROR'
+      WHEN abs(CASE WHEN b.std_rows > 0 THEN (w.event_count - b.mean_rows) / b.std_rows END) >= {VOL_WARN_Z} THEN 'WARNING'
+      ELSE 'INFO'
+    END AS severity
+  FROM (
+    SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+      CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM ev GROUP BY 1
+  ) w
+  JOIN (
+    SELECT hod, sx / n AS mean_rows,
+      CASE WHEN n > 1 THEN sqrt(greatest((sxx - n * (sx / n) * (sx / n)) / (n - 1), 0.0)) END AS std_rows
+    FROM (
+      SELECT CAST(hidx % 24 AS INTEGER) AS hod, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(rows) AS BIGINT) AS sx, CAST(SUM(rows * rows) AS BIGINT) AS sxx
+      FROM (SELECT ts_us // 3600000000 AS hidx, CAST(COUNT(*) AS BIGINT) AS rows FROM ev GROUP BY 1)
+      GROUP BY 1
+    )
+  ) b ON b.hod = CAST((w.window_start_us // 3600000000) % 24 AS INTEGER)
+)
+ORDER BY window_start_us
+""".strip()
     return {
+        "streaming_volume_alerts": _with({"ev": EVENTS_BASE}, volume_body),
         "streaming_heavy_hitters": _with({"ev": EVENTS_BASE}, heavy_hitters_body),
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),

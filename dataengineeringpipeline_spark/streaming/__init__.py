@@ -810,3 +810,101 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def hourly_volume_baseline(events: DataFrame) -> DataFrame:
+    """Batch-side volume baseline: mean/std of hourly event counts per
+    hour-of-day, from exact integer window sums in a fixed expression
+    order (the ``quality.daily_volume_anomalies`` determinism recipe) —
+    the reference table a streaming volume watch scores against.
+
+    Two bounded aggregations: hourly counts (one shuffle keyed by hour
+    index), then 24 rows of ``(n, Σx, Σx²)``.
+    """
+    hourly = events.groupBy(
+        F.expr("ts_us div 3600000000").alias("hidx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows"))
+    agg = hourly.groupBy(F.pmod("hidx", F.lit(24)).cast("int").alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rows").cast("long").alias("sx"),
+        F.sum(F.col("rows") * F.col("rows")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    return agg.select(
+        "hod",
+        "n",
+        mean.alias("mean_rows"),
+        F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std_rows"),
+    )
+
+
+def volume_alert_stream(events: DataFrame, baseline_rows: list) -> DataFrame:
+    """Streaming volume watch: each closed hourly window emits one row
+    with its event count z-scored against the per-hour-of-day baseline
+    and classified on the alert severity ladder (INFO below the WARNING
+    tier — this is a metrics feed, not only an exception feed; the
+    notifier's routing rules drop INFO rows exactly as
+    ``alerts.route_alerts`` does).
+
+    The baseline is 24 rows, COMPILED into literal map lookups instead
+    of joined: Spark disallows stream-static joins downstream of a
+    streaming aggregation, and a 24-entry scalar map is the cheaper
+    plan anyway (pure projection, no broadcast exchange, no state). At
+    100 TB/day the baseline refresh is a scheduled batch job
+    (:func:`hourly_volume_baseline`) and the stream restarts on the new
+    literals — the standard slowly-refreshed-reference pattern.
+    """
+    from dataengineeringpipeline_spark.alerts import (
+        SEVERITY_PRIORITY,
+        VOL_CRITICAL_Z,
+        VOL_ERROR_Z,
+        VOL_WARN_Z,
+    )
+
+    mean_map = F.create_map(
+        *[x for r in baseline_rows for x in (F.lit(r["hod"]), F.lit(r["mean_rows"]))]
+    )
+    std_map = F.create_map(
+        *[x for r in baseline_rows for x in (F.lit(r["hod"]), F.lit(r["std_rows"]))]
+    )
+    counts = (
+        events.withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("event_count"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "event_count")
+    )
+    hod = F.pmod(F.expr("window_start_us div 3600000000"), F.lit(24)).cast("int")
+    mean = mean_map[hod]
+    std = std_map[hod]
+    z = F.when(std > 0, (F.col("event_count") - mean) / std)
+    absz = F.abs(z)
+    sev = (
+        F.when(absz >= VOL_CRITICAL_Z, F.lit("CRITICAL"))
+        .when(absz >= VOL_ERROR_Z, F.lit("ERROR"))
+        .when(absz >= VOL_WARN_Z, F.lit("WARNING"))
+        .otherwise(F.lit("INFO"))
+    )
+    prio = F.coalesce(
+        *[F.when(sev == s, F.lit(p)) for s, p in SEVERITY_PRIORITY.items()]
+    ).cast("int")
+    return counts.select(
+        "window_start_us",
+        "event_count",
+        z.cast("double").alias("z_score"),
+        sev.alias("severity"),
+        prio.alias("priority"),
+    )
+
+
+def streaming_volume_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: baseline from the batch history, volume
+    watch over the streamed backlog, final feed ordered by window."""
+    from ..datalake import load_events
+
+    baseline_rows = [r.asDict() for r in hourly_volume_baseline(load_events(spark, sf_dir)).collect()]
+    run_available_now(
+        volume_alert_stream(stream_events(spark, sf_dir), baseline_rows),
+        "volume_alert_stream",
+    )
+    return spark.table("volume_alert_stream").orderBy("window_start_us")

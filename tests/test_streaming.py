@@ -591,3 +591,18 @@ def test_stream_hll_sketch_merge_equals_batch_registers(spark, sf_dir, tmp_path)
         .agg(F.max("max_rho").alias("max_rho"))
     )
     assert {r["bucket"]: r["max_rho"] for r in doubled.collect()} == want
+
+
+def test_streaming_volume_alerts_matches_batch_twin(spark, sf_dir):
+    """The drained volume-alert feed equals the same expressions run in
+    one batch over the batch loader (watermark is a no-op on batch), and
+    the feed covers every hourly window exactly once."""
+    feed = streaming.streaming_volume_alerts(spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir).withColumn("event_ts", F.timestamp_micros("ts_us"))
+    baseline = [r.asDict() for r in streaming.hourly_volume_baseline(ev).collect()]
+    batch = (
+        streaming.volume_alert_stream(ev, baseline).orderBy("window_start_us").collect()
+    )
+    assert [tuple(r) for r in feed] == [tuple(r) for r in batch]
+    starts = [r["window_start_us"] for r in feed]
+    assert len(starts) == len(set(starts)) > 0
