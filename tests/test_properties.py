@@ -188,3 +188,76 @@ def test_recovery_never_retries_past_the_bound(attempts, bound):
     else:
         assert action is orchestrator.RecoveryAction.RETRY
     assert policy.delay_s(attempts) <= policy.max_delay_s
+
+
+# -- HLL registers: python-model equality for any keys -----------------------
+
+_hll_keys = st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=120)
+
+
+@given(_hll_keys)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hll_registers_match_python_model(spark, keys):
+    """The register table equals a pure-python md5 model for ANY key set
+    (bucket split, leading-zero rank, max-merge), and registers depend
+    only on the distinct key set — duplicates never change them."""
+    import hashlib
+
+    from dataengineeringpipeline_spark import scale
+
+    def model(ks):
+        regs: dict[int, int] = {}
+        for k in set(ks):
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+            bucket, w = divmod(h, 1 << scale.HLL_REGISTER_BITS)
+            rho = (
+                scale.HLL_REGISTER_BITS + 1
+                if w == 0
+                else scale.HLL_REGISTER_BITS - (w.bit_length() - 1)
+            )
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r["bucket"]: r["max_rho"] for r in scale.hll_registers(df, "k").collect()
+    }
+    assert got == model(keys)
+    doubled = spark.createDataFrame([(k,) for k in keys + keys], "k bigint")
+    got2 = {
+        r["bucket"]: r["max_rho"] for r in scale.hll_registers(doubled, "k").collect()
+    }
+    assert got2 == got
+
+
+# -- duplicate-span coverage: structural invariants for any corpus -----------
+
+_span_docs = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=8
+)
+
+
+@given(_span_docs)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_duplicate_span_coverage_invariants(spark, texts):
+    """For ANY corpus: coverage never exceeds the document, dup windows
+    never exceed total windows, a doc shorter than the window reports
+    zero, and appending an exact copy of a long doc makes every one of
+    the copy's windows duplicated (full window coverage)."""
+    from dataengineeringpipeline_spark.operators.dedup import duplicate_span_coverage
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in duplicate_span_coverage(df).collect():
+        assert 0 <= r["dup_chars"] <= r["doc_chars"]
+        assert 0 <= r["dup_windows"] <= r["total_windows"]
+        if r["doc_chars"] < 40:
+            assert r["total_windows"] == 0 and r["dup_chars"] == 0
+    long_texts = [t for t in texts if len(t) >= 40]
+    if long_texts:
+        rows2 = rows + [(len(rows), long_texts[0])]
+        df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+        copy_row = [
+            r for r in duplicate_span_coverage(df2).collect() if r["doc_id"] == len(rows)
+        ][0]
+        assert copy_row["dup_windows"] == copy_row["total_windows"] > 0
