@@ -436,3 +436,33 @@ def hll_distinct_report(
         )
         .orderBy(*group_cols)
     )
+
+
+def materialize_hll(
+    events: DataFrame, lake, key_col: str = "user_id", table: str = "hll_user_daily"
+) -> str:
+    """Write per-day HLL registers to a gold table partitioned by day —
+    the lake half of the sketch lifecycle (the streaming half is
+    ``streaming.stream_hll_sketch``): each day's ingestion appends its
+    own partition once, and any later "distinct users over dates X..Y"
+    reads a few KB of registers instead of re-scanning the events.
+    """
+    regs = hll_registers(events, key_col, group_cols=("event_date",))
+    return lake.write(regs, "gold", table, partition_by=("event_date",))
+
+
+def hll_range_distinct(
+    spark: SparkSession, lake, start_date: str, end_date: str, table: str = "hll_user_daily"
+) -> DataFrame:
+    """Distinct-count estimate over an arbitrary date range from the
+    materialized per-day registers: partition-pruned scan of the range's
+    register partitions (the date filter sits on the partition column —
+    only those directories are read), one max-merge, one estimate row.
+    Merge correctness is exact — max-merged per-day registers ARE the
+    registers of the union slice — so the only approximation is the
+    estimator itself."""
+    regs = lake.read(spark, "gold", table).filter(
+        (F.col("event_date") >= F.lit(start_date)) & (F.col("event_date") <= F.lit(end_date))
+    )
+    merged = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    return hll_estimate(merged)

@@ -337,3 +337,34 @@ def test_hll_distinct_report_matches_sketch_summary(spark, sf_dir):
     for t, g in gauge.items():
         assert g["exact_distinct"] == digest[t]["exact_distinct"]
         assert g["rel_error"] < 0.10, (t, g)
+
+
+def test_materialized_hll_range_query_prunes_and_merges_exactly(spark, sf_dir, tmp_path):
+    """Lake HLL lifecycle: per-day registers materialize partitioned by
+    day; a range query's max-merge equals the registers computed
+    directly on the range slice (merge exactness), the estimate lands
+    within 3 sigma of the exact range distinct, and the date filter
+    reaches the scan as a partition filter."""
+    from dataengineeringpipeline_spark.datalake import Lake, load_events
+
+    lake = Lake(str(tmp_path))
+    ev = load_events(spark, sf_dir)
+    scale.materialize_hll(ev, lake)
+    lo, hi = "2024-01-05", "2024-01-14"
+    sliced = ev.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
+    direct = {
+        r["bucket"]: r["max_rho"] for r in scale.hll_registers(sliced, "user_id").collect()
+    }
+    regs = lake.read(spark, "gold", "hll_user_daily").filter(
+        (F.col("event_date") >= F.lit(lo)) & (F.col("event_date") <= F.lit(hi))
+    )
+    merged = {
+        r["bucket"]: r["max_rho"]
+        for r in regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho")).collect()
+    }
+    assert merged == direct
+    est = scale.hll_range_distinct(spark, lake, lo, hi).collect()[0]["hll_estimate"]
+    exact = sliced.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.10, (est, exact)
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
