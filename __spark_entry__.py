@@ -362,6 +362,17 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_summary": lambda spark, sf: scale.hll_sketch_summary(
             _read(spark, sf, "events")
         ),
+        # -- Bloom-filter join pruning (semi-join reduction, scale.py) ------
+        "bloom_join_prune": lambda spark, sf: scale.bloom_prune_stats(
+            _read(spark, sf, "orders"),
+            _read(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'"),
+            "o_custkey",
+            "c_custkey",
+        ),
+        # -- categorical distribution drift monitor (quality.py) ------------
+        "priority_drift_report": lambda spark, sf: quality.category_drift(
+            _read(spark, sf, "orders"), "o_orderpriority", "o_orderdate", "1999-01-01"
+        ),
         # -- skew-safe two-stage aggregation (scale.py) ---------------------
         "salted_status_summary": lambda spark, sf: scale.salted_aggregate(
             _silver_orders(spark, sf).select("order_status", "total_price"),

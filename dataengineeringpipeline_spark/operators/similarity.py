@@ -747,12 +747,27 @@ def ann_arrow_recall(embeddings: DataFrame, k: int = 5, query_mod: int = 100) ->
     even though its SIMD-ordered float sums can differ from the fold
     kernel in the last ulp (which is why the oracle gate uses the fold
     version and this is a rows-only gauge). One summary row, same shape
-    as :func:`ann_ivf_recall`."""
+    as :func:`ann_ivf_recall`.
+
+    Membership is tie-margin-aware: an approx pair counts as a hit if it
+    is in the exact top-k set OR its cosine reaches the query's k-th
+    exact cosine within a 1e-9 margin — so a genuine tie at the k
+    boundary (duplicate embeddings) whose membership flips under SIMD
+    summation order still scores 1.0, and the closed-form oracle
+    (hit_pairs == exact_pairs) holds for every correct kernel, not just
+    the one that breaks ties the fold kernel's way."""
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k, query_mod).select("query_id", "neighbor_id")
+        ann_bruteforce_topk(embeddings, k, query_mod).select(
+            "query_id", "neighbor_id", "cosine"
+        )
     )
-    approx = ann_topk_arrow(embeddings, k, query_mod).select("query_id", "neighbor_id")
-    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    kth = exact.groupBy("query_id").agg(F.min("cosine").alias("kth_cosine"))
+    approx = ann_topk_arrow(embeddings, k, query_mod).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("a_cosine")
+    )
+    hit = approx.join(F.broadcast(kth), "query_id").filter(
+        F.col("a_cosine") >= F.col("kth_cosine") - F.lit(1e-9)
+    )
     return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
         hit.agg(F.count(F.lit(1)).alias("hit_pairs"))
     ).select(

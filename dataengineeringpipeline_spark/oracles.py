@@ -2483,3 +2483,69 @@ ORACLES.update(_histogram_oracles())
 ORACLES.update(_anomaly_oracles())
 ORACLES.update(_session_window_oracles())
 ORACLES.update(_cohort_funnel_oracles())
+
+
+def _scale_prune_oracles() -> dict[str, str]:
+    """Twins of scale.bloom_prune_stats and quality.category_drift."""
+    from dataengineeringpipeline_spark.scale import BLOOM_K, BLOOM_M
+
+    m, k = BLOOM_M, BLOOM_K
+    js = ",".join(f"({j})" for j in range(k))
+    probe_miss = " OR ".join(
+        f"({_wh(f'{j}||' + chr(39) + ':' + chr(39) + '||CAST(o_custkey AS VARCHAR)')} % {m})"
+        f" NOT IN (SELECT pos FROM pos)"
+        for j in range(k)
+    )
+    bloom = f"""
+WITH dimk AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+pos AS (
+  SELECT DISTINCT {_wh("j||':'||CAST(c_custkey AS VARCHAR)")} % {m} AS pos
+  FROM dimk, (VALUES {js}) js(j)
+),
+fact AS (
+  SELECT o_custkey, NOT ({probe_miss}) AS passes,
+    o_custkey IN (SELECT c_custkey FROM dimk) AS is_true
+  FROM orders
+)
+SELECT CAST({m} AS INTEGER) AS m, CAST({k} AS INTEGER) AS k,
+  (SELECT CAST(count(*) AS BIGINT) FROM dimk) AS n_keys,
+  (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set,
+  CAST(count(*) AS BIGINT) AS fact_rows,
+  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows,
+  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS true_match_rows,
+  CAST(sum(CASE WHEN passes AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS false_positive_rows,
+  CAST(count(*) - sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS pruned_rows,
+  CAST(sum(CASE WHEN passes AND NOT is_true THEN 1 ELSE 0 END) AS DOUBLE)
+    / (count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END)) AS fp_rate,
+  CAST(count(*) - sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pruned_frac
+FROM fact
+""".strip()
+    drift = """
+WITH per AS (
+  SELECT o_orderpriority AS category,
+    CAST(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END),0) AS BIGINT) AS base_n,
+    CAST(coalesce(sum(CASE WHEN NOT (o_orderdate < TIMESTAMP '1999-01-01') THEN 1 END),0) AS BIGINT) AS cur_n
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT per.*, CAST(sum(base_n) OVER () AS BIGINT) nb, CAST(sum(cur_n) OVER () AS BIGINT) nc FROM per
+),
+tot2 AS (
+  SELECT tot.*, CAST(sum(abs(base_n*nc - cur_n*nb)) OVER () AS DOUBLE) sn FROM tot
+)
+SELECT category, base_n, cur_n,
+  CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) AS base_share,
+  CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) AS cur_share,
+  CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) - CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) AS share_delta,
+  sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) AS tv_distance,
+  CASE WHEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) < 0.1 THEN 'stable'
+       WHEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) < 0.25 THEN 'moderate'
+       ELSE 'major' END AS drift_band
+FROM tot2 ORDER BY category
+""".strip()
+    return {"bloom_join_prune": bloom, "priority_drift_report": drift}
+
+
+ORACLES.update(_scale_prune_oracles())

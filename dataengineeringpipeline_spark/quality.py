@@ -358,3 +358,63 @@ def daily_volume_anomalies(
         )
         .orderBy("day")
     )
+
+
+def category_drift(
+    df: DataFrame,
+    category_col: str,
+    ts_col: str,
+    split: str,
+    stable_below: float = 0.1,
+    major_above: float = 0.25,
+) -> DataFrame:
+    """Distribution-drift monitor: the categorical mix before vs after
+    ``split``, with the total-variation distance ``½·Σ|p_base − p_cur|``
+    as the headline drift score and a PSI-style band on it — the "did
+    the upstream mix shift under me?" check that sits next to
+    :func:`daily_volume_anomalies` (volume drift) in a monitoring suite.
+
+    TV distance instead of PSI deliberately: PSI's per-bucket ``ln``
+    ties the score to the engine's libm (the HLL estimator documents the
+    JVM-vs-DuckDB last-ulp divergence), while TV is pure arithmetic —
+    the numerator ``Σ|base_n·N_cur − cur_n·N_base|`` stays in exact
+    integers (order-independent), and one double division at the end
+    makes the score bit-identical in any engine. One conditional
+    aggregation pass (no second scan for the windows), an all-rows
+    window for the totals over ~|categories| rows.
+    """
+    from pyspark.sql import Window
+
+    is_base = F.col(ts_col) < F.lit(split)
+    per = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.coalesce(F.sum(F.when(is_base, 1)), F.lit(0)).cast("long").alias("base_n"),
+        F.coalesce(F.sum(F.when(~is_base, 1)), F.lit(0)).cast("long").alias("cur_n"),
+    )
+    w = Window.partitionBy()
+    nb = F.sum("base_n").over(w).cast("long")
+    nc = F.sum("cur_n").over(w).cast("long")
+    numer = F.abs(F.col("base_n") * nc - F.col("cur_n") * nb)
+    tv = F.sum(numer).over(w).cast("double") / (
+        F.lit(2.0) * nb.cast("double") * nc.cast("double")
+    )
+    return (
+        per.select(
+            "category",
+            "base_n",
+            "cur_n",
+            (F.col("base_n").cast("double") / nb.cast("double")).alias("base_share"),
+            (F.col("cur_n").cast("double") / nc.cast("double")).alias("cur_share"),
+            (
+                F.col("cur_n").cast("double") / nc.cast("double")
+                - F.col("base_n").cast("double") / nb.cast("double")
+            ).alias("share_delta"),
+            tv.alias("tv_distance"),
+        )
+        .withColumn(
+            "drift_band",
+            F.when(F.col("tv_distance") < stable_below, F.lit("stable"))
+            .when(F.col("tv_distance") < major_above, F.lit("moderate"))
+            .otherwise(F.lit("major")),
+        )
+        .orderBy("category")
+    )

@@ -466,3 +466,168 @@ def hll_range_distinct(
     )
     merged = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
     return hll_estimate(merged)
+
+
+# -- Bloom-filter join pruning ----------------------------------------------
+
+#: Bloom bitmap size in bits — sized so the sf0.1 bench key set (~3k
+#: keys × 4 probes) loads the filter to ~0.3 and the stats report shows
+#: a real sub-1% fp rate. At production scale size it from the dim
+#: cardinality (m ≈ -n·ln(fp)/ln2², e.g. 10 bits/key for ~1% fp).
+BLOOM_M = 1 << 15
+#: Number of hash probes per key (k ≈ (m/n)·ln2).
+BLOOM_K = 4
+
+
+def _bloom_positions(key: Column, m: int, k: int) -> Column:
+    """Array of ``k`` bit positions for a key — each probe is the
+    engine-portable 48-bit md5-prefix hash of ``"j:<key>"`` mod ``m``
+    (pure integer, so the DuckDB oracle reproduces the bitmap exactly;
+    swap ``word_hash(fast=True)``/xxhash64 in at production scale as the
+    dedup family documents)."""
+    from dataengineeringpipeline_spark.operators.text import word_hash
+
+    return F.array(
+        *[
+            word_hash(F.concat(F.lit(f"{j}:"), key.cast("string"))) % F.lit(m)
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as ONE row holding the
+    packed bitmap: a ``word_idx -> bits`` map of 64-bit words (≤ m/64
+    entries — KBs regardless of key cardinality) plus ``n_keys`` and
+    ``bits_set``.
+
+    The 100 TB shape: the build side aggregates down to m bits no matter
+    how many keys flow in (map-side ``bit_or`` combine bounds every
+    task's exchange output at m/64 rows), and the probe side
+    (:func:`bloom_prune`) is a broadcast of those KBs plus a map-only
+    filter — the fact table is pruned BEFORE its join shuffle, which is
+    exactly what Spark's runtime row-group/bloom pushdown does, made
+    explicit and engine-portable. This is the semi-join-reduction
+    technique for joins whose dim-side predicate is too selective to
+    justify shuffling the full fact table.
+    """
+    pos = (
+        keys.select(F.explode(_bloom_positions(F.col(key_col), m, k)).alias("pos"))
+        .distinct()
+    )
+    words = pos.groupBy(F.expr("pos div 64").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias("bits"),
+        F.count(F.lit(1)).alias("nbits"),
+    )
+    packed = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word_idx", "bits")))
+        ).alias("bloom_words"),
+        F.sum("nbits").cast("long").alias("bits_set"),
+    )
+    n = keys.agg(F.countDistinct(key_col).cast("long").alias("n_keys"))
+    return packed.join(n).select(
+        "bloom_words", "bits_set", "n_keys", F.lit(m).alias("m"), F.lit(k).alias("k")
+    )
+
+
+def bloom_prune(
+    fact: DataFrame, bloom: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key_col`` the Bloom filter might
+    contain (no false negatives; false-positive rate set by m, k and the
+    build cardinality). Broadcast of the one-row bitmap + a map-only
+    probe — no shuffle, no join; run it UNDER the real join so the
+    exchange only carries surviving rows."""
+    marked = _bloom_probe(
+        fact.join(F.broadcast(bloom.select("bloom_words"))), key_col, m, k
+    )
+    return marked.filter(F.col("_bloom_pass")).drop("_bloom_pass", "bloom_words")
+
+
+def _bloom_probe(df: DataFrame, key_col: str, m: int, k: int) -> DataFrame:
+    """Add ``_bloom_pass``: true iff every one of the key's ``k`` probe
+    bits is set in the joined-in ``bloom_words`` bitmap. Probe positions
+    materialize as temp columns because the bit test needs a column
+    shift amount, which only the SQL ``shiftleft`` takes (the Python
+    wrapper is literal-only); everything stays a map-only projection."""
+    from dataengineeringpipeline_spark.operators.text import word_hash
+
+    out, conds = df, []
+    for j in range(k):
+        c = f"_bp{j}"
+        out = out.withColumn(
+            c, word_hash(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))) % F.lit(m)
+        )
+        conds.append(
+            F.expr(
+                f"(coalesce(element_at(bloom_words, {c} div 64), CAST(0 AS BIGINT))"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST({c} % 64 AS INT))) <> 0"
+            )
+        )
+    passes = conds[0]
+    for c in conds[1:]:
+        passes = passes & c
+    return out.withColumn("_bloom_pass", passes).drop(*[f"_bp{j}" for j in range(k)])
+
+
+def bloom_prune_stats(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """One-row effectiveness report of Bloom-pruning ``fact`` against the
+    key set: fact rows in/out, true matches vs false positives, the
+    realized fp rate and pruned fraction — what you read before deciding
+    the filter earns its broadcast at the current m/k sizing. Every
+    count is exact and engine-portable (the oracle rebuilds the same
+    bitmap), divisions happen once at the end."""
+    bloom = bloom_build(keys, dim_key, m, k)
+    marked = (
+        _bloom_probe(
+            fact.select(F.col(fact_key).alias("fk")).join(
+                F.broadcast(bloom.select("bloom_words"))
+            ),
+            "fk",
+            m,
+            k,
+        )
+        .withColumnRenamed("_bloom_pass", "passes")
+        .join(
+            F.broadcast(
+                keys.select(F.col(dim_key).alias("fk")).distinct().withColumn(
+                    "is_true", F.lit(True)
+                )
+            ),
+            "fk",
+            "left",
+        )
+        .withColumn("is_true", F.coalesce("is_true", F.lit(False)))
+    )
+    counts = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("fact_rows"),
+        F.sum(F.col("passes").cast("long")).cast("long").alias("passed_rows"),
+        F.sum(F.col("is_true").cast("long")).cast("long").alias("true_match_rows"),
+        F.sum((F.col("passes") & ~F.col("is_true")).cast("long"))
+        .cast("long")
+        .alias("false_positive_rows"),
+    )
+    return counts.join(bloom.select("bits_set", "n_keys", "m", "k")).select(
+        "m",
+        "k",
+        "n_keys",
+        "bits_set",
+        "fact_rows",
+        "passed_rows",
+        "true_match_rows",
+        "false_positive_rows",
+        (F.col("fact_rows") - F.col("passed_rows")).alias("pruned_rows"),
+        (F.col("false_positive_rows") / (F.col("fact_rows") - F.col("true_match_rows")))
+        .alias("fp_rate"),
+        ((F.col("fact_rows") - F.col("passed_rows")) / F.col("fact_rows")).alias(
+            "pruned_frac"
+        ),
+    )

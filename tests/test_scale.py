@@ -368,3 +368,68 @@ def test_materialized_hll_range_query_prunes_and_merges_exactly(spark, sf_dir, t
     assert abs(est - exact) / exact < 0.10, (est, exact)
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bloom_prune_never_drops_true_matches(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_mktsegment = 'BUILDING'"
+    )
+    bloom = scale.bloom_build(cust, "c_custkey")
+    pruned = scale.bloom_prune(orders, bloom, "o_custkey")
+    true_rows = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    # no false negatives: every true match survives pruning
+    assert true_rows.join(pruned, orders.columns, "left_anti").count() == 0
+    assert pruned.count() >= true_rows.count()
+    assert pruned.columns == orders.columns
+
+
+def test_bloom_small_bitmap_shows_false_positives_but_bounded(spark, sf_dir):
+    # undersized bitmap: false positives appear, bitmap stays <= m bits,
+    # and the stats row stays internally consistent
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_mktsegment = 'BUILDING'"
+    )
+    row = scale.bloom_prune_stats(
+        orders, cust, "o_custkey", "c_custkey", m=256, k=2
+    ).collect()[0]
+    assert row["bits_set"] <= 256
+    assert row["passed_rows"] == row["true_match_rows"] + row["false_positive_rows"]
+    assert row["false_positive_rows"] > 0  # loaded filter must show fp
+    assert row["pruned_rows"] == row["fact_rows"] - row["passed_rows"]
+
+
+def test_bloom_prune_is_map_only_on_fact_side(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_mktsegment = 'BUILDING'"
+    )
+    bloom = scale.bloom_build(cust, "c_custkey")
+    plan = _plan(scale.bloom_prune(orders, bloom, "o_custkey"))
+    # probe side: broadcast join only — the fact scan reaches the filter
+    # with no exchange above it
+    assert "BroadcastExchange" in plan
+    fact_section = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_section
+
+
+def test_category_drift_detects_planted_shift(spark):
+    rows = [("a", "2024-01-01")] * 80 + [("b", "2024-01-01")] * 20 + [
+        ("a", "2024-03-01")
+    ] * 20 + [("b", "2024-03-01")] * 80
+    df = spark.createDataFrame(rows, "category string, d string").select(
+        F.col("category").alias("cat"), F.to_timestamp("d").alias("ts")
+    )
+    from dataengineeringpipeline_spark import quality
+
+    out = {r["category"]: r for r in quality.category_drift(df, "cat", "ts", "2024-02-01").collect()}
+    # tv = 0.5*(|0.8-0.2| + |0.2-0.8|) = 0.6 exactly -> major
+    assert out["a"]["tv_distance"] == pytest.approx(0.6, abs=1e-12)
+    assert out["a"]["drift_band"] == "major"
+    assert out["a"]["base_n"] == 80 and out["a"]["cur_n"] == 20
+    assert out["b"]["share_delta"] == pytest.approx(0.6, abs=1e-12)
