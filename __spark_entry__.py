@@ -209,6 +209,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         "streaming_volume_alerts": streaming.streaming_volume_alerts,
+        # -- streaming categorical-mix drift (streaming face of
+        #    quality.category_drift) -------------------------------------
+        "streaming_mix_drift": streaming.streaming_mix_drift,
         # -- event-time top-k heavy hitters per window (streaming twin of
         #    scale.key_skew_profile) --------------------------------------
         "streaming_heavy_hitters": streaming.streaming_heavy_hitters,
@@ -308,6 +311,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "embeddings")
         ),
         "semantic_dup_clusters": lambda spark, sf: sim_ops.semantic_dup_clusters(
+            _read(spark, sf, "embeddings")
+        ),
+        # -- per-cluster label composition (cluster-balanced mixing input) --
+        "semantic_cluster_mix": lambda spark, sf: sim_ops.cluster_label_mix(
             _read(spark, sf, "embeddings")
         ),
         # -- Arrow/numpy scale kernel vs fold kernel (rows-only gauge: the

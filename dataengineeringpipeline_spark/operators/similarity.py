@@ -981,3 +981,36 @@ def semantic_decontamination(
         )
         .orderBy("vec_id")
     )
+
+
+def cluster_label_mix(
+    embeddings: DataFrame, centroid_mod: int = IVF_CENTROID_MOD
+) -> DataFrame:
+    """Semantic domain-composition report: assign every vector to its
+    nearest coarse centroid (:func:`ivf_assign` — map-only fold-argmax,
+    corpus never shuffled) and report each cluster's label mix — size,
+    per-label share, and majority flag. This is the discovery half of
+    cluster-balanced corpus mixing (cluster the embedding space, THEN
+    decide per-cluster sampling rates), the semantic complement of the
+    source-keyed ``domain_mix_summary``.
+
+    One aggregation shuffle on (centroid_id, label) — already reduced to
+    ≤ |clusters|·|labels| rows before the window pass.
+    """
+    assign = ivf_assign(embeddings, centroid_mod)
+    per = assign.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    w = Window.partitionBy("centroid_id")
+    rank = Window.partitionBy("centroid_id").orderBy(
+        F.desc("n_vectors"), F.asc("label")
+    )
+    return (
+        per.withColumn("cluster_n", F.sum("n_vectors").over(w).cast("long"))
+        .withColumn(
+            "label_share",
+            F.col("n_vectors").cast("double") / F.col("cluster_n").cast("double"),
+        )
+        .withColumn("is_majority", F.row_number().over(rank) == 1)
+        .orderBy("centroid_id", "label")
+    )

@@ -2549,3 +2549,69 @@ FROM tot2 ORDER BY category
 
 
 ORACLES.update(_scale_prune_oracles())
+
+
+def _cluster_mix_oracle() -> dict[str, str]:
+    """Twin of similarity.cluster_label_mix (reuses the IVF assignment
+    CTEs; the unused q/probes CTEs are dead code DuckDB ignores)."""
+    from dataengineeringpipeline_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_NPROBE,
+    )
+
+    cells = _IVF_CELLS.format(cmod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE)
+    sql = f"""
+WITH n AS ({_EMB_NORMS}),
+{cells}
+SELECT centroid_id, label, n_vectors, cluster_n,
+  CAST(n_vectors AS DOUBLE)/CAST(cluster_n AS DOUBLE) AS label_share,
+  ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY n_vectors DESC, label ASC) = 1 AS is_majority
+FROM (
+  SELECT centroid_id, label, CAST(count(*) AS BIGINT) AS n_vectors,
+    CAST(sum(count(*)) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_n
+  FROM assign GROUP BY 1, 2
+)
+ORDER BY centroid_id, label
+""".strip()
+    return {"semantic_cluster_mix": sql}
+
+
+ORACLES.update(_cluster_mix_oracle())
+
+
+def _mix_drift_oracle() -> dict[str, str]:
+    """Twin of streaming.streaming_mix_drift — the drained availableNow
+    stream over the full backlog equals this batch computation exactly
+    (same integer numerator, same division order)."""
+    sql = f"""
+WITH ev AS ({EVENTS_BASE}),
+base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS base_n FROM ev GROUP BY 1),
+nbt AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb FROM base),
+win AS (
+  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us, event_type,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+tot AS (SELECT window_start_us, CAST(sum(cnt) AS BIGINT) AS window_n FROM win GROUP BY 1),
+terms AS (
+  SELECT t.window_start_us, t.window_n,
+    CAST(sum(abs(coalesce(w.cnt, 0) * nbt.nb - b.base_n * t.window_n)) AS DOUBLE) AS sn,
+    max(nbt.nb) AS nb
+  FROM tot t
+  CROSS JOIN base b
+  CROSS JOIN nbt
+  LEFT JOIN win w ON w.window_start_us = t.window_start_us AND w.event_type = b.event_type
+  GROUP BY 1, 2
+)
+SELECT window_start_us, window_n,
+  sn/(2.0*CAST(window_n AS DOUBLE)*CAST(nb AS DOUBLE)) AS tv_distance,
+  CASE WHEN sn/(2.0*CAST(window_n AS DOUBLE)*CAST(nb AS DOUBLE)) < 0.1 THEN 'stable'
+       WHEN sn/(2.0*CAST(window_n AS DOUBLE)*CAST(nb AS DOUBLE)) < 0.25 THEN 'moderate'
+       ELSE 'major' END AS drift_band
+FROM terms
+ORDER BY window_start_us
+""".strip()
+    return {"streaming_mix_drift": sql}
+
+
+ORACLES.update(_mix_drift_oracle())

@@ -908,3 +908,89 @@ def streaming_volume_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume_alert_stream",
     )
     return spark.table("volume_alert_stream").orderBy("window_start_us")
+
+
+# -- streaming categorical-mix drift -----------------------------------------
+
+
+def event_mix_baseline(events: DataFrame) -> DataFrame:
+    """Batch reference mix: per-event_type counts over the history — the
+    slowly-refreshed baseline the streaming drift watch compiles in
+    (same refresh pattern as :func:`hourly_volume_baseline`)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("base_n")
+    )
+
+
+def mix_drift_stream(
+    events: DataFrame,
+    baseline_rows: list,
+    stable_below: float = 0.1,
+    major_above: float = 0.25,
+) -> DataFrame:
+    """Streaming face of :func:`quality.category_drift`: each closed
+    hourly window's event-type mix scored against the compiled baseline
+    mix with the total-variation distance and banded stable / moderate /
+    major — "the traffic composition shifted" alongside the volume
+    watch's "the traffic volume shifted".
+
+    The type set is closed over the baseline (a type the baseline never
+    saw contributes through the window-total side only), so the window
+    aggregation is ONE stateful pass of |types| conditional counts and
+    the TV arithmetic is a stateless projection: the numerator
+    ``Σ_t |cnt_t·N_base − base_t·N_window|`` stays in exact integers in
+    a fixed expression order, one double division at the end —
+    bit-identical to the batch twin and the oracle, the property that
+    lets the stream and a backfill reconcile exactly.
+    """
+    types = sorted(r["event_type"] for r in baseline_rows)
+    base = {r["event_type"]: int(r["base_n"]) for r in baseline_rows}
+    nb = sum(base.values())
+    counts = (
+        events.withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour").alias("w"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0))
+                .cast("long")
+                .alias(f"_c_{i}")
+                for i, t in enumerate(types)
+            ],
+            F.count(F.lit(1)).cast("long").alias("window_n"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "window_n",
+            *[F.col(f"_c_{i}") for i in range(len(types))],
+        )
+    )
+    nc = F.col("window_n")
+    numer = None
+    for i, t in enumerate(types):
+        term = F.abs(F.col(f"_c_{i}") * F.lit(nb) - F.lit(base[t]) * nc)
+        numer = term if numer is None else numer + term
+    tv = numer.cast("double") / (F.lit(2.0) * nc.cast("double") * F.lit(float(nb)))
+    return counts.select(
+        "window_start_us",
+        "window_n",
+        tv.alias("tv_distance"),
+        F.when(tv < stable_below, F.lit("stable"))
+        .when(tv < major_above, F.lit("moderate"))
+        .otherwise(F.lit("major"))
+        .alias("drift_band"),
+    )
+
+
+def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: baseline mix from the batch history, drift
+    watch over the streamed backlog, feed ordered by window."""
+    from ..datalake import load_events
+
+    baseline_rows = [
+        r.asDict() for r in event_mix_baseline(load_events(spark, sf_dir)).collect()
+    ]
+    run_available_now(
+        mix_drift_stream(stream_events(spark, sf_dir), baseline_rows),
+        "mix_drift_stream",
+    )
+    return spark.table("mix_drift_stream").orderBy("window_start_us")

