@@ -32,6 +32,7 @@ from dataengineeringpipeline_spark import (
     streaming,
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
+from dataengineeringpipeline_spark.operators import bpe as bpe_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
@@ -118,69 +119,58 @@ def entry(spark: SparkSession) -> DataFrame:
 #: order below and is still oracle-checked every round by
 #: tests/test_oracle_parity.py, which runs ALL entries.
 WINDOW_HEAD = [
-    # new this round
-    "pipeline_alerts",
-    "streaming_heavy_hitters",
-    "cms_heavy_hitters",
-    "hybrid_dup_clusters",
-    "duplicate_span_coverage",
-    "doc_length_distribution",
-    "semantic_decontamination",
-    "hll_sketch_summary",
-    "top_ngrams_per_source",
-    "streaming_volume_alerts",
-    # staleness rotation: last driver-checked r02/r01
-    "dq_daily_anomalies",
-    "ml_customer_features",
-    "daily_sales_summary",
-    "daily_metrics_long",
-    "monthly_sales_summary",
-    "sales_rollup",
-    "priority_performance",
-    "comprehensive_sales_summary",
-    "customer_lifetime_metrics",
-    "customer_analytics",
-    "top_customers_per_segment",
-    "segment_summary",
-    "supplier_performance",
-    "category_performance",
-    "dq_rule_report",
-    "dq_outliers",
-    "dq_referential_integrity",
-    "dq_quarantine_rows",
-    "doc_fingerprints",
-    "events_enriched",
-    "incremental_events",
-    "hourly_event_summary",
-    "event_type_summary",
-    "error_context",
-    "user_activity_summary",
-    "silver_orders",
-    "silver_customers",
-    "silver_parts",
-    "silver_lineitems",
-    "dq_null_profile",
-    "dq_duplicates",
-    "dq_range_violations",
-    "dq_freshness",
-    # streaming: shared stream_events infrastructure
-    "streaming_hourly_counts",
-    "streaming_severity_counts",
-    "streaming_session_counts",
-    "streaming_session_windows",
-    "streaming_attribution_pairs",
-    # operators touched by round-4 perf work (boilerplate front end,
-    # shared normalized-embeddings persist, fused funnel)
-    "boilerplate_report",
-    "decontamination_report",
-    "training_corpus_funnel",
-    "ann_ivfpq_topk",
+    # new or source-changed this round (round 5)
+    "bpe_merge_table",
+    "streaming_mix_drift",
+    "semantic_cluster_mix",
+    "bloom_join_prune",
+    "priority_drift_report",
+    "ann_arrow_recall",
+    # staleness rotation: the text/dedup/sampling/events-analytics/rules
+    # block was last driver-checked in r02 (r04's window re-proved the
+    # gold/dq/silver/streaming blocks)
+    "text_stats",
+    "text_quality",
+    "language_id_eval",
+    "repetition_stats",
+    "chunk_summary",
+    "pack_summary",
+    "token_histogram",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_dup_clusters",
+    "minhash_recall",
+    "dedup_survivors",
+    "simhash_dup_candidates",
+    "multimodal_features",
+    "frame_sample_plan",
+    "stratified_sample_summary",
+    "split_summary",
+    "domain_mix_summary",
+    "embedding_near_dups",
+    "semantic_dup_clusters",
+    "sliding_window_summary",
+    "purchase_attribution",
+    "incident_window_events",
+    "session_summary",
+    "cohort_retention",
+    "conversion_funnel",
+    "customer_priority_scd2",
+    "feature_store_latest",
+    "event_heavy_hitters",
+    "salted_status_summary",
+    "rule_driven_aggregation",
+    "rule_driven_features",
+    "status_priority_cube",
+    "customer_value_deciles",
+    # ANN family: last fully inside the window in r03
+    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivf_recall",
+    "ann_ivfpq_topk",
     "pq_ann_topk",
     "pq_ann_recall",
-    "ann_arrow_recall",
-    "ann_bruteforce_topk",
 ]
 
 
@@ -233,6 +223,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "token_histogram": lambda spark, sf: text_ops.token_histogram(
+            _read(spark, sf, "documents")
+        ),
+        # -- BPE tokenizer induction (iterative merge learning, oracle-exact
+        #    via unrolled-CTE twin) ------------------------------------------
+        "bpe_merge_table": lambda spark, sf: bpe_ops.bpe_merge_table(
             _read(spark, sf, "documents")
         ),
         "doc_length_distribution": lambda spark, sf: text_ops.doc_length_distribution(

@@ -2615,3 +2615,45 @@ ORDER BY window_start_us
 
 
 ORACLES.update(_mix_drift_oracle())
+
+
+def _bpe_oracle() -> dict[str, str]:
+    """Twin of operators.bpe.bpe_merge_table — the iterative merge loop
+    unrolled as N chained MATERIALIZED CTE rounds (materialized: each
+    vocab state is referenced twice per round; inlining would expand the
+    chain exponentially)."""
+    from dataengineeringpipeline_spark.operators.bpe import BPE_MERGES
+
+    n = BPE_MERGES
+    parts = [
+        "WITH wf AS MATERIALIZED (",
+        "  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (",
+        r"    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents",
+        "  ) WHERE word <> '' GROUP BY 1",
+        "),",
+        r"v0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym, freq FROM wf)",
+    ]
+    for r in range(n):
+        parts.append(
+            f", b{r} AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM ("
+            f" SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq"
+            f" FROM (SELECT string_split(sym, ' ') AS l, freq FROM v{r})"
+            f") GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f", v{r + 1} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',"
+            f" ' ' || (SELECT pair FROM b{r}) || ' ',"
+            f" ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ')) AS sym, freq FROM v{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM b{r}"
+        for r in range(n)
+    )
+    parts.append(
+        f" SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, merged, pair_count"
+        f" FROM ({union}) ORDER BY merge_rank"
+    )
+    return {"bpe_merge_table": "\n".join(parts)}
+
+
+ORACLES.update(_bpe_oracle())

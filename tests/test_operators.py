@@ -928,3 +928,52 @@ def test_top_ngrams_per_source_floor_and_ties(spark):
     assert top["shingle"] == "a b c" and top["doc_freq"] == 3 and top["rank"] == 1
     # doc 2's internal repetition did not inflate doc_freq past the 3 docs
     assert all(r["doc_freq"] <= 3 for r in by_source["s1"])
+
+
+def test_bpe_learns_closed_form_merges(spark):
+    """Hand-computable corpus: 'ab'x3 + 'abc'x2 -> merge0 = ('a b' -> ab,
+    count 5), merge1 = ('ab c' -> abc, count 2), then the vocabulary is
+    fully merged and training stops early."""
+    from dataengineeringpipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abc")], "doc_id long, text string"
+    )
+    ms = bpe.bpe_train(docs, n_merges=5)
+    assert [(m["pair"], m["merged"], m["pair_count"]) for m in ms] == [
+        ("a b", "ab", 5),
+        ("ab c", "abc", 2),
+    ]
+
+
+def test_bpe_segment_applies_merges_in_rank_order(spark):
+    from dataengineeringpipeline_spark.operators import bpe
+
+    merges = [
+        {"merge_rank": 0, "pair": "a b", "merged": "ab", "pair_count": 5},
+        {"merge_rank": 1, "pair": "ab c", "merged": "abc", "pair_count": 2},
+    ]
+    out = bpe.bpe_segment(
+        spark.createDataFrame([("abcd",), ("zab",), ("x",)], "word string"), merges
+    )
+    got = {r["word"]: r["sym"] for r in out.collect()}
+    # greedy-left: 'abcd' -> 'a b c d' -> 'ab c d' -> 'abc d'
+    assert got == {"abcd": "abc d", "zab": "z ab", "x": "x"}
+
+
+def test_bpe_merge_application_is_greedy_left_nonoverlapping(spark):
+    """'aaa' with pair (a,a): leftmost pair merges, third 'a' survives —
+    the same semantics the DuckDB oracle's replace() implements."""
+    from dataengineeringpipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    ms = bpe.bpe_train(docs, n_merges=1)
+    assert ms[0]["pair"] == "a a"
+    seg = bpe.bpe_segment(
+        spark.createDataFrame([("aaa",), ("aaaa",)], "word string"), ms
+    )
+    got = {r["word"]: r["sym"] for r in seg.collect()}
+    # separator consumption: in a same-symbol run, alternate occurrences
+    # merge per round ('a a a a' -> 'aa a a'); the leftover pair is
+    # picked up by later rounds' counts (see module docstring)
+    assert got == {"aaa": "aa a", "aaaa": "aa a a"}
