@@ -121,6 +121,7 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW_HEAD = [
     # new or source-changed this round (round 5)
     "bpe_merge_table",
+    "bpe_subword_stats",
     "streaming_mix_drift",
     "semantic_cluster_mix",
     "bloom_join_prune",
@@ -228,6 +229,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- BPE tokenizer induction (iterative merge learning, oracle-exact
         #    via unrolled-CTE twin) ------------------------------------------
         "bpe_merge_table": lambda spark, sf: bpe_ops.bpe_merge_table(
+            _read(spark, sf, "documents")
+        ),
+        "bpe_subword_stats": lambda spark, sf: bpe_ops.bpe_subword_stats(
             _read(spark, sf, "documents")
         ),
         "doc_length_distribution": lambda spark, sf: text_ops.doc_length_distribution(

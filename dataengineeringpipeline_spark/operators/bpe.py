@@ -174,3 +174,39 @@ def bpe_segment(
     for m in sorted(merges, key=lambda m: m["merge_rank"]):
         sym = F.replace(sym, F.lit(f" {m['pair']} "), F.lit(f" {m['merged']} "))
     return df.withColumn(out_col, F.trim(sym))
+
+
+def bpe_subword_stats(
+    docs: DataFrame, n_merges: int = BPE_MERGES, min_word_freq: int = 1
+) -> DataFrame:
+    """Train-then-apply in one report: learn the merge table, tokenize
+    the corpus with it (the map-only :func:`bpe_segment` chain over
+    every word occurrence — the real corpus-scale tokenizer pass), and
+    report per-source compression: word occurrences, subword tokens,
+    and subwords-per-word. The number a tokenizer owner watches as the
+    vocabulary grows — it starts at ~word-length with no merges and
+    falls toward 1.0 as merges cover the corpus."""
+    merges = bpe_train(docs, n_merges, min_word_freq)
+    words = docs.select(
+        "source", F.explode(words_col("text")).alias("word")
+    ).filter(F.col("word") != "")
+    seg = bpe_segment(words, merges, text_col="word", out_col="sym")
+    per_word = seg.select(
+        "source", F.size(F.split(F.col("sym"), " ")).cast("long").alias("subwords")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words"),
+            F.sum("subwords").cast("long").alias("subwords"),
+        )
+        .select(
+            "source",
+            "words",
+            "subwords",
+            (F.col("subwords").cast("double") / F.col("words").cast("double")).alias(
+                "subwords_per_word"
+            ),
+        )
+        .orderBy("source")
+    )

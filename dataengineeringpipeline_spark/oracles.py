@@ -2618,10 +2618,13 @@ ORACLES.update(_mix_drift_oracle())
 
 
 def _bpe_oracle() -> dict[str, str]:
-    """Twin of operators.bpe.bpe_merge_table — the iterative merge loop
-    unrolled as N chained MATERIALIZED CTE rounds (materialized: each
-    vocab state is referenced twice per round; inlining would expand the
-    chain exponentially)."""
+    """Twins of operators.bpe.bpe_merge_table and bpe_subword_stats —
+    the iterative merge loop unrolled as N chained MATERIALIZED CTE
+    rounds (materialized: each vocab state is referenced twice per
+    round; inlining would expand the chain exponentially). The vocab
+    chain carries the original word so the subword-stats twin can join
+    word occurrences to their final segmentation (bpe_segment applied
+    per occurrence is the same function of (word, merge sequence))."""
     from dataengineeringpipeline_spark.operators.bpe import BPE_MERGES
 
     n = BPE_MERGES
@@ -2631,7 +2634,7 @@ def _bpe_oracle() -> dict[str, str]:
         r"    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents",
         "  ) WHERE word <> '' GROUP BY 1",
         "),",
-        r"v0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym, freq FROM wf)",
+        r"v0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym, freq FROM wf)",
     ]
     for r in range(n):
         parts.append(
@@ -2641,19 +2644,32 @@ def _bpe_oracle() -> dict[str, str]:
             f") GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 1)"
         )
         parts.append(
-            f", v{r + 1} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',"
+            f", v{r + 1} AS MATERIALIZED (SELECT word, trim(replace(' ' || sym || ' ',"
             f" ' ' || (SELECT pair FROM b{r}) || ' ',"
             f" ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ')) AS sym, freq FROM v{r})"
         )
+    chain = "\n".join(parts)
     union = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM b{r}"
         for r in range(n)
     )
-    parts.append(
-        f" SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, merged, pair_count"
+    merge_table = (
+        f"{chain}\n SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, merged, pair_count"
         f" FROM ({union}) ORDER BY merge_rank"
     )
-    return {"bpe_merge_table": "\n".join(parts)}
+    subword_stats = f"""{chain}
+, occ AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+  ) WHERE word <> ''
+),
+segged AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS subwords FROM v{n})
+SELECT source, CAST(count(*) AS BIGINT) AS words,
+  CAST(sum(s.subwords) AS BIGINT) AS subwords,
+  CAST(sum(s.subwords) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS subwords_per_word
+FROM occ o JOIN segged s USING (word)
+GROUP BY source ORDER BY source"""
+    return {"bpe_merge_table": merge_table, "bpe_subword_stats": subword_stats}
 
 
 ORACLES.update(_bpe_oracle())

@@ -261,3 +261,149 @@ def test_duplicate_span_coverage_invariants(spark, texts):
             r for r in duplicate_span_coverage(df2).collect() if r["doc_id"] == len(rows)
         ][0]
         assert copy_row["dup_windows"] == copy_row["total_windows"] > 0
+
+
+# -- Bloom filter: bitmap matches a python md5 model, never false-negative ---
+
+_bloom_keys = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=80
+)
+
+
+@given(_bloom_keys, _bloom_keys)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_matches_python_model_and_never_drops_members(spark, keys, probes):
+    """For ANY key set: the packed bitmap equals a pure-python md5 model
+    bit for bit, every member key passes the probe, and every passing
+    probe is predicted by the model (false positives included)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import scale
+
+    m, k = 512, 3
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:12], 16) % m
+            for j in range(k)
+        ]
+
+    bits = sorted({p for key in set(keys) for p in positions(key)})
+    kdf = spark.createDataFrame([(x,) for x in keys], "key bigint")
+    bloom = scale.bloom_build(kdf, "key", m=m, k=k)
+    row = bloom.collect()[0]
+    assert row["bits_set"] == len(bits)
+    model_words: dict[int, int] = {}
+    for p in bits:
+        model_words[p // 64] = model_words.get(p // 64, 0) | (1 << (p % 64))
+    # compare as unsigned: Spark longs are signed 64-bit
+    got_words = {wi: w & (2**64 - 1) for wi, w in row["bloom_words"].items()}
+    assert got_words == model_words
+    pdf = spark.createDataFrame([(x,) for x in set(keys) | set(probes)], "key bigint")
+    passed = {
+        r["key"] for r in scale.bloom_prune(pdf, bloom, "key", m=m, k=k).collect()
+    }
+    bitset = set(bits)
+    predicted = {
+        x for x in set(keys) | set(probes) if all(p in bitset for p in positions(x))
+    }
+    assert set(keys) <= passed  # no false negatives, ever
+    assert passed == predicted  # fp behavior exactly as the model says
+
+
+# -- category drift: TV distance matches a python fraction model -------------
+
+_drift_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.booleans()),
+    min_size=2,
+    max_size=60,
+).filter(lambda rows: any(b for _, b in rows) and any(not b for _, b in rows))
+
+
+@given(_drift_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_category_drift_matches_python_model(spark, rows):
+    """For ANY two-period categorical sample: tv ∈ [0,1], equals the
+    exact python fraction computation bit for bit, and is 0 iff the two
+    mixes are identical."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import quality
+
+    data = [
+        (cat, "2024-01-01" if is_base else "2024-03-01") for cat, is_base in rows
+    ]
+    df = spark.createDataFrame(data, "cat string, d string").select(
+        "cat", F.to_timestamp("d").alias("ts")
+    )
+    out = quality.category_drift(df, "cat", "ts", "2024-02-01").collect()
+    base = [c for c, b in rows if b]
+    cur = [c for c, b in rows if not b]
+    nb, nc = len(base), len(cur)
+    cats = sorted(set(base) | set(cur))
+    numer = sum(abs(base.count(c) * nc - cur.count(c) * nb) for c in cats)
+    tv_exact = Fraction(numer, 2 * nb * nc)
+    tv_float = float(numer) / (2.0 * float(nb) * float(nc))
+    assert all(r["tv_distance"] == tv_float for r in out)
+    assert 0.0 <= tv_float <= 1.0
+    same_mix = all(
+        Fraction(base.count(c), nb) == Fraction(cur.count(c), nc) for c in cats
+    )
+    assert (tv_exact == 0) == same_mix
+    if same_mix:
+        assert all(r["tv_distance"] == 0.0 for r in out)
+
+
+# -- BPE: the distributed trainer matches a pure-python model ----------------
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=25
+)
+
+
+@given(_bpe_words)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_train_matches_python_model(spark, words):
+    """For ANY corpus: the learned merge table equals a pure-python
+    implementation of the same semantics (greedy-left delimited replace,
+    count-desc pair-asc argmax) round for round."""
+    from collections import Counter
+
+    from dataengineeringpipeline_spark.operators import bpe
+
+    def model(ws, n):
+        vocab = Counter()
+        for w in ws:
+            vocab[" ".join(w)] += 1
+        merges = []
+        for rank in range(n):
+            pc: Counter = Counter()
+            for sym, freq in vocab.items():
+                parts = sym.split(" ")
+                for i in range(len(parts) - 1):
+                    pc[f"{parts[i]} {parts[i + 1]}"] += freq
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            pair, cnt = best
+            merged = pair.replace(" ", "")
+            merges.append((rank, pair, merged, cnt))
+            nv = Counter()
+            for sym, freq in vocab.items():
+                ns = f" {sym} ".replace(f" {pair} ", f" {merged} ").strip()
+                nv[ns] += freq
+            vocab = nv
+        return merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (m["merge_rank"], m["pair"], m["merged"], m["pair_count"])
+        for m in bpe.bpe_train(docs, n_merges=4)
+    ]
+    assert got == model(words, 4)
