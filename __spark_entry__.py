@@ -122,6 +122,7 @@ WINDOW_HEAD = [
     # new or source-changed this round (round 5)
     "bpe_merge_table",
     "bpe_subword_stats",
+    "temperature_mix_summary",
     "streaming_mix_drift",
     "semantic_cluster_mix",
     "bloom_join_prune",
@@ -294,6 +295,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         # -- domain-mix planning + hash-deterministic sampling --------------
+        "temperature_mix_summary": lambda spark, sf: mix_ops.temperature_mix_summary(
+            _read(spark, sf, "documents")
+        ),
         "domain_mix_summary": lambda spark, sf: mix_ops.domain_mix_summary(
             _read(spark, sf, "documents")
         ),

@@ -129,3 +129,78 @@ def domain_mix_summary(
         )
         .orderBy("domain")
     )
+
+
+def temperature_mix_plan(
+    docs: DataFrame, domain_col: str = "source"
+) -> DataFrame:
+    """Temperature-based rebalancing plan (the multilingual-pretraining
+    recipe: sample domains ∝ n^α instead of n, pulling the long tail up
+    without the explicit weight table :func:`domain_mix_plan` needs).
+
+    With α = 0.5 the plan has a closed per-domain form that never sums
+    floats across domains: target share ∝ √n_d means keep rate
+    r_d = √(n_min / n_d) — the scarcest domain is kept in full and every
+    larger one downsampled toward equality. n_min is an exact integer
+    MIN, each rate is one IEEE division + one sqrt (both
+    correctly-rounded operations, so any engine computes the identical
+    double), and the per-mille quantization floors that exact value.
+    α = 0.5 is pinned deliberately: a general n^α needs pow(), whose
+    last-ulp behavior is libm-specific (same reason the HLL estimator
+    keeps ln out of its oracle); other temperatures belong in a
+    test-asserted variant, not the oracle-exact surface.
+
+    Scale shape: one per-domain count (map-side partials), a
+    |domains|-row plan — the corpus itself is only touched by the
+    map-only sample filter.
+    """
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    n_min = F.min("n_docs").over(Window.partitionBy()).cast("long")
+    rate_pm = F.floor(
+        F.lit(1000.0)
+        * F.sqrt(n_min.cast("double") / F.col("n_docs").cast("double"))
+    ).cast("int")
+    return counts.select(
+        "domain", "n_docs", n_min.alias("min_docs"), rate_pm.alias("rate_pm")
+    )
+
+
+def temperature_mix_summary(
+    docs: DataFrame, domain_col: str = "source", key_col: str = "doc_id"
+) -> DataFrame:
+    """The α=0.5 plan next to what it actually keeps: per domain, raw
+    share, keep rate, kept docs (deterministic per-mille hash
+    membership), and the achieved share of the rebalanced corpus —
+    which moves every domain toward √-proportionality."""
+    plan = temperature_mix_plan(docs, domain_col)
+    kept = (
+        docs.join(
+            F.broadcast(plan),
+            docs[domain_col] == plan["domain"],
+        )
+        .filter(per_mille_bucket(key_col) < F.col("rate_pm"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+    )
+    w = Window.partitionBy()
+    total_raw = F.sum("n_docs").over(w).cast("long")
+    total_kept = F.sum("kept_docs").over(w).cast("long")
+    return (
+        plan.join(kept, "domain", "left")
+        .fillna({"kept_docs": 0})
+        .select(
+            "domain",
+            "n_docs",
+            (F.col("n_docs").cast("double") / total_raw.cast("double")).alias(
+                "raw_share"
+            ),
+            "rate_pm",
+            "kept_docs",
+            (F.col("kept_docs").cast("double") / total_kept.cast("double")).alias(
+                "kept_share"
+            ),
+        )
+        .orderBy("domain")
+    )

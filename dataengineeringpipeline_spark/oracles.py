@@ -2673,3 +2673,43 @@ GROUP BY source ORDER BY source"""
 
 
 ORACLES.update(_bpe_oracle())
+
+
+def _temperature_mix_oracle() -> dict[str, str]:
+    """Twin of operators.mix.temperature_mix_summary (α=0.5 closed form:
+    rate_d = √(n_min/n_d); sqrt and division are correctly-rounded IEEE
+    ops, so the floats match bit for bit with no cross-domain float sum)."""
+    sql = """
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+plan AS (
+  SELECT domain, n_docs,
+    CAST(floor(1000.0 * sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS INTEGER) AS rate_pm
+  FROM counts
+),
+kept AS (
+  SELECT d.source AS domain, CAST(count(*) AS BIGINT) AS kept_docs
+  FROM documents d JOIN plan p ON d.source = p.domain
+  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < p.rate_pm
+  GROUP BY 1
+),
+j AS (
+  SELECT p.domain, p.n_docs, p.rate_pm, coalesce(k.kept_docs, 0) AS kept_docs
+  FROM plan p LEFT JOIN kept k USING (domain)
+),
+t AS (
+  SELECT j.*, CAST(sum(n_docs) OVER () AS BIGINT) AS tr,
+    CAST(sum(kept_docs) OVER () AS BIGINT) AS tk
+  FROM j
+)
+SELECT domain, n_docs,
+  CAST(n_docs AS DOUBLE) / CAST(tr AS DOUBLE) AS raw_share,
+  rate_pm, kept_docs,
+  CAST(kept_docs AS DOUBLE) / CAST(tk AS DOUBLE) AS kept_share
+FROM t ORDER BY domain
+""".strip()
+    return {"temperature_mix_summary": sql}
+
+
+ORACLES.update(_temperature_mix_oracle())

@@ -160,3 +160,23 @@ def test_semantic_dup_clusters_match_pair_graph(spark, sf_dir):
     for r in clusters:
         assert r["is_canonical"] == (r["vec_id"] == r["cluster_id"])
         assert r["cluster_size"] == len(by_cluster[r["cluster_id"]])
+
+
+def test_temperature_mix_closed_form_rates(spark):
+    """Counts 100 vs 400: the scarce domain keeps everything (rate 1000),
+    the big one keeps floor(1000*sqrt(100/400)) = 500 per mille — the
+    sqrt rebalance toward equality."""
+    from dataengineeringpipeline_spark.operators import mix
+
+    rows = [(i, "small") for i in range(100)] + [
+        (1000 + i, "big") for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {r["domain"]: r for r in mix.temperature_mix_plan(docs).collect()}
+    assert plan["small"]["rate_pm"] == 1000
+    assert plan["big"]["rate_pm"] == 500
+    summ = {r["domain"]: r for r in mix.temperature_mix_summary(docs).collect()}
+    assert summ["small"]["kept_docs"] == 100  # scarcest domain kept in full
+    # kept shares move toward the sqrt proportions (1:2 instead of 1:4)
+    assert summ["big"]["kept_share"] < 0.75
+    assert abs(summ["big"]["kept_docs"] / 400 - 0.5) < 0.1  # ~rate_pm/1000
