@@ -346,6 +346,7 @@ def bayesian_search(
     feature_cols: list[str] | None = None,
     n_acq_candidates: int = 512,
     exploration_xi: float = 0.01,
+    model_type: str = "gradient_boosting",
 ) -> dict:
     """Bayesian hyperparameter optimization — the reference's declared
     tuner (``lambda/ml_pipeline_orchestrator/lambda_function.py:97-199``)
@@ -355,12 +356,14 @@ def bayesian_search(
     the unit-cube-normalized search space and an expected-improvement
     acquisition maximized by seeded candidate sampling.
 
-    Fidelity note: the reference's search space adds a CATEGORICAL
-    model-type dimension (random_forest / gradient_boosting /
-    logistic_regression) which this implementation pins to
-    gradient_boosting — a GP with an RBF kernel has no native
-    categorical support; cover it by running one search per model type
-    and taking the best (3 independent GPs, the standard decomposition).
+    The reference's search space adds a CATEGORICAL model-type
+    dimension (random_forest / gradient_boosting / logistic_regression);
+    a GP with an RBF kernel has no native categorical support, so
+    :func:`bayesian_search_model_types` covers it with the standard
+    decomposition — one independent GP per model type, best result wins.
+    ``model_type`` here selects which conditional search this is; the
+    factory ignores dimensions a model doesn't have (the reference's
+    tuner declares the same ranges for every type).
 
     Loop: ``n_init`` seeded space-filling evaluations, then
     ``n_iterations`` rounds of fit-GP → argmax-EI → evaluate. Every
@@ -389,7 +392,7 @@ def bayesian_search(
     def score(params: dict) -> float:
         scores = cross_validate_scores(
             features,
-            model_type="gradient_boosting",
+            model_type=model_type,
             k=k,
             label_col=label_col,
             feature_cols=feature_cols,
@@ -434,7 +437,31 @@ def bayesian_search(
         "n_evaluated": len(X),
         "n_init": n_init,
         "history": [float(s) for s in y],
+        "model_type": model_type,
     }
+
+
+def bayesian_search_model_types(
+    features: DataFrame,
+    model_types: tuple[str, ...] = (
+        "random_forest",
+        "gradient_boosting",
+        "logistic_regression",
+    ),
+    **kwargs,
+) -> dict:
+    """The reference tuner's full search space, categorical dimension
+    included: one independent GP-Bayesian search per model type over the
+    shared ranges (the standard decomposition of a categorical variable
+    under an RBF kernel), best model type wins. Ties resolve to the
+    earlier entry in ``model_types`` (max() is first-wins), so the
+    result is deterministic given seeds. Returns the winner's record
+    plus ``per_model`` best scores for the comparison table."""
+    results = {mt: bayesian_search(features, model_type=mt, **kwargs) for mt in model_types}
+    best_mt = max(model_types, key=lambda mt: results[mt]["best_score"])
+    out = dict(results[best_mt])
+    out["per_model"] = {mt: results[mt]["best_score"] for mt in model_types}
+    return out
 
 
 # -- model comparison statistics (driver-side, M4/M5) ------------------------

@@ -179,3 +179,40 @@ def test_paired_t_test_and_bootstrap():
 def test_unknown_model_rejected(feats):
     with pytest.raises(ValueError, match="unknown model_type"):
         mlpipe.make_classifier("svm")
+
+
+def test_bayesian_search_model_types_picks_best_and_reports_all(sf_dir):
+    """The categorical decomposition: one GP per model type over the
+    shared ranges, winner's record returned with per-model scores.
+    Fresh JVM for the same GBT-flake isolation as the other HPO tests."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import cleaning, features, mlpipe
+orders = spark.read.parquet({os.path.join(sf_dir, "orders.parquet")!r})
+feats = features.ml_customer_features(cleaning.clean_orders(orders)).cache()
+out = mlpipe.bayesian_search_model_types(
+    feats, model_types=("random_forest", "logistic_regression"),
+    n_init=1, n_iterations=1, k=2, seed=7)
+print("RESULT " + json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
+    out = json.loads(line[len("RESULT "):])
+    assert set(out["per_model"]) == {"random_forest", "logistic_regression"}
+    assert out["model_type"] in out["per_model"]
+    assert out["best_score"] == max(out["per_model"].values())
+    assert out["best_score"] == out["per_model"][out["model_type"]]
