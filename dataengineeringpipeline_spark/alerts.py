@@ -130,6 +130,30 @@ def volume_alerts(anomalies: DataFrame, pipeline_name: str = "orders_pipeline") 
     )
 
 
+def drift_alerts(drift: DataFrame, pipeline_name: str = "orders_pipeline") -> DataFrame:
+    """Classify a :func:`quality.category_drift` report into alert rows —
+    one alert per drifted report (the TV score and band are corpus-wide,
+    so the per-category rows collapse to a single alert keyed by the
+    worst-shifted category). Band → severity: major → ERROR, moderate →
+    WARNING; a stable mix emits nothing (drift is an exception feed, not
+    a metrics feed — the report itself is the metrics surface).
+    ``metric_value`` is the TV distance."""
+    worst = drift.orderBy(
+        F.abs(F.col("share_delta")).desc(), F.col("category").asc()
+    ).limit(1)
+    sev = F.when(F.col("drift_band") == "major", F.lit("ERROR")).otherwise(
+        F.lit("WARNING")
+    )
+    return worst.filter(F.col("drift_band") != "stable").select(
+        F.lit(pipeline_name).alias("pipeline_name"),
+        F.lit("category_drift").alias("alert_type"),
+        F.col("category").cast("string").alias("source_name"),
+        sev.alias("severity"),
+        _priority_col(sev).alias("priority"),
+        F.col("tv_distance").cast("double").alias("metric_value"),
+    )
+
+
 def job_status_alerts(
     spark: SparkSession, record: dict, pipeline_name: str = "pipeline"
 ) -> DataFrame:

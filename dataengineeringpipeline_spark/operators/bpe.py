@@ -210,3 +210,25 @@ def bpe_subword_stats(
         )
         .orderBy("source")
     )
+
+
+def materialize_bpe(
+    docs: DataFrame, lake, table: str = "bpe_merges", n_merges: int = BPE_MERGES
+) -> str:
+    """Train once, freeze to the lake: write the merge table as a gold
+    table — the tokenizer analog of the frozen-quantizer ANN index and
+    the materialized dedup signatures. Later batches are tokenized with
+    :func:`read_bpe_merges` + :func:`bpe_segment` (map-only, no
+    retraining); re-deriving the vocabulary is a scheduled snapshot job,
+    not a per-batch cost."""
+    return lake.write(bpe_merge_table(docs, n_merges), "gold", table)
+
+
+def read_bpe_merges(spark, lake, table: str = "bpe_merges") -> list[dict]:
+    """Load a materialized merge table back into the list form
+    :func:`bpe_segment` consumes (n_merges rows — driver-side by
+    construction)."""
+    return [
+        r.asDict()
+        for r in lake.read(spark, "gold", table).orderBy("merge_rank").collect()
+    ]

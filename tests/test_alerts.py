@@ -148,3 +148,29 @@ def test_pipeline_alerts_end_to_end(spark, sf_dir):
     assert crit_sources == paged
     priorities = [r["priority"] for r in out]
     assert priorities == sorted(priorities, reverse=True)
+
+
+def test_drift_alerts_fire_only_on_shifted_mix(spark):
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import alerts, quality
+
+    rows = [("a", "2024-01-01")] * 80 + [("b", "2024-01-01")] * 20 + [
+        ("a", "2024-03-01")
+    ] * 20 + [("b", "2024-03-01")] * 80
+    df = spark.createDataFrame(rows, "cat string, d string").select(
+        "cat", F.to_timestamp("d").alias("ts")
+    )
+    drifted = quality.category_drift(df, "cat", "ts", "2024-02-01")
+    out = alerts.drift_alerts(drifted).collect()
+    assert len(out) == 1
+    assert out[0]["alert_type"] == "category_drift"
+    assert out[0]["severity"] == "ERROR"  # tv = 0.6 -> major
+    assert out[0]["metric_value"] == 0.6
+    # a stable mix (same rows both periods) emits nothing
+    same = [("a", "2024-01-01"), ("b", "2024-01-01"), ("a", "2024-03-01"), ("b", "2024-03-01")]
+    df2 = spark.createDataFrame(same, "cat string, d string").select(
+        "cat", F.to_timestamp("d").alias("ts")
+    )
+    stable = quality.category_drift(df2, "cat", "ts", "2024-02-01")
+    assert alerts.drift_alerts(stable).count() == 0

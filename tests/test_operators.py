@@ -977,3 +977,24 @@ def test_bpe_merge_application_is_greedy_left_nonoverlapping(spark):
     # merge per round ('a a a a' -> 'aa a a'); the leftover pair is
     # picked up by later rounds' counts (see module docstring)
     assert got == {"aaa": "aa a", "aaaa": "aa a a"}
+
+
+def test_bpe_materialized_merges_tokenize_new_batches_identically(spark, tmp_path):
+    """Freeze-to-lake lifecycle: stored merges reload into the exact
+    list the trainer produced, and tokenizing an UNSEEN batch with them
+    equals tokenizing with the in-memory merges — no retraining."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abc")], "doc_id long, text string"
+    )
+    lake = Lake(str(tmp_path))
+    bpe.materialize_bpe(docs, lake, n_merges=4)
+    stored = bpe.read_bpe_merges(spark, lake)
+    trained = bpe.bpe_train(docs, n_merges=4)
+    assert stored == trained
+    batch = spark.createDataFrame([("abx",), ("cab",)], "word string")
+    a = {r["word"]: r["sym"] for r in bpe.bpe_segment(batch, stored).collect()}
+    b = {r["word"]: r["sym"] for r in bpe.bpe_segment(batch, trained).collect()}
+    assert a == b == {"abx": "ab x", "cab": "c ab"}
