@@ -2536,11 +2536,12 @@ tot2 AS (
   SELECT tot.*, CAST(sum(abs(base_n*nc - cur_n*nb)) OVER () AS DOUBLE) sn FROM tot
 )
 SELECT category, base_n, cur_n,
-  CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) AS base_share,
-  CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) AS cur_share,
-  CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) - CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) AS share_delta,
-  sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) AS tv_distance,
-  CASE WHEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) < 0.1 THEN 'stable'
+  CASE WHEN nb > 0 AND nc > 0 THEN CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) END AS base_share,
+  CASE WHEN nb > 0 AND nc > 0 THEN CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) END AS cur_share,
+  CASE WHEN nb > 0 AND nc > 0 THEN CAST(cur_n AS DOUBLE)/CAST(nc AS DOUBLE) - CAST(base_n AS DOUBLE)/CAST(nb AS DOUBLE) END AS share_delta,
+  CASE WHEN nb > 0 AND nc > 0 THEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) END AS tv_distance,
+  CASE WHEN NOT (nb > 0 AND nc > 0) THEN 'undefined'
+       WHEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) < 0.1 THEN 'stable'
        WHEN sn/(2.0*CAST(nb AS DOUBLE)*CAST(nc AS DOUBLE)) < 0.25 THEN 'moderate'
        ELSE 'major' END AS drift_band
 FROM tot2 ORDER BY category

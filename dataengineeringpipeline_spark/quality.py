@@ -393,26 +393,37 @@ def category_drift(
     w = Window.partitionBy()
     nb = F.sum("base_n").over(w).cast("long")
     nc = F.sum("cur_n").over(w).cast("long")
+    both = (nb > 0) & (nc > 0)
     numer = F.abs(F.col("base_n") * nc - F.col("cur_n") * nb)
-    tv = F.sum(numer).over(w).cast("double") / (
-        F.lit(2.0) * nb.cast("double") * nc.cast("double")
+    tv = F.when(
+        both,
+        F.sum(numer).over(w).cast("double")
+        / (F.lit(2.0) * nb.cast("double") * nc.cast("double")),
     )
+    # an empty period means "no comparison", not a job-killing ANSI
+    # divide-by-zero: shares/tv go NULL and the band reports 'undefined'
     return (
         per.select(
             "category",
             "base_n",
             "cur_n",
-            (F.col("base_n").cast("double") / nb.cast("double")).alias("base_share"),
-            (F.col("cur_n").cast("double") / nc.cast("double")).alias("cur_share"),
-            (
+            F.when(both, F.col("base_n").cast("double") / nb.cast("double")).alias(
+                "base_share"
+            ),
+            F.when(both, F.col("cur_n").cast("double") / nc.cast("double")).alias(
+                "cur_share"
+            ),
+            F.when(
+                both,
                 F.col("cur_n").cast("double") / nc.cast("double")
-                - F.col("base_n").cast("double") / nb.cast("double")
+                - F.col("base_n").cast("double") / nb.cast("double"),
             ).alias("share_delta"),
             tv.alias("tv_distance"),
         )
         .withColumn(
             "drift_band",
-            F.when(F.col("tv_distance") < stable_below, F.lit("stable"))
+            F.when(F.col("tv_distance").isNull(), F.lit("undefined"))
+            .when(F.col("tv_distance") < stable_below, F.lit("stable"))
             .when(F.col("tv_distance") < major_above, F.lit("moderate"))
             .otherwise(F.lit("major")),
         )

@@ -946,6 +946,8 @@ def mix_drift_stream(
     types = sorted(r["event_type"] for r in baseline_rows)
     base = {r["event_type"]: int(r["base_n"]) for r in baseline_rows}
     nb = sum(base.values())
+    if nb <= 0:  # fail at build time, not as a per-row divide inside the stream
+        raise ValueError("mix_drift_stream needs a non-empty baseline mix")
     counts = (
         events.withWatermark("event_ts", "1 hour")
         .groupBy(F.window("event_ts", "1 hour").alias("w"))

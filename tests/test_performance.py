@@ -180,3 +180,47 @@ def test_span_and_distribution_throughput_degrades_sublinearly(spark):
         small = _docs_rows_per_sec(spark, "/root/testdata/sf0.001", fn)
         big = _docs_rows_per_sec(spark, "/root/testdata/sf0.01", fn)
         assert big / small > 0.5, f"{fn.__name__} degraded: {small:.0f} -> {big:.0f} rows/s"
+
+
+def test_round5_operator_throughput_degrades_sublinearly(spark):
+    """The reference's >0.5 throughput-ratio bound applied to this
+    round's operators: BPE training (the corpus pass is the word count;
+    the merge loop runs on the vocab), the subword-stats apply pass,
+    and the drift report. 10× the input must not cost 10× the time.
+
+    BPE uses noop-write of the merge table? No — training collects
+    driver-side by design; time the callable end-to-end instead."""
+    from dataengineeringpipeline_spark.cache import release_caches
+    from dataengineeringpipeline_spark.operators import bpe
+    from dataengineeringpipeline_spark import quality
+
+    def timed_docs(sf_dir, fn):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        t0 = time.perf_counter()
+        fn(docs)
+        dt = time.perf_counter() - t0
+        release_caches()
+        spark.catalog.clearCache()
+        return n / dt
+
+    def train(docs):
+        bpe.bpe_train(docs, n_merges=4)
+
+    def subwords(docs):
+        bpe.bpe_subword_stats(docs, n_merges=2).collect()
+
+    for fn in (train, subwords):
+        timed_docs("/root/testdata/sf0.001", fn)  # warm
+        small = timed_docs("/root/testdata/sf0.001", fn)
+        big = timed_docs("/root/testdata/sf0.01", fn)
+        assert big / small > 0.5, f"{fn.__name__} degraded: {small:.0f} -> {big:.0f} rows/s"
+
+    def drift(ev):
+        # split at mid-January so both periods are populated
+        return quality.category_drift(ev, "event_type", "ts_us", 1705276800000000)
+
+    _keyed_rows_per_sec(spark, "/root/testdata/sf0.001", drift)  # warm
+    small = _keyed_rows_per_sec(spark, "/root/testdata/sf0.001", drift)
+    big = _keyed_rows_per_sec(spark, "/root/testdata/sf0.01", drift)
+    assert big / small > 0.5, f"drift degraded: {small:.0f} -> {big:.0f} rows/s"

@@ -470,3 +470,19 @@ def test_zorder_cluster_serves_both_columns(spark, sf_dir, tmp_path):
     assert back.count() == n
     assert back.agg(F.sum("ts_us")).collect()[0][0] == checksum
     assert sorted(back.columns) == sorted(["user_id", "event_type", "ts_us"])
+
+
+def test_category_drift_empty_period_reports_undefined_not_error(spark):
+    """An empty baseline window must not be an ANSI divide-by-zero job
+    kill: shares/tv go NULL and the band says 'undefined'."""
+    from dataengineeringpipeline_spark import quality
+
+    rows = [("a", "2024-03-01"), ("b", "2024-03-02")]  # no base-period rows
+    df = spark.createDataFrame(rows, "cat string, d string").select(
+        "cat", F.to_timestamp("d").alias("ts")
+    )
+    out = quality.category_drift(df, "cat", "ts", "2024-02-01").collect()
+    assert len(out) == 2
+    assert all(r["drift_band"] == "undefined" for r in out)
+    assert all(r["tv_distance"] is None and r["base_share"] is None for r in out)
+    assert {r["category"]: r["cur_n"] for r in out} == {"a": 1, "b": 1}
