@@ -524,3 +524,121 @@ def bootstrap_compare(
         "ci_high": float(hi),
         "significant": bool(lo > 0 or hi < 0),
     }
+
+
+def compare_metric(models: dict, metric_name: str) -> dict:
+    """Single-metric comparison across candidate models
+    (``ab_testing.py:48-85``): values, best/worst, pct improvement of
+    the best over each other model, descending ranking. ``models`` maps
+    name → ``{"metrics": {...}, "cv_scores": [...]}``. Ranking
+    tie-breaks on name (the reference sorts by value alone, which is
+    nondeterministic on exact ties). Returns {} when fewer than two
+    models carry the metric, as the reference does."""
+    values = {
+        name: m["metrics"][metric_name]
+        for name, m in models.items()
+        if metric_name in m.get("metrics", {})
+    }
+    if len(values) < 2:
+        return {}
+    ranking = sorted(values.items(), key=lambda kv: (-kv[1], kv[0]))
+    best_name, best_value = ranking[0]
+    worst_name, worst_value = ranking[-1]
+    improvements = {
+        name: ((best_value - v) / v) * 100.0
+        for name, v in values.items()
+        if name != best_name
+    }
+    return {
+        "metric_name": metric_name,
+        "metric_values": values,
+        "best_model": {"name": best_name, "value": best_value},
+        "worst_model": {"name": worst_name, "value": worst_value},
+        "improvements": improvements,
+        "ranking": ranking,
+    }
+
+
+def comprehensive_comparison(
+    models: dict, metrics: list[str] | None = None, test_metric: str = "accuracy"
+) -> dict:
+    """Multi-model, multi-metric comparison report
+    (``ab_testing.py:208-318``): per-metric rankings, overall ranking by
+    average 1-based rank across metrics, pairwise significance tests
+    (paired t over cv_scores when both models carry them, the
+    reference's 0.01-threshold point comparison otherwise), and the
+    recommendation strings.
+
+    Driver-side by design — the expensive part (training + CV) already
+    ran on the cluster; this consumes the per-model score summaries.
+    Fully deterministic: rankings tie-break on model name, pair keys are
+    generated in sorted-name order.
+    """
+    metrics = metrics or sorted(
+        {m for d in models.values() for m in d.get("metrics", {})}
+    )
+    out: dict = {
+        "models": sorted(models),
+        "metrics_compared": metrics,
+        "metric_comparisons": {},
+        "overall_ranking": [],
+        "statistical_tests": {},
+        "recommendations": [],
+    }
+    ranks: dict[str, list[int]] = {name: [] for name in models}
+    for metric in metrics:
+        cmp = compare_metric(models, metric)
+        if not cmp:
+            continue
+        out["metric_comparisons"][metric] = cmp
+        for i, (name, _v) in enumerate(cmp["ranking"]):
+            ranks[name].append(i + 1)
+    overall = {
+        name: sum(rs) / len(rs) for name, rs in ranks.items() if rs
+    }
+    out["overall_ranking"] = sorted(overall.items(), key=lambda kv: (kv[1], kv[0]))
+    names = sorted(models)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cv_a = models[a].get("cv_scores") or []
+            cv_b = models[b].get("cv_scores") or []
+            if cv_a and cv_b and len(cv_a) == len(cv_b):
+                t = paired_t_test(cv_a, cv_b)
+                mean_a = sum(cv_a) / len(cv_a)
+                mean_b = sum(cv_b) / len(cv_b)
+                test = {
+                    **t,
+                    "statistical_test": "paired_t",
+                    "better_model": a if mean_a > mean_b else b,
+                    "significant": t["significant_at_05"],
+                }
+            else:  # reference fallback: point comparison, 0.01 threshold
+                va = models[a].get("metrics", {}).get(test_metric)
+                vb = models[b].get("metrics", {}).get(test_metric)
+                if va is None or vb is None:
+                    continue
+                test = {
+                    "statistical_test": "point_comparison",
+                    "value_a": va,
+                    "value_b": vb,
+                    "difference": va - vb,
+                    "better_model": a if va > vb else b,
+                    "significant": abs(va - vb) > 0.01,
+                }
+            out["statistical_tests"][f"{a}_vs_{b}"] = test
+    if out["overall_ranking"]:
+        best = out["overall_ranking"][0][0]
+        out["recommendations"].append(f"Best overall model: {best}")
+        significant = [
+            f"{t['better_model']} significantly outperforms "
+            f"{key.replace('_vs_', '/').replace(t['better_model'], '').strip('/')}"
+            for key, t in out["statistical_tests"].items()
+            if t.get("significant")
+        ]
+        if significant:
+            out["recommendations"].extend(significant)
+        else:
+            out["recommendations"].append(
+                "No statistically significant differences found between models"
+            )
+    return out

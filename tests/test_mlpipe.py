@@ -216,3 +216,31 @@ print("RESULT " + json.dumps(out))
     assert out["model_type"] in out["per_model"]
     assert out["best_score"] == max(out["per_model"].values())
     assert out["best_score"] == out["per_model"][out["model_type"]]
+
+
+def test_comprehensive_comparison_rankings_and_recommendations():
+    """Closed-form: model B beats A on both metrics, cv scores identical
+    enough that the t-test is not significant -> rank order B,A and the
+    no-significant-difference recommendation; a third model with point
+    metrics only falls back to the 0.01-threshold comparison."""
+    from dataengineeringpipeline_spark import mlpipe
+
+    models = {
+        "a": {"metrics": {"accuracy": 0.80, "f1": 0.78}, "cv_scores": [0.80, 0.81, 0.79]},
+        "b": {"metrics": {"accuracy": 0.82, "f1": 0.80}, "cv_scores": [0.80, 0.81, 0.79]},
+        "c": {"metrics": {"accuracy": 0.60}},
+    }
+    out = mlpipe.comprehensive_comparison(models, metrics=["accuracy", "f1"])
+    acc = out["metric_comparisons"]["accuracy"]
+    assert acc["best_model"]["name"] == "b" and acc["worst_model"]["name"] == "c"
+    assert acc["ranking"][0] == ("b", 0.82)
+    assert abs(acc["improvements"]["a"] - (0.02 / 0.80) * 100) < 1e-9
+    # f1 exists only for a and b; overall rank: b avg 1.0, a avg 2.0, c avg 3.0
+    assert [name for name, _ in out["overall_ranking"]] == ["b", "a", "c"]
+    ab = out["statistical_tests"]["a_vs_b"]
+    assert ab["statistical_test"] == "paired_t" and not ab["significant"]
+    ac = out["statistical_tests"]["a_vs_c"]
+    assert ac["statistical_test"] == "point_comparison"
+    assert ac["better_model"] == "a" and ac["significant"]
+    assert out["recommendations"][0] == "Best overall model: b"
+    assert any("significantly outperforms" in r for r in out["recommendations"])
