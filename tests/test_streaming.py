@@ -650,3 +650,47 @@ def test_mix_drift_flags_planted_composition_shift(spark):
     # all-a window vs 62.5/37.5 baseline: tv = 0.375 -> major
     assert w3["tv_distance"] == pytest.approx(0.375, abs=1e-12)
     assert w3["drift_band"] == "major"
+
+
+def test_mix_drift_stable_across_multi_batch_drain(spark, sf_dir, tmp_path):
+    """The drift feed's final answer must not depend on micro-batch
+    boundaries: tercile files drained one per trigger must reproduce the
+    batch twin exactly, bands and TV floats included."""
+    import os as _os
+
+    src = tmp_path / "mixmulti"
+    src.mkdir()
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        sub = src / f"part{i}"
+        ev.filter(
+            (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+        ).select(
+            "event_id", (F.col("ts_us") * 1000).alias("ts"), "user_id", "event_type",
+            "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(str(sub))
+        for root, _d, files in _os.walk(str(sub)):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (1000 * (i + 1), 1000 * (i + 1)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(streaming.EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part*"))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    baseline = [r.asDict() for r in streaming.event_mix_baseline(ev).collect()]
+    streaming.run_available_now(
+        streaming.mix_drift_stream(stream, baseline), "t_multi_batch_mix_drift"
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("t_multi_batch_mix_drift").collect()
+    )
+    ev_b = ev.withColumn("event_ts", F.timestamp_micros("ts_us"))
+    want = sorted(
+        tuple(r) for r in streaming.mix_drift_stream(ev_b, baseline).collect()
+    )
+    assert got == want
