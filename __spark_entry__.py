@@ -123,6 +123,7 @@ WINDOW_HEAD = [
     "bpe_merge_table",
     "bpe_subword_stats",
     "temperature_mix_summary",
+    "quality_sample_summary",
     "streaming_mix_drift",
     "semantic_cluster_mix",
     "bloom_join_prune",
@@ -287,6 +288,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mm_ops.attach_payloads(_read(spark, sf, "documents"))
         ).orderBy("doc_id", "chunk_idx"),
         # -- deterministic stratified sampling (training-set rebalancing) ---
+        "quality_sample_summary": lambda spark, sf: sampling_ops.quality_sample_summary(
+            _read(spark, sf, "documents")
+        ),
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(
             load_events(spark, sf)
         ),

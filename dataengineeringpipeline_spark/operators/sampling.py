@@ -134,3 +134,56 @@ def stratified_sample_summary(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def quality_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Quality-weighted corpus sampling: each document is kept with
+    probability proportional to its quality score (the DCLM-style
+    upweighting of clean text without a hard cutoff) — keep iff
+    ``per_mille_bucket(doc_id) < quality_score·10``, so a score-100 doc
+    always survives and a score-0 doc never does.
+
+    Deterministic end to end: the score is integer arithmetic over the
+    oracle-exact text stats and membership is the same pure key-hash as
+    every sampler here — re-runs, retries, and engine swaps keep the
+    identical corpus. Map-only over the stats projection (no shuffle,
+    no RNG state)."""
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+
+    scored = quality_score(text_stats(docs))
+    return scored.filter(per_mille_bucket("doc_id") < F.col("quality_score") * 10)
+
+
+def quality_sample_summary(docs: DataFrame) -> DataFrame:
+    """Per score-decile report of what quality weighting keeps: docs,
+    kept docs, the realized keep rate, and the expected rate
+    (Σscore/(100·n)) it converges to — the observability face of
+    :func:`quality_weighted_sample`."""
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+
+    scored = quality_score(text_stats(docs)).select(
+        (F.expr("quality_score div 10") * 10).cast("int").alias("band"),
+        "quality_score",
+        (per_mille_bucket("doc_id") < F.col("quality_score") * 10).alias("kept"),
+    )
+    return (
+        scored.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("kept_docs"),
+            F.sum("quality_score").cast("long").alias("_score_sum"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "kept_docs",
+            (F.col("kept_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+                "keep_rate"
+            ),
+            (
+                F.col("_score_sum").cast("double")
+                / (F.lit(100.0) * F.col("n_docs").cast("double"))
+            ).alias("expected_rate"),
+        )
+        .orderBy("band")
+    )

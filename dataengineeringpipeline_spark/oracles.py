@@ -2714,3 +2714,33 @@ FROM t ORDER BY domain
 
 
 ORACLES.update(_temperature_mix_oracle())
+
+
+def _quality_sample_oracle() -> dict[str, str]:
+    """Twin of operators.sampling.quality_sample_summary — the quality
+    score is the oracle-exact integer from the text_quality chain and
+    membership is the shared per-mille doc_id hash."""
+    sql = _with(
+        {"base": TEXT_STATS, "stats": _TEXT_STATS_DERIVED},
+        """
+SELECT band, n_docs, kept_docs,
+  CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+  CAST(score_sum AS DOUBLE) / (100.0 * CAST(n_docs AS DOUBLE)) AS expected_rate
+FROM (
+  SELECT CAST((quality_score // 10) * 10 AS INTEGER) AS band,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < quality_score * 10
+             THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+    CAST(sum(quality_score) AS BIGINT) AS score_sum
+  FROM ("""
+        + _QUALITY_BODY
+        + """)
+  GROUP BY 1
+)
+ORDER BY band
+""".strip(),
+    )
+    return {"quality_sample_summary": sql}
+
+
+ORACLES.update(_quality_sample_oracle())

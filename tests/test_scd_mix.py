@@ -180,3 +180,39 @@ def test_temperature_mix_closed_form_rates(spark):
     # kept shares move toward the sqrt proportions (1:2 instead of 1:4)
     assert summ["big"]["kept_share"] < 0.75
     assert abs(summ["big"]["kept_docs"] / 400 - 0.5) < 0.1  # ~rate_pm/1000
+
+
+def test_quality_weighted_sample_keeps_extremes_correctly(spark):
+    """Score-100 docs always survive, score-0 docs never do, and the
+    kept set is exactly the predicted hash membership."""
+    from dataengineeringpipeline_spark.operators import sampling
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+    from pyspark.sql import functions as F
+
+    rich = (
+        "the quick brown fox jumps over a lazy dog near the riverbank and "
+        "watches bright clouds drift while distant hills catch evening light "
+        "from a slow amber sun that settles behind tall quiet pines today "
+        "with gentle wind moving soft grass beside clear shallow water and "
+        "further along worn stone paths small birds gather seeds before dusk"
+    )
+    rows = [(i, rich) for i in range(50)] + [(1000 + i, "!!! ??? ...") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s"))
+    scored = {r["doc_id"]: r["quality_score"] for r in quality_score(text_stats(docs)).collect()}
+    assert all(scored[i] == 100 for i in range(50))
+    junk_score = scored[1000]
+    assert junk_score <= 30  # junk lands in a low band
+    # membership is exactly the per-mille hash model, for every doc
+    predicted = {
+        d for d, s in scored.items() if ((d % 1000003) * 2654435761) % 1000 < s * 10
+    }
+    kept = {r["doc_id"] for r in sampling.quality_weighted_sample(docs).collect()}
+    assert kept == predicted
+    assert set(range(50)) <= kept  # score-100 docs always survive
+    summ = {r["band"]: r for r in sampling.quality_sample_summary(docs).collect()}
+    assert summ[100]["keep_rate"] == 1.0 and summ[100]["expected_rate"] == 1.0
+    low = summ[(junk_score // 10) * 10]
+    assert low["kept_docs"] == len(predicted - set(range(50)))
+    assert low["expected_rate"] == junk_score / 100.0
