@@ -37,17 +37,24 @@ def asof_join(
     payload_cols: list[str],
     matched_time_col: str = "asof_ts",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    ``right[right_time] <= left[left_time]`` sharing ``key``.
+    """For each left row, attach the payload of the matching right row
+    sharing ``key``: the latest with ``right_time <= left_time``
+    (``direction="backward"``, the default), the earliest with
+    ``right_time >= left_time`` (``"forward"``), or whichever of the two
+    is closer in time (``"nearest"``, ties to backward) — the pandas
+    ``merge_asof`` direction trio, shuffle-once on the key either way.
 
     ``payload_cols`` (must not collide with left column names) arrive as
     nullable columns, plus ``matched_time_col`` carrying the matched
     right timestamp; unmatched left rows keep them all null.
-    ``tolerance`` (same unit as the time columns) voids matches older
-    than ``left_time - tolerance`` — the "don't attribute a purchase to
-    a six-month-old click" dial.
+    ``tolerance`` (same unit as the time columns) voids matches farther
+    than ``tolerance`` from ``left_time`` in the match's direction — the
+    "don't attribute a purchase to a six-month-old click" dial.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     out_cols = [*payload_cols, matched_time_col]
     clash = set(out_cols) & set(left.columns)
     if clash:
@@ -68,20 +75,48 @@ def asof_join(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
     )
     both = left_side.unionByName(r, allowMissingColumns=True)
-    w = (
+    # backward: right rows at equal _t sort BEFORE left (inclusive <=);
+    # forward: right rows at equal _t sort AFTER left (inclusive >=).
+    # Both windows share the same partitioning, so "nearest" still
+    # shuffles once.
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.asc("_t"), F.asc("_is_left"), F.asc("_payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
-    match = F.col("_m")
-    if tolerance is not None:
-        match = F.when(F.col("_m._rt") >= F.col(left_time) - F.lit(tolerance), F.col("_m"))
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("_t"), F.desc("_is_left"), F.asc("_payload"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = both
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn("_mb", F.last("_payload", ignorenulls=True).over(w_back))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn("_mf", F.first("_payload", ignorenulls=True).over(w_fwd))
+
+    def _tol(m, cmp_ok):
+        return m if tolerance is None else F.when(cmp_ok, m)
+
+    lt = F.col(left_time)
+    if direction == "backward":
+        match = _tol(F.col("_mb"), F.col("_mb._rt") >= lt - F.lit(tolerance or 0))
+    elif direction == "forward":
+        match = _tol(F.col("_mf"), F.col("_mf._rt") <= lt + F.lit(tolerance or 0))
+    else:
+        back = _tol(F.col("_mb"), F.col("_mb._rt") >= lt - F.lit(tolerance or 0))
+        fwd = _tol(F.col("_mf"), F.col("_mf._rt") <= lt + F.lit(tolerance or 0))
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(lt - back["_rt"] <= fwd["_rt"] - lt, back)  # tie -> backward
+            .otherwise(fwd)
+        )
     out = carried.filter(F.col("_is_left"))
     for c in payload_cols:
         out = out.withColumn(c, match[c])
     return out.withColumn(matched_time_col, match["_rt"]).drop(
-        "_t", "_is_left", "_payload", "_m"
+        "_t", "_is_left", "_payload", "_mb", "_mf"
     )
 
 

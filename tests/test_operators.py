@@ -998,3 +998,56 @@ def test_bpe_materialized_merges_tokenize_new_batches_identically(spark, tmp_pat
     a = {r["word"]: r["sym"] for r in bpe.bpe_segment(batch, stored).collect()}
     b = {r["word"]: r["sym"] for r in bpe.bpe_segment(batch, trained).collect()}
     assert a == b == {"abx": "ab x", "cab": "c ab"}
+
+
+def test_asof_join_direction_trio_closed_form(spark):
+    """backward/forward/nearest against hand-computed matches, ties to
+    backward, tolerance voiding in the match's direction."""
+    from dataengineeringpipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 400), (2, 50)], "k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b"), (1, 210, "c"), (1, 1000, "d")],
+        "k long, rt long, v string",
+    )
+
+    def run(**kw):
+        return {
+            (r["k"], r["lt"]): (r["v"], r["asof_ts"])
+            for r in asof_join(left, right, "k", "lt", "rt", ["v"], **kw).collect()
+        }
+
+    back = run()
+    assert back[(1, 100)] == ("a", 90)
+    assert back[(1, 205)] == ("b", 200)
+    assert back[(1, 400)] == ("c", 210)
+    assert back[(2, 50)] == (None, None)
+    fwd = run(direction="forward")
+    assert fwd[(1, 100)] == ("b", 200)
+    assert fwd[(1, 205)] == ("c", 210)
+    assert fwd[(1, 400)] == ("d", 1000)
+    assert fwd[(2, 50)] == (None, None)
+    near = run(direction="nearest")
+    assert near[(1, 100)] == ("a", 90)   # 10 back vs 100 fwd
+    assert near[(1, 205)] == ("b", 200)  # tie (5 vs 5) -> backward
+    assert near[(1, 400)] == ("c", 210)  # 190 back vs 600 fwd
+    # tolerance voids the far side: at lt=400, back match (210) is 190
+    # away -> void under 100; fwd (1000) is 600 away -> void too
+    near_tol = run(direction="nearest", tolerance=100)
+    assert near_tol[(1, 400)] == (None, None)
+    assert near_tol[(1, 205)] == ("b", 200)
+    fwd_tol = run(direction="forward", tolerance=50)
+    assert fwd_tol[(1, 100)] == (None, None)  # next right is 100 away
+    assert fwd_tol[(1, 205)] == ("c", 210)
+
+
+def test_asof_join_equal_timestamps_are_inclusive_both_directions(spark):
+    from dataengineeringpipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    right = spark.createDataFrame([(1, 100, "x")], "k long, rt long, v string")
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(left, right, "k", "lt", "rt", ["v"], direction=d).collect()[0]
+        assert (got["v"], got["asof_ts"]) == ("x", 100), d
