@@ -324,6 +324,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_cluster_mix": lambda spark, sf: sim_ops.cluster_label_mix(
             _read(spark, sf, "embeddings")
         ),
+        # -- k-NN majority-vote label eval (held-out split; "do my
+        #    embeddings encode my labels" gauge) ---------------------------
+        "knn_label_eval": lambda spark, sf: sim_ops.knn_label_eval(
+            _read(spark, sf, "embeddings")
+        ),
         # -- Arrow/numpy scale kernel vs fold kernel (rows-only gauge: the
         #    SIMD matmul's float order differs in the last ulp by design) -
         "ann_arrow_recall": lambda spark, sf: sim_ops.ann_arrow_recall(

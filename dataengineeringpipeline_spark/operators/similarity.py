@@ -1014,3 +1014,95 @@ def cluster_label_mix(
         .withColumn("is_majority", F.row_number().over(rank) == 1)
         .orderBy("centroid_id", "label")
     )
+
+def knn_predictions(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN majority-vote label prediction for the held-out query set.
+
+    The eval harness every embedding pipeline runs before trusting its
+    vectors: hold out ``vec_id % query_mod == 0``, predict each held-out
+    vector's label from the majority label of its k exact nearest
+    neighbors among the REMAINING (labeled) corpus, and compare to the
+    true label. Unlike :func:`ann_bruteforce_topk` (which scores every
+    non-self neighbor), the index side here excludes the whole query
+    set — a held-out split, not leave-one-out.
+
+    Ties are deterministic twice over: the top-k window breaks equal
+    cosines by ascending neighbor id, and the vote breaks equal counts
+    by (best — i.e. minimum — neighbor rank, then ascending label), so
+    the prediction is a pure function of the data in any engine.
+
+    Scale shape: identical to the brute-force kernel — the query set is
+    bounded and broadcast, the corpus is scanned map-side, per-query
+    top-k is a ranked window on ≤ |Q|·|C| scored rows pre-pruned by the
+    window's TakeOrdered. At full scale swap the scoring kernel for the
+    Arrow matmul (:func:`ann_topk_arrow`) exactly as the topk family
+    documents; the vote/eval tail is unchanged.
+
+    Returns (query_id, true_label, predicted_label, votes).
+    """
+    base = _norm_base(embeddings, base)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    idx = base.filter(F.col("vec_id") % query_mod != 0)
+    scored = F.broadcast(q).crossJoin(idx).select(
+        "query_id",
+        "true_label",
+        F.col("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes"),
+        F.min("rnk").alias("best_rank"),
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("best_rank"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+def knn_label_eval(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 100
+) -> DataFrame:
+    """Per-label k-NN classification report over the held-out split.
+
+    One row per true label: held-out queries, correct majority-vote
+    predictions, and accuracy — the "do my embeddings encode my labels"
+    gauge (low per-label accuracy here predicts garbage downstream
+    cluster-balanced mixes long before a model trains on them).
+
+    Integer counts aggregate exactly; accuracy is the single
+    correctly-rounded IEEE division at the end. Returns
+    (label, n_queries, n_correct, accuracy) ordered by label.
+    """
+    pred = knn_predictions(embeddings, k, query_mod)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct").cast("double") / F.col("n_queries").cast("double")
+        )
+        .orderBy("label")
+    )

@@ -1466,6 +1466,42 @@ SELECT vec_a, vec_b, cosine FROM (
     )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
+        "knn_label_eval": _with(
+            {
+                "n": _EMB_NORMS,
+                "q": (
+                    "SELECT vec_id AS query_id, label AS true_label, e AS qe, nrm AS qn "
+                    "FROM n WHERE vec_id % 100 = 0"
+                ),
+                "topk": (
+                    "SELECT * FROM (\n"
+                    "  SELECT q.query_id, q.true_label, n.label,\n"
+                    "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY\n"
+                    "      list_reduce(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]), (a, b) -> a + b) / (q.qn * n.nrm) DESC,\n"
+                    "      n.vec_id ASC) AS rnk\n"
+                    "  FROM q JOIN n ON n.vec_id % 100 <> 0\n"
+                    ") WHERE rnk <= 5"
+                ),
+                "votes": (
+                    "SELECT query_id, true_label, label, COUNT(*) AS votes, MIN(rnk) AS best_rank "
+                    "FROM topk GROUP BY query_id, true_label, label"
+                ),
+                "pred": (
+                    "SELECT query_id, true_label, label AS predicted_label FROM (\n"
+                    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+                    "    ORDER BY votes DESC, best_rank ASC, label ASC) AS rn FROM votes\n"
+                    ") WHERE rn = 1"
+                ),
+            },
+            """
+SELECT true_label AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred GROUP BY true_label ORDER BY label
+""".strip(),
+        ),
         "semantic_decontamination": _with({"n": _EMB_NORMS}, _SEM_DECON_BODY),
         "ann_ivf_topk": ivf_topk,
         "ann_ivf_recall": ivf_recall,
