@@ -33,6 +33,7 @@ from dataengineeringpipeline_spark import (
 )
 from dataengineeringpipeline_spark.operators import asof as asof_ops
 from dataengineeringpipeline_spark.operators import bpe as bpe_ops
+from dataengineeringpipeline_spark.operators import classify as classify_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
@@ -226,6 +227,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "token_histogram": lambda spark, sf: text_ops.token_histogram(
+            _read(spark, sf, "documents")
+        ),
+        # -- model-based quality gate (hashed n-gram linear classifier) -----
+        "classifier_quality_summary": lambda spark, sf: classify_ops.classifier_quality_summary(
             _read(spark, sf, "documents")
         ),
         # -- BPE tokenizer induction (iterative merge learning, oracle-exact

@@ -1,0 +1,128 @@
+"""Model-based quality filtering: a hashed n-gram linear classifier.
+
+The fasttext-shaped gate every web-corpus pipeline runs (CCNet-style
+"does this look like reference text" scoring): tokenize, hash unigram +
+word-bigram features into a fixed bucket space, sum per-bucket weights,
+threshold the mean. Two properties drive the design here:
+
+- **Scoring is map-only.** The model is a pure function of the feature
+  hash (deterministic pseudo-random weights), so classification is a
+  per-row projection — no weight-table join, no shuffle, no Python. At
+  100 TB the score pass rides the same scan as every other text gate.
+  A *trained* model swaps :func:`feature_weight` for a broadcast
+  bucket→weight map lookup (the bucket space is fixed and small — 4096
+  ints — so the map always broadcasts); nothing else changes shape.
+- **Integer until the last step.** Weights are integers, per-doc sums
+  are integers, corpus aggregates are integer sums; the only floats are
+  final correctly-rounded divisions — which is what keeps the whole
+  report bit-exact against the DuckDB oracle twin (the same discipline
+  as the drift and HLL modules).
+
+The deterministic weights stand in for trained parameters the way the
+LSH hyperplanes stand in for a trained quantizer: the *plumbing* —
+feature hashing, bucket space, fold-sum scoring, keep-rate reporting —
+is the production shape; only the weight values are synthetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators.text import word_hash, words_col
+
+#: Feature-hash bucket count (the classifier's parameter vector length).
+N_BUCKETS = 4096
+#: Knuth multiplicative constant — same generator the sampling/split
+#: modules use for engine-portable pseudo-randomness.
+_MULT = 2654435761
+#: Weights are integers in [-50, 50]: (bucket * _MULT) % 101 - 50.
+_WEIGHT_MOD = 101
+_WEIGHT_SHIFT = 50
+
+
+def feature_weight(token: Column) -> Column:
+    """Integer weight in [-50, 50] for a token — md5-hash bucket, then a
+    multiplicative-hash weight. Pure integer arithmetic end to end:
+    identical in any engine (the oracle recomputes it in SQL)."""
+    bucket = word_hash(token) % N_BUCKETS
+    return (bucket * F.lit(_MULT)) % _WEIGHT_MOD - _WEIGHT_SHIFT
+
+
+def doc_features(text: str | Column = "text") -> Column:
+    """Unigram + word-bigram feature array (the fasttext feature set)."""
+    ws = words_col(text)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws("_", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(ws, bigrams)
+
+
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """Per-document classifier scores — one map-only projection.
+
+    ``score_sum`` is the integer sum of feature weights (sequential
+    fold: deterministic), ``mean_score`` the per-feature average, and
+    ``keep`` the gate decision (``score_sum >= 0`` — the integer form of
+    "mean score non-negative", so the decision itself never touches a
+    float). Returns (doc_id, source, n_features, score_sum, mean_score,
+    keep)."""
+    feats = doc_features()
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(feats).cast("long").alias("n_features"),
+        F.aggregate(
+            feats, F.lit(0).cast("long"), lambda acc, t: acc + feature_weight(t)
+        ).alias("score_sum"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_features",
+        "score_sum",
+        (F.col("score_sum").cast("double") / F.col("n_features").cast("double")).alias(
+            "mean_score"
+        ),
+        (F.col("score_sum") >= 0).alias("keep"),
+    )
+
+
+def classifier_quality_summary(docs: DataFrame) -> DataFrame:
+    """Per-source classifier gate report: docs, kept docs, keep rate,
+    and the corpus-weighted mean feature score (integer sums, one
+    division — NOT an average of per-doc floats, whose addition order
+    would differ across engines and partitionings).
+
+    One aggregation shuffle on ``source`` over integer partials; the
+    scoring itself stays on the scan. Returns (source, docs, kept_docs,
+    keep_rate, total_features, total_score, mean_feature_score) ordered
+    by source."""
+    scored = classifier_scores(docs)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum("n_features").cast("long").alias("total_features"),
+            F.sum("score_sum").cast("long").alias("total_score"),
+        )
+        .select(
+            "source",
+            "docs",
+            "kept_docs",
+            (F.col("kept_docs").cast("double") / F.col("docs").cast("double")).alias(
+                "keep_rate"
+            ),
+            "total_features",
+            "total_score",
+            (
+                F.col("total_score").cast("double")
+                / F.col("total_features").cast("double")
+            ).alias("mean_feature_score"),
+        )
+        .orderBy("source")
+    )

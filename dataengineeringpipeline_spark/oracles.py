@@ -895,7 +895,49 @@ def _text_oracles() -> dict[str, str]:
             "SELECT lang, predicted_lang, COUNT(*) AS doc_count FROM pred GROUP BY lang, predicted_lang",
         ),
         "doc_fingerprints": _FINGERPRINT_SQL,
+        "classifier_quality_summary": _classifier_summary_sql(),
     }
+
+
+def _classifier_summary_sql() -> str:
+    """Twin of operators/classify.classifier_quality_summary — the
+    feature hash, bucket, and weight arithmetic are recomputed in SQL
+    from the module's constants."""
+    from dataengineeringpipeline_spark.operators.classify import (
+        _MULT,
+        _WEIGHT_MOD,
+        _WEIGHT_SHIFT,
+        N_BUCKETS,
+    )
+
+    weight = (
+        f"(({_wh('t')} % {N_BUCKETS}) * {_MULT}) % {_WEIGHT_MOD} - {_WEIGHT_SHIFT}"
+    )
+    return _with(
+        {
+            "feats": (
+                f"SELECT doc_id, source, list_concat(ws,"
+                " list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs "
+                f"FROM (SELECT doc_id, source, {_W} AS ws FROM documents)"
+            ),
+            "scored": (
+                "SELECT doc_id, source, len(fs) AS n_features,\n"
+                f"  list_reduce(list_transform(fs, t -> {weight}), (a, b) -> a + b) AS score_sum\n"
+                "FROM feats"
+            ),
+        },
+        """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+  CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+  CAST(SUM(n_features) AS BIGINT) AS total_features,
+  CAST(SUM(score_sum) AS BIGINT) AS total_score,
+  CAST(SUM(score_sum) AS DOUBLE) / CAST(SUM(n_features) AS DOUBLE) AS mean_feature_score
+FROM scored GROUP BY source ORDER BY source
+""".strip(),
+    )
 
 
 # ---------------------------------------------------------------------------
