@@ -40,6 +40,7 @@ from dataengineeringpipeline_spark.operators import dedup as dedup_ops
 from dataengineeringpipeline_spark.operators import mix as mix_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import sampling as sampling_ops
+from dataengineeringpipeline_spark.operators import search as search_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
 from dataengineeringpipeline_spark.operators import text as text_ops
 from dataengineeringpipeline_spark.datalake import load_events
@@ -229,6 +230,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": lambda spark, sf: text_ops.token_histogram(
             _read(spark, sf, "documents")
         ),
+        # -- lexical retrieval (inverted index, integer-IDF top-k) ----------
+        "lexical_search_topk": lambda spark, sf: search_ops.lexical_search_topk(
+            _read(spark, sf, "documents")
+        ),
         # -- model-based quality gate (hashed n-gram linear classifier) -----
         "classifier_quality_summary": lambda spark, sf: classify_ops.classifier_quality_summary(
             _read(spark, sf, "documents")
@@ -262,6 +267,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "dedup_survivors": lambda spark, sf: dedup_ops.dedup_survivors(
+            _read(spark, sf, "documents")
+        ),
+        # -- cross-source duplication matrix (which feeds mirror each other)
+        "source_overlap_matrix": lambda spark, sf: dedup_ops.source_overlap_matrix(
             _read(spark, sf, "documents")
         ),
         # -- cross-modal: lexical ∪ semantic near-dup evidence ---------------

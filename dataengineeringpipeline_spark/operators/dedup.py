@@ -929,3 +929,48 @@ def duplicate_span_coverage(
             .alias("dup_char_ratio"),
         )
     )
+
+def source_overlap_matrix(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Cross-source duplication matrix: how many verified near-dup pairs
+    link each (unordered) pair of sources — the corpus-curation report
+    that answers "which of my feeds are mirroring each other" (high
+    off-diagonal mass means two crawls cover the same sites; high
+    diagonal mass means a feed re-publishes itself). Drives per-source
+    dedup priorities and acquisition decisions.
+
+    Built on the verified :func:`minhash_lsh_pairs` output. The pair set
+    is small by LSH construction, so it broadcasts against the corpus's
+    (doc_id, source) projection — the document table is never shuffled
+    here — and the matrix itself is at most |sources|² rows. Jaccard
+    extremes are min/max (order-independent), NOT averages, so every
+    column stays bit-exact.
+
+    Returns (source_a, source_b, dup_pairs, min_jaccard, max_jaccard)
+    with ``source_a <= source_b``, ordered by the pair.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold)
+    ids = docs.select("doc_id", "source")
+    # broadcast the pair side at every step (it stays pair-sized); the
+    # corpus-sized (doc_id, source) projection is only ever scanned
+    half = F.broadcast(pairs).join(
+        ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"),
+        "doc_a",
+    )
+    joined = F.broadcast(half).join(
+        ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"),
+        "doc_b",
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1,0 +1,114 @@
+"""Lexical retrieval over an inverted index — the search half of a
+corpus platform (near-dup finds *copies*; retrieval finds *relevant*
+documents for a query).
+
+Scoring is rarity-weighted distinct-term overlap:
+
+    score(q, d) = Σ_{t ∈ terms(q) ∩ terms(d)}  (N * 1000) // df(t)
+
+i.e. an IDF-shaped weight kept in **exact integer arithmetic** (floor
+division instead of the textbook ``log(N/df)`` — the ranking signal is
+the same "rare terms count more", but the score is a pure integer sum,
+so top-k membership and order are bit-identical in any engine; the
+log/BM25 variants tie the score to libm, the divergence the drift and
+HLL modules document).
+
+Plan shape at 100 TB — the classic distributed search-index build:
+
+- posting rows are ``explode(array_distinct(words))`` — one shuffle of
+  (term, doc_id) pairs to build the index; document *text* never
+  shuffles.
+- ``df`` and the weight table are vocabulary-sized — orders of
+  magnitude smaller than the corpus — and broadcast.
+- the query side is a bounded query set: broadcast against the posting
+  lists, so scoring joins are map-side; the only corpus-wide exchange
+  after the index build is the (query_id, doc_id) score aggregation,
+  whose input is already pruned to matched postings.
+- ``max_df`` is the hot-list guard (same role as dedup.DEDUP_MAX_DF):
+  terms appearing in more than ``max_df`` candidate documents are
+  dropped from scoring — stopword pruning that bounds the worst
+  posting list's fan-out. Default None because the synthetic corpus
+  has a ~40-word vocabulary where every term exceeds any useful cap;
+  production sets it (and the weight floor makes ubiquitous terms
+  near-worthless anyway: df ≈ N ⇒ weight ≈ 1000 ⇒ rarest-term signal
+  dominates).
+
+At index-refresh scale the posting/df/weight tables are materialized to
+the lake once per corpus snapshot (the same lifecycle as the ANN index
+and dedup signatures) and every query batch reads them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators.text import words_col
+
+#: Integer weight scale: weight(t) = (N * WEIGHT_SCALE) // df(t).
+WEIGHT_SCALE = 1000
+
+
+def posting_lists(docs: DataFrame) -> DataFrame:
+    """(term, doc_id) posting rows — distinct terms per document."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col())).alias("term")
+    )
+
+
+def term_weights(postings: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Vocabulary-sized (term, df, weight) table from posting rows.
+
+    ``N`` (the candidate corpus size) is derived from the postings
+    themselves (distinct doc count) so the weight table is
+    self-contained when read back from a materialized index."""
+    df_tab = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_row = postings.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    # integer floor division (`div`), NOT float `/` + cast: the weight
+    # must be the exact integer quotient in every engine
+    wt = df_tab.crossJoin(F.broadcast(n_row)).select(
+        "term",
+        "df",
+        F.expr(f"(n_docs * {WEIGHT_SCALE}) div df").cast("long").alias("weight"),
+    )
+    if max_df is not None:
+        wt = wt.filter(F.col("df") <= max_df)
+    return wt
+
+
+def lexical_search_topk(
+    docs: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k candidate documents per query document.
+
+    Queries = ``doc_id % query_mod == 0`` (the module-family held-out
+    convention); candidates = everything else, so a query never
+    retrieves itself. Ties break by ascending doc_id. Returns
+    (query_id, doc_id, shared_terms, score, rank) ordered by
+    (query_id, rank)."""
+    cand = docs.filter(F.col("doc_id") % query_mod != 0)
+    posts = posting_lists(cand)
+    wt = term_weights(posts, max_df)
+    q_terms = posting_lists(docs.filter(F.col("doc_id") % query_mod == 0)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    matched = (
+        posts.join(F.broadcast(wt), "term")
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+            F.sum("weight").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

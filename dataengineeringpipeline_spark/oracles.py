@@ -896,7 +896,43 @@ def _text_oracles() -> dict[str, str]:
         ),
         "doc_fingerprints": _FINGERPRINT_SQL,
         "classifier_quality_summary": _classifier_summary_sql(),
+        "lexical_search_topk": _lexical_search_sql(),
     }
+
+
+def _lexical_search_sql() -> str:
+    """Twin of operators/search.lexical_search_topk (k=5, query_mod=100,
+    no df cap — mirrors the contract call's defaults)."""
+    from dataengineeringpipeline_spark.operators.search import WEIGHT_SCALE
+
+    return _with(
+        {
+            "ct": (
+                "SELECT doc_id, unnest(list_distinct(ws)) AS term "
+                f"FROM (SELECT doc_id, {_W} AS ws FROM documents WHERE doc_id % 100 <> 0)"
+            ),
+            "nrow": "SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ct",
+            "wts": (
+                f"SELECT term, CAST((n_docs * {WEIGHT_SCALE}) // df AS BIGINT) AS weight "
+                "FROM (SELECT term, COUNT(*) AS df FROM ct GROUP BY term), nrow"
+            ),
+            "qt": (
+                "SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term "
+                f"FROM (SELECT doc_id, {_W} AS ws FROM documents WHERE doc_id % 100 = 0)"
+            ),
+            "m": (
+                "SELECT q.query_id, c.doc_id,\n"
+                "  CAST(COUNT(*) AS BIGINT) AS shared_terms, CAST(SUM(w.weight) AS BIGINT) AS score\n"
+                "FROM qt q JOIN wts w USING (term) JOIN ct c USING (term)\n"
+                "GROUP BY q.query_id, c.doc_id"
+            ),
+        },
+        """
+SELECT query_id, doc_id, shared_terms, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM m
+) WHERE rank <= 5 ORDER BY query_id, rank
+""".strip(),
+    )
 
 
 def _classifier_summary_sql() -> str:
@@ -1294,6 +1330,26 @@ FROM (
         "minhash_lsh_pairs": _with(
             {"shingles": _SHINGLES, "shingle_hashes": _SHINGLE_HASHES, "sigs": sigs, "bands": bands},
             minhash_pairs,
+        ),
+        "source_overlap_matrix": _with(
+            {
+                "shingles": _SHINGLES,
+                "shingle_hashes": _SHINGLE_HASHES,
+                "sigs": sigs,
+                "bands": bands,
+                "pairs": minhash_pairs,
+            },
+            """
+SELECT least(sa.source, sb.source) AS source_a,
+  greatest(sa.source, sb.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+  MIN(p.jaccard) AS min_jaccard,
+  MAX(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents sa ON p.doc_a = sa.doc_id
+JOIN documents sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip(),
         ),
         "minhash_recall": _with(
             {

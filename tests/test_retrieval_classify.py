@@ -1,0 +1,178 @@
+"""Unit checks for the round-4 additions: k-NN label eval, the hashed
+n-gram quality classifier, lexical inverted-index retrieval, and the
+cross-source duplication matrix — semantics and plan-shape guarantees
+the SQL oracles don't express."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataengineeringpipeline_spark.operators import classify, dedup, search, similarity
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# -- k-NN label eval --------------------------------------------------------
+
+
+def test_knn_predictions_cover_every_query_once(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    pred = similarity.knn_predictions(emb).collect()
+    qids = sorted(r["query_id"] for r in pred)
+    expected = sorted(
+        r["vec_id"] for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    )
+    assert qids == expected  # exactly one prediction per held-out vector
+    for r in pred:
+        assert 1 <= r["votes"] <= 5
+
+
+def test_knn_predictions_draw_labels_from_index_side_only(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    idx_labels = {
+        r["label"] for r in emb.filter(F.col("vec_id") % 100 != 0).select("label").distinct().collect()
+    }
+    for r in similarity.knn_predictions(emb).collect():
+        assert r["predicted_label"] in idx_labels
+
+
+def test_knn_predictions_partitioning_independent(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    one = {r["query_id"]: r["predicted_label"] for r in similarity.knn_predictions(emb).collect()}
+    many = {
+        r["query_id"]: r["predicted_label"]
+        for r in similarity.knn_predictions(emb.repartition(13)).collect()
+    }
+    assert one == many
+
+
+def test_knn_eval_counts_reconcile_with_predictions(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    pred = similarity.knn_predictions(emb).collect()
+    report = similarity.knn_label_eval(emb).collect()
+    assert sum(r["n_queries"] for r in report) == len(pred)
+    correct = sum(1 for r in pred if r["predicted_label"] == r["true_label"])
+    assert sum(r["n_correct"] for r in report) == correct
+    for r in report:
+        assert r["accuracy"] == r["n_correct"] / r["n_queries"]
+
+
+# -- hashed n-gram classifier ----------------------------------------------
+
+
+def test_classifier_feature_count_is_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "alpha beta", "s"), (3, "a b c d", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in classify.classifier_scores(df).collect()}
+    assert rows[1]["n_features"] == 1  # single word: no bigram
+    assert rows[2]["n_features"] == 3  # 2 unigrams + 1 bigram
+    assert rows[3]["n_features"] == 7  # 4 + 3
+
+
+def test_classifier_keep_is_integer_sign_of_score(spark, sf_dir):
+    scored = classify.classifier_scores(_docs(spark, sf_dir)).collect()
+    assert len(scored) > 0
+    for r in scored:
+        assert r["keep"] == (r["score_sum"] >= 0)
+        assert r["mean_score"] == r["score_sum"] / r["n_features"]
+
+
+def test_classifier_scoring_is_map_only(spark, sf_dir, tmp_path):
+    """Scoring must ride the scan: no Exchange in the per-doc score plan
+    on well-partitioned input (the 100 TB claim in the module docstring)."""
+    wide = str(tmp_path / "docs_wide_cls")
+    _docs(spark, sf_dir).repartition(16).write.mode("overwrite").parquet(wide)
+    plan = (
+        classify.classifier_scores(spark.read.parquet(wide))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan.splitlines()[:8]
+
+
+def test_classifier_summary_reconciles_with_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    per_doc = classify.classifier_scores(docs).collect()
+    summary = {r["source"]: r for r in classify.classifier_quality_summary(docs).collect()}
+    by_src: dict[str, list] = {}
+    for r in per_doc:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(summary) == set(by_src)
+    for src, rows in by_src.items():
+        s = summary[src]
+        assert s["docs"] == len(rows)
+        assert s["kept_docs"] == sum(1 for r in rows if r["keep"])
+        assert s["total_score"] == sum(r["score_sum"] for r in rows)
+        assert s["total_features"] == sum(r["n_features"] for r in rows)
+
+
+# -- lexical retrieval ------------------------------------------------------
+
+
+def test_lexical_search_never_returns_self_or_other_queries(spark, sf_dir):
+    hits = search.lexical_search_topk(_docs(spark, sf_dir)).collect()
+    assert len(hits) > 0
+    for r in hits:
+        assert r["query_id"] % 100 == 0
+        assert r["doc_id"] % 100 != 0
+        assert r["score"] > 0 and r["shared_terms"] > 0
+
+
+def test_lexical_search_ranks_are_dense_and_score_ordered(spark, sf_dir):
+    by_q: dict[int, list] = {}
+    for r in search.lexical_search_topk(_docs(spark, sf_dir), k=5).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+
+
+def test_lexical_search_max_df_guard_prunes_hot_terms(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    posts = search.posting_lists(docs.filter(F.col("doc_id") % 100 != 0))
+    max_df = posts.groupBy("term").count().agg(F.max("count")).collect()[0][0]
+    # cap below the hottest term's df: that term must vanish from scoring
+    capped = search.term_weights(posts, max_df=int(max_df) - 1).collect()
+    uncapped = search.term_weights(posts, max_df=None).collect()
+    assert len(capped) < len(uncapped)
+    assert all(r["df"] <= max_df - 1 for r in capped)
+    # weight is the exact integer quotient
+    n_docs = docs.filter(F.col("doc_id") % 100 != 0).count()
+    for r in uncapped:
+        assert r["weight"] == (n_docs * search.WEIGHT_SCALE) // r["df"]
+
+
+def test_lexical_search_partitioning_independent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    one = {(r["query_id"], r["rank"]): r["doc_id"] for r in search.lexical_search_topk(docs).collect()}
+    many = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in search.lexical_search_topk(docs.repartition(13)).collect()
+    }
+    assert one == many
+
+
+# -- cross-source duplication matrix ---------------------------------------
+
+
+def test_source_overlap_matrix_reconciles_with_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    matrix = dedup.source_overlap_matrix(docs).collect()
+    assert sum(r["dup_pairs"] for r in matrix) == len(pairs)
+    for r in matrix:
+        assert r["source_a"] <= r["source_b"]
+        assert r["min_jaccard"] <= r["max_jaccard"]
