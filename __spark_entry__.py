@@ -112,70 +112,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness record covers roughly the first 50 entries of
 #: ``queries()`` in insertion order. This list rotates the window each
-#: round: lead with (a) queries NEW or with changed source this round and
-#: (b) the block whose most recent driver check is oldest (round 4: the
-#: gold/dq/events/silver block last checked in r01, plus
-#: dq_daily_anomalies last checked in r02), then the streaming block
-#: (shared-infrastructure risk), then the queries whose operators were
-#: touched by this round's perf work. Everything else keeps its grouped
-#: order below and is still oracle-checked every round by
+#: round: lead with (a) queries NEW this round, (b) queries that have
+#: never appeared in ANY driver correctness window (the CORRECTNESS_r01-
+#: r03 files cover 83 of the pre-round queries; the rest landed after
+#: r03's check ran), then (c) the block whose most recent driver check
+#: is oldest — the gold/dq/events/silver block last checked in r01,
+#: ordered so the join/agg-heavy queries precede the trivial profiling
+#: checks that run transitively inside them anyway. Everything past the
+#: window is still oracle-checked every round by
 #: tests/test_oracle_parity.py, which runs ALL entries.
 WINDOW_HEAD = [
-    # new or source-changed this round (round 5)
+    # (a) new this round (round 4 of the driver's numbering)
+    "knn_label_eval",
+    "classifier_quality_summary",
+    "lexical_search_topk",
+    "source_overlap_matrix",
+    # (b) never inside a driver correctness window yet
+    "streaming_volume_alerts",
+    "streaming_mix_drift",
+    "streaming_heavy_hitters",
     "bpe_merge_table",
     "bpe_subword_stats",
-    "temperature_mix_summary",
+    "doc_length_distribution",
+    "duplicate_span_coverage",
+    "hybrid_dup_clusters",
+    "top_ngrams_per_source",
     "quality_sample_summary",
-    "streaming_mix_drift",
+    "temperature_mix_summary",
+    "semantic_decontamination",
     "semantic_cluster_mix",
+    "cms_heavy_hitters",
+    "hll_sketch_summary",
     "bloom_join_prune",
     "priority_drift_report",
-    "ann_arrow_recall",
-    # staleness rotation: the text/dedup/sampling/events-analytics/rules
-    # block was last driver-checked in r02 (r04's window re-proved the
-    # gold/dq/silver/streaming blocks)
-    "text_stats",
-    "text_quality",
-    "language_id_eval",
-    "repetition_stats",
-    "chunk_summary",
-    "pack_summary",
-    "token_histogram",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "minhash_dup_clusters",
-    "minhash_recall",
-    "dedup_survivors",
-    "simhash_dup_candidates",
-    "multimodal_features",
-    "frame_sample_plan",
-    "stratified_sample_summary",
-    "split_summary",
-    "domain_mix_summary",
-    "embedding_near_dups",
-    "semantic_dup_clusters",
-    "sliding_window_summary",
-    "purchase_attribution",
-    "incident_window_events",
-    "session_summary",
-    "cohort_retention",
-    "conversion_funnel",
-    "customer_priority_scd2",
-    "feature_store_latest",
-    "event_heavy_hitters",
-    "salted_status_summary",
-    "rule_driven_aggregation",
-    "rule_driven_features",
-    "status_priority_cube",
-    "customer_value_deciles",
-    # ANN family: last fully inside the window in r03
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_ivfpq_topk",
-    "pq_ann_topk",
-    "pq_ann_recall",
+    "pipeline_alerts",
+    # (c) last driver-checked in r01 (or r02 for dq_daily_anomalies),
+    # complex multi-join/agg queries first
+    "customer_analytics",
+    "top_customers_per_segment",
+    "segment_summary",
+    "supplier_performance",
+    "category_performance",
+    "ml_customer_features",
+    "comprehensive_sales_summary",
+    "daily_sales_summary",
+    "daily_metrics_long",
+    "monthly_sales_summary",
+    "sales_rollup",
+    "priority_performance",
+    "customer_lifetime_metrics",
+    "dq_referential_integrity",
+    "dq_outliers",
+    "dq_rule_report",
+    "dq_quarantine_rows",
+    "dq_daily_anomalies",
+    "events_enriched",
+    "incremental_events",
+    "hourly_event_summary",
+    "event_type_summary",
+    "error_context",
+    "user_activity_summary",
+    "doc_fingerprints",
+    "silver_orders",
+    "silver_customers",
+    "silver_parts",
+    "silver_lineitems",
+    "dq_null_profile",
+    "dq_duplicates",
+    "dq_range_violations",
+    "dq_freshness",
 ]
 
 
