@@ -948,7 +948,11 @@ def source_overlap_matrix(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Returns (source_a, source_b, dup_pairs, min_jaccard, max_jaccard)
     with ``source_a <= source_b``, ordered by the pair.
     """
-    pairs = minhash_lsh_pairs(docs, threshold)
+    # persist the verified pairs: BOTH broadcast materializations below
+    # sit above them (the second one re-derives the first join), and
+    # without the persist each broadcast re-executes the whole
+    # LSH→verify chain (measured 11.3s → ~2s at sf0.1)
+    pairs = tracked_persist(minhash_lsh_pairs(docs, threshold))
     ids = docs.select("doc_id", "source")
     # broadcast the pair side at every step (it stays pair-sized); the
     # corpus-sized (doc_id, source) projection is only ever scanned
