@@ -127,6 +127,7 @@ WINDOW_HEAD = [
     "classifier_quality_summary",
     "lexical_search_topk",
     "source_overlap_matrix",
+    "token_budget_plan",
     # (b) never inside a driver correctness window yet
     "streaming_volume_alerts",
     "streaming_mix_drift",
@@ -322,6 +323,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents")
         ),
         "domain_mix_summary": lambda spark, sf: mix_ops.domain_mix_summary(
+            _read(spark, sf, "documents")
+        ),
+        # -- token-budget epoch planning (upsampling/epoch math per domain) -
+        "token_budget_plan": lambda spark, sf: mix_ops.token_budget_plan(
             _read(spark, sf, "documents")
         ),
         # -- embedding similarity search (brute-force + IVF + LSH near-dup) -

@@ -204,3 +204,79 @@ def temperature_mix_summary(
         )
         .orderBy("domain")
     )
+
+#: Default token budget for the demo planning query — sized so the
+#: sf0.01 corpus needs upsampling (epochs > 1) for scarce domains while
+#: bigger scale factors mix up- and down-sampling: the report shows both
+#: regimes of the planner.
+TOKEN_BUDGET_DEFAULT = 100_000
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    target_tokens: int = TOKEN_BUDGET_DEFAULT,
+    weights_per_mille: dict[str, int] | None = None,
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Epoch/up-sampling plan to hit a total token budget at a target mix
+    — the question a pretraining run actually asks ("1T tokens at 50% en
+    / 15% zh / ...: how many passes over each domain?"), where
+    :func:`domain_mix_plan` answers the no-upsampling variant.
+
+    Domain ``d`` must supply ``target_d = floor(W_d * T / 1000)`` tokens
+    from ``A_d`` available tokens (token counts are the same regex
+    tokenizer as ``text_stats``; integer sums):
+
+    - ``full_epochs = target_d div A_d`` — complete passes over the
+      domain (0 when downsampling);
+    - ``remainder_rate_pm = ((target_d mod A_d) * 1000) div A_d`` — the
+      per-mille hash-sample rate for the final partial pass (the same
+      deterministic membership as every sampler in this package);
+    - ``oversample_x1000 = (target_d * 1000) div A_d`` — the domain's
+      effective duplication factor ×1000 (the number a data card
+      reports; >4-5× is the "repeating data hurts" red flag).
+
+    All arithmetic is integer (floor division), so the plan is
+    bit-identical in any engine. Scale shape: one integer-sum
+    aggregation per domain over the corpus (map-side partials), then a
+    |domains|-row projection; the corpus text never shuffles.
+
+    Returns (domain, available_tokens, weight_pm, target_tokens,
+    full_epochs, remainder_rate_pm, oversample_x1000) ordered by domain.
+    """
+    from dataengineeringpipeline_spark.operators.text import TOKEN_REGEX
+
+    weights = weights_per_mille or MIX_WEIGHTS_PER_MILLE
+    w_map = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    avail = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.regexp_count("text", F.lit(TOKEN_REGEX)).cast("long").alias("toks"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("toks").alias("available_tokens"))
+        .withColumn("weight_pm", w_map[F.col("domain")])
+        .filter(F.col("weight_pm").isNotNull() & (F.col("available_tokens") > 0))
+    )
+    return (
+        avail.withColumn(
+            "target_tokens",
+            F.expr(f"(weight_pm * CAST({int(target_tokens)} AS BIGINT)) div 1000"),
+        )
+        .select(
+            "domain",
+            "available_tokens",
+            "weight_pm",
+            "target_tokens",
+            F.expr("target_tokens div available_tokens").alias("full_epochs"),
+            F.expr("((target_tokens % available_tokens) * 1000) div available_tokens").alias(
+                "remainder_rate_pm"
+            ),
+            F.expr("(target_tokens * 1000) div available_tokens").alias(
+                "oversample_x1000"
+            ),
+        )
+        .orderBy("domain")
+    )

@@ -2482,7 +2482,27 @@ LEFT JOIN (
 ) k ON p.domain = k.domain
 ORDER BY p.domain
 """.strip()
-    return {"domain_mix_summary": body}
+    from dataengineeringpipeline_spark.operators.mix import TOKEN_BUDGET_DEFAULT
+
+    budget_body = f"""
+SELECT domain, available_tokens, weight_pm, target_tokens,
+  target_tokens // available_tokens AS full_epochs,
+  ((target_tokens % available_tokens) * 1000) // available_tokens AS remainder_rate_pm,
+  (target_tokens * 1000) // available_tokens AS oversample_x1000
+FROM (
+  SELECT a.lang AS domain, a.available_tokens, w.weight_pm,
+    (w.weight_pm * CAST({TOKEN_BUDGET_DEFAULT} AS BIGINT)) // 1000 AS target_tokens
+  FROM (
+    SELECT lang,
+      CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS available_tokens
+    FROM documents GROUP BY lang
+  ) a
+  JOIN (VALUES {w_values}) w(domain, weight_pm) ON a.lang = w.domain
+  WHERE a.available_tokens > 0
+)
+ORDER BY domain
+""".strip()
+    return {"domain_mix_summary": body, "token_budget_plan": budget_body}
 
 
 def _stream_join_oracles() -> dict[str, str]:

@@ -176,3 +176,32 @@ def test_source_overlap_matrix_reconciles_with_pairs(spark, sf_dir):
     for r in matrix:
         assert r["source_a"] <= r["source_b"]
         assert r["min_jaccard"] <= r["max_jaccard"]
+
+
+# -- token-budget epoch planning --------------------------------------------
+
+
+def test_token_budget_plan_arithmetic_is_consistent(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators import mix
+
+    rows = mix.token_budget_plan(_docs(spark, sf_dir), target_tokens=100_000).collect()
+    assert len(rows) > 0
+    for r in rows:
+        a, t = r["available_tokens"], r["target_tokens"]
+        assert r["full_epochs"] == t // a
+        assert r["remainder_rate_pm"] == ((t % a) * 1000) // a
+        assert r["oversample_x1000"] == (t * 1000) // a
+        # the plan's pieces must reassemble the oversample factor
+        assert r["full_epochs"] * 1000 + r["remainder_rate_pm"] <= r["oversample_x1000"]
+        assert r["oversample_x1000"] - (r["full_epochs"] * 1000 + r["remainder_rate_pm"]) <= 1
+
+
+def test_token_budget_plan_downsampling_regime(spark, sf_dir):
+    """A tiny budget puts every domain in the downsampling regime:
+    zero full epochs, a sub-1000 remainder rate."""
+    from dataengineeringpipeline_spark.operators import mix
+
+    rows = mix.token_budget_plan(_docs(spark, sf_dir), target_tokens=100).collect()
+    for r in rows:
+        assert r["full_epochs"] == 0
+        assert 0 <= r["remainder_rate_pm"] < 1000
