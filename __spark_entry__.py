@@ -128,6 +128,7 @@ WINDOW_HEAD = [
     "lexical_search_topk",
     "source_overlap_matrix",
     "token_budget_plan",
+    "streaming_incremental_dedup",
     # (b) never inside a driver correctness window yet
     "streaming_volume_alerts",
     "streaming_mix_drift",
@@ -210,6 +211,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         "streaming_volume_alerts": streaming.streaming_volume_alerts,
+        # -- streaming continuous-ingest dedup (incremental signature state)
+        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,
         # -- streaming categorical-mix drift (streaming face of
         #    quality.category_drift) -------------------------------------
         "streaming_mix_drift": streaming.streaming_mix_drift,

@@ -724,38 +724,22 @@ def materialize_signatures(docs: DataFrame, lake, snapshot: str = "sig1") -> dic
     }
 
 
-def incremental_dedup(
-    new_docs: DataFrame,
-    spark,
-    lake,
-    snapshot: str = "sig1",
+def match_increment(
+    new_ids: DataFrame,
+    new_arrays: DataFrame,
+    new_bands: DataFrame,
+    old_arrays: DataFrame,
+    old_bands: DataFrame,
     threshold: float = 0.5,
-    append: bool = True,
 ) -> DataFrame:
-    """Match NEW documents against a materialized signature snapshot and
-    (by default) fold them into it — the arriving-batch half of a
-    production dedup pipeline.
-
-    Plan shape: the increment's band keys equi-join the stored band
-    table (shuffle bounded by the 8-ints-per-doc band rows on BOTH
-    sides — corpus text and hash arrays never enter the exchange);
-    candidates verify with exact ``array_intersect`` Jaccard against the
-    stored arrays, joined by doc id. Each new doc reports its best match
-    (highest Jaccard, ties to the lowest existing id).
-
-    Returns ``(doc_id, dup_of, jaccard, is_duplicate)`` — one row per
-    new doc; ``dup_of``/``jaccard`` NULL for unique docs. Intra-batch
-    duplicates are a separate (cheap, increment-sized) concern: run
-    :func:`minhash_lsh_pairs` on ``new_docs`` alongside.
-
-    ``append=True`` writes the increment's arrays+bands into the
-    snapshot tables so the next increment sees this one — dup detection
-    state stays O(corpus signatures), never O(corpus text).
-    """
-    new_arrays = tracked_persist(doc_shingle_hash_arrays(new_docs))
-    new_bands = minhash_bands(minhash_signatures(new_docs, hash_arrays=new_arrays))
-    old_bands = lake.read(spark, "gold", f"dedup_{snapshot}_bands")
-    old_arrays = lake.read(spark, "gold", f"dedup_{snapshot}_arrays")
+    """Match an increment's signatures against stored dedup state — the
+    shared kernel of :func:`incremental_dedup` (batch) and
+    ``streaming.stream_incremental_dedup``. Candidates come from the
+    band equi-join (8 int rows per doc on both sides), verification is
+    exact array-intersect Jaccard against the stored arrays, and each
+    new doc reports its best match (highest Jaccard, ties to the lowest
+    existing id). Returns ``(doc_id, dup_of, jaccard, is_duplicate)``
+    for every id in ``new_ids``."""
     cand = (
         new_bands.alias("n")
         .join(
@@ -792,11 +776,47 @@ def incremental_dedup(
         .filter(F.col("pick") == 1)
         .select("doc_id", "dup_of", "jaccard")
     )
-    out = (
-        new_docs.select("doc_id")
-        .join(matches, "doc_id", "left")
+    return (
+        new_ids.join(matches, "doc_id", "left")
         .select("doc_id", "dup_of", "jaccard", F.col("dup_of").isNotNull().alias("is_duplicate"))
         .orderBy("doc_id")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    spark,
+    lake,
+    snapshot: str = "sig1",
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Match NEW documents against a materialized signature snapshot and
+    (by default) fold them into it — the arriving-batch half of a
+    production dedup pipeline.
+
+    Plan shape: the increment's band keys equi-join the stored band
+    table (shuffle bounded by the 8-ints-per-doc band rows on BOTH
+    sides — corpus text and hash arrays never enter the exchange);
+    candidates verify with exact ``array_intersect`` Jaccard against the
+    stored arrays, joined by doc id. Each new doc reports its best match
+    (highest Jaccard, ties to the lowest existing id).
+
+    Returns ``(doc_id, dup_of, jaccard, is_duplicate)`` — one row per
+    new doc; ``dup_of``/``jaccard`` NULL for unique docs. Intra-batch
+    duplicates are a separate (cheap, increment-sized) concern: run
+    :func:`minhash_lsh_pairs` on ``new_docs`` alongside.
+
+    ``append=True`` writes the increment's arrays+bands into the
+    snapshot tables so the next increment sees this one — dup detection
+    state stays O(corpus signatures), never O(corpus text).
+    """
+    new_arrays = tracked_persist(doc_shingle_hash_arrays(new_docs))
+    new_bands = minhash_bands(minhash_signatures(new_docs, hash_arrays=new_arrays))
+    old_bands = lake.read(spark, "gold", f"dedup_{snapshot}_bands")
+    old_arrays = lake.read(spark, "gold", f"dedup_{snapshot}_arrays")
+    out = match_increment(
+        new_docs.select("doc_id"), new_arrays, new_bands, old_arrays, old_bands, threshold
     )
     if append:
         lake.write(new_arrays, "gold", f"dedup_{snapshot}_arrays", mode="append")

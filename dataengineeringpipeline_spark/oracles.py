@@ -1331,6 +1331,51 @@ FROM (
             {"shingles": _SHINGLES, "shingle_hashes": _SHINGLE_HASHES, "sigs": sigs, "bands": bands},
             minhash_pairs,
         ),
+        "streaming_incremental_dedup": _with(
+            {
+                "shingles": _SHINGLES,
+                "shingle_hashes": _SHINGLE_HASHES,
+                "sigs": sigs,
+                "bands": bands,
+                # arriving docs are doc_id % 5 = 0 in arrival batch
+                # (doc_id // 5) % 3; candidate state for a doc = the
+                # seeded corpus plus strictly-earlier arrival batches
+                "cand": (
+                    "SELECT DISTINCT n.doc_id, o.doc_id AS dup_of\n"
+                    "FROM bands n JOIN bands o\n"
+                    "  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash\n"
+                    "WHERE n.doc_id % 5 = 0 AND (o.doc_id % 5 <> 0\n"
+                    "  OR (o.doc_id // 5) % 3 < (n.doc_id // 5) % 3)"
+                ),
+                "sz": "SELECT doc_id, COUNT(*) AS sz FROM shingle_hashes GROUP BY doc_id",
+                "ver": (
+                    "SELECT c.doc_id, c.dup_of, COUNT(*) AS shared\n"
+                    "FROM cand c\n"
+                    "JOIN shingle_hashes a ON a.doc_id = c.doc_id\n"
+                    "JOIN shingle_hashes b ON b.doc_id = c.dup_of AND b.h = a.h\n"
+                    "GROUP BY c.doc_id, c.dup_of"
+                ),
+                "jac": (
+                    "SELECT doc_id, dup_of, jaccard FROM (\n"
+                    "  SELECT v.doc_id, v.dup_of,\n"
+                    "    CAST(v.shared AS DOUBLE) / (sa.sz + sb.sz - v.shared) AS jaccard\n"
+                    "  FROM ver v JOIN sz sa ON sa.doc_id = v.doc_id\n"
+                    "  JOIN sz sb ON sb.doc_id = v.dup_of\n"
+                    ") WHERE jaccard >= 0.5"
+                ),
+                "best": (
+                    "SELECT doc_id, dup_of, jaccard FROM (\n"
+                    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id\n"
+                    "    ORDER BY jaccard DESC, dup_of ASC) AS rn FROM jac\n"
+                    ") WHERE rn = 1"
+                ),
+            },
+            """
+SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_duplicate
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id
+""".strip(),
+        ),
         "source_overlap_matrix": _with(
             {
                 "shingles": _SHINGLES,

@@ -996,3 +996,158 @@ def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mix_drift_stream",
     )
     return spark.table("mix_drift_stream").orderBy("window_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (continuous-ingest face of
+# operators/dedup.incremental_dedup)
+# ---------------------------------------------------------------------------
+
+#: Stream DDL for the documents table (same physical schema the batch
+#: reader sees).
+DOCUMENTS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def materialize_stream_dedup_state(corpus_docs: DataFrame, state_dir: str) -> None:
+    """Seed the streaming dedup state: the existing corpus's shingle-hash
+    arrays and LSH band keys written as the ``batch_id=-1`` base
+    partitions (the same signature tables
+    ``operators.dedup.materialize_signatures`` manages, laid out so
+    streamed increments land beside them batch-by-batch)."""
+    from ..cache import tracked_persist
+    from ..operators.dedup import (
+        doc_shingle_hash_arrays,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    arrays = tracked_persist(doc_shingle_hash_arrays(corpus_docs))
+    bands = minhash_bands(minhash_signatures(corpus_docs, hash_arrays=arrays))
+    arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id=-1")
+    bands.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id=-1")
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Continuous-ingest near-dup detection: each micro-batch of arriving
+    documents is matched against ALL previously stored signatures (the
+    seeded corpus plus every earlier batch), its decisions recorded, and
+    its own signatures folded into the state for the next batch.
+
+    Exactly-once by layout, not bookkeeping (the ``stream_cms_sketch``
+    shape): every batch writes its decisions AND its signature increment
+    to its own ``batch_id=<n>`` partitions with dynamic overwrite, so a
+    crash-replayed batch overwrites itself; the match explicitly reads
+    only ``batch_id < n`` state, so a replay cannot see the crashed
+    attempt's own half-written signatures either. Matching state stays
+    O(corpus signatures) — arrays and 8-int band rows — never O(corpus
+    text), and the per-batch match cost is the band equi-join of the
+    increment against the stored band table.
+
+    Within-batch duplicates are intentionally NOT matched against each
+    other (same contract as the batch operator — an increment
+    deduplicates internally with ``minhash_lsh_pairs`` if needed), which
+    is also what makes the decision for every document a pure function
+    of (document, earlier state): replay-stable and oracle-checkable.
+    """
+    from ..cache import tracked_persist
+    from ..operators.dedup import (
+        doc_shingle_hash_arrays,
+        match_increment,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
+        bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays))
+        old_arrays = (
+            spark.read.parquet(f"{state_dir}/arrays")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+        old_bands = (
+            spark.read.parquet(f"{state_dir}/bands")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+        decisions = match_increment(
+            batch_df.select("doc_id"), arrays, bands, old_arrays, old_bands, threshold
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{state_dir}/decisions/batch_id={batch_id}"
+        )
+        arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id={batch_id}")
+        bands.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_incremental_dedup over {source_dir!r} did not finish within {timeout_s}s"
+        )
+
+
+def read_stream_dedup_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All per-batch dedup decisions, one row per streamed document."""
+    return spark.read.parquet(f"{state_dir}/decisions").select(
+        "doc_id", "dup_of", "jaccard", "is_duplicate"
+    )
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: seed the dedup state with 80% of the corpus
+    (``doc_id % 5 != 0``), stream the remaining 20% in three
+    deterministic arrival batches (``(doc_id div 5) % 3``, file
+    modification times pinned so the file source drains them in order),
+    and return every arriving document's dedup decision.
+
+    The batch split and ordering are deterministic functions of doc_id,
+    which is what lets a SQL oracle reproduce the sequential semantics:
+    a document's candidate set is the seeded corpus plus arriving
+    documents from strictly earlier batches.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    materialize_stream_dedup_state(docs.filter(F.col("doc_id") % 5 != 0), f"{tmp}/state")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    pdf = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("_b", F.expr("(doc_id div 5) % 3"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    t0 = time.time()
+    for b in range(3):
+        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
+        path = os.path.join(src, f"batch{b}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        # pin arrival order: the file source drains oldest-first
+        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
+    stream_incremental_dedup(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
+    return read_stream_dedup_decisions(spark, f"{tmp}/state").orderBy("doc_id")

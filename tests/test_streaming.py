@@ -694,3 +694,92 @@ def test_mix_drift_stable_across_multi_batch_drain(spark, sf_dir, tmp_path):
         tuple(r) for r in streaming.mix_drift_stream(ev_b, baseline).collect()
     )
     assert got == want
+
+
+# -- streaming incremental dedup -------------------------------------------
+
+
+def _build_dedup_stream_dirs(spark, sf_dir, tmp_path):
+    """Seed state + ordered arrival files exactly as the contract query
+    does, but under pytest's tmp_path so tests control the layout."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "state")
+    streaming.materialize_stream_dedup_state(
+        docs.filter(F.col("doc_id") % 5 != 0), state
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("_b", F.expr("(doc_id div 5) % 3"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    t0 = _time.time()
+    for b in range(3):
+        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
+        path = str(src / f"batch{b}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        import os as _os
+
+        _os.utime(path, (t0 + 60 * b, t0 + 60 * b))
+    return str(src), state, len(pdf)
+
+
+def test_stream_incremental_dedup_covers_every_arrival_once(spark, sf_dir, tmp_path):
+    src, state, n_arrivals = _build_dedup_stream_dirs(spark, sf_dir, tmp_path)
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt"))
+    rows = streaming.read_stream_dedup_decisions(spark, state).collect()
+    assert len(rows) == n_arrivals
+    assert len({r["doc_id"] for r in rows}) == n_arrivals
+    for r in rows:
+        assert r["is_duplicate"] == (r["dup_of"] is not None)
+        if r["is_duplicate"]:
+            assert r["jaccard"] >= 0.5
+
+
+def test_stream_incremental_dedup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drained stream with the SAME checkpoint must be a
+    no-op, and re-running with a FRESH checkpoint (a full replay over
+    already-written state partitions) must overwrite each batch into the
+    identical decision set — the exactly-once-by-layout claim."""
+    src, state, _ = _build_dedup_stream_dirs(spark, sf_dir, tmp_path)
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt"))
+    first = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in streaming.read_stream_dedup_decisions(spark, state).collect()
+    }
+    # same checkpoint: no new batches, decisions unchanged
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt"))
+    again = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in streaming.read_stream_dedup_decisions(spark, state).collect()
+    }
+    assert again == first
+    # fresh checkpoint: every batch replays over existing batch_id
+    # partitions; the batch_id < n read filter must hide the previous
+    # run's own partitions, reproducing identical decisions
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt2"))
+    replayed = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in streaming.read_stream_dedup_decisions(spark, state).collect()
+    }
+    assert replayed == first
+
+
+def test_stream_incremental_dedup_matches_cross_batch(spark, sf_dir, tmp_path):
+    """At least one arriving doc must match a doc from an EARLIER arrival
+    batch (dup_of % 5 == 0) — proving the state actually grows between
+    micro-batches — and any such match must respect the batch order."""
+    src, state, _ = _build_dedup_stream_dirs(spark, sf_dir, tmp_path)
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt"))
+    rows = streaming.read_stream_dedup_decisions(spark, state).collect()
+    cross = [r for r in rows if r["is_duplicate"] and r["dup_of"] % 5 == 0]
+    assert cross, "expected at least one cross-batch duplicate in the fixture corpus"
+    for r in cross:
+        assert (r["dup_of"] // 5) % 3 < (r["doc_id"] // 5) % 3
