@@ -37,6 +37,7 @@ from dataengineeringpipeline_spark.operators import classify as classify_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import linkage as linkage_ops
 from dataengineeringpipeline_spark.operators import mix as mix_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
 from dataengineeringpipeline_spark.operators import sampling as sampling_ops
@@ -242,6 +243,27 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- lexical retrieval (inverted index, integer-IDF top-k) ----------
         "lexical_search_topk": lambda spark, sf: search_ops.lexical_search_topk(
             _read(spark, sf, "documents")
+        ),
+        # -- hybrid retrieval (integer reciprocal-rank fusion of the lexical
+        #    and embedding-cosine lists) -------------------------------------
+        "hybrid_search_topk": lambda spark, sf: search_ops.hybrid_search_topk(
+            _read(spark, sf, "documents"), _read(spark, sf, "embeddings")
+        ),
+        # -- fuzzy record linkage / entity resolution (vocabulary-level
+        #    blocking + Levenshtein verify + CC canonicalization) ------------
+        "fuzzy_part_matches": lambda spark, sf: linkage_ops.fuzzy_name_pairs(
+            _read(spark, sf, "part"), "p_partkey", "p_name"
+        ),
+        "entity_resolution_report": lambda spark, sf: linkage_ops.entity_resolution_report(
+            _read(spark, sf, "part"), "p_partkey", "p_name"
+        ),
+        # -- classifier calibration vs the heuristic quality gate -----------
+        "classifier_calibration": lambda spark, sf: classify_ops.classifier_calibration(
+            _read(spark, sf, "documents")
+        ),
+        # -- hot-key-split (skew) join; oracle is the PLAIN join ------------
+        "skew_join_segment_summary": lambda spark, sf: scale.skew_join_segment_summary(
+            load_events(spark, sf), _read(spark, sf, "customer")
         ),
         # -- model-based quality gate (hashed n-gram linear classifier) -----
         "classifier_quality_summary": lambda spark, sf: classify_ops.classifier_quality_summary(

@@ -132,3 +132,58 @@ def classifier_quality_summary(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def classifier_calibration(docs: DataFrame) -> DataFrame:
+    """Calibration (reliability) table: classifier score bins vs the
+    independent heuristic quality gate.
+
+    The fasttext-style recipe trains/validates the cheap classifier
+    against a trusted-but-expensive signal; this is the validation
+    readout — per score bin, how often does the heuristic gate
+    (:func:`..text.quality_score`, ``is_high_quality``) agree. A flat
+    curve means the classifier score carries no quality signal; a
+    monotone one calibrates a keep threshold.
+
+    Binning is pure integer arithmetic: per-feature mean score in
+    per-mille, shifted to non-negative BEFORE the division —
+    ``(score_sum*10 + 500*n_features) div n_features`` ∈ [0, 1000] —
+    because Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors; on a non-negative numerator they agree, on a negative one
+    they differ by 1 at every non-exact quotient. ``div 100`` then
+    yields 11 bins (bin 10 is the exact +50-mean edge).
+
+    One aggregation shuffle over ~11 integer groups; scoring and the
+    gate are map-only scan projections. Returns (score_bin, docs,
+    classifier_keep, high_quality, high_quality_rate) ordered by
+    score_bin."""
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+
+    scored = classifier_scores(docs)
+    gate = quality_score(text_stats(docs)).select("doc_id", "is_high_quality")
+    # n_features = 0 (empty doc) must yield a NULL bin, not an ANSI
+    # divide-by-zero task failure.
+    joined = scored.join(gate, "doc_id").withColumn(
+        "score_bin",
+        F.expr(
+            "CASE WHEN n_features > 0 THEN"
+            " ((score_sum * 10 + 500 * n_features) div n_features) div 100 END"
+        ).cast("int"),
+    )
+    return (
+        joined.groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias(
+                "classifier_keep"
+            ),
+            F.sum(F.when(F.col("is_high_quality"), 1).otherwise(0)).cast("long").alias(
+                "high_quality"
+            ),
+        )
+        .withColumn(
+            "high_quality_rate",
+            F.col("high_quality").cast("double") / F.col("docs").cast("double"),
+        )
+        .orderBy("score_bin")
+    )

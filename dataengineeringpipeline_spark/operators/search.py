@@ -112,3 +112,69 @@ def lexical_search_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + embedding lists
+# ---------------------------------------------------------------------------
+
+#: RRF contribution scale: contrib(rank) = RRF_SCALE div (RRF_K0 + rank).
+#: Integer floor division of positive ints — the fused score is a pure
+#: integer sum (same engine-exactness rationale as WEIGHT_SCALE; the
+#: textbook 1/(k0+r) float sum would tie tie-breaks to addition order).
+RRF_SCALE = 1_000_000
+RRF_K0 = 60
+
+
+def hybrid_search_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    list_k: int = 20,
+    query_mod: int = 100,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Top-k hybrid retrieval: the lexical top-``list_k`` and the
+    embedding-cosine top-``list_k`` are fused with reciprocal-rank
+    fusion — ``score = Σ_lists RRF_SCALE div (k0 + rank)`` — the
+    standard two-retriever recipe (a doc ranked well by either signal
+    surfaces; one ranked well by both wins).
+
+    The doc and vector sides share the id space (``doc_id`` ≡
+    ``vec_id``, the same convention ``dedup.hybrid_dup_clusters``
+    uses); queries are the ``id % query_mod == 0`` held-out subset in
+    both retrievers. A doc missing from one list contributes 0 from it
+    (rank-based fusion needs no score normalization across the two
+    incomparable score scales — that is the point of RRF).
+
+    Plan shape: both input lists are already reduced to |Q|·list_k rows,
+    so the fusion join + re-rank is driver-trivial at any corpus scale;
+    the heavy lifting stays inside the two retrievers' own bounded
+    plans. Returns (query_id, doc_id, lex_rank, sem_rank, rrf_score,
+    rank) ordered by (query_id, rank); ties break by ascending doc_id.
+    """
+    from dataengineeringpipeline_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    lex = lexical_search_topk(docs, k=list_k, query_mod=query_mod).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_bruteforce_topk(embeddings, k=list_k, query_mod=query_mod).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} div ({k0} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} div ({k0} + sem_rank)"), F.lit(0))
+        ).cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

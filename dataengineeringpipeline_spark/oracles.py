@@ -2943,3 +2943,211 @@ ORDER BY band
 
 
 ORACLES.update(_quality_sample_oracle())
+
+
+def _retrieval_linkage_oracles() -> dict[str, str]:
+    """Twins of search.hybrid_search_topk, linkage.fuzzy_matches /
+    entity_resolution_report, classify.classifier_calibration, and
+    scale.skew_join_segment_summary (the skew-split join's oracle is the
+    PLAIN join — the operator must be result-identical to it)."""
+    from dataengineeringpipeline_spark.operators.classify import (
+        _MULT,
+        _WEIGHT_MOD,
+        _WEIGHT_SHIFT,
+        N_BUCKETS,
+    )
+    from dataengineeringpipeline_spark.operators.linkage import MAX_BLOCK
+    from dataengineeringpipeline_spark.operators.search import (
+        RRF_K0,
+        RRF_SCALE,
+        WEIGHT_SCALE,
+    )
+
+    # -- hybrid RRF retrieval (lex list_k=20 ∪ sem list_k=20 → top 10) --
+    lex_ctes = {
+        "ct": (
+            "SELECT doc_id, unnest(list_distinct(ws)) AS term "
+            f"FROM (SELECT doc_id, {_W} AS ws FROM documents WHERE doc_id % 100 <> 0)"
+        ),
+        "nrow": "SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ct",
+        "wts": (
+            f"SELECT term, CAST((n_docs * {WEIGHT_SCALE}) // df AS BIGINT) AS weight "
+            "FROM (SELECT term, COUNT(*) AS df FROM ct GROUP BY term), nrow"
+        ),
+        "qt": (
+            "SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term "
+            f"FROM (SELECT doc_id, {_W} AS ws FROM documents WHERE doc_id % 100 = 0)"
+        ),
+        "m": (
+            "SELECT q.query_id, c.doc_id, CAST(SUM(w.weight) AS BIGINT) AS score\n"
+            "FROM qt q JOIN wts w USING (term) JOIN ct c USING (term)\n"
+            "GROUP BY q.query_id, c.doc_id"
+        ),
+        "lex": (
+            "SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank FROM ("
+            " SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+            " ORDER BY score DESC, doc_id ASC) AS rank FROM m) WHERE rank <= 20"
+        ),
+        "n": _EMB_NORMS,
+        "sem": (
+            "SELECT query_id, neighbor_id AS doc_id, CAST(rank AS INTEGER) AS sem_rank FROM (\n"
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM (\n"
+            "    SELECT q.query_id, n.vec_id AS neighbor_id,\n"
+            "      list_reduce(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]),"
+            " (a, b) -> a + b) / (q.qn * n.nrm) AS cosine\n"
+            "    FROM (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n"
+            " WHERE vec_id % 100 = 0) q\n"
+            "    JOIN n ON n.vec_id <> q.query_id\n"
+            "  )\n"
+            ") WHERE rank <= 20"
+        ),
+        "fused": (
+            "SELECT COALESCE(l.query_id, s.query_id) AS query_id,"
+            " COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,\n"
+            f"  CAST(COALESCE({RRF_SCALE} // ({RRF_K0} + l.lex_rank), 0)"
+            f" + COALESCE({RRF_SCALE} // ({RRF_K0} + s.sem_rank), 0) AS BIGINT) AS rrf_score\n"
+            "FROM lex l FULL OUTER JOIN sem s"
+            " ON l.query_id = s.query_id AND l.doc_id = s.doc_id"
+        ),
+    }
+    hybrid = _with(
+        lex_ctes,
+        """
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10 ORDER BY query_id, rank
+""".strip(),
+    )
+
+    # -- fuzzy record linkage over the part-name vocabulary -------------
+    linkage_ctes = {
+        "names": (
+            "SELECT p_name AS rec_name, MIN(p_partkey) AS name_id "
+            "FROM part GROUP BY p_name"
+        ),
+        "toks": (
+            "SELECT name_id, rec_name, block FROM ("
+            " SELECT name_id, rec_name,"
+            " unnest(list_distinct(string_split_regex(rec_name, ' +'))) AS block"
+            " FROM names) WHERE block <> ''"
+        ),
+        "tf": (
+            "SELECT t.name_id, t.rec_name, t.block FROM toks t JOIN ("
+            f" SELECT block FROM toks GROUP BY block HAVING COUNT(*) <= {MAX_BLOCK}"
+            ") b USING (block)"
+        ),
+        "cand": (
+            "SELECT DISTINCT a.name_id AS a_id, b.name_id AS b_id,"
+            " a.rec_name AS a_name, b.rec_name AS b_name\n"
+            "FROM tf a JOIN tf b ON a.block = b.block AND a.name_id < b.name_id"
+        ),
+        "fpairs": (
+            "SELECT a_id, b_id, a_name, b_name,"
+            " CAST(levenshtein(a_name, b_name) AS INTEGER) AS distance\n"
+            "FROM cand WHERE levenshtein(a_name, b_name) <= 2"
+        ),
+    }
+    fuzzy_matches_sql = _with(
+        linkage_ctes, "SELECT * FROM fpairs ORDER BY a_id, b_id"
+    )
+
+    er_ctes = {
+        **linkage_ctes,
+        "und": (
+            "SELECT a_id AS src, b_id AS dst FROM fpairs "
+            "UNION SELECT b_id AS src, a_id AS dst FROM fpairs"
+        ),
+        "reach(src, dst)": (
+            "SELECT src, src AS dst FROM und UNION SELECT src, dst FROM und\n"
+            "  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src"
+        ),
+        "clusters": (
+            "SELECT src AS name_id, MIN(dst) AS entity_id FROM reach GROUP BY src"
+        ),
+        "assigned": (
+            "SELECT n.rec_name, n.name_id, c.entity_id "
+            "FROM names n JOIN clusters c USING (name_id)"
+        ),
+        "per_entity": (
+            "SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_names,"
+            " arg_min(rec_name, name_id) AS canonical_name "
+            "FROM assigned GROUP BY entity_id"
+        ),
+        "rec_counts": (
+            "SELECT a.entity_id, CAST(COUNT(*) AS BIGINT) AS n_records "
+            "FROM part p JOIN assigned a ON p.p_name = a.rec_name "
+            "GROUP BY a.entity_id"
+        ),
+        "pair_ent": (
+            "SELECT a.entity_id, CAST(MAX(f.distance) AS INTEGER) AS max_distance "
+            "FROM fpairs f JOIN assigned a ON a.name_id = f.a_id GROUP BY a.entity_id"
+        ),
+    }
+    parts = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in er_ctes.items())
+    er_report_sql = (
+        f"WITH RECURSIVE {parts}\n"
+        "SELECT e.entity_id, e.n_names, r.n_records, e.canonical_name, pe.max_distance\n"
+        "FROM per_entity e JOIN rec_counts r USING (entity_id)"
+        " JOIN pair_ent pe USING (entity_id)\n"
+        "ORDER BY n_records DESC, entity_id"
+    )
+
+    # -- classifier calibration vs the heuristic quality gate -----------
+    weight = (
+        f"(({_wh('t')} % {N_BUCKETS}) * {_MULT}) % {_WEIGHT_MOD} - {_WEIGHT_SHIFT}"
+    )
+    calibration_sql = _with(
+        {
+            "feats": (
+                "SELECT doc_id, list_concat(ws,"
+                " list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs "
+                f"FROM (SELECT doc_id, {_W} AS ws FROM documents)"
+            ),
+            "scored": (
+                "SELECT doc_id, len(fs) AS n_features,\n"
+                f"  list_reduce(list_transform(fs, t -> {weight}), (a, b) -> a + b) AS score_sum\n"
+                "FROM feats"
+            ),
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+            "binned": (
+                "SELECT s.doc_id,"
+                " CASE WHEN s.n_features > 0 THEN CAST(((s.score_sum * 10"
+                " + 500 * s.n_features) // s.n_features) // 100 AS INTEGER) END AS score_bin,\n"
+                "  s.score_sum >= 0 AS keep, q.quality_score >= 70 AS is_high_quality\n"
+                "FROM scored s JOIN q ON q.doc_id = s.doc_id"
+            ),
+        },
+        """
+SELECT score_bin,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS classifier_keep,
+  CAST(SUM(CASE WHEN is_high_quality THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+  CAST(SUM(CASE WHEN is_high_quality THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS high_quality_rate
+FROM binned GROUP BY score_bin ORDER BY score_bin
+""".strip(),
+    )
+
+    # -- skew-split join contract: oracle is the PLAIN join + rollup ----
+    skew_sql = f"""
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users,
+  {money_sum_sql('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""".strip()
+
+    return {
+        "hybrid_search_topk": hybrid,
+        "fuzzy_part_matches": fuzzy_matches_sql,
+        "entity_resolution_report": er_report_sql,
+        "classifier_calibration": calibration_sql,
+        "skew_join_segment_summary": skew_sql,
+    }
+
+
+ORACLES.update(_retrieval_linkage_oracles())

@@ -1051,3 +1051,60 @@ def test_asof_join_equal_timestamps_are_inclusive_both_directions(spark):
     for d in ("backward", "forward", "nearest"):
         got = asof_join(left, right, "k", "lt", "rt", ["v"], direction=d).collect()[0]
         assert (got["v"], got["asof_ts"]) == ("x", 100), d
+
+
+# -- fuzzy record linkage (operators/linkage.py) ----------------------------
+
+
+def _linkage_records(spark):
+    return spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corp"),
+            (3, "acme co"),
+            (4, "zeta llc"),
+            (5, "zeta lcc"),
+            (6, "other name"),
+        ],
+        "rid bigint, rname string",
+    )
+
+
+def test_fuzzy_name_pairs_closed_form(spark):
+    from dataengineeringpipeline_spark.operators.linkage import fuzzy_name_pairs
+
+    rows = fuzzy_name_pairs(_linkage_records(spark), "rid", "rname").collect()
+    got = {(r["a_name"], r["b_name"]): r["distance"] for r in rows}
+    # "acme corp"(id 1) ↔ "acme co"(id 3): lev 2; "zeta llc" ↔ "zeta lcc": lev 1
+    assert got == {("acme corp", "acme co"): 2, ("zeta llc", "zeta lcc"): 1}
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+
+
+def test_entity_resolution_report_closed_form(spark):
+    from dataengineeringpipeline_spark.operators.linkage import (
+        entity_resolution_report,
+    )
+
+    rows = entity_resolution_report(_linkage_records(spark), "rid", "rname").collect()
+    by_entity = {r["entity_id"]: r for r in rows}
+    assert set(by_entity) == {1, 4}
+    acme = by_entity[1]
+    assert acme["n_names"] == 2  # "acme corp", "acme co"
+    assert acme["n_records"] == 3  # two "acme corp" records + one "acme co"
+    assert acme["canonical_name"] == "acme corp"  # name of min id
+    assert acme["max_distance"] == 2
+    zeta = by_entity[4]
+    assert (zeta["n_names"], zeta["n_records"], zeta["max_distance"]) == (2, 2, 1)
+    assert zeta["canonical_name"] == "zeta llc"
+    # report is ordered by record count descending
+    assert [r["entity_id"] for r in rows] == [1, 4]
+
+
+def test_fuzzy_name_pairs_block_cap_drops_hot_blocks(spark):
+    from dataengineeringpipeline_spark.operators.linkage import fuzzy_name_pairs
+
+    rows = fuzzy_name_pairs(
+        _linkage_records(spark), "rid", "rname", max_block=1
+    ).collect()
+    assert rows == []  # every block has ≥2 names or never matches

@@ -205,3 +205,88 @@ def test_token_budget_plan_downsampling_regime(spark, sf_dir):
     for r in rows:
         assert r["full_epochs"] == 0
         assert 0 <= r["remainder_rate_pm"] < 1000
+
+
+# -- hybrid RRF retrieval ---------------------------------------------------
+
+
+def test_hybrid_rrf_scores_and_ranks(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators.search import (
+        RRF_K0,
+        RRF_SCALE,
+        hybrid_search_topk,
+        lexical_search_topk,
+    )
+    from dataengineeringpipeline_spark.operators.similarity import ann_bruteforce_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hybrid_search_topk(docs, emb, k=10, list_k=20).collect()
+    assert out, "hybrid retrieval returned nothing"
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in lexical_search_topk(docs, k=20).collect()
+    }
+    sem = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in ann_bruteforce_topk(emb, k=20).collect()
+    }
+    by_q: dict = {}
+    for r in out:
+        # the fused score is exactly the sum of the two integer RRF terms
+        expect = 0
+        if (r["query_id"], r["doc_id"]) in lex:
+            assert r["lex_rank"] == lex[(r["query_id"], r["doc_id"])]
+            expect += RRF_SCALE // (RRF_K0 + r["lex_rank"])
+        else:
+            assert r["lex_rank"] is None
+        if (r["query_id"], r["doc_id"]) in sem:
+            assert r["sem_rank"] == sem[(r["query_id"], r["doc_id"])]
+            expect += RRF_SCALE // (RRF_K0 + r["sem_rank"])
+        else:
+            assert r["sem_rank"] is None
+        assert r["rrf_score"] == expect
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        # ranks are 1..n and scores non-increasing in rank
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_doc_in_both_lists_outranks_single_list(spark):
+    """Closed-form: a doc ranked 5th by both retrievers must outrank a
+    doc ranked 1st by only one (2/65 > 1/61 at RRF_K0=60)."""
+    from dataengineeringpipeline_spark.operators.search import RRF_K0, RRF_SCALE
+
+    both_5th = 2 * (RRF_SCALE // (RRF_K0 + 5))
+    single_1st = RRF_SCALE // (RRF_K0 + 1)
+    assert both_5th > single_1st
+
+
+# -- classifier calibration -------------------------------------------------
+
+
+def test_calibration_partitions_corpus_and_bins_in_range(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators.classify import (
+        classifier_calibration,
+        classifier_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rows = classifier_calibration(docs).collect()
+    assert rows, "calibration table empty"
+    n_docs = docs.count()
+    assert sum(r["docs"] for r in rows) == n_docs
+    for r in rows:
+        if r["score_bin"] is not None:
+            assert 0 <= r["score_bin"] <= 10
+        assert 0 <= r["classifier_keep"] <= r["docs"]
+        assert 0 <= r["high_quality"] <= r["docs"]
+        assert abs(r["high_quality_rate"] - r["high_quality"] / r["docs"]) < 1e-12
+    # the gate decision and the binning agree: bins ≥ 5 are exactly the
+    # non-negative-mean docs (keep ⇔ score_sum >= 0 ⇔ shifted mean ≥ 500)
+    scored = classifier_scores(docs).collect()
+    kept = sum(1 for s in scored if s["keep"])
+    assert sum(r["classifier_keep"] for r in rows) == kept

@@ -486,3 +486,56 @@ def test_category_drift_empty_period_reports_undefined_not_error(spark):
     assert all(r["drift_band"] == "undefined" for r in out)
     assert all(r["tv_distance"] is None and r["base_share"] is None for r in out)
     assert {r["category"]: r["cur_n"] for r in out} == {"a": 1, "b": 1}
+
+
+# -- hot-key-split (skew) join ----------------------------------------------
+
+
+def _skew_inputs(spark):
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 2 == 0 else 2 + i % 5, float(i)) for i in range(200)]
+        + [(900, None, 1.5), (901, 99, 2.5)],  # null key + dim-less key
+        "fid bigint, k bigint, v double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "c"), (5, "d"), (6, "e"), (77, "unref")],
+        "dk bigint, label string",
+    )
+    return fact, dim
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_skew_split_join_equals_plain_join(spark, how):
+    fact, dim = _skew_inputs(spark)
+    plain = fact.join(dim, fact["k"] == dim["dk"], how)
+    split = scale.skew_split_join(fact, dim, "k", "dk", min_rows=10, top_n=5, how=how)
+    key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))
+    assert sorted(map(key, split.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_skew_split_join_hot_slice_is_broadcast(spark):
+    fact, dim = _skew_inputs(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        split = scale.skew_split_join(fact, dim, "k", "dk", min_rows=50, top_n=5)
+        plan = _plan(split)
+        # the hot slice (key 1, 100 rows ≥ min_rows=50) takes the broadcast
+        # path even with auto-broadcast off; the cold slice shuffles
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_split_join_no_hot_keys_degrades_to_plain(spark):
+    fact, dim = _skew_inputs(spark)
+    split = scale.skew_split_join(fact, dim, "k", "dk", min_rows=10_000)
+    plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    assert sorted(map(str, split.collect())) == sorted(map(str, plain.collect()))
+
+
+def test_skew_split_join_rejects_right_join(spark):
+    fact, dim = _skew_inputs(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        scale.skew_split_join(fact, dim, "k", "dk", how="right")
