@@ -249,6 +249,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_topk": lambda spark, sf: search_ops.hybrid_search_topk(
             _read(spark, sf, "documents"), _read(spark, sf, "embeddings")
         ),
+        "rag_context_stats": lambda spark, sf: search_ops.rag_context_stats(
+            _read(spark, sf, "documents"), _read(spark, sf, "embeddings")
+        ),
         # -- fuzzy record linkage / entity resolution (vocabulary-level
         #    blocking + Levenshtein verify + CC canonicalization) ------------
         "fuzzy_part_matches": lambda spark, sf: linkage_ops.fuzzy_name_pairs(

@@ -178,3 +178,134 @@ def hybrid_search_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized search index (the lake lifecycle the module docstring
+# promises — same snapshot pattern as the ANN index and dedup signatures)
+# ---------------------------------------------------------------------------
+
+
+def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> dict:
+    """Write the inverted index to gold tables: the (term, doc_id)
+    posting rows and a one-row corpus-size table.
+
+    Only the POSTINGS are stored — df/weights are derived on read
+    (:func:`read_search_index`), because document frequency is the one
+    statistic an append invalidates; storing it would bake in a stale
+    ranking. The posting table is the index: term-partitionable,
+    appendable, and orders of magnitude narrower than the corpus text
+    (two ids per distinct term-occurrence; the text itself never lands
+    in the index). ``n_docs`` is stored as data (not recomputed from
+    postings) so a term-pruned or partially-read posting table cannot
+    silently shift the IDF scale.
+    """
+    posts = posting_lists(docs)
+    n_row = docs.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return {
+        "postings": lake.write(posts, "gold", f"search_{snapshot}_postings"),
+        "meta": lake.write(n_row, "gold", f"search_{snapshot}_meta"),
+    }
+
+
+def search_index_append(new_docs: DataFrame, spark, lake, snapshot: str = "idx1") -> None:
+    """Fold a new document batch into the stored index: explode the
+    batch's postings (map-only over the batch — existing postings are
+    untouched) and append; bump the stored corpus size. Weights are
+    derived at read time, so the next query batch automatically ranks
+    with the post-append document frequencies — no rebuild."""
+    lake.write(posting_lists(new_docs), "gold", f"search_{snapshot}_postings", mode="append")
+    old_n = lake.read(spark, "gold", f"search_{snapshot}_meta").collect()[0][0]
+    add_n = new_docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    new_row = spark.createDataFrame([(old_n + add_n,)], "n_docs long")
+    lake.write(new_row, "gold", f"search_{snapshot}_meta")
+
+
+def read_search_index(spark, lake, snapshot: str = "idx1", max_df: int | None = None):
+    """(postings, weights) from the stored snapshot. Weights are the
+    same integer-IDF table :func:`term_weights` builds inline, computed
+    from the STORED corpus size."""
+    posts = lake.read(spark, "gold", f"search_{snapshot}_postings")
+    n_row = lake.read(spark, "gold", f"search_{snapshot}_meta")
+    df_tab = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wt = df_tab.crossJoin(F.broadcast(n_row)).select(
+        "term",
+        "df",
+        F.expr(f"(n_docs * {WEIGHT_SCALE}) div df").cast("long").alias("weight"),
+    )
+    if max_df is not None:
+        wt = wt.filter(F.col("df") <= max_df)
+    return posts, wt
+
+
+def search_index_topk(
+    query_docs: DataFrame,
+    spark,
+    lake,
+    snapshot: str = "idx1",
+    k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k retrieval from the materialized index — the same scoring
+    join as :func:`lexical_search_topk`, but the posting/weight tables
+    come from the lake instead of being rebuilt per query batch (the
+    100 TB shape: the corpus is read once per snapshot, every query
+    batch after that touches only the index tables).
+
+    ``query_docs`` rows are (doc_id, text); a query never retrieves
+    itself (its own postings may be in the index after an append).
+    Returns the :func:`lexical_search_topk` schema."""
+    posts, wt = read_search_index(spark, lake, snapshot, max_df)
+    q_terms = posting_lists(query_docs).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    matched = (
+        posts.join(F.broadcast(wt), "term")
+        .join(F.broadcast(q_terms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+            F.sum("weight").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def rag_context_stats(
+    docs: DataFrame, embeddings: DataFrame, k: int = 3, list_k: int = 20
+) -> DataFrame:
+    """Context-pack readout for a RAG pipeline: for each query, retrieve
+    the hybrid top-``k`` and report what would go into the prompt — how
+    many context documents, their total token budget
+    (:data:`..text.TOKEN_REGEX` tokens, the same counter the chunker and
+    packer use), the best fused score, and the top-ranked doc.
+
+    The only corpus-side touch beyond the retrievers is the token
+    projection joined to |Q|·k retrieved rows (broadcast-sized).
+    Returns (query_id, n_ctx, ctx_tokens, best_rrf, top_doc_id) ordered
+    by query_id."""
+    from dataengineeringpipeline_spark.operators.text import TOKEN_REGEX
+
+    top = hybrid_search_topk(docs, embeddings, k=k, list_k=list_k)
+    tok = docs.select(
+        "doc_id", F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("tokens")
+    )
+    return (
+        top.join(tok, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ctx"),
+            F.sum("tokens").cast("long").alias("ctx_tokens"),
+            F.max("rrf_score").cast("long").alias("best_rrf"),
+            F.min(F.struct("rank", "doc_id")).getField("doc_id").alias("top_doc_id"),
+        )
+        .orderBy("query_id")
+    )

@@ -3021,6 +3021,28 @@ SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, CAST(rank AS INTEGER) AS
 """.strip(),
     )
 
+    # -- RAG context pack over the hybrid top-3 -------------------------
+    rag_sql = _with(
+        {
+            **lex_ctes,
+            "ranked": (
+                "SELECT query_id, doc_id, rrf_score, rank FROM ("
+                " SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+                " ORDER BY rrf_score DESC, doc_id ASC) AS rank"
+                " FROM fused) WHERE rank <= 3"
+            ),
+            "tok": (
+                f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE}')) AS tokens "
+                "FROM documents"
+            ),
+        },
+        """
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ctx, CAST(SUM(t.tokens) AS BIGINT) AS ctx_tokens,
+  CAST(MAX(r.rrf_score) AS BIGINT) AS best_rrf, arg_min(r.doc_id, r.rank) AS top_doc_id
+FROM ranked r JOIN tok t USING (doc_id) GROUP BY query_id ORDER BY query_id
+""".strip(),
+    )
+
     # -- fuzzy record linkage over the part-name vocabulary -------------
     linkage_ctes = {
         "names": (
@@ -3143,6 +3165,7 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 
     return {
         "hybrid_search_topk": hybrid,
+        "rag_context_stats": rag_sql,
         "fuzzy_part_matches": fuzzy_matches_sql,
         "entity_resolution_report": er_report_sql,
         "classifier_calibration": calibration_sql,

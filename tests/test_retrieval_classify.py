@@ -290,3 +290,50 @@ def test_calibration_partitions_corpus_and_bins_in_range(spark, sf_dir):
     scored = classifier_scores(docs).collect()
     kept = sum(1 for s in scored if s["keep"])
     assert sum(r["classifier_keep"] for r in rows) == kept
+
+
+# -- materialized search index ----------------------------------------------
+
+
+def test_search_index_reproduces_inline_retrieval(spark, sf_dir, tmp_path):
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators.search import (
+        lexical_search_topk,
+        materialize_search_index,
+        search_index_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lake = Lake(str(tmp_path / "lake"))
+    # index = the candidate corpus (the inline op's convention)
+    materialize_search_index(docs.filter("doc_id % 100 != 0"), lake, snapshot="s1")
+    from_index = search_index_topk(
+        docs.filter("doc_id % 100 = 0"), spark, lake, snapshot="s1"
+    ).collect()
+    inline = lexical_search_topk(docs).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
+
+
+def test_search_index_append_reranks_with_merged_df(spark, sf_dir, tmp_path):
+    """Materialize half the candidates, append the other half: queries
+    must rank identically to the inline op over the full corpus (the
+    read-time weight derivation picks up post-append document
+    frequencies — nothing stale)."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators.search import (
+        lexical_search_topk,
+        materialize_search_index,
+        search_index_append,
+        search_index_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter("doc_id % 100 != 0")
+    lake = Lake(str(tmp_path / "lake"))
+    materialize_search_index(cand.filter("doc_id % 2 = 0"), lake, snapshot="s2")
+    search_index_append(cand.filter("doc_id % 2 = 1"), spark, lake, snapshot="s2")
+    from_index = search_index_topk(
+        docs.filter("doc_id % 100 = 0"), spark, lake, snapshot="s2"
+    ).collect()
+    inline = lexical_search_topk(docs).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
