@@ -123,6 +123,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window is still oracle-checked every round by
 #: tests/test_oracle_parity.py, which runs ALL entries.
 WINDOW_HEAD = [
+    # (a0) newest: this session's queries (never driver-checked)
+    "hybrid_search_topk",
+    "rag_context_stats",
+    "fuzzy_part_matches",
+    "entity_resolution_report",
+    "classifier_calibration",
+    "skew_join_segment_summary",
+    "suppressed_volume_alerts",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -212,6 +220,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": streaming.streaming_session_windows,
         "streaming_attribution_pairs": streaming.streaming_attribution_pairs,
         "streaming_volume_alerts": streaming.streaming_volume_alerts,
+        "suppressed_volume_alerts": lambda spark, sf: alerts.suppress_repeats(
+            streaming.streaming_volume_alerts(spark, sf)
+        ),
         # -- streaming continuous-ingest dedup (incremental signature state)
         "streaming_incremental_dedup": streaming.streaming_incremental_dedup,
         # -- streaming categorical-mix drift (streaming face of

@@ -2008,8 +2008,29 @@ FROM (
 )
 ORDER BY window_start_us
 """.strip()
+    # Twin of alerts.suppress_repeats over the volume feed: WARNING+
+    # rows only, 6h integer suppression buckets, worst-severity carry.
+    from dataengineeringpipeline_spark.alerts import SUPPRESS_WINDOW_US
+
+    sev_case = " ".join(f"WHEN {p} THEN '{s}'" for s, p in SEVERITY_PRIORITY.items())
+    suppressed_body = f"""
+SELECT window_bucket, first_ts_us, alerts_in_window, worst_priority,
+  CASE worst_priority {sev_case} END AS worst_severity
+FROM (
+  SELECT window_start_us // {SUPPRESS_WINDOW_US} AS window_bucket,
+    CAST(MIN(window_start_us) AS BIGINT) AS first_ts_us,
+    CAST(COUNT(*) AS BIGINT) AS alerts_in_window,
+    CAST(MAX(priority) AS INTEGER) AS worst_priority
+  FROM feed WHERE priority >= {SEVERITY_PRIORITY['WARNING']}
+  GROUP BY 1
+)
+ORDER BY window_bucket
+""".strip()
     return {
         "streaming_volume_alerts": _with({"ev": EVENTS_BASE}, volume_body),
+        "suppressed_volume_alerts": _with(
+            {"ev": EVENTS_BASE, "feed": volume_body}, suppressed_body
+        ),
         "streaming_heavy_hitters": _with({"ev": EVENTS_BASE}, heavy_hitters_body),
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),

@@ -261,10 +261,15 @@ class Pipeline:
                 raise ValueError(f"job {j.name!r} depends on unknown jobs {sorted(missing)}")
 
     def run(
-        self, inputs: dict[str, Any] | None = None, sleep: Callable[[float], None] = time.sleep
+        self,
+        inputs: dict[str, Any] | None = None,
+        sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
     ) -> dict[str, Any]:
         """Execute the DAG; returns an execution record:
-        ``{status, results, job_status, failed, recovery, iterations}``.
+        ``{status, results, job_status, failed, recovery, iterations,
+        durations}`` (``durations`` holds per-job wall seconds, retries
+        included — the input :func:`critical_path` consumes).
 
         ``status`` is ``succeeded`` / ``failed``, or ``partial`` when the
         only degradations are quarantined data-quality jobs (the
@@ -281,6 +286,8 @@ class Pipeline:
         #: dependents must tolerate the missing result key.
         satisfied = ("succeeded", "quarantined")
 
+        durations: dict[str, float] = {}
+
         for iteration in range(1, self.max_iterations + 1):
             ready = [
                 j
@@ -292,6 +299,7 @@ class Pipeline:
                 break
             for job in ready:
                 attempts = 0
+                job_t0 = clock()
                 while True:
                     try:
                         results[job.name] = execute_with_retry(
@@ -326,6 +334,7 @@ class Pipeline:
                             failed.pop(job.name, None)  # recovered: not a failure
                             recovery_log[job.name]["recovered"] = True
                         break
+                durations[job.name] = clock() - job_t0
                 if halted:
                     break
 
@@ -347,4 +356,59 @@ class Pipeline:
             "failed": failed,
             "recovery": recovery_log,
             "iterations": iteration if self.jobs else 0,
+            "durations": durations,
         }
+
+
+def critical_path(pipeline: Pipeline, record: dict[str, Any]) -> dict[str, Any]:
+    """Longest-duration dependency chain through an execution record —
+    the chain that bounds the pipeline's wall-clock however many
+    executors run the other branches in parallel (speeding up any job
+    NOT on this path cannot shorten the run).
+
+    Standard DAG longest-path DP in topological order (the validated
+    ``jobs`` list plus ``depends_on`` edges). Jobs with no recorded
+    duration (skipped / halted-before-start) count 0 so a partial run
+    still yields the critical prefix. Returns ``{path, total_s,
+    job_seconds}`` with ``path`` upstream-first.
+    """
+    pipeline._validate()
+    durations = record.get("durations", {})
+    jobs = {j.name: j for j in pipeline.jobs}
+    longest: dict[str, float] = {}
+    prev: dict[str, str | None] = {}
+
+    remaining = list(pipeline.jobs)
+    while remaining:  # topological sweep; _validate guarantees progress
+        progressed = False
+        still = []
+        for j in remaining:
+            if all(d in longest for d in j.depends_on):
+                best_dep = max(
+                    j.depends_on, key=lambda d: (longest[d], d), default=None
+                )
+                base = longest[best_dep] if best_dep is not None else 0.0
+                longest[j.name] = base + float(durations.get(j.name, 0.0))
+                prev[j.name] = best_dep
+                progressed = True
+            else:
+                still.append(j)
+        if not progressed:
+            cyc = sorted(j.name for j in still)
+            raise ValueError(f"dependency cycle among {cyc}")
+        remaining = still
+
+    if not longest:
+        return {"path": [], "total_s": 0.0, "job_seconds": {}}
+    end = max(longest, key=lambda n: (longest[n], n))
+    path: list[str] = []
+    cur: str | None = end
+    while cur is not None:
+        path.append(cur)
+        cur = prev[cur]
+    path.reverse()
+    return {
+        "path": path,
+        "total_s": longest[end],
+        "job_seconds": {n: float(durations.get(n, 0.0)) for n in path},
+    }

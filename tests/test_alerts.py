@@ -174,3 +174,42 @@ def test_drift_alerts_fire_only_on_shifted_mix(spark):
     )
     stable = quality.category_drift(df2, "cat", "ts", "2024-02-01")
     assert alerts.drift_alerts(stable).count() == 0
+
+
+# -- repeat-alert suppression -----------------------------------------------
+
+
+def test_suppress_repeats_closed_form(spark):
+    from dataengineeringpipeline_spark.alerts import SEVERITY_PRIORITY, suppress_repeats
+
+    h = 3_600_000_000
+    feed = spark.createDataFrame(
+        [
+            (0 * h, "INFO", 1),       # dropped: below WARNING
+            (1 * h, "WARNING", 2),    # bucket 0, first page
+            (2 * h, "ERROR", 3),      # bucket 0, folded (escalation visible)
+            (5 * h, "WARNING", 2),    # bucket 0, folded
+            (7 * h, "CRITICAL", 4),   # bucket 1, first page
+            (13 * h, "INFO", 1),      # dropped
+        ],
+        "window_start_us long, severity string, priority int",
+    )
+    rows = suppress_repeats(feed).collect()
+    assert [(r["window_bucket"], r["first_ts_us"], r["alerts_in_window"],
+             r["worst_priority"], r["worst_severity"]) for r in rows] == [
+        (0, 1 * h, 3, 3, "ERROR"),
+        (1, 7 * h, 1, 4, "CRITICAL"),
+    ]
+    assert SEVERITY_PRIORITY["WARNING"] == 2  # the default page threshold
+
+
+def test_suppress_repeats_keys_split_pages(spark):
+    from dataengineeringpipeline_spark.alerts import suppress_repeats
+
+    h = 3_600_000_000
+    feed = spark.createDataFrame(
+        [("a", 1 * h, "WARNING", 2), ("b", 2 * h, "WARNING", 2)],
+        "src string, window_start_us long, severity string, priority int",
+    )
+    rows = suppress_repeats(feed, key_cols=("src",)).collect()
+    assert {(r["src"], r["alerts_in_window"]) for r in rows} == {("a", 1), ("b", 1)}

@@ -358,3 +358,60 @@ def test_frame_sample_plan_covers_all_chunks(spark, sf_dir):
         F.col("n") != F.greatest(F.col("expect"), F.lit(1))
     ).count()
     assert mismatch == 0
+
+
+# -- durations + critical path ----------------------------------------------
+
+
+def test_run_records_job_durations_with_injected_clock():
+    from dataengineeringpipeline_spark.orchestrator import Pipeline
+
+    ticks = iter(range(100))  # each clock() call advances 1s
+    p = (
+        Pipeline()
+        .add("a", lambda r: 1)
+        .add("b", lambda r: 2, depends_on=("a",))
+    )
+    rec = p.run(clock=lambda: float(next(ticks)))
+    assert set(rec["durations"]) == {"a", "b"}
+    # one clock pair per job under the deterministic clock
+    assert rec["durations"]["a"] == 1.0
+    assert rec["durations"]["b"] == 1.0
+
+
+def test_critical_path_picks_longest_chain():
+    from dataengineeringpipeline_spark.orchestrator import Pipeline, critical_path
+
+    #      a(1) ─→ b(5) ─→ d(1)
+    #        └──→ c(2) ──┘       longest: a→b→d = 7
+    p = (
+        Pipeline()
+        .add("a", lambda r: None)
+        .add("b", lambda r: None, depends_on=("a",))
+        .add("c", lambda r: None, depends_on=("a",))
+        .add("d", lambda r: None, depends_on=("b", "c"))
+    )
+    rec = {"durations": {"a": 1.0, "b": 5.0, "c": 2.0, "d": 1.0}}
+    cp = critical_path(p, rec)
+    assert cp["path"] == ["a", "b", "d"]
+    assert cp["total_s"] == 7.0
+    assert cp["job_seconds"] == {"a": 1.0, "b": 5.0, "d": 1.0}
+
+
+def test_critical_path_tolerates_partial_runs_and_ties():
+    from dataengineeringpipeline_spark.orchestrator import Pipeline, critical_path
+
+    p = (
+        Pipeline()
+        .add("a", lambda r: None)
+        .add("b", lambda r: None, depends_on=("a",))
+        .add("c", lambda r: None, depends_on=("a",))
+    )
+    # b never ran (no duration); equal-length tie b/c broken by name (max)
+    cp = critical_path(p, {"durations": {"a": 2.0, "c": 0.0}})
+    assert cp["path"][0] == "a"
+    assert cp["total_s"] == 2.0
+    # empty pipeline
+    from dataengineeringpipeline_spark.orchestrator import Pipeline as P2
+
+    assert critical_path(P2(), {"durations": {}})["path"] == []
