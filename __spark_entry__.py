@@ -131,6 +131,7 @@ WINDOW_HEAD = [
     "classifier_calibration",
     "skew_join_segment_summary",
     "suppressed_volume_alerts",
+    "shard_balance_report",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -337,6 +338,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- end-to-end corpus construction (scrub→dedup→gates→chunk→pack) --
         "training_corpus_funnel": lambda spark, sf: corpus_ops.training_corpus_funnel(
+            _read(spark, sf, "documents")
+        ),
+        # -- training shards (deterministic global shuffle, balance gauge) --
+        "shard_balance_report": lambda spark, sf: corpus_ops.shard_balance_report(
             _read(spark, sf, "documents")
         ),
         # -- multimodal (binary payloads + Arrow-batched feature kernel) ----

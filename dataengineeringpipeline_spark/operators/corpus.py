@@ -37,6 +37,7 @@ from dataengineeringpipeline_spark.operators.text import (
     repetition_stats,
     scrub_pii,
     text_stats,
+    word_hash,
 )
 
 DEFAULT_MIN_QUALITY = 40
@@ -221,3 +222,90 @@ def read_corpus(spark, lake, snapshot: str = "snap1") -> dict[str, DataFrame]:
         "keep_ids": lake.read(spark, "gold", f"corpus_{snapshot}_keep_ids"),
         "chunks": lake.read(spark, "gold", f"corpus_{snapshot}_chunks"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Training shards: deterministic global shuffle → balanced output files
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def shard_assignments(docs: DataFrame, n_shards: int = N_SHARDS, seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last mile
+    of a training-data pipeline (the trainer streams shard files; the
+    order must be shuffled, reproducible, and balanced).
+
+    ``sort_key`` is the engine-portable md5 hash of ``seed:doc_id``
+    (:func:`..text.word_hash`): a pseudo-random total order that any
+    cluster (or engine) reproduces bit-exactly — no RNG, no
+    partitioning dependence, re-seedable per epoch. ``shard`` is its
+    ``pmod``; with a high-cardinality hash the shards are balanced to
+    sampling noise. One map-only projection; the only shuffle anywhere
+    in the path is the final ``repartition(shard)`` at write time.
+
+    Returns (doc_id, shard, sort_key)."""
+    h = word_hash(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("sort_key"),
+    )
+
+
+def materialize_training_shards(
+    docs: DataFrame,
+    lake,
+    snapshot: str = "shards1",
+    n_shards: int = N_SHARDS,
+    seed: int = 0,
+) -> str:
+    """Write the shuffled corpus as a shard-partitioned gold table:
+    one hash-ordered partition directory per shard, rows sorted by
+    ``sort_key`` inside each file so a trainer reading a shard
+    sequentially sees the shuffled order without any further sort."""
+    assigned = shard_assignments(docs, n_shards, seed)
+    out = (
+        docs.join(assigned, "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+    )
+    return lake.write(out, "gold", f"corpus_{snapshot}_shards", partition_by=("shard",))
+
+
+def shard_balance_report(
+    docs: DataFrame, n_shards: int = N_SHARDS, seed: int = 0
+) -> DataFrame:
+    """Per-shard balance readout: docs, token mass, and each shard's
+    per-mille share of the corpus (integer arithmetic). The gauge that
+    says whether any trainer rank starves. Returns (shard, docs,
+    tokens, docs_pm, tokens_pm) ordered by shard."""
+    from dataengineeringpipeline_spark.operators.text import TOKEN_REGEX
+
+    toks = docs.select(
+        "doc_id", F.regexp_count("text", F.lit(TOKEN_REGEX)).cast("long").alias("tokens")
+    )
+    per = (
+        shard_assignments(docs, n_shards, seed)
+        .join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("tokens").cast("long").alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("docs").cast("long").alias("t_docs"),
+        F.sum("tokens").cast("long").alias("t_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "docs",
+            "tokens",
+            F.expr("(docs * 1000) div t_docs").cast("long").alias("docs_pm"),
+            F.expr("(tokens * 1000) div t_tokens").cast("long").alias("tokens_pm"),
+        )
+        .orderBy("shard")
+    )

@@ -3195,3 +3195,38 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 
 
 ORACLES.update(_retrieval_linkage_oracles())
+
+
+def _shard_oracles() -> dict[str, str]:
+    """Twin of corpus.shard_balance_report (seed 0, 16 shards)."""
+    from dataengineeringpipeline_spark.operators.corpus import N_SHARDS
+
+    h = _wh("'0:' || CAST(doc_id AS VARCHAR)")
+    sql = _with(
+        {
+            "toks": (
+                f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS tokens "
+                "FROM documents"
+            ),
+            "asg": f"SELECT doc_id, CAST({h} % {N_SHARDS} AS INTEGER) AS shard FROM documents",
+            "per": (
+                "SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,"
+                " CAST(SUM(tokens) AS BIGINT) AS tokens "
+                "FROM asg JOIN toks USING (doc_id) GROUP BY shard"
+            ),
+            "tot": (
+                "SELECT CAST(SUM(docs) AS BIGINT) AS t_docs,"
+                " CAST(SUM(tokens) AS BIGINT) AS t_tokens FROM per"
+            ),
+        },
+        """
+SELECT shard, docs, tokens,
+  CAST((docs * 1000) // t_docs AS BIGINT) AS docs_pm,
+  CAST((tokens * 1000) // t_tokens AS BIGINT) AS tokens_pm
+FROM per, tot ORDER BY shard
+""".strip(),
+    )
+    return {"shard_balance_report": sql}
+
+
+ORACLES.update(_shard_oracles())

@@ -216,3 +216,54 @@ def test_quality_weighted_sample_keeps_extremes_correctly(spark):
     low = summ[(junk_score // 10) * 10]
     assert low["kept_docs"] == len(predicted - set(range(50)))
     assert low["expected_rate"] == junk_score / 100.0
+
+
+# -- training shards ---------------------------------------------------------
+
+
+def test_shard_assignments_deterministic_and_total(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a1 = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in corpus.shard_assignments(docs).collect()}
+    a2 = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in corpus.shard_assignments(docs).collect()}
+    assert a1 == a2  # reproducible, no RNG
+    assert len(a1) == docs.count()  # every doc assigned exactly once
+    assert all(0 <= s < corpus.N_SHARDS for s, _ in a1.values())
+    # a different seed is a different permutation
+    a3 = {r["doc_id"]: r["sort_key"] for r in corpus.shard_assignments(docs, seed=1).collect()}
+    assert any(a3[d] != a1[d][1] for d in a3)
+
+
+def test_materialized_shards_are_shuffled_and_complete(spark, sf_dir, tmp_path):
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lake = Lake(str(tmp_path / "lake"))
+    corpus.materialize_training_shards(docs, lake, snapshot="t1", n_shards=4)
+    back = lake.read(spark, "gold", "corpus_t1_shards")
+    assert back.count() == docs.count()
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) <= set(range(4))
+    # within a shard file, rows come back in sort_key order (trainer
+    # streams the shuffled order with no further sort)
+    import glob
+
+    files = glob.glob(str(tmp_path / "lake" / "gold" / "corpus_t1_shards" / "shard=0" / "*.parquet"))
+    assert files
+    one = spark.read.parquet(files[0]).select("sort_key").collect()
+    keys = [r["sort_key"] for r in one]
+    assert keys == sorted(keys)
+
+
+def test_shard_balance_within_tolerance(spark, sf_dir):
+    from dataengineeringpipeline_spark.operators import corpus
+
+    rows = corpus.shard_balance_report(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).collect()
+    total_pm = sum(r["docs_pm"] for r in rows)
+    assert 1000 - corpus.N_SHARDS <= total_pm <= 1000  # floor rounding only
+    # hash balance: no shard is more than ~3x the fair share at test scale
+    fair = 1000 // corpus.N_SHARDS
+    assert all(r["docs_pm"] <= 3 * fair + 10 for r in rows)
