@@ -132,6 +132,7 @@ WINDOW_HEAD = [
     "skew_join_segment_summary",
     "suppressed_volume_alerts",
     "shard_balance_report",
+    "bigram_fluency",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -274,6 +275,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- classifier calibration vs the heuristic quality gate -----------
         "classifier_calibration": lambda spark, sf: classify_ops.classifier_calibration(
+            _read(spark, sf, "documents")
+        ),
+        # -- count-based LM fluency (integer perplexity proxy) --------------
+        "bigram_fluency": lambda spark, sf: classify_ops.bigram_fluency(
             _read(spark, sf, "documents")
         ),
         # -- hot-key-split (skew) join; oracle is the PLAIN join ------------

@@ -187,3 +187,102 @@ def classifier_calibration(docs: DataFrame) -> DataFrame:
         )
         .orderBy("score_bin")
     )
+
+
+#: Per-mille scale for the bigram conditional-frequency score.
+FLUENCY_SCALE = 1000
+
+
+def bigram_counts(docs: DataFrame):
+    """(unigram counts, bigram counts) over the corpus — the statistics
+    tables of the count-based language model. Both are vocabulary-sized
+    (≪ corpus) and broadcastable; one explode-shuffle each to build,
+    exactly the inverted-index economics of the search module."""
+    ws = words_col()
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(ws) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 1),
+                        lambda i: F.struct(
+                            F.element_at(ws, i).alias("w"),
+                            F.element_at(ws, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+            ).alias("b")
+        )
+        .select("b.w", "b.w2")
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    return uni, bi
+
+
+def bigram_fluency(docs: DataFrame) -> DataFrame:
+    """Count-based LM fluency score per document — the perplexity-proxy
+    quality signal (gibberish and shuffled text have rare word
+    transitions; fluent text has common ones), kept in exact integers
+    so the gate is engine- and partitioning-exact where a log-prob
+    perplexity would tie the score to libm (the same divergence the
+    HLL/drift modules document).
+
+    Each in-document bigram (w, w') contributes the per-mille
+    conditional frequency ``C(w,w') * 1000 div C(w)`` — "of the times w
+    occurred corpus-wide, how often was it followed by w'". A document's
+    ``fluency_pm`` is the integer mean contribution. C(w) ≥ C(w,w') ≥ 1
+    for every observed bigram, so the per-bigram term is in [0, 1000]
+    and never divides by zero.
+
+    Plan shape: count tables are vocabulary-sized broadcasts; the
+    per-doc score is one explode → broadcast-join → doc_id re-agg (the
+    doc_id shuffle carries two longs per bigram, never text). Returns
+    (doc_id, source, n_bigrams, fluency_sum, fluency_pm) with NULL
+    scores for documents under 2 words, ordered by doc_id."""
+    from dataengineeringpipeline_spark.scale import spread
+
+    uni, bi = bigram_counts(docs)
+    ws = words_col()
+    pairs = spread(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "source", "b.w", "b.w2")
+    scored = (
+        pairs.join(F.broadcast(bi), ["w", "w2"])
+        .join(F.broadcast(uni), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr(f"(c2 * {FLUENCY_SCALE}) div c1")).cast("long").alias(
+                "fluency_sum"
+            ),
+        )
+        .withColumn(
+            "fluency_pm", F.expr("fluency_sum div n_bigrams").cast("long")
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored.drop("source"), "doc_id", "left")
+        .select("doc_id", "source", "n_bigrams", "fluency_sum", "fluency_pm")
+        .orderBy("doc_id")
+    )

@@ -3230,3 +3230,42 @@ FROM per, tot ORDER BY shard
 
 
 ORACLES.update(_shard_oracles())
+
+
+def _fluency_oracles() -> dict[str, str]:
+    """Twin of classify.bigram_fluency (integer per-mille conditional
+    bigram frequencies, NULL for <2-word docs)."""
+    from dataengineeringpipeline_spark.operators.classify import FLUENCY_SCALE
+
+    sql = _with(
+        {
+            "docw": f"SELECT doc_id, source, {_W} AS ws FROM documents",
+            "uni": (
+                "SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM ("
+                " SELECT unnest(ws) AS w FROM docw) GROUP BY w"
+            ),
+            "pairs": (
+                "SELECT doc_id, ws[i] AS w, ws[i + 1] AS w2 FROM ("
+                " SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docw)"
+            ),
+            "bi": (
+                "SELECT w, w2, CAST(COUNT(*) AS BIGINT) AS c2 "
+                "FROM pairs GROUP BY w, w2"
+            ),
+            "scored": (
+                "SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,\n"
+                f"  CAST(SUM((b.c2 * {FLUENCY_SCALE}) // u.c1) AS BIGINT) AS fluency_sum\n"
+                "FROM pairs p JOIN bi b USING (w, w2) JOIN uni u USING (w)\n"
+                "GROUP BY p.doc_id"
+            ),
+        },
+        """
+SELECT d.doc_id, d.source, s.n_bigrams, s.fluency_sum,
+  CAST(s.fluency_sum // s.n_bigrams AS BIGINT) AS fluency_pm
+FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
+""".strip(),
+    )
+    return {"bigram_fluency": sql}
+
+
+ORACLES.update(_fluency_oracles())

@@ -337,3 +337,47 @@ def test_search_index_append_reranks_with_merged_df(spark, sf_dir, tmp_path):
     ).collect()
     inline = lexical_search_topk(docs).collect()
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
+
+
+# -- bigram LM fluency ------------------------------------------------------
+
+
+def test_bigram_fluency_closed_form(spark):
+    from dataengineeringpipeline_spark.operators.classify import bigram_fluency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b a b"),   # bigrams: ab, ba, ab
+            (2, "s", "a c"),       # bigram: ac
+            (3, "s", "x"),         # too short: NULL scores
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_fluency(docs).collect()}
+    # corpus counts: C(a)=3, C(b)=2, C(c)=1, C(x)=1
+    # C(a,b)=2, C(b,a)=1, C(a,c)=1
+    # doc 1: ab: 2000//3=666, ba: 1000//2=500, ab: 666 → sum 1832, n 3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["fluency_sum"] == 666 + 500 + 666
+    assert rows[1]["fluency_pm"] == 1832 // 3
+    # doc 2: ac: 1000//3=333
+    assert (rows[2]["fluency_sum"], rows[2]["fluency_pm"]) == (333, 333)
+    # doc 3: no bigrams → NULLs
+    assert rows[3]["n_bigrams"] is None and rows[3]["fluency_pm"] is None
+
+
+def test_bigram_fluency_separates_common_from_rare_transitions(spark):
+    """The signal the gate exists for: a document built from the
+    corpus's common transition scores far above one built from the same
+    words in an unseen order."""
+    from dataengineeringpipeline_spark.operators.classify import bigram_fluency
+
+    background = [(i, "s", "the cat sat") for i in range(20)]
+    docs = spark.createDataFrame(
+        background + [(100, "s", "the cat"), (101, "s", "cat the")],
+        "doc_id bigint, source string, text string",
+    )
+    rows = {r["doc_id"]: r["fluency_pm"] for r in bigram_fluency(docs).collect()}
+    # C(the)=22, C(the,cat)=21 → doc 100 ≈ 954‰; C(cat)=22, C(cat,the)=1 → doc 101 ≈ 45‰
+    assert rows[100] > 900
+    assert rows[101] < 100
