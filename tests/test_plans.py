@@ -1,0 +1,60 @@
+"""Plan-shape regression guard: the shuffle/broadcast structure each
+operator family documents is pinned here via ``plans.plan_summary`` —
+a refactor that silently adds a corpus-wide exchange, drops a broadcast,
+or un-pushes a scan filter fails this file, not a 100 TB cluster run."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from dataengineeringpipeline_spark import plans
+
+#: name -> (max shuffles, min broadcast joins). Bounds are the measured
+#: shape plus zero slack on shuffles (the claim under guard) and a lower
+#: bound on broadcasts where the operator's scale story requires one.
+PLAN_BOUNDS = {
+    # map-only scan projections: zero exchanges of any kind
+    "text_stats": (0, 0),
+    "doc_fingerprints": (0, 0),
+    "silver_orders": (0, 0),
+    # single hash-agg / window families
+    "exact_dedup": (1, 0),
+    "daily_sales_summary": (3, 0),
+    "event_type_summary": (3, 0),
+    "classifier_quality_summary": (3, 0),
+    # dim joins must broadcast the small side, never sort-merge
+    "customer_analytics": (4, 1),
+    "skew_join_segment_summary": (3, 1),
+    # inverted-index / LSH fronts: bounded band/posting shuffles only
+    "minhash_lsh_pairs": (3, 1),
+    "lexical_search_topk": (6, 1),
+    "bigram_fluency": (5, 1),
+    "shard_balance_report": (4, 1),
+    "ann_ivf_topk": (4, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BOUNDS))
+def test_plan_shape_is_pinned(spark, sf_dir, name):
+    max_shuffles, min_bcast = PLAN_BOUNDS[name]
+    df = entrymod.queries()[name](spark, sf_dir)
+    s = plans.plan_summary(df)
+    assert s["shuffles"] <= max_shuffles, f"{name} grew a shuffle: {s}"
+    assert s["broadcast_joins"] >= min_bcast, f"{name} lost a broadcast: {s}"
+    assert s["sort_merge_joins"] == 0, f"{name} fell back to sort-merge: {s}"
+
+
+def test_silver_filter_reaches_scan(spark, sf_dir):
+    """The incremental-extract watermark predicate must appear in
+    PushedFilters (the 100 TB read-the-tail-not-the-table property)."""
+    df = entrymod.queries()["incremental_events"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("ts" in p for p in pushed), pushed
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """A 2-column projection must not read the whole documents schema."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two = docs.select("doc_id", "source")
+    assert set(plans.scan_columns(two)) == {"doc_id", "source"}
