@@ -309,3 +309,40 @@ def shard_balance_report(
         )
         .orderBy("shard")
     )
+
+
+def snapshot_diff(spark, lake, snapshot_a: str, snapshot_b: str) -> DataFrame:
+    """What changed between two materialized corpus snapshots — the
+    version-diff a data team reads before switching trainers to a new
+    snapshot (did the new gates drop 1% or 40%?).
+
+    One full-outer join of the two id tables (ids only — the chunk
+    payloads never load) and single-row integer counts:
+    (docs_a, docs_b, kept_both, added, removed, churn_pm) where churn is
+    the per-mille of snapshot B that is new. Engine-trivial at any
+    corpus size: the id tables are the funnel's smallest artifact."""
+    a = read_corpus(spark, lake, snapshot_a)["keep_ids"].select(
+        F.col("doc_id").alias("id_a")
+    )
+    b = read_corpus(spark, lake, snapshot_b)["keep_ids"].select(
+        F.col("doc_id").alias("id_b")
+    )
+    joined = a.join(b, a["id_a"] == b["id_b"], "full_outer")
+    return joined.agg(
+        F.count("id_a").cast("long").alias("docs_a"),
+        F.count("id_b").cast("long").alias("docs_b"),
+        F.sum(
+            F.when(F.col("id_a").isNotNull() & F.col("id_b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("kept_both"),
+        F.sum(
+            F.when(F.col("id_a").isNull() & F.col("id_b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("added"),
+        F.sum(
+            F.when(F.col("id_a").isNotNull() & F.col("id_b").isNull(), 1).otherwise(0)
+        ).cast("long").alias("removed"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN docs_b > 0 THEN (added * 1000) div docs_b ELSE 0 END"
+        ).cast("long").alias("churn_pm"),
+    )

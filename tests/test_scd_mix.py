@@ -267,3 +267,24 @@ def test_shard_balance_within_tolerance(spark, sf_dir):
     # hash balance: no shard is more than ~3x the fair share at test scale
     fair = 1000 // corpus.N_SHARDS
     assert all(r["docs_pm"] <= 3 * fair + 10 for r in rows)
+
+
+def test_snapshot_diff_counts_added_removed(spark, sf_dir, tmp_path):
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lake = Lake(str(tmp_path / "lake"))
+    corpus.materialize_corpus(docs, lake, snapshot="va")
+    # snapshot B sees a corpus missing some docs (simulates new gates /
+    # a different crawl): every surviving id with doc_id % 7 == 0 gone
+    corpus.materialize_corpus(docs.filter("doc_id % 7 != 0"), lake, snapshot="vb")
+    row = corpus.snapshot_diff(spark, lake, "va", "vb").collect()[0]
+    ids_a = {r["doc_id"] for r in corpus.read_corpus(spark, lake, "va")["keep_ids"].collect()}
+    ids_b = {r["doc_id"] for r in corpus.read_corpus(spark, lake, "vb")["keep_ids"].collect()}
+    assert row["docs_a"] == len(ids_a)
+    assert row["docs_b"] == len(ids_b)
+    assert row["kept_both"] == len(ids_a & ids_b)
+    assert row["added"] == len(ids_b - ids_a)
+    assert row["removed"] == len(ids_a - ids_b)
+    assert row["churn_pm"] == (row["added"] * 1000) // row["docs_b"]
