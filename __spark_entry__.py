@@ -133,6 +133,7 @@ WINDOW_HEAD = [
     "suppressed_volume_alerts",
     "shard_balance_report",
     "bigram_fluency",
+    "language_mix_by_source",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -239,6 +240,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             text_ops.text_stats(_read(spark, sf, "documents"))
         ),
         "language_id_eval": lambda spark, sf: text_ops.language_id_eval(
+            _read(spark, sf, "documents")
+        ),
+        "language_mix_by_source": lambda spark, sf: text_ops.language_mix_by_source(
             _read(spark, sf, "documents")
         ),
         "repetition_stats": lambda spark, sf: text_ops.repetition_stats(

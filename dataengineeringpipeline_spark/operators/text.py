@@ -467,3 +467,30 @@ def doc_length_distribution(
     out_cols.append((F.col("sum_chars") / F.col("docs")).alias("avg_chars"))
     out_cols.append((F.col("sum_words") / F.col("docs")).alias("avg_words"))
     return agg.select(*out_cols).orderBy("source")
+
+
+def language_mix_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source language composition from the heuristic identifier —
+    the multilingual-corpus observable a mix planner consumes (is this
+    crawl slice 90% English or 40%?).
+
+    One aggregation over (source, predicted_lang) plus a source-total
+    window for the integer per-mille share. Returns (source,
+    predicted_lang, docs, docs_pm) ordered by (source, predicted_lang).
+    """
+    from pyspark.sql import Window
+
+    pred = language_id(docs).select("doc_id", "predicted_lang")
+    per = (
+        docs.select("doc_id", "source")
+        .join(pred, "doc_id")
+        .groupBy("source", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    )
+    tot = Window.partitionBy("source")
+    return (
+        per.withColumn("src_total", F.sum("docs").over(tot).cast("long"))
+        .withColumn("docs_pm", F.expr("(docs * 1000) div src_total").cast("long"))
+        .drop("src_total")
+        .orderBy("source", "predicted_lang")
+    )

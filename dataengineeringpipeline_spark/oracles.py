@@ -3269,3 +3269,27 @@ FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
 
 
 ORACLES.update(_fluency_oracles())
+
+
+def _lang_mix_oracles() -> dict[str, str]:
+    """Twin of text.language_mix_by_source."""
+    sql = _with(
+        {
+            "scores": _lang_hits_sql(),
+            "pred": _LANG_PRED,
+            "per": (
+                "SELECT d.source, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS docs "
+                "FROM pred p JOIN documents d USING (doc_id) "
+                "GROUP BY d.source, p.predicted_lang"
+            ),
+        },
+        """
+SELECT source, predicted_lang, docs,
+  CAST((docs * 1000) // SUM(docs) OVER (PARTITION BY source) AS BIGINT) AS docs_pm
+FROM per ORDER BY source, predicted_lang
+""".strip(),
+    )
+    return {"language_mix_by_source": sql}
+
+
+ORACLES.update(_lang_mix_oracles())
