@@ -193,19 +193,19 @@ def classifier_calibration(docs: DataFrame) -> DataFrame:
 FLUENCY_SCALE = 1000
 
 
-def bigram_counts(docs: DataFrame):
-    """(unigram counts, bigram counts) over the corpus — the statistics
-    tables of the count-based language model. Both are vocabulary-sized
-    (≪ corpus) and broadcastable; one explode-shuffle each to build,
-    exactly the inverted-index economics of the search module."""
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w, w2) — one row per in-document bigram. The
+    single corpus-wide explode the whole fluency pipeline shares: the
+    bigram count table AND the per-doc scoring both derive from it, so
+    callers persist it and the text is tokenized exactly once."""
+    from dataengineeringpipeline_spark.scale import spread
+
     ws = words_col()
-    uni = (
-        docs.select(F.explode(ws).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    )
-    bi = (
-        docs.select(
+    return (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
             F.explode(
                 F.when(
                     F.size(ws) >= 2,
@@ -217,9 +217,24 @@ def bigram_counts(docs: DataFrame):
                         ),
                     ),
                 ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
-            ).alias("b")
+            ).alias("b"),
         )
-        .select("b.w", "b.w2")
+        .select("doc_id", "source", "b.w", "b.w2")
+    )
+
+
+def bigram_counts(docs: DataFrame):
+    """(unigram counts, bigram counts) over the corpus — the statistics
+    tables of the count-based language model. Both are vocabulary-sized
+    (≪ corpus) and broadcastable; one explode-shuffle each to build,
+    exactly the inverted-index economics of the search module."""
+    uni = (
+        docs.select(F.explode(words_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        _bigram_pairs(docs)
         .groupBy("w", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
     )
@@ -241,31 +256,23 @@ def bigram_fluency(docs: DataFrame) -> DataFrame:
     for every observed bigram, so the per-bigram term is in [0, 1000]
     and never divides by zero.
 
-    Plan shape: count tables are vocabulary-sized broadcasts; the
-    per-doc score is one explode → broadcast-join → doc_id re-agg (the
-    doc_id shuffle carries two longs per bigram, never text). Returns
-    (doc_id, source, n_bigrams, fluency_sum, fluency_pm) with NULL
-    scores for documents under 2 words, ordered by doc_id."""
-    from dataengineeringpipeline_spark.scale import spread
+    Plan shape: the exploded (doc_id, w, w') pair stream is persisted
+    and feeds BOTH the bigram count table and the scoring join, so the
+    corpus text is tokenized/exploded for bigrams exactly once (the
+    unigram table is its own cheaper pass); count tables are
+    vocabulary-sized broadcasts; the doc_id re-aggregation carries two
+    longs per bigram, never text. Returns (doc_id, source, n_bigrams,
+    fluency_sum, fluency_pm) with NULL scores for documents under 2
+    words, ordered by doc_id."""
+    from dataengineeringpipeline_spark.cache import tracked_persist
 
-    uni, bi = bigram_counts(docs)
-    ws = words_col()
-    pairs = spread(docs, "doc_id").select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.when(
-                F.size(ws) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w"),
-                        F.element_at(ws, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
-        ).alias("b"),
-    ).select("doc_id", "source", "b.w", "b.w2")
+    pairs = tracked_persist(_bigram_pairs(docs))
+    uni = (
+        docs.select(F.explode(words_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
     scored = (
         pairs.join(F.broadcast(bi), ["w", "w2"])
         .join(F.broadcast(uni), "w")
