@@ -134,6 +134,7 @@ WINDOW_HEAD = [
     "shard_balance_report",
     "bigram_fluency",
     "language_mix_by_source",
+    "value_drift_report",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -468,6 +469,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- categorical distribution drift monitor (quality.py) ------------
         "priority_drift_report": lambda spark, sf: quality.category_drift(
             _read(spark, sf, "orders"), "o_orderpriority", "o_orderdate", "1999-01-01"
+        ),
+        "value_drift_report": lambda spark, sf: quality.numeric_drift(
+            load_events(spark, sf), "value", "ts_us", 19_738 * 86_400_000_000
         ),
         # -- skew-safe two-stage aggregation (scale.py) ---------------------
         "salted_status_summary": lambda spark, sf: scale.salted_aggregate(

@@ -3293,3 +3293,28 @@ FROM per ORDER BY source, predicted_lang
 
 
 ORACLES.update(_lang_mix_oracles())
+
+
+def _numeric_drift_oracles() -> dict[str, str]:
+    """Twin of quality.numeric_drift over events.value split mid-month."""
+    from dataengineeringpipeline_spark.quality import DRIFT_PERCENTILES
+
+    split_us = 19_738 * 86_400_000_000  # 2024-01-16 00:00 UTC in µs
+    plist = "[" + ", ".join(str(p) for p in DRIFT_PERCENTILES) + "]"
+    q = "quantile_cont(CAST(round(value * 100) AS BIGINT), " + plist + ")"
+    sql = _with(
+        {
+            "ev": EVENTS_BASE,
+            "b": f"SELECT {q} AS qs FROM ev WHERE ts_us < {split_us}",
+            "c": f"SELECT {q} AS qs FROM ev WHERE ts_us >= {split_us}",
+        },
+        f"""
+SELECT p, base_q, cur_q, abs(cur_q - base_q) AS abs_gap FROM (
+  SELECT unnest({plist}) AS p, unnest(b.qs) AS base_q, unnest(c.qs) AS cur_q FROM b, c
+) ORDER BY p
+""".strip(),
+    )
+    return {"value_drift_report": sql}
+
+
+ORACLES.update(_numeric_drift_oracles())

@@ -429,3 +429,59 @@ def category_drift(
         )
         .orderBy("category")
     )
+
+
+DRIFT_PERCENTILES = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def numeric_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    split: str,
+    percentiles: tuple[float, ...] = DRIFT_PERCENTILES,
+    scale: int = 100,
+) -> DataFrame:
+    """Numeric-distribution drift: the quantile grid of ``value_col``
+    before vs after ``split``, one row per percentile with the absolute
+    gap — the numeric sibling of :func:`category_drift` (a KS-flavored
+    readout on exact quantiles instead of a binned PSI, whose per-bucket
+    ``ln`` would tie the score to libm).
+
+    Values are scaled to integers first (``scale=100`` = cents for
+    2-decimal money columns), the same recipe that makes
+    ``doc_length_distribution``'s grid bit-exact across engines: exact
+    ``percentile`` over ints interpolates identically everywhere.
+    Exact percentile buffers each side's values — at warehouse scale
+    swap in ``percentile_approx`` exactly as the length profile
+    documents. Two aggregations (one per side, map-side partials), one
+    tiny result join.
+
+    Returns (p, base_q, cur_q, abs_gap) ordered by p, quantities in the
+    scaled integer domain (doubles via interpolation)."""
+
+    def side(pred) -> DataFrame:
+        return df.filter(pred).agg(
+            F.expr(
+                f"percentile(CAST(round({value_col} * {scale}) AS BIGINT), "
+                f"array({', '.join(str(p) for p in percentiles)}))"
+            ).alias("qs")
+        )
+
+    base = side(F.col(ts_col) < split).select(
+        F.posexplode("qs").alias("i", "base_q")
+    )
+    cur = side(F.col(ts_col) >= split).select(
+        F.posexplode("qs").alias("i", "cur_q")
+    )
+    ps = F.array(*[F.lit(float(p)) for p in percentiles])
+    return (
+        base.join(cur, "i")
+        .select(
+            F.element_at(ps, F.col("i") + 1).alias("p"),
+            "base_q",
+            "cur_q",
+            F.abs(F.col("cur_q") - F.col("base_q")).alias("abs_gap"),
+        )
+        .orderBy("p")
+    )

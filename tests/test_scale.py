@@ -539,3 +539,28 @@ def test_skew_split_join_rejects_right_join(spark):
     fact, dim = _skew_inputs(spark)
     with pytest.raises(ValueError, match="inner/left"):
         scale.skew_split_join(fact, dim, "k", "dk", how="right")
+
+
+def test_numeric_drift_detects_planted_shift(spark):
+    from dataengineeringpipeline_spark import quality
+
+    rows = [(i, 0, float(i % 100)) for i in range(1000)] + [
+        (i, 1, float(i % 100) + 50.0) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, period int, v double")
+    out = quality.numeric_drift(df, "v", "period", 1).collect()
+    assert [r["p"] for r in out] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    for r in out:
+        # identical shape shifted +50 → every quantile gap is 5000 in
+        # the cents domain (up to interpolation ulps)
+        assert abs(r["abs_gap"] - 5000.0) < 1e-6
+        assert abs((r["cur_q"] - r["base_q"]) - 5000.0) < 1e-6
+
+
+def test_numeric_drift_zero_on_identical_mix(spark):
+    from dataengineeringpipeline_spark import quality
+
+    rows = [(i, p, float(i % 37)) for i in range(500) for p in (0, 1)]
+    df = spark.createDataFrame(rows, "id long, period int, v double")
+    out = quality.numeric_drift(df, "v", "period", 1).collect()
+    assert all(r["abs_gap"] == 0.0 for r in out)
