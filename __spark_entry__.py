@@ -135,6 +135,7 @@ WINDOW_HEAD = [
     "bigram_fluency",
     "language_mix_by_source",
     "value_drift_report",
+    "streaming_search_topk",
     # (a) new this round (round 4 of the driver's numbering)
     "knn_label_eval",
     "classifier_quality_summary",
@@ -229,6 +230,7 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- streaming continuous-ingest dedup (incremental signature state)
         "streaming_incremental_dedup": streaming.streaming_incremental_dedup,
+        "streaming_search_topk": streaming.streaming_search_topk,
         # -- streaming categorical-mix drift (streaming face of
         #    quality.category_drift) -------------------------------------
         "streaming_mix_drift": streaming.streaming_mix_drift,

@@ -3318,3 +3318,8 @@ SELECT p, base_q, cur_q, abs(cur_q - base_q) AS abs_gap FROM (
 
 
 ORACLES.update(_numeric_drift_oracles())
+
+
+# streaming_search_topk merges streamed posting/count state that is, by
+# construction, identical to the batch index — same oracle as the inline op.
+ORACLES["streaming_search_topk"] = ORACLES["lexical_search_topk"]

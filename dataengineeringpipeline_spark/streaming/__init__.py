@@ -1151,3 +1151,131 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(path, (t0 + 60 * b, t0 + 60 * b))
     stream_incremental_dedup(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
     return read_stream_dedup_decisions(spark, f"{tmp}/state").orderBy("doc_id")
+
+
+# -- streaming search-index maintenance ---------------------------------------
+
+
+def stream_search_index(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Exactly-once streaming maintenance of the inverted search index:
+    each micro-batch of arriving documents writes its posting rows and
+    its document count to ``batch_id=<n>`` partitions (the
+    ``stream_cms_sketch`` layout — a crash-replayed batch overwrites
+    itself, so postings can never double and the corpus size never
+    double-counts). Weights are NOT stored — exactly as the batch
+    lifecycle (``search.materialize_search_index``) decides, the reader
+    derives IDF from the merged postings + summed counts, so every
+    query batch ranks with the index as of the latest drained batch.
+    """
+    from ..operators.search import posting_lists
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        posting_lists(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/postings/batch_id={batch_id}"
+        )
+        batch_df.select(
+            F.countDistinct("doc_id").cast("long").alias("n_docs")
+        ).write.mode("overwrite").parquet(f"{state_dir}/meta/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_search_index over {source_dir!r} did not finish within {timeout_s}s"
+        )
+
+
+def read_stream_search_index(spark: SparkSession, state_dir: str):
+    """(postings, weights) from the streamed state — the same read-time
+    IDF derivation as ``search.read_search_index``, with the corpus
+    size summed over the per-batch counts (sum is replay-safe because
+    each batch's count lives in its own overwritten partition)."""
+    from ..operators.search import WEIGHT_SCALE
+
+    posts = spark.read.parquet(f"{state_dir}/postings").drop("batch_id")
+    n_row = (
+        spark.read.parquet(f"{state_dir}/meta")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    df_tab = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wt = df_tab.crossJoin(F.broadcast(n_row)).select(
+        "term",
+        "df",
+        F.expr(f"(n_docs * {WEIGHT_SCALE}) div df").cast("long").alias("weight"),
+    )
+    return posts, wt
+
+
+def streaming_search_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Driver-contract query: stream the candidate corpus
+    (``doc_id % 100 != 0``) into the index state in three deterministic
+    arrival batches, then run the held-out queries against the drained
+    index. Because the index is pure merged state (postings + counts),
+    the result is EXACTLY the batch ``lexical_search_topk`` — the
+    oracle is the same SQL.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="stream_search_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    pdf = (
+        docs.filter(F.col("doc_id") % 100 != 0)
+        .withColumn("_b", F.expr("doc_id % 3"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    t0 = _time.time()
+    for b in range(3):
+        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
+        path = os.path.join(src, f"batch{b}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
+    stream_search_index(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
+
+    from ..operators.search import posting_lists
+
+    posts, wt = read_stream_search_index(spark, f"{tmp}/state")
+    q_terms = posting_lists(docs.filter(F.col("doc_id") % 100 == 0)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    matched = (
+        posts.join(F.broadcast(wt), "term")
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+            F.sum("weight").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

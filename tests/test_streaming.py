@@ -783,3 +783,45 @@ def test_stream_incremental_dedup_matches_cross_batch(spark, sf_dir, tmp_path):
     assert cross, "expected at least one cross-batch duplicate in the fixture corpus"
     for r in cross:
         assert (r["dup_of"] // 5) % 3 < (r["doc_id"] // 5) % 3
+
+
+# -- streaming search-index maintenance ---------------------------------------
+
+
+def test_streamed_search_index_equals_batch_index(spark, sf_dir, tmp_path):
+    """The drained streamed state must reproduce the batch retrieval
+    bit-for-bit (postings merge, counts sum, IDF derives at read)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.operators.search import lexical_search_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pdf = docs.filter(F.col("doc_id") % 100 != 0).orderBy("doc_id").toPandas()
+    half = len(pdf) // 2
+    t0 = _time.time()
+    for b, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        path = os.path.join(src, f"b{b}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
+    streaming.stream_search_index(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    posts, wt = streaming.read_stream_search_index(spark, str(tmp_path / "state"))
+    # corpus size == candidate count; df table matches a direct count
+    n = posts.sparkSession.read.parquet(str(tmp_path / "state") + "/meta").agg(
+        F.sum("n_docs")
+    ).collect()[0][0]
+    assert n == len(pdf)
+    got = streaming.streaming_search_topk(spark, sf_dir)
+    # (streaming_search_topk re-streams internally; compare to batch op)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, lexical_search_topk(docs).collect())
+    )
