@@ -35,7 +35,7 @@ record table —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataengineeringpipeline_spark.operators.dedup import connected_components
@@ -158,3 +158,75 @@ def entity_resolution_report(
         .select("entity_id", "n_names", "n_records", "canonical_name", "max_distance")
         .orderBy(F.desc("n_records"), "entity_id")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_name: str,
+    right_key: str,
+    right_name: str,
+    max_dist: int = 2,
+    max_block: int = MAX_BLOCK,
+    best_only: bool = True,
+) -> DataFrame:
+    """Two-table fuzzy equi-join on a name attribute — match an arriving
+    batch of records against a canonical catalog when exact keys don't
+    line up (the A-vs-B face of the self-linkage above; same blocking
+    economics: both sides collapse to their name vocabularies, tokens
+    block, Levenshtein verifies, and the original record tables only
+    ever join their own vocabulary by exact equality).
+
+    ``best_only=True`` keeps each left name's best match (lowest
+    distance, ties to the lowest right key); ``False`` returns every
+    pair within ``max_dist``. Returns (left_key, right_key, left_name,
+    right_name, distance) ordered by (left_key, right_key)."""
+    lv = name_vocabulary(left, left_key, left_name).select(
+        F.col("name_id").alias("l_id"), F.col("rec_name").alias("l_name")
+    )
+    rv = name_vocabulary(right, right_key, right_name).select(
+        F.col("name_id").alias("r_id"), F.col("rec_name").alias("r_name")
+    )
+
+    def toks(v: DataFrame, name: str) -> DataFrame:
+        t = v.select(
+            "*", F.explode(F.array_distinct(F.split(name, " +"))).alias("block")
+        ).filter(F.col("block") != "")
+        sizes = t.groupBy("block").agg(F.count(F.lit(1)).alias("n"))
+        return t.join(
+            F.broadcast(sizes.filter(F.col("n") <= max_block).select("block")), "block"
+        )
+
+    cand = (
+        toks(lv, "l_name")
+        .join(toks(rv, "r_name"), "block")
+        .select("l_id", "l_name", "r_id", "r_name")
+        .distinct()
+        .withColumn("distance", F.levenshtein("l_name", "r_name"))
+        .filter(F.col("distance") <= max_dist)
+    )
+    if best_only:
+        w = Window.partitionBy("l_id").orderBy(F.asc("distance"), F.asc("r_id"))
+        cand = cand.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+    out = (
+        left.select(F.col(left_key).alias("left_key"), F.col(left_name).alias("l_name"))
+        .join(F.broadcast(cand), "l_name")
+        .join(
+            right.select(
+                F.col(right_key).alias("right_key"), F.col(right_name).alias("r_name")
+            ),
+            "r_name",
+        )
+        .select(
+            "left_key",
+            "right_key",
+            F.col("l_name").alias("left_name"),
+            F.col("r_name").alias("right_name"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+        .orderBy("left_key", "right_key")
+    )
+    return out

@@ -1108,3 +1108,36 @@ def test_fuzzy_name_pairs_block_cap_drops_hot_blocks(spark):
         _linkage_records(spark), "rid", "rname", max_block=1
     ).collect()
     assert rows == []  # every block has ≥2 names or never matches
+
+
+def test_fuzzy_join_matches_batch_to_catalog(spark):
+    from dataengineeringpipeline_spark.operators.linkage import fuzzy_join
+
+    catalog = spark.createDataFrame(
+        [(10, "acme corp"), (11, "zeta llc"), (12, "omega inc")],
+        "cid bigint, cname string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "acme co"), (2, "zeta lcc"), (3, "unrelated name"), (4, "omega inc")],
+        "bid bigint, bname string",
+    )
+    rows = fuzzy_join(batch, catalog, "bid", "bname", "cid", "cname").collect()
+    got = {(r["left_key"], r["right_key"]): r["distance"] for r in rows}
+    # exact match distance 0; typo variants matched; unrelated dropped
+    assert got == {(1, 10): 2, (2, 11): 1, (4, 12): 0}
+
+
+def test_fuzzy_join_best_only_picks_closest(spark):
+    from dataengineeringpipeline_spark.operators.linkage import fuzzy_join
+
+    catalog = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme co")], "cid bigint, cname string"
+    )
+    batch = spark.createDataFrame([(1, "acme cor")], "bid bigint, bname string")
+    best = fuzzy_join(batch, catalog, "bid", "bname", "cid", "cname").collect()
+    # "acme cor" is 1 from "acme corp", 1 from "acme co" → tie to lowest id
+    assert [(r["right_key"], r["distance"]) for r in best] == [(10, 1)]
+    all_rows = fuzzy_join(
+        batch, catalog, "bid", "bname", "cid", "cname", best_only=False
+    ).collect()
+    assert len(all_rows) == 2
