@@ -650,7 +650,9 @@ def hot_keys(fact: DataFrame, key: str, min_rows: int, top_n: int = 50) -> list:
         .limit(top_n)
         .collect()
     )
-    return [r[0] for r in rows]
+    # a null key never matches an equi-join anyway; keep it on the cold
+    # path rather than wasting an IN-list slot (isin(None) is never true)
+    return [r[0] for r in rows if r[0] is not None]
 
 
 def skew_split_join(
