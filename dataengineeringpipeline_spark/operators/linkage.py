@@ -105,11 +105,17 @@ def entity_assignments(
     name: str,
     max_dist: int = 2,
     max_block: int = MAX_BLOCK,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(rec_name, name_id, entity_id) for every name that belongs to a
     multi-name entity (singleton names are their own entity and are
-    omitted, mirroring ``dedup.minhash_dup_clusters``)."""
-    pairs = fuzzy_name_pairs(records, key, name, max_dist, max_block)
+    omitted, mirroring ``dedup.minhash_dup_clusters``).
+
+    ``pairs`` lets a caller that already materialized the
+    :func:`fuzzy_name_pairs` output (the expensive blocking+verify
+    phase) reuse it instead of re-running the self-join."""
+    if pairs is None:
+        pairs = fuzzy_name_pairs(records, key, name, max_dist, max_block)
     comp = connected_components(pairs, src="a_id", dst="b_id").select(
         F.col("doc_id").alias("name_id"), F.col("cluster_id").alias("entity_id")
     )
@@ -129,9 +135,19 @@ def entity_resolution_report(
 
     The record count is the only corpus-side touch — an exact-equality
     join of the record table against the broadcastable name→entity map.
+    The blocking+Levenshtein phase (the expensive part) runs ONCE: the
+    verified pair set is persisted and feeds both the connected
+    components and the per-cluster max-distance roll-up.
     Returns (entity_id, n_names, n_records, canonical_name,
     max_distance) ordered by (n_records desc, entity_id)."""
-    assigned = entity_assignments(records, key, name, max_dist, max_block)
+    from dataengineeringpipeline_spark.cache import tracked_persist
+
+    pairs = tracked_persist(
+        fuzzy_name_pairs(records, key, name, max_dist, max_block)
+    )
+    assigned = entity_assignments(
+        records, key, name, max_dist, max_block, pairs=pairs
+    )
     rec_counts = (
         records.select(F.col(name).alias("rec_name"))
         .join(F.broadcast(assigned.select("rec_name", "entity_id")), "rec_name")
@@ -145,7 +161,7 @@ def entity_resolution_report(
         ),
     )
     pair_dist = (
-        fuzzy_name_pairs(records, key, name, max_dist, max_block)
+        pairs
         .join(
             assigned.select(F.col("name_id").alias("a_id"), "entity_id"), "a_id"
         )
@@ -178,10 +194,15 @@ def fuzzy_join(
     block, Levenshtein verifies, and the original record tables only
     ever join their own vocabulary by exact equality).
 
-    ``best_only=True`` keeps each left name's best match (lowest
-    distance, ties to the lowest right key); ``False`` returns every
-    pair within ``max_dist``. Returns (left_key, right_key, left_name,
-    right_name, distance) ordered by (left_key, right_key)."""
+    ``best_only=True`` keeps, for each left RECORD, exactly one row:
+    the lowest-distance match, ties broken by the lowest actual
+    ``right_key`` (enforced after the record join, so a catalog with
+    duplicate rows under the matched name cannot fan a left record out
+    to multiple rows, and the tiebreak key is the real right key — not
+    a vocabulary surrogate). ``False`` returns every (left record ×
+    right record) pair whose names are within ``max_dist``. Returns
+    (left_key, right_key, left_name, right_name, distance) ordered by
+    (left_key, right_key)."""
     lv = name_vocabulary(left, left_key, left_name).select(
         F.col("name_id").alias("l_id"), F.col("rec_name").alias("l_name")
     )
@@ -207,10 +228,14 @@ def fuzzy_join(
         .filter(F.col("distance") <= max_dist)
     )
     if best_only:
-        w = Window.partitionBy("l_id").orderBy(F.asc("distance"), F.asc("r_id"))
-        cand = cand.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        ).drop("rn")
+        # vocabulary-level prune: only min-distance name pairs per left
+        # name can win the record-level tiebreak, so drop the rest
+        # before fanning out to records (keeps distance ties — the
+        # record-level row_number below resolves them by real right_key)
+        wv = Window.partitionBy("l_id")
+        cand = cand.withColumn("_min_d", F.min("distance").over(wv)).filter(
+            F.col("distance") == F.col("_min_d")
+        ).drop("_min_d")
     out = (
         left.select(F.col(left_key).alias("left_key"), F.col(left_name).alias("l_name"))
         .join(F.broadcast(cand), "l_name")
@@ -227,6 +252,12 @@ def fuzzy_join(
             F.col("r_name").alias("right_name"),
             F.col("distance").cast("int").alias("distance"),
         )
-        .orderBy("left_key", "right_key")
     )
-    return out
+    if best_only:
+        wr = Window.partitionBy("left_key").orderBy(
+            F.asc("distance"), F.asc("right_key")
+        )
+        out = out.withColumn("rn", F.row_number().over(wr)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+    return out.orderBy("left_key", "right_key")

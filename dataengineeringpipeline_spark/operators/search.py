@@ -188,7 +188,7 @@ def hybrid_search_topk(
 
 def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> dict:
     """Write the inverted index to gold tables: the (term, doc_id)
-    posting rows and a one-row corpus-size table.
+    posting rows and a per-batch corpus-size table.
 
     Only the POSTINGS are stored — df/weights are derived on read
     (:func:`read_search_index`), because document frequency is the one
@@ -196,14 +196,19 @@ def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> d
     ranking. The posting table is the index: term-partitionable,
     appendable, and orders of magnitude narrower than the corpus text
     (two ids per distinct term-occurrence; the text itself never lands
-    in the index). ``n_docs`` is stored as data (not recomputed from
-    postings) so a term-pruned or partially-read posting table cannot
-    silently shift the IDF scale.
+    in the index).
+
+    ``n_docs`` is stored as data so a term-pruned or partially-read
+    posting table cannot silently shift the IDF scale — and it is
+    counted over the POSTING rows (docs that produced ≥1 term), the
+    same ``N`` convention :func:`term_weights` uses inline, so a
+    token-less document can never skew the stored corpus size away
+    from the inline ranking. The meta table holds one row per write
+    batch and the reader SUMs them (the same layout the streaming
+    writer uses) — appends are pure appends, never read-modify-write.
     """
     posts = posting_lists(docs)
-    n_row = docs.select(
-        F.countDistinct("doc_id").cast("long").alias("n_docs")
-    )
+    n_row = posts.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     return {
         "postings": lake.write(posts, "gold", f"search_{snapshot}_postings"),
         "meta": lake.write(n_row, "gold", f"search_{snapshot}_meta"),
@@ -213,22 +218,27 @@ def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> d
 def search_index_append(new_docs: DataFrame, spark, lake, snapshot: str = "idx1") -> None:
     """Fold a new document batch into the stored index: explode the
     batch's postings (map-only over the batch — existing postings are
-    untouched) and append; bump the stored corpus size. Weights are
-    derived at read time, so the next query batch automatically ranks
-    with the post-append document frequencies — no rebuild."""
-    lake.write(posting_lists(new_docs), "gold", f"search_{snapshot}_postings", mode="append")
-    old_n = lake.read(spark, "gold", f"search_{snapshot}_meta").collect()[0][0]
-    add_n = new_docs.select(F.countDistinct("doc_id")).collect()[0][0]
-    new_row = spark.createDataFrame([(old_n + add_n,)], "n_docs long")
-    lake.write(new_row, "gold", f"search_{snapshot}_meta")
+    untouched) and append; append the batch's own corpus-size row.
+    Weights are derived at read time, so the next query batch
+    automatically ranks with the post-append document frequencies — no
+    rebuild. Both writes are appends: there is no read-modify-overwrite
+    of shared state, so a concurrent append cannot lose the other's
+    count (batches are assumed disjoint in ``doc_id``, the same
+    contract the streaming writer's batch partitions rely on)."""
+    posts = posting_lists(new_docs)
+    lake.write(posts, "gold", f"search_{snapshot}_postings", mode="append")
+    add_row = posts.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    lake.write(add_row, "gold", f"search_{snapshot}_meta", mode="append")
 
 
 def read_search_index(spark, lake, snapshot: str = "idx1", max_df: int | None = None):
     """(postings, weights) from the stored snapshot. Weights are the
     same integer-IDF table :func:`term_weights` builds inline, computed
-    from the STORED corpus size."""
+    from the STORED corpus size (summed over the per-batch count rows)."""
     posts = lake.read(spark, "gold", f"search_{snapshot}_postings")
-    n_row = lake.read(spark, "gold", f"search_{snapshot}_meta")
+    n_row = lake.read(spark, "gold", f"search_{snapshot}_meta").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
     df_tab = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     wt = df_tab.crossJoin(F.broadcast(n_row)).select(
         "term",

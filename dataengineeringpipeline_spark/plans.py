@@ -21,15 +21,21 @@ from contextlib import redirect_stdout
 from pyspark.sql import DataFrame
 
 
-def formatted_plan(df: DataFrame) -> str:
-    """The ``explain("formatted")`` text of a DataFrame."""
+def formatted_plan(df: DataFrame | str) -> str:
+    """The ``explain("formatted")`` text of a DataFrame — or ``df``
+    itself when it is already a plan string, so every helper below can
+    run string-level against ONE compiled plan (``plan_summary`` and the
+    parametrized plan-pin tests call several helpers on the same frame;
+    recompiling the physical plan per helper is the slow path)."""
+    if isinstance(df, str):
+        return df
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
 
 
-def exchange_count(df: DataFrame) -> int:
+def exchange_count(df: DataFrame | str) -> int:
     """Number of Exchange (shuffle or broadcast-build) operators in the
     physical plan. Broadcast exchanges move dimension-sized data; use
     :func:`shuffle_count` for the corpus-moving subset."""
@@ -39,14 +45,14 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)\b", plan, re.M))
 
 
-def shuffle_count(df: DataFrame) -> int:
+def shuffle_count(df: DataFrame | str) -> int:
     """Number of plain (non-broadcast) Exchange operators — the ones
     that move row-count-proportional data across the cluster. This is
     the figure the '100 TB would this hold' question asks about."""
     return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.M))
 
 
-def broadcast_join_count(df: DataFrame) -> int:
+def broadcast_join_count(df: DataFrame | str) -> int:
     """Number of broadcast hash/nested-loop joins in the plan."""
     plan = formatted_plan(df)
     return len(
@@ -54,11 +60,11 @@ def broadcast_join_count(df: DataFrame) -> int:
     )
 
 
-def has_sort_merge_join(df: DataFrame) -> bool:
+def has_sort_merge_join(df: DataFrame | str) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
+def pushed_filters(df: DataFrame | str) -> list[str]:
     """The PushedFilters lists of every scan in the plan (flattened) —
     empty means no predicate reached any source."""
     out: list[str] = []
@@ -69,7 +75,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
-def scan_columns(df: DataFrame) -> list[str]:
+def scan_columns(df: DataFrame | str) -> list[str]:
     """Columns each scan actually reads (ReadSchema union) — the column-
     pruning check: a 2-column projection whose scan reads 20 columns is
     a plan bug."""
@@ -84,7 +90,9 @@ def scan_columns(df: DataFrame) -> list[str]:
 
 def plan_summary(df: DataFrame) -> dict:
     """One-call audit: shuffle / broadcast / pushdown / read-schema
-    figures for a plan, suitable for printing or asserting."""
+    figures for a plan, suitable for printing or asserting. The
+    formatted plan is compiled ONCE and every string-level helper reads
+    it — one extra compilation only for the simple-mode codegen spans."""
     plan = formatted_plan(df)
     # codegen span ids only print in simple mode (operators prefixed
     # "*(id)"); count distinct ids = fused pipeline count
@@ -93,10 +101,10 @@ def plan_summary(df: DataFrame) -> dict:
         df.explain()
     span_ids = set(re.findall(r"\*\((\d+)\)", buf.getvalue()))
     return {
-        "shuffles": shuffle_count(df),
-        "broadcast_joins": broadcast_join_count(df),
+        "shuffles": shuffle_count(plan),
+        "broadcast_joins": broadcast_join_count(plan),
         "sort_merge_joins": len(re.findall(r"^\(\d+\) SortMergeJoin\b", plan, re.M)),
-        "pushed_filters": pushed_filters(df),
-        "scan_columns": sorted(set(scan_columns(df))),
+        "pushed_filters": pushed_filters(plan),
+        "scan_columns": sorted(set(scan_columns(plan))),
         "wholestage_codegen_spans": len(span_ids),
     }

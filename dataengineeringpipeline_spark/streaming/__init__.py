@@ -1177,10 +1177,14 @@ def stream_search_index(
     from ..operators.search import posting_lists
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        posting_lists(batch_df).write.mode("overwrite").parquet(
+        posts = posting_lists(batch_df)
+        posts.write.mode("overwrite").parquet(
             f"{state_dir}/postings/batch_id={batch_id}"
         )
-        batch_df.select(
+        # count over POSTING rows (docs that produced ≥1 term) — the same
+        # N convention search.term_weights uses inline, so a token-less
+        # doc can never skew the streamed IDF scale off the batch ranking
+        posts.agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs")
         ).write.mode("overwrite").parquet(f"{state_dir}/meta/batch_id={batch_id}")
 

@@ -1141,3 +1141,26 @@ def test_fuzzy_join_best_only_picks_closest(spark):
         batch, catalog, "bid", "bname", "cid", "cname", best_only=False
     ).collect()
     assert len(all_rows) == 2
+
+
+def test_fuzzy_join_best_only_one_row_per_left_record(spark):
+    """best_only must yield exactly ONE row per left record even when
+    the catalog has duplicate rows under the matched name, and the tie
+    must go to the lowest ACTUAL right key (regression: the old
+    vocabulary-level filter fanned out across duplicate catalog rows
+    and tie-broke on the name's min-key surrogate)."""
+    from dataengineeringpipeline_spark.operators.linkage import fuzzy_join
+
+    catalog = spark.createDataFrame(
+        # duplicate catalog listings of the same name, plus an
+        # equal-distance competitor whose min name_id is lower
+        [(20, "acme corp"), (25, "acme corp"), (21, "acme cord")],
+        "cid bigint, cname string",
+    )
+    batch = spark.createDataFrame([(1, "acme cor")], "bid bigint, bname string")
+    rows = fuzzy_join(batch, catalog, "bid", "bname", "cid", "cname").collect()
+    # distance 1 to both names; duplicates of "acme corp" collapse to
+    # one row; tie resolved by the real right key: 20
+    assert [(r["left_key"], r["right_key"], r["distance"]) for r in rows] == [
+        (1, 20, 1)
+    ]

@@ -339,6 +339,44 @@ def test_search_index_append_reranks_with_merged_df(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
 
 
+def test_search_index_tokenless_doc_does_not_skew_idf(spark, tmp_path):
+    """A document that tokenizes to zero terms (NULL text) must not
+    inflate the stored corpus size: the stored ``n_docs`` is counted
+    over POSTING rows, the same N convention ``term_weights`` uses, so
+    the materialized index ranks bit-identically to the inline op even
+    with token-less docs in the indexed batch (regression: the stored
+    count used to be ``countDistinct`` over ALL input docs)."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators.search import (
+        read_search_index,
+        materialize_search_index,
+        term_weights,
+        posting_lists,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "delta gamma"),
+            (4, None),  # token-less: contributes no postings
+        ],
+        "doc_id bigint, text string",
+    )
+    lake = Lake(str(tmp_path / "lake"))
+    materialize_search_index(docs, lake, snapshot="nulls")
+    _, stored_wt = read_search_index(spark, lake, snapshot="nulls")
+    inline_wt = term_weights(posting_lists(docs))
+    assert sorted(map(tuple, stored_wt.collect())) == sorted(
+        map(tuple, inline_wt.collect())
+    )
+    # and the stored corpus size is 3 (posting docs), not 4 (input rows)
+    n = lake.read(spark, "gold", "search_nulls_meta").agg(
+        F.sum("n_docs")
+    ).collect()[0][0]
+    assert n == 3
+
+
 # -- bigram LM fluency ------------------------------------------------------
 
 
