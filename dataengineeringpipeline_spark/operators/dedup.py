@@ -300,7 +300,10 @@ def minhash_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, hash_arrays: DataFrame | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    hash_arrays: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact
     **shingle-set** Jaccard (the same 3-gram shingle-hash sets the
@@ -331,6 +334,12 @@ def minhash_lsh_pairs(
     arrays (e.g. :func:`minhash_recall`, whose exact side reads the same
     shingle hashes) feed them in, so the corpus is tokenized+shingled
     once per query instead of once per branch.
+
+    ``ordered=False`` skips the final global sort — consumers that feed
+    the pairs into joins/aggregations/connected-components pay a
+    range-partitioning exchange (plus its sampling pass) for an ordering
+    they immediately destroy; only callers that RETURN the pair list
+    should keep the default.
     """
     arrays = (
         tracked_persist(doc_shingle_hash_arrays(docs)) if hash_arrays is None else hash_arrays
@@ -349,7 +358,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return (
+    out = (
         candidates.join(
             arrays.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")), "doc_a"
         )
@@ -365,8 +374,8 @@ def minhash_lsh_pairs(
         )
         .withColumn("jaccard", F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 #: Below this many (undirected) edges the component graph is solved on
@@ -440,18 +449,24 @@ def connected_components(
             ).alias("e")
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-        .persist()
     )
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        try:
-            labels = _driver_components(edges.collect())
-        finally:
-            edges.unpersist()
+    # ONE size-probe job decides the path AND delivers the edge list:
+    # limit(threshold+1).collect() either returns the complete
+    # (bounded) edge set — len ≤ threshold means nothing was truncated —
+    # or proves the graph is big. The previous persist+count+collect
+    # shape paid two sequential jobs over the whole candidate-generation
+    # chain before union-find could start; every CC consumer (dup
+    # clusters, survivors, entity resolution, the corpus funnel) rode
+    # that overhead. The probe's driver transfer is capped at
+    # threshold+1 rows — the same bound the old collect had.
+    probe = edges.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        labels = _driver_components(probe)
         spark = pairs.sparkSession
         return spark.createDataFrame(
             sorted(labels.items()), "doc_id bigint, cluster_id bigint"
         )
+    edges = edges.persist()
     labels = edges.select("src").distinct().select(
         F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     ).localCheckpoint()
@@ -490,7 +505,7 @@ def minhash_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Duplicate clusters from verified MinHash-LSH pairs: each doc in a
     near-dup group labeled with the group's min doc id (= the canonical
     survivor a keep-one dedup would retain) and the group size."""
-    comp = connected_components(minhash_lsh_pairs(docs, threshold))
+    comp = connected_components(minhash_lsh_pairs(docs, threshold, ordered=False))
     size_w = Window.partitionBy("cluster_id")
     return (
         comp.withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
@@ -523,7 +538,9 @@ def hybrid_dup_clusters(
     # function-local import: similarity imports this module's CC kernel
     from dataengineeringpipeline_spark.operators.similarity import embedding_near_dups
 
-    text_pairs = minhash_lsh_pairs(docs, text_threshold).select("doc_a", "doc_b")
+    text_pairs = minhash_lsh_pairs(docs, text_threshold, ordered=False).select(
+        "doc_a", "doc_b"
+    )
     sem_pairs = embedding_near_dups(embeddings, cos_threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -562,7 +579,9 @@ def minhash_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    lsh = minhash_lsh_pairs(docs, threshold, hash_arrays=arrays).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(
+        docs, threshold, hash_arrays=arrays, ordered=False
+    ).select("doc_a", "doc_b")
     hits = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
@@ -972,7 +991,7 @@ def source_overlap_matrix(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # sit above them (the second one re-derives the first join), and
     # without the persist each broadcast re-executes the whole
     # LSH→verify chain (measured 11.3s → ~2s at sf0.1)
-    pairs = tracked_persist(minhash_lsh_pairs(docs, threshold))
+    pairs = tracked_persist(minhash_lsh_pairs(docs, threshold, ordered=False))
     ids = docs.select("doc_id", "source")
     # broadcast the pair side at every step (it stays pair-sized); the
     # corpus-sized (doc_id, source) projection is only ever scanned

@@ -61,13 +61,17 @@ def fuzzy_name_pairs(
     name: str,
     max_dist: int = 2,
     max_block: int = MAX_BLOCK,
+    ordered: bool = True,
 ) -> DataFrame:
     """Fuzzy-duplicate name pairs from the distinct-name vocabulary:
     token-blocked candidates, Levenshtein verify.
 
     Returns (a_id, b_id, a_name, b_name, distance) with ``a_id < b_id``,
     one row per matched name pair (a pair sharing several tokens is
-    still reported once), ordered by (a_id, b_id)."""
+    still reported once), ordered by (a_id, b_id). ``ordered=False``
+    skips the final sort for consumers that immediately join/aggregate
+    the pairs (connected components, the report roll-up) — they would
+    pay a range-partition exchange for nothing."""
     vocab = name_vocabulary(records, key, name)
     toks = vocab.select(
         "name_id",
@@ -92,11 +96,10 @@ def fuzzy_name_pairs(
         .select("a_id", "b_id", "a_name", "b_name")
         .distinct()  # names sharing >1 token meet once
     )
-    return (
-        cand.withColumn("distance", F.levenshtein("a_name", "b_name"))
-        .filter(F.col("distance") <= max_dist)
-        .orderBy("a_id", "b_id")
+    out = cand.withColumn("distance", F.levenshtein("a_name", "b_name")).filter(
+        F.col("distance") <= max_dist
     )
+    return out.orderBy("a_id", "b_id") if ordered else out
 
 
 def entity_assignments(
@@ -115,7 +118,7 @@ def entity_assignments(
     :func:`fuzzy_name_pairs` output (the expensive blocking+verify
     phase) reuse it instead of re-running the self-join."""
     if pairs is None:
-        pairs = fuzzy_name_pairs(records, key, name, max_dist, max_block)
+        pairs = fuzzy_name_pairs(records, key, name, max_dist, max_block, ordered=False)
     comp = connected_components(pairs, src="a_id", dst="b_id").select(
         F.col("doc_id").alias("name_id"), F.col("cluster_id").alias("entity_id")
     )
@@ -143,7 +146,7 @@ def entity_resolution_report(
     from dataengineeringpipeline_spark.cache import tracked_persist
 
     pairs = tracked_persist(
-        fuzzy_name_pairs(records, key, name, max_dist, max_block)
+        fuzzy_name_pairs(records, key, name, max_dist, max_block, ordered=False)
     )
     assigned = entity_assignments(
         records, key, name, max_dist, max_block, pairs=pairs
