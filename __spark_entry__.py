@@ -111,6 +111,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return gold.daily_sales_summary(_silver_orders(spark, SF0001))
 
 
+def _fuzzy_join_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An "arriving order batch" (every 40th part, half with the last
+    character of the name dropped — a deterministic typo) fuzzy-joined
+    back against the full part catalog: best match per batch record."""
+    from pyspark.sql import functions as F
+
+    part = _read(spark, sf_dir, "part")
+    batch = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.col("p_partkey").alias("batch_key"),
+        F.when(
+            F.col("p_partkey") % 80 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("batch_name"),
+    )
+    return linkage_ops.fuzzy_join(
+        batch, part, "batch_key", "batch_name", "p_partkey", "p_name"
+    )
+
+
 #: The driver's correctness record covers roughly the first 50 entries of
 #: ``queries()`` in insertion order. This list rotates the window each
 #: round: lead with (a) queries NEW this round, (b) queries that have
@@ -280,6 +301,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_report": lambda spark, sf: linkage_ops.entity_resolution_report(
             _read(spark, sf, "part"), "p_partkey", "p_name"
         ),
+        # -- two-table fuzzy join: a perturbed arriving batch matched
+        #    against the part catalog (best match per batch record; the
+        #    catalog's heavily duplicated names exercise the
+        #    one-row-per-left-record guarantee) ---------------------------
+        "fuzzy_join_matches": _fuzzy_join_matches,
         # -- classifier calibration vs the heuristic quality gate -----------
         "classifier_calibration": lambda spark, sf: classify_ops.classifier_calibration(
             _read(spark, sf, "documents")

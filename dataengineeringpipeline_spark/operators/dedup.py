@@ -750,6 +750,8 @@ def match_increment(
     old_arrays: DataFrame,
     old_bands: DataFrame,
     threshold: float = 0.5,
+    ordered: bool = True,
+    distinct_candidates: bool = True,
 ) -> DataFrame:
     """Match an increment's signatures against stored dedup state — the
     shared kernel of :func:`incremental_dedup` (batch) and
@@ -758,7 +760,19 @@ def match_increment(
     exact array-intersect Jaccard against the stored arrays, and each
     new doc reports its best match (highest Jaccard, ties to the lowest
     existing id). Returns ``(doc_id, dup_of, jaccard, is_duplicate)``
-    for every id in ``new_ids``."""
+    for every id in ``new_ids``; ``ordered=False`` skips the final sort
+    for consumers that write the decisions to a table and re-order on
+    read (the streaming state writer).
+
+    ``distinct_candidates=False`` drops the candidate-dedup shuffle: a
+    pair colliding in several bands is verified once per collision (≤
+    ``LSH_BANDS``× fan-out), but every duplicate row carries the
+    identical (dup_of, jaccard), so the per-doc best-match window
+    collapses them and the OUTPUT is unchanged. Right when the arrays
+    are small relative to a whole shuffle stage's scheduling cost (the
+    per-micro-batch streaming path); keep the default when stored
+    arrays are large enough that re-verifying costs more than the
+    distinct."""
     cand = (
         new_bands.alias("n")
         .join(
@@ -767,8 +781,9 @@ def match_increment(
             & (F.col("n.band_hash") == F.col("o.band_hash")),
         )
         .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup_of"))
-        .distinct()
     )
+    if distinct_candidates:
+        cand = cand.distinct()
     verified = (
         cand.join(new_arrays.select("doc_id", F.col("hs").alias("ha")), "doc_id")
         .join(
@@ -795,11 +810,10 @@ def match_increment(
         .filter(F.col("pick") == 1)
         .select("doc_id", "dup_of", "jaccard")
     )
-    return (
-        new_ids.join(matches, "doc_id", "left")
-        .select("doc_id", "dup_of", "jaccard", F.col("dup_of").isNotNull().alias("is_duplicate"))
-        .orderBy("doc_id")
+    out = new_ids.join(matches, "doc_id", "left").select(
+        "doc_id", "dup_of", "jaccard", F.col("dup_of").isNotNull().alias("is_duplicate")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def incremental_dedup(

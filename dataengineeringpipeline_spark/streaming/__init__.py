@@ -1021,10 +1021,26 @@ def materialize_stream_dedup_state(corpus_docs: DataFrame, state_dir: str) -> No
         minhash_signatures,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     arrays = tracked_persist(doc_shingle_hash_arrays(corpus_docs))
+    arrays.count()  # materialize once; both writers below read the cache
     bands = minhash_bands(minhash_signatures(corpus_docs, hash_arrays=arrays))
-    arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id=-1")
-    bands.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id=-1")
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(
+                lambda: arrays.write.mode("overwrite").parquet(
+                    f"{state_dir}/arrays/batch_id=-1"
+                )
+            ),
+            ex.submit(
+                lambda: bands.write.mode("overwrite").parquet(
+                    f"{state_dir}/bands/batch_id=-1"
+                )
+            ),
+        ]
+        for f in futs:
+            f.result()
 
 
 def stream_incremental_dedup(
@@ -1066,7 +1082,10 @@ def stream_incremental_dedup(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
+        arrays.count()  # materialize once before the concurrent consumers
         bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays))
         old_arrays = (
             spark.read.parquet(f"{state_dir}/arrays")
@@ -1079,13 +1098,28 @@ def stream_incremental_dedup(
             .drop("batch_id")
         )
         decisions = match_increment(
-            batch_df.select("doc_id"), arrays, bands, old_arrays, old_bands, threshold
+            batch_df.select("doc_id"), arrays, bands, old_arrays, old_bands,
+            threshold, ordered=False, distinct_candidates=False,
         )
-        decisions.write.mode("overwrite").parquet(
-            f"{state_dir}/decisions/batch_id={batch_id}"
-        )
-        arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id={batch_id}")
-        bands.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id={batch_id}")
+        # The three state writes are independent (decisions reads only
+        # batch_id < n state; arrays/bands are the cached increment) and
+        # each lands in its own batch partition, so a crash replay
+        # overwrites all three regardless of completion order —
+        # submitting them concurrently folds the two signature writes
+        # into the decision join's shadow instead of serializing three
+        # tiny jobs per micro-batch.
+        writes = [
+            (decisions, f"{state_dir}/decisions/batch_id={batch_id}"),
+            (arrays, f"{state_dir}/arrays/batch_id={batch_id}"),
+            (bands, f"{state_dir}/bands/batch_id={batch_id}"),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [
+                ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
+                for df, p in writes
+            ]
+            for f in futs:
+                f.result()
 
     reader = spark.readStream.schema(DOCUMENTS_DDL)
     if max_files_per_trigger is not None:
@@ -1113,6 +1147,42 @@ def read_stream_dedup_decisions(spark: SparkSession, state_dir: str) -> DataFram
     )
 
 
+def _stage_arrival_batches(df: DataFrame, batch_col, src: str, n_batches: int) -> None:
+    """Stage ``df`` as ``n_batches`` single-file parquet arrival batches
+    in ``src`` with strictly increasing pinned mtimes (the file source
+    drains oldest-first, so the batch split becomes the arrival order).
+
+    Spark-side: ONE partitioned write (``repartition(batch)`` sends each
+    batch value to one shuffle partition, so every ``_b=<v>`` directory
+    holds exactly one part file) followed by driver-side renames — no
+    ``toPandas``, nothing row-sized ever lands on the driver. Used by
+    the streaming contract-query harnesses; row order inside a staged
+    file is irrelevant (every consumer re-derives its own order)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stage_batches_")
+    (
+        df.withColumn("_b", batch_col)
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    t0 = time.time()
+    for b in range(n_batches):
+        parts = glob.glob(os.path.join(stage, f"_b={b}", "part-*.parquet"))
+        if not parts:
+            continue  # empty batch: no file, no arrival
+        assert len(parts) == 1, f"batch {b} split across {len(parts)} files"
+        path = os.path.join(src, f"batch{b}.parquet")
+        shutil.move(parts[0], path)
+        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query: seed the dedup state with 80% of the corpus
     (``doc_id % 5 != 0``), stream the remaining 20% in three
@@ -1128,27 +1198,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
     materialize_stream_dedup_state(docs.filter(F.col("doc_id") % 5 != 0), f"{tmp}/state")
     src = os.path.join(tmp, "in")
     os.makedirs(src)
-    pdf = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .withColumn("_b", F.expr("(doc_id div 5) % 3"))
-        .orderBy("doc_id")
-        .toPandas()
+    _stage_arrival_batches(
+        docs.filter(F.col("doc_id") % 5 == 0), F.expr("(doc_id div 5) % 3"), src, 3
     )
-    t0 = time.time()
-    for b in range(3):
-        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
-        path = os.path.join(src, f"batch{b}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        # pin arrival order: the file source drains oldest-first
-        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
     stream_incremental_dedup(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
     return read_stream_dedup_decisions(spark, f"{tmp}/state").orderBy("doc_id")
 
@@ -1238,28 +1295,16 @@ def streaming_search_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     """
     import os
     import tempfile
-    import time as _time
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import Window
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="stream_search_")
     src = os.path.join(tmp, "in")
     os.makedirs(src)
-    pdf = (
-        docs.filter(F.col("doc_id") % 100 != 0)
-        .withColumn("_b", F.expr("doc_id % 3"))
-        .orderBy("doc_id")
-        .toPandas()
+    _stage_arrival_batches(
+        docs.filter(F.col("doc_id") % 100 != 0), F.expr("doc_id % 3"), src, 3
     )
-    t0 = _time.time()
-    for b in range(3):
-        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
-        path = os.path.join(src, f"batch{b}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        os.utime(path, (t0 + 60 * b, t0 + 60 * b))
     stream_search_index(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
 
     from ..operators.search import posting_lists
