@@ -749,21 +749,26 @@ def ann_arrow_recall(embeddings: DataFrame, k: int = 5, query_mod: int = 100) ->
     version and this is a rows-only gauge). One summary row, same shape
     as :func:`ann_ivf_recall`.
 
-    Membership is tie-margin-aware: an approx pair counts as a hit if it
-    is in the exact top-k set OR its cosine reaches the query's k-th
-    exact cosine within a 1e-9 margin — so a genuine tie at the k
-    boundary (duplicate embeddings) whose membership flips under SIMD
-    summation order still scores 1.0, and the closed-form oracle
-    (hit_pairs == exact_pairs) holds for every correct kernel, not just
-    the one that breaks ties the fold kernel's way."""
+    Membership is tie-margin-aware: a DISTINCT approx pair counts as a
+    hit if its cosine reaches the query's k-th exact cosine within a
+    1e-9 margin — so a genuine tie at the k boundary (duplicate
+    embeddings) whose membership flips under SIMD summation order still
+    scores 1.0, and the margin-derived oracle (hit_pairs == exact_pairs)
+    holds for every correct kernel, not just the one that breaks ties
+    the fold kernel's way. The distinct guard means a kernel bug that
+    repeats one neighbor across ranks (k copies of the top-1 would all
+    pass a bare margin test) still drops hit_pairs and fails the gauge,
+    same as a lost neighbor or a short result."""
     exact = tracked_persist(
         ann_bruteforce_topk(embeddings, k, query_mod).select(
             "query_id", "neighbor_id", "cosine"
         )
     )
     kth = exact.groupBy("query_id").agg(F.min("cosine").alias("kth_cosine"))
-    approx = ann_topk_arrow(embeddings, k, query_mod).select(
-        "query_id", "neighbor_id", F.col("cosine").alias("a_cosine")
+    approx = (
+        ann_topk_arrow(embeddings, k, query_mod)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("a_cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     hit = approx.join(F.broadcast(kth), "query_id").filter(
         F.col("a_cosine") >= F.col("kth_cosine") - F.lit(1e-9)

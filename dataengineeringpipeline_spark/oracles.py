@@ -1586,26 +1586,28 @@ SELECT vec_a, vec_b, cosine FROM (
     )
     # The Arrow/numpy kernel's contract is exact top-k MEMBERSHIP parity
     # with the fold kernel (cosine floats differ in the last ulp, ids do
-    # not) — so its recall gauge has a closed-form oracle: hit == exact
-    # == |brute-force top-k pairs| and recall exactly 1.0. A genuine tie
-    # flip would show up as a hash mismatch here AND in
-    # tests/test_operators.py::test_arrow_ann_matches_fold_topk.
-    # Caveat (liveness gauge, not an independent check): if a corpus had
-    # a genuine cosine TIE at the k boundary (e.g. duplicate embeddings),
-    # SIMD summation order could legitimately flip membership and this
-    # closed form would report it as a correctness failure. The test
-    # vectors are tie-free at every shipped SF (measured min rank-5/6
-    # cosine gap ≥ 3e-4 at sf0.001/0.01/0.1 — ~12 orders above double
-    # rounding); regenerate tie-free vectors or add a
-    # tie-margin-aware membership check before pointing this oracle at a
-    # corpus that may contain duplicate embeddings.
+    # not). The Spark gauge scores a distinct approx pair as a hit when
+    # its cosine reaches the query's k-th exact cosine within a 1e-9
+    # margin (so a genuine tie flip under SIMD order still scores 1.0).
+    # The oracle DERIVES the hit count by applying the same margin rule
+    # to the exact top-k table — every correct kernel returns k distinct
+    # pairs per query from the margin-eligible set, so hit == the count
+    # of exact pairs passing their own query's margin test (== exact,
+    # but computed from data, not asserted). A kernel that loses a
+    # neighbor (replacement cosine < kth - 1e-9), duplicates one, or
+    # returns short drops Spark's hit_pairs below that and the hash
+    # mismatches. Tie-free margin measured: min rank-5/6 cosine gap
+    # ≥ 3e-4 at sf0.001/0.01/0.1 — ~12 orders above double rounding.
     arrow_recall = (
         f"WITH n AS ({_EMB_NORMS}),\n"
-        f"exact_tk AS (SELECT query_id, neighbor_id FROM ({_ANN_BODY}))\n"
+        f"exact_tk AS (SELECT query_id, neighbor_id, cosine FROM ({_ANN_BODY})),\n"
+        "kth AS (SELECT query_id, MIN(cosine) AS kth_cosine FROM exact_tk GROUP BY query_id),\n"
+        "hits AS (SELECT e.query_id, e.neighbor_id FROM exact_tk e"
+        " JOIN kth USING (query_id) WHERE e.cosine >= kth_cosine - 1e-9)\n"
         "SELECT CAST(5 AS INTEGER) AS k,\n"
         "  (SELECT count(*) FROM exact_tk) AS exact_pairs,\n"
-        "  (SELECT count(*) FROM exact_tk) AS hit_pairs,\n"
-        "  CAST(1.0 AS DOUBLE) AS recall_at_k"
+        "  (SELECT count(*) FROM hits) AS hit_pairs,\n"
+        "  (SELECT count(*) FROM hits) / (SELECT count(*) FROM exact_tk) AS recall_at_k"
     )
     return {
         "ann_bruteforce_topk": _with({"n": _EMB_NORMS}, _ANN_BODY),
@@ -3096,6 +3098,82 @@ FROM ranked r JOIN tok t USING (doc_id) GROUP BY query_id ORDER BY query_id
         linkage_ctes, "SELECT * FROM fpairs ORDER BY a_id, b_id"
     )
 
+    # -- two-table fuzzy join: perturbed batch vs the part catalog ------
+    # Twin of linkage.fuzzy_join via __spark_entry__._fuzzy_join_matches:
+    # batch = every 40th part, name truncated by one char for every 80th;
+    # both sides collapse to name vocabularies, token-blocked candidates,
+    # Levenshtein <= 2, then best-only resolution AFTER the record join
+    # (min distance per left name at vocab level keeps distance ties; the
+    # record-level row_number breaks them on the real right key).
+    fuzzy_join_sql = _with(
+        {
+            "batch": (
+                "SELECT p_partkey AS batch_key,"
+                " CASE WHEN p_partkey % 80 = 0"
+                " THEN substr(p_name, 1, length(p_name) - 1)"
+                " ELSE p_name END AS batch_name "
+                "FROM part WHERE p_partkey % 40 = 0"
+            ),
+            "lv": (
+                "SELECT batch_name AS l_name, MIN(batch_key) AS l_id "
+                "FROM batch GROUP BY batch_name"
+            ),
+            "rv": (
+                "SELECT p_name AS r_name, MIN(p_partkey) AS r_id "
+                "FROM part GROUP BY p_name"
+            ),
+            "lt": (
+                "SELECT l_id, l_name, block FROM ("
+                " SELECT l_id, l_name,"
+                " unnest(list_distinct(string_split_regex(l_name, ' +'))) AS block"
+                " FROM lv) WHERE block <> ''"
+            ),
+            "ltf": (
+                "SELECT t.l_id, t.l_name, t.block FROM lt t JOIN ("
+                f" SELECT block FROM lt GROUP BY block HAVING COUNT(*) <= {MAX_BLOCK}"
+                ") g USING (block)"
+            ),
+            "rt": (
+                "SELECT r_id, r_name, block FROM ("
+                " SELECT r_id, r_name,"
+                " unnest(list_distinct(string_split_regex(r_name, ' +'))) AS block"
+                " FROM rv) WHERE block <> ''"
+            ),
+            "rtf": (
+                "SELECT t.r_id, t.r_name, t.block FROM rt t JOIN ("
+                f" SELECT block FROM rt GROUP BY block HAVING COUNT(*) <= {MAX_BLOCK}"
+                ") g USING (block)"
+            ),
+            "cand": (
+                "SELECT DISTINCT l.l_id, l.l_name, r.r_id, r.r_name\n"
+                "FROM ltf l JOIN rtf r USING (block)"
+            ),
+            "dist": (
+                "SELECT *, levenshtein(l_name, r_name) AS distance "
+                "FROM cand WHERE levenshtein(l_name, r_name) <= 2"
+            ),
+            "best": (
+                "SELECT * FROM (SELECT *,"
+                " MIN(distance) OVER (PARTITION BY l_id) AS md FROM dist)"
+                " WHERE distance = md"
+            ),
+            "recs": (
+                "SELECT b.batch_key AS left_key, p.p_partkey AS right_key,"
+                " b.batch_name AS left_name, p.p_name AS right_name,"
+                " CAST(d.distance AS INTEGER) AS distance\n"
+                "FROM batch b JOIN best d ON b.batch_name = d.l_name"
+                " JOIN part p ON p.p_name = d.r_name"
+            ),
+        },
+        """
+SELECT left_key, right_key, left_name, right_name, distance FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY left_key ORDER BY distance, right_key) AS rn
+  FROM recs
+) WHERE rn = 1 ORDER BY left_key, right_key
+""".strip(),
+    )
+
     er_ctes = {
         **linkage_ctes,
         "und": (
@@ -3188,6 +3266,7 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         "hybrid_search_topk": hybrid,
         "rag_context_stats": rag_sql,
         "fuzzy_part_matches": fuzzy_matches_sql,
+        "fuzzy_join_matches": fuzzy_join_sql,
         "entity_resolution_report": er_report_sql,
         "classifier_calibration": calibration_sql,
         "skew_join_segment_summary": skew_sql,

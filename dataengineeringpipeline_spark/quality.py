@@ -441,6 +441,8 @@ def numeric_drift(
     split: str,
     percentiles: tuple[float, ...] = DRIFT_PERCENTILES,
     scale: int = 100,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Numeric-distribution drift: the quantile grid of ``value_col``
     before vs after ``split``, one row per percentile with the absolute
@@ -452,28 +454,34 @@ def numeric_drift(
     2-decimal money columns), the same recipe that makes
     ``doc_length_distribution``'s grid bit-exact across engines: exact
     ``percentile`` over ints interpolates identically everywhere.
-    Exact percentile buffers each side's values — at warehouse scale
-    swap in ``percentile_approx`` exactly as the length profile
-    documents. Two aggregations (one per side, map-side partials), one
-    tiny result join.
+    Exact percentile buffers each side's values; ``exact=False`` swaps
+    in ``percentile_approx`` (Spark's KLL-style mergeable sketch, error
+    bounded by ``1/accuracy`` in rank) — the warehouse-scale path: each
+    side becomes a bounded-memory map-side sketch merge instead of a
+    per-group value buffer, at the cost of oracle bit-exactness (the
+    grid shape and ordering are identical; values are rank-approximate,
+    returned as exact-domain bigints cast to double). Two aggregations
+    (one per side, map-side partials), one tiny result join.
 
     Returns (p, base_q, cur_q, abs_gap) ordered by p, quantities in the
     scaled integer domain (doubles via interpolation)."""
+    pct_fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
 
     def side(pred) -> DataFrame:
         return df.filter(pred).agg(
             F.expr(
-                f"percentile(CAST(round({value_col} * {scale}) AS BIGINT), "
-                f"array({', '.join(str(p) for p in percentiles)}))"
+                f"{pct_fn}(CAST(round({value_col} * {scale}) AS BIGINT), "
+                f"array({', '.join(str(p) for p in percentiles)}){acc})"
             ).alias("qs")
         )
 
     base = side(F.col(ts_col) < split).select(
         F.posexplode("qs").alias("i", "base_q")
-    )
+    ).withColumn("base_q", F.col("base_q").cast("double"))
     cur = side(F.col(ts_col) >= split).select(
         F.posexplode("qs").alias("i", "cur_q")
-    )
+    ).withColumn("cur_q", F.col("cur_q").cast("double"))
     ps = F.array(*[F.lit(float(p)) for p in percentiles])
     return (
         base.join(cur, "i")

@@ -564,3 +564,27 @@ def test_numeric_drift_zero_on_identical_mix(spark):
     df = spark.createDataFrame(rows, "id long, period int, v double")
     out = quality.numeric_drift(df, "v", "period", 1).collect()
     assert all(r["abs_gap"] == 0.0 for r in out)
+
+
+def test_numeric_drift_approx_grid_parity(spark):
+    """The percentile_approx warehouse path returns the SAME grid shape
+    as the exact path — identical schema, percentile column, ordering —
+    and rank-approximate values within sketch error of the exact ones
+    (accuracy=10000 on the sf0.01 events table bounds rank error to a
+    handful of rows)."""
+    from dataengineeringpipeline_spark import quality
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.01")
+    split = 19_738 * 86_400_000_000
+    exact = quality.numeric_drift(events, "value", "ts_us", split).collect()
+    approx = quality.numeric_drift(
+        events, "value", "ts_us", split, exact=False
+    ).collect()
+    assert [r["p"] for r in approx] == [r["p"] for r in exact]
+    assert approx[0].asDict().keys() == exact[0].asDict().keys()
+    for a, e in zip(approx, exact):
+        for col in ("base_q", "cur_q"):
+            assert abs(a[col] - e[col]) <= abs(e[col]) * 0.01 + 1.0, (
+                a["p"], col, a[col], e[col],
+            )
