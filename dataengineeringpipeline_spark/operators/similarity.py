@@ -63,7 +63,11 @@ def _norm_base(embeddings: DataFrame, base: DataFrame | None) -> DataFrame:
 
 
 def ann_bruteforce_topk(
-    embeddings: DataFrame, k: int = 5, query_mod: int = 100, base: DataFrame | None = None
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    base: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for the query subset
     ``vec_id % query_mod == 0``.
@@ -71,7 +75,10 @@ def ann_bruteforce_topk(
     Plan shape: broadcast the (small) query set against the corpus —
     a broadcast nested-loop the optimizer can't avoid for a dense scoring
     kernel — then per-query top-k via ranked window (TakeOrdered per
-    partition key).
+    partition key). ``ordered=False`` skips the final presentation sort
+    — the recall gauges and re-rankers consume the result as a set
+    through joins, so the range exchange (and its sampling job) would be
+    pure waste there.
     """
     base = _norm_base(embeddings, base)
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
@@ -85,11 +92,8 @@ def ann_bruteforce_topk(
         (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def _plane_coef(p: int) -> str:
@@ -239,6 +243,7 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     centroids: DataFrame | None = None,
     base: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the scale path next to
     :func:`ann_bruteforce_topk`.
@@ -281,11 +286,8 @@ def ann_ivf_topk(
         (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def ann_ivf_recall(
@@ -302,11 +304,13 @@ def ann_ivf_recall(
     Exact and approximate sides share one persisted normalized base."""
     base = tracked_persist(with_norms(embeddings))
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k, base=base).select("query_id", "neighbor_id")
+        ann_bruteforce_topk(embeddings, k, base=base, ordered=False).select(
+            "query_id", "neighbor_id"
+        )
     )
-    approx = ann_ivf_topk(embeddings, k, centroids=centroids, base=base).select(
-        "query_id", "neighbor_id"
-    )
+    approx = ann_ivf_topk(
+        embeddings, k, centroids=centroids, base=base, ordered=False
+    ).select("query_id", "neighbor_id")
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).join(
         hit.agg(F.count(F.lit(1)).alias("hit_pairs"))
@@ -416,6 +420,7 @@ def pq_topk(
     query_mod: int = 100,
     codebook: DataFrame | None = None,
     base: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: queries score the *compressed* corpus.
 
@@ -456,11 +461,10 @@ def pq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # ordered=False: the shortlist/recall consumers immediately join the
+    # result away — the presentation sort's range exchange is dead work.
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def _pq_query_tables(
@@ -526,7 +530,12 @@ def pq_topk_rerank(
     """
     base = _norm_base(embeddings, base)
     short = pq_topk(
-        embeddings, k=shortlist, query_mod=query_mod, codebook=codebook, base=base
+        embeddings,
+        k=shortlist,
+        query_mod=query_mod,
+        codebook=codebook,
+        base=base,
+        ordered=False,
     ).select("query_id", "neighbor_id")
     return _rerank_shortlist(embeddings, short, k, query_mod, base=base)
 
@@ -537,6 +546,7 @@ def _rerank_shortlist(
     k: int,
     query_mod: int,
     base: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact-cosine re-rank of ``(query_id, neighbor_id)`` candidates."""
     base = _norm_base(embeddings, base)
@@ -553,11 +563,8 @@ def _rerank_shortlist(
         (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) -> DataFrame:
@@ -577,14 +584,23 @@ def pq_recall(embeddings: DataFrame, k: int = 5, shortlist: int = PQ_SHORTLIST) 
     """
     base = with_norms(embeddings)
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k, base=base).select("query_id", "neighbor_id")
+        ann_bruteforce_topk(embeddings, k, base=base, ordered=False).select(
+            "query_id", "neighbor_id"
+        )
     )
     short = tracked_persist(
-        pq_topk(embeddings, k=shortlist, base=base).select("query_id", "neighbor_id", "rank")
+        pq_topk(embeddings, k=shortlist, base=base, ordered=False).select(
+            "query_id", "neighbor_id", "rank"
+        )
     )
     adc = short.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     rr = _rerank_shortlist(
-        embeddings, short.select("query_id", "neighbor_id"), k, query_mod=100, base=base
+        embeddings,
+        short.select("query_id", "neighbor_id"),
+        k,
+        query_mod=100,
+        base=base,
+        ordered=False,
     ).select("query_id", "neighbor_id")
     adc_hit = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
     rr_hit = exact.join(rr, ["query_id", "neighbor_id"], "left_semi")
@@ -760,7 +776,7 @@ def ann_arrow_recall(embeddings: DataFrame, k: int = 5, query_mod: int = 100) ->
     pass a bare margin test) still drops hit_pairs and fails the gauge,
     same as a lost neighbor or a short result."""
     exact = tracked_persist(
-        ann_bruteforce_topk(embeddings, k, query_mod).select(
+        ann_bruteforce_topk(embeddings, k, query_mod, ordered=False).select(
             "query_id", "neighbor_id", "cosine"
         )
     )

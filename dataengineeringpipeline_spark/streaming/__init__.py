@@ -1021,26 +1021,13 @@ def materialize_stream_dedup_state(corpus_docs: DataFrame, state_dir: str) -> No
         minhash_signatures,
     )
 
-    from concurrent.futures import ThreadPoolExecutor
-
     arrays = tracked_persist(doc_shingle_hash_arrays(corpus_docs))
-    arrays.count()  # materialize once; both writers below read the cache
     bands = minhash_bands(minhash_signatures(corpus_docs, hash_arrays=arrays))
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [
-            ex.submit(
-                lambda: arrays.write.mode("overwrite").parquet(
-                    f"{state_dir}/arrays/batch_id=-1"
-                )
-            ),
-            ex.submit(
-                lambda: bands.write.mode("overwrite").parquet(
-                    f"{state_dir}/bands/batch_id=-1"
-                )
-            ),
-        ]
-        for f in futs:
-            f.result()
+    # The arrays write is the job that populates the cache (no separate
+    # count() materialization pass); the bands write then reads it — two
+    # jobs total, the second map-only over cached arrays.
+    arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id=-1")
+    bands.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id=-1")
 
 
 def stream_incremental_dedup(
@@ -1081,19 +1068,25 @@ def stream_incremental_dedup(
         minhash_signatures,
     )
 
+    # Explicit state schemas: per-micro-batch reads skip the driver-side
+    # parquet footer fetch that schema inference costs (twice per batch).
+    arrays_ddl = "doc_id BIGINT, hs ARRAY<BIGINT>, batch_id INT"
+    bands_ddl = "doc_id BIGINT, band_idx INT, band_hash BIGINT, batch_id INT"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
-        arrays.count()  # materialize once before the concurrent consumers
         bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays))
         old_arrays = (
-            spark.read.parquet(f"{state_dir}/arrays")
+            spark.read.schema(arrays_ddl)
+            .parquet(f"{state_dir}/arrays")
             .filter(F.col("batch_id") < batch_id)
             .drop("batch_id")
         )
         old_bands = (
-            spark.read.parquet(f"{state_dir}/bands")
+            spark.read.schema(bands_ddl)
+            .parquet(f"{state_dir}/bands")
             .filter(F.col("batch_id") < batch_id)
             .drop("batch_id")
         )
@@ -1101,19 +1094,20 @@ def stream_incremental_dedup(
             batch_df.select("doc_id"), arrays, bands, old_arrays, old_bands,
             threshold, ordered=False, distinct_candidates=False,
         )
-        # The three state writes are independent (decisions reads only
-        # batch_id < n state; arrays/bands are the cached increment) and
-        # each lands in its own batch partition, so a crash replay
-        # overwrites all three regardless of completion order —
-        # submitting them concurrently folds the two signature writes
-        # into the decision join's shadow instead of serializing three
-        # tiny jobs per micro-batch.
+        # The arrays write runs first and is the job that populates the
+        # increment's cache (no separate count() pass); the decisions and
+        # bands writes then consume the cached arrays concurrently. All
+        # three land in their own batch partition, so a crash replay
+        # overwrites each regardless of completion order (decisions reads
+        # only batch_id < n state).
+        arrays.write.mode("overwrite").parquet(
+            f"{state_dir}/arrays/batch_id={batch_id}"
+        )
         writes = [
             (decisions, f"{state_dir}/decisions/batch_id={batch_id}"),
-            (arrays, f"{state_dir}/arrays/batch_id={batch_id}"),
             (bands, f"{state_dir}/bands/batch_id={batch_id}"),
         ]
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=2) as ex:
             futs = [
                 ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
                 for df, p in writes
@@ -1198,14 +1192,30 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    materialize_stream_dedup_state(docs.filter(F.col("doc_id") % 5 != 0), f"{tmp}/state")
     src = os.path.join(tmp, "in")
     os.makedirs(src)
-    _stage_arrival_batches(
-        docs.filter(F.col("doc_id") % 5 == 0), F.expr("(doc_id div 5) % 3"), src, 3
-    )
+    # Seeding the state and staging the arrival files are independent
+    # (disjoint outputs, disjoint doc slices) — overlap them so the
+    # staging write hides inside the seed's shingle-hash pass.
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        seed = ex.submit(
+            materialize_stream_dedup_state,
+            docs.filter(F.col("doc_id") % 5 != 0),
+            f"{tmp}/state",
+        )
+        stage = ex.submit(
+            _stage_arrival_batches,
+            docs.filter(F.col("doc_id") % 5 == 0),
+            F.expr("(doc_id div 5) % 3"),
+            src,
+            3,
+        )
+        seed.result()
+        stage.result()
     stream_incremental_dedup(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
     return read_stream_dedup_decisions(spark, f"{tmp}/state").orderBy("doc_id")
 
