@@ -134,73 +134,34 @@ def _fuzzy_join_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: The driver's correctness record covers roughly the first 50 entries of
 #: ``queries()`` in insertion order. This list rotates the window each
-#: round: lead with (a) queries NEW this round, (b) queries that have
-#: never appeared in ANY driver correctness window (the CORRECTNESS_r01-
-#: r03 files cover 83 of the pre-round queries; the rest landed after
-#: r03's check ran), then (c) the block whose most recent driver check
-#: is oldest — the gold/dq/events/silver block last checked in r01,
-#: ordered so the join/agg-heavy queries precede the trivial profiling
-#: checks that run transitively inside them anyway. Everything past the
-#: window is still oracle-checked every round by
-#: tests/test_oracle_parity.py, which runs ALL entries.
+#: round: lead with (a) queries NEW this round, then (b) queries whose
+#: operator code changed this round, then (c) the block whose most
+#: recent driver check is oldest (after r04 that is the r01 gold/dq/
+#: events/silver block), then (d/e) the oldest remaining checks on the
+#: files this round touched. Everything past the window is still
+#: oracle-checked every round by tests/test_oracle_parity.py, which runs
+#: ALL entries.
 WINDOW_HEAD = [
-    # (a0) newest: this session's queries (never driver-checked)
-    "hybrid_search_topk",
-    "rag_context_stats",
-    "fuzzy_part_matches",
-    "entity_resolution_report",
-    "classifier_calibration",
-    "skew_join_segment_summary",
-    "suppressed_volume_alerts",
-    "shard_balance_report",
-    "bigram_fluency",
-    "language_mix_by_source",
-    "value_drift_report",
-    "streaming_search_topk",
-    # (a) new this round (round 4 of the driver's numbering)
-    "knn_label_eval",
-    "classifier_quality_summary",
-    "lexical_search_topk",
-    "source_overlap_matrix",
-    "token_budget_plan",
+    # (a) NEW this round (never driver-checked)
+    "multimodal_decode_report",
+    "fuzzy_join_matches",
+    # (b) queries whose operator code changed this round (re-prove):
+    #     streaming dedup/search harness rework, ANN ordered-knob threading,
+    #     arrow-recall oracle independence, numeric_drift approx flag
     "streaming_incremental_dedup",
-    # (b) never inside a driver correctness window yet
-    "streaming_volume_alerts",
-    "streaming_mix_drift",
-    "streaming_heavy_hitters",
-    "bpe_merge_table",
-    "bpe_subword_stats",
-    "doc_length_distribution",
-    "duplicate_span_coverage",
-    "hybrid_dup_clusters",
-    "top_ngrams_per_source",
-    "quality_sample_summary",
-    "temperature_mix_summary",
-    "semantic_decontamination",
-    "semantic_cluster_mix",
-    "cms_heavy_hitters",
-    "hll_sketch_summary",
-    "bloom_join_prune",
-    "priority_drift_report",
-    "pipeline_alerts",
-    # (c) last driver-checked in r01 (or r02 for dq_daily_anomalies),
-    # complex multi-join/agg queries first
-    "customer_analytics",
-    "top_customers_per_segment",
-    "segment_summary",
-    "supplier_performance",
-    "category_performance",
-    "ml_customer_features",
-    "comprehensive_sales_summary",
-    "daily_sales_summary",
-    "daily_metrics_long",
-    "monthly_sales_summary",
-    "sales_rollup",
-    "priority_performance",
-    "customer_lifetime_metrics",
-    "dq_referential_integrity",
-    "dq_outliers",
+    "streaming_search_topk",
+    "ann_arrow_recall",
+    "pq_ann_topk",
+    "pq_ann_recall",
+    "ann_ivfpq_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_bruteforce_topk",
+    "value_drift_report",
+    # (c) oldest driver checks: the gold/dq/events/silver block (r01) and
+    #     dq_daily_anomalies (r02)
     "dq_rule_report",
+    "dq_outliers",
     "dq_quarantine_rows",
     "dq_daily_anomalies",
     "events_enriched",
@@ -218,6 +179,30 @@ WINDOW_HEAD = [
     "dq_duplicates",
     "dq_range_violations",
     "dq_freshness",
+    # (d) r03 streaming block: oldest checks on the most-heavily-edited
+    #     file (streaming/__init__.py changed again this round)
+    "streaming_hourly_counts",
+    "streaming_severity_counts",
+    "streaming_session_counts",
+    "streaming_session_windows",
+    "streaming_attribution_pairs",
+    # (e) r03 dedup/multimodal families — their modules changed this
+    #     round (match_increment knobs; BMP/WAV codecs beside the
+    #     byte-feature path)
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_dup_clusters",
+    "minhash_recall",
+    "dedup_survivors",
+    "simhash_dup_candidates",
+    "training_corpus_funnel",
+    "multimodal_features",
+    "frame_sample_plan",
+    "embedding_near_dups",
+    "semantic_dup_clusters",
+    "boilerplate_report",
+    "decontamination_report",
 ]
 
 
@@ -384,6 +369,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- multimodal (binary payloads + Arrow-batched feature kernel) ----
         "multimodal_features": lambda spark, sf: mm_ops.multimodal_features(
+            _read(spark, sf, "documents")
+        ),
+        # -- real BMP/WAV round trip through decode_media -------------------
+        "multimodal_decode_report": lambda spark, sf: mm_ops.multimodal_decode_report(
             _read(spark, sf, "documents")
         ),
         "frame_sample_plan": lambda spark, sf: mm_ops.frame_sample_plan(

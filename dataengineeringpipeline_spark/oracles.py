@@ -1918,6 +1918,35 @@ FROM m
 ORDER BY doc_id
 """.strip()
 
+# Twin of multimodal.multimodal_decode_report: the Spark side round-trips
+# real BMP/WAV container bytes through decode_media; this side predicts
+# every decoded feature from the closed-form pixel/sample construction in
+# synthesize_media (doc_id arithmetic) — an independent check that the
+# encode→decode round trip preserved dimensions and values exactly.
+_MM_DECODE_SQL = """
+WITH s AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+img AS (
+  SELECT d AS doc_id, 'image' AS modality,
+    8 AS width, CAST(4 + d % 4 AS INTEGER) AS height,
+    CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+    CAST(NULL AS DOUBLE) AS duration_s,
+    CAST(list_aggregate(list_transform(range(0, (4 + d % 4) * 24),
+      i -> (d * 31 + i) % 256), 'sum') AS DOUBLE) / ((4 + d % 4) * 24) AS mean_value
+  FROM s WHERE d % 2 = 0
+),
+aud AS (
+  SELECT d AS doc_id, 'audio' AS modality,
+    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+    8000 AS sample_rate, CAST(64 + d % 32 AS BIGINT) AS n_samples,
+    CAST(64 + d % 32 AS DOUBLE) / 8000 AS duration_s,
+    CAST(list_aggregate(list_transform(range(0, 64 + d % 32),
+      i -> ((d * 7 + i * 13) % 512 - 256) * 64), 'sum') AS DOUBLE)
+      / (64 + d % 32) AS mean_value
+  FROM s WHERE d % 2 = 1
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id
+""".strip()
+
 
 def _sampling_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.operators.sampling import EVENT_RATES_PER_MILLE
@@ -2038,6 +2067,7 @@ ORDER BY window_bucket
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
         "streaming_severity_counts": _with({"ev": EVENTS_BASE}, severity_body),
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_decode_report": _MM_DECODE_SQL,
         "frame_sample_plan": _FRAME_PLAN_SQL,
     }
 

@@ -340,9 +340,91 @@ def test_multimodal_entropy_bounds(spark, sf_dir):
     assert bad == 0
 
 
-def test_decode_stub_raises():
+def test_decode_unknown_container_raises():
     with pytest.raises(NotImplementedError, match="image"):
         mm.decode_media(b"\x89PNG", "image")
+
+
+def test_bmp_golden_bytes_and_roundtrip():
+    import numpy as np
+
+    # Hand-built 1x2 image: pixels RGB (1,2,3) and (4,5,6). BMP stores
+    # one bottom-up row in BGR with the 2x3=6 data bytes padded to 8.
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    payload = mm.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 14 + 40 + 8
+    assert payload[54:62] == bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    assert (mm.decode_bmp(payload) == px).all()
+    assert (mm.decode_media(payload, "image") == px).all()
+
+
+def test_bmp_row_padding_roundtrip():
+    import numpy as np
+
+    # width 3 -> 9 data bytes padded to 12 per row; 2 rows flipped
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (mm.decode_bmp(mm.encode_bmp(px)) == px).all()
+
+
+def test_bmp_exotic_variants_raise():
+    import numpy as np
+
+    payload = bytearray(mm.encode_bmp(np.zeros((1, 1, 3), dtype=np.uint8)))
+    payload[28] = 8  # bpp 24 -> 8 (paletted)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mm.decode_bmp(bytes(payload))
+
+
+def test_wav_golden_bytes_and_roundtrip():
+    import numpy as np
+
+    s = np.array([0, 1000, -32768, 32767, -1], dtype=np.int16)
+    payload = mm.encode_wav(s, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    # fmt chunk: PCM(1), mono(1), 8000 Hz, 16-bit
+    import struct
+
+    fmt = struct.unpack_from("<HHIIHH", payload, 20)
+    assert fmt == (1, 1, 8000, 16000, 2, 16)
+    out, rate = mm.decode_wav(payload)
+    assert rate == 8000 and (out == s).all()
+    out2, _ = mm.decode_media(payload, "audio")
+    assert (out2 == s).all()
+
+
+def test_wav_stereo_raises():
+    import struct
+
+    import numpy as np
+
+    payload = bytearray(mm.encode_wav(np.zeros(4, dtype=np.int16)))
+    struct.pack_into("<H", payload, 22, 2)  # channels 1 -> 2
+    with pytest.raises(NotImplementedError, match="mono"):
+        mm.decode_wav(bytes(payload))
+
+
+def test_decoded_media_features_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = mm.multimodal_decode_report(docs).collect()
+    assert rows, "sample is non-empty"
+    for r in rows:
+        d = r["doc_id"]
+        if d % 2 == 0:
+            assert r["modality"] == "image"
+            assert (r["width"], r["height"]) == (8, 4 + d % 4)
+            n = (4 + d % 4) * 24
+            expect = sum((d * 31 + i) % 256 for i in range(n)) / n
+            assert r["mean_value"] == expect
+            assert r["sample_rate"] is None and r["duration_s"] is None
+        else:
+            assert r["modality"] == "audio"
+            n = 64 + d % 32
+            assert (r["sample_rate"], r["n_samples"]) == (8000, n)
+            assert r["duration_s"] == n / 8000
+            expect = sum(((d * 7 + i * 13) % 512 - 256) * 64 for i in range(n)) / n
+            assert r["mean_value"] == expect
+            assert r["width"] is None and r["height"] is None
 
 
 def test_frame_sample_plan_covers_all_chunks(spark, sf_dir):
