@@ -541,7 +541,7 @@ def hybrid_dup_clusters(
     text_pairs = minhash_lsh_pairs(docs, text_threshold, ordered=False).select(
         "doc_a", "doc_b"
     )
-    sem_pairs = embedding_near_dups(embeddings, cos_threshold).select(
+    sem_pairs = embedding_near_dups(embeddings, cos_threshold, ordered=False).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     pairs = text_pairs.unionByName(sem_pairs).distinct()

@@ -83,6 +83,7 @@ def lexical_search_topk(
     k: int = 5,
     query_mod: int = 100,
     max_df: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k candidate documents per query document.
 
@@ -90,7 +91,8 @@ def lexical_search_topk(
     convention); candidates = everything else, so a query never
     retrieves itself. Ties break by ascending doc_id. Returns
     (query_id, doc_id, shared_terms, score, rank) ordered by
-    (query_id, rank)."""
+    (query_id, rank); ``ordered=False`` skips the presentation sort for
+    consumers (fusion, joins) that destroy the order anyway."""
     cand = docs.filter(F.col("doc_id") % query_mod != 0)
     posts = posting_lists(cand)
     wt = term_weights(posts, max_df)
@@ -107,11 +109,8 @@ def lexical_search_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        matched.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = matched.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +132,7 @@ def hybrid_search_topk(
     list_k: int = 20,
     query_mod: int = 100,
     k0: int = RRF_K0,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k hybrid retrieval: the lexical top-``list_k`` and the
     embedding-cosine top-``list_k`` are fused with reciprocal-rank
@@ -157,10 +157,12 @@ def hybrid_search_topk(
         ann_bruteforce_topk,
     )
 
-    lex = lexical_search_topk(docs, k=list_k, query_mod=query_mod).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
-    sem = ann_bruteforce_topk(embeddings, k=list_k, query_mod=query_mod).select(
+    lex = lexical_search_topk(
+        docs, k=list_k, query_mod=query_mod, ordered=False
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    sem = ann_bruteforce_topk(
+        embeddings, k=list_k, query_mod=query_mod, ordered=False
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("sem_rank"),
@@ -173,11 +175,8 @@ def hybrid_search_topk(
         ).cast("long"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +303,7 @@ def rag_context_stats(
     by query_id."""
     from dataengineeringpipeline_spark.operators.text import TOKEN_REGEX
 
-    top = hybrid_search_topk(docs, embeddings, k=k, list_k=list_k)
+    top = hybrid_search_topk(docs, embeddings, k=k, list_k=list_k, ordered=False)
     tok = docs.select(
         "doc_id", F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("tokens")
     )

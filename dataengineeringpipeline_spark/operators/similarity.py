@@ -120,14 +120,19 @@ def lsh_signatures(embeddings: DataFrame, planes: int = LSH_PLANES) -> DataFrame
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.35, planes: int = LSH_PLANES
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    planes: int = LSH_PLANES,
+    ordered: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket collision → exact cosine ≥
     threshold. Bucket join keeps the candidate count ~n²/2^planes.
 
     Signatures are persisted: both sides of the bucket self-join consume
     them, and each signature costs ``planes`` fold-dot-products per
-    vector — computing that twice doubles the dominant cost."""
+    vector — computing that twice doubles the dominant cost.
+    ``ordered=False`` for consumers (clustering, unions) that feed the
+    pairs straight into joins."""
     sigs = tracked_persist(lsh_signatures(embeddings, planes))
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -138,7 +143,8 @@ def embedding_near_dups(
         F.col("b.vec_id").alias("vec_b"),
         (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
     )
-    return cand.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
+    out = cand.filter(F.col("cosine") >= threshold)
+    return out.orderBy("vec_a", "vec_b") if ordered else out
 
 
 def ivf_centroids(
@@ -702,7 +708,7 @@ def semantic_dup_clusters(
     """
     from dataengineeringpipeline_spark.operators.dedup import connected_components
 
-    pairs = embedding_near_dups(embeddings, threshold, planes)
+    pairs = embedding_near_dups(embeddings, threshold, planes, ordered=False)
     comp = connected_components(pairs, src="vec_a", dst="vec_b")
     size_w = Window.partitionBy("cluster_id")
     return (

@@ -32,6 +32,16 @@ PLAN_BOUNDS = {
     "bigram_fluency": (5, 1),
     "shard_balance_report": (4, 1),
     "ann_ivf_topk": (4, 1),
+    # PQ shortlist + re-rank: two top-k windows + persists, broadcast
+    # codebook/query tables/shortlist; the interior shortlist sort is
+    # gone (ordered=False) — a regrowth shows up as a 9th shuffle
+    "pq_ann_topk": (8, 5),
+    # token-blocked fuzzy join: vocabulary-sized shuffles only, the
+    # block-size guard and record rejoin sides broadcast
+    "fuzzy_join_matches": (9, 5),
+    # BMP/WAV round trip is two chained mapInPandas passes — the only
+    # exchange is the final presentation sort
+    "multimodal_decode_report": (1, 0),
 }
 
 
