@@ -126,6 +126,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
+        # Raw per-sweep samples: the box shows PROCESS-SCOPED fast/slow
+        # regimes (identical mid-suite scenario measured 7.8s and 2.8s
+        # on the md5-heavy dedup family in runs minutes apart, ~0%
+        # steal, no code change) — medians can't distinguish "this run
+        # drew the slow regime" from a real regression, but the raw
+        # samples + cross-round minima can.
+        "queries_samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
         "cpu_steal_pct": _steal_pct(),
         "sf": _sf_from_dir(sf_dir),
         "sweeps": sweeps,
