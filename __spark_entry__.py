@@ -145,6 +145,7 @@ WINDOW_HEAD = [
     # (a) NEW this round (never driver-checked)
     "multimodal_decode_report",
     "fuzzy_join_matches",
+    "shared_span_pairs",
     # (b) queries whose operator code changed this round (re-prove):
     #     streaming dedup/search harness rework, ANN ordered-knob threading,
     #     arrow-recall oracle independence, numeric_drift approx flag
@@ -321,6 +322,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash) -
         "exact_dedup": lambda spark, sf: dedup_ops.exact_dedup(_read(spark, sf, "documents")),
         "duplicate_span_coverage": lambda spark, sf: dedup_ops.duplicate_span_coverage(
+            _read(spark, sf, "documents")
+        ),
+        # -- cross-document verbatim-span pairs (quote/contamination
+        #    evidence the coverage readout above cannot attribute) ----------
+        "shared_span_pairs": lambda spark, sf: dedup_ops.shared_span_pairs(
             _read(spark, sf, "documents")
         ),
         "ngram_jaccard_pairs": lambda spark, sf: dedup_ops.ngram_jaccard_pairs(

@@ -983,6 +983,101 @@ def duplicate_span_coverage(
         )
     )
 
+#: Pairing guard for cross-document span matching: a span hash present
+#: in more than this many DISTINCT documents is boilerplate (licence
+#: blocks, templates) and is excluded from pair generation — the same
+#: posting-list cap economics as DEDUP_MAX_DF; boilerplate itself is
+#: the boilerplate_report operator's job.
+SPAN_PAIR_MAX_DF = 64
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    window: int = SPAN_WINDOW,
+    stride: int = SPAN_STRIDE,
+    min_windows: int = 2,
+    max_df: int = SPAN_PAIR_MAX_DF,
+    fast: bool = False,
+) -> DataFrame:
+    """Cross-document verbatim-span pairs: which document pairs share
+    exact ``window``-char substrings, and how many.
+
+    :func:`duplicate_span_coverage` answers "how much of each document
+    repeats somewhere"; this answers "*with whom*" — the pair evidence a
+    contamination audit or quote-detection pass needs (e.g. a benchmark
+    answer pasted into a training page shares a run of consecutive
+    windows with the benchmark doc while their word-shingle Jaccard
+    stays far below any dedup threshold).
+
+    Mechanics: the same map-only sliding-window hash front end as the
+    coverage operator, collapsed to one row per (document, span hash)
+    with the hash's first position; hashes in more than ``max_df``
+    distinct documents are dropped (boilerplate guard — see
+    :data:`SPAN_PAIR_MAX_DF`); the remaining postings self-join on the
+    hash (df-capped, never quadratic in the corpus) and aggregate per
+    pair. Returns ``(doc_a, doc_b, shared_windows, min_pos_a,
+    min_pos_b)`` for pairs sharing ≥ ``min_windows`` distinct span
+    hashes, ordered by (doc_a, doc_b).
+
+    Scale shape (100 TB): one shuffle keyed by the 48-bit span hash to
+    build the per-doc posting rows, one df-capped hash self-join (worst
+    fan-out ``max_df``² per hash, a constant), one pair aggregation.
+    Document text never enters an exchange.
+    """
+    base = spread(docs, "doc_id").select(
+        "doc_id",
+        F.when(
+            F.length("text") >= window,
+            F.sequence(F.lit(1), F.length("text") - window + 1, F.lit(stride)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("ps"),
+        "text",
+    )
+    wins = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        word_hash(F.substr("text", p, F.lit(window)), fast=fast).alias(
+                            "h"
+                        ),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.min("pos").alias("pos"))
+    )
+    wins = tracked_persist(wins)
+    keep = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    ).select("h")
+    posts = wins.join(keep, "h")
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_windows"),
+            F.min("a.pos").cast("int").alias("min_pos_a"),
+            F.min("b.pos").cast("int").alias("min_pos_b"),
+        )
+        .filter(F.col("shared_windows") >= min_windows)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def source_overlap_matrix(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Cross-source duplication matrix: how many verified near-dup pairs
     link each (unordered) pair of sources — the corpus-curation report

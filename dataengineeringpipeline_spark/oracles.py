@@ -1070,6 +1070,33 @@ ORDER BY doc_id
 """.strip()
 
 
+def _span_pair_sql(window: int, stride: int, max_df: int, min_windows: int) -> str:
+    """Twin of dedup.shared_span_pairs: per-(doc, hash) first positions,
+    df-capped postings, hash self-join, per-pair aggregation."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS doc_chars, text FROM documents
+),
+wins0 AS (
+  SELECT doc_id, pos, {_wh(f'substring(text, pos, {window})')} AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, doc_chars - {window - 1}, {stride})) AS pos
+    FROM base WHERE doc_chars >= {window}
+  )
+),
+wins AS (SELECT doc_id, h, MIN(pos) AS pos FROM wins0 GROUP BY doc_id, h),
+keep AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= {max_df}),
+posts AS (SELECT w.doc_id, w.h, w.pos FROM wins w JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(*) AS BIGINT) AS shared_windows,
+  CAST(MIN(a.pos) AS INTEGER) AS min_pos_a,
+  CAST(MIN(b.pos) AS INTEGER) AS min_pos_b
+FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_windows}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
 def _dedup_oracles() -> dict[str, str]:
     from dataengineeringpipeline_spark.operators.dedup import (
         DEDUP_MAX_DF,
@@ -1077,6 +1104,7 @@ def _dedup_oracles() -> dict[str, str]:
         LSH_ROWS,
         MINHASH_P,
         SIMHASH_BITS,
+        SPAN_PAIR_MAX_DF,
         SPAN_STRIDE,
         SPAN_WINDOW,
         _minhash_params,
@@ -1316,6 +1344,7 @@ FROM (
     return {
         "exact_dedup": EXACT_DEDUP_SQL,
         "duplicate_span_coverage": _dup_span_sql(SPAN_WINDOW, SPAN_STRIDE),
+        "shared_span_pairs": _span_pair_sql(SPAN_WINDOW, SPAN_STRIDE, SPAN_PAIR_MAX_DF, 2),
         "split_summary": split_summary_sql,
         "minhash_dup_clusters": minhash_clusters,
         "hybrid_dup_clusters": hybrid_clusters,

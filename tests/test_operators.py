@@ -857,6 +857,58 @@ def test_duplicate_span_coverage_closed_form(spark):
     assert got[5]["total_windows"] == 0 and got[5]["dup_chars"] == 0
 
 
+def test_shared_span_pairs_closed_form(spark):
+    """Cross-doc span pairs: a 100-char block shared between docs 1 and
+    2 at grid-aligned offsets pairs them with 7 shared windows; a doc's
+    internal repetition does NOT pair it with itself; a unique doc pairs
+    with nobody."""
+    import random
+
+    from dataengineeringpipeline_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(7)
+
+    def rand_text(n, alphabet="abcdefghijklmnopqrstuvwxyz"):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    B = rand_text(100)
+    P = rand_text(45, "ABCDEFGHIJKLMNOP")
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=rand_text(40, "0123456789") + B),
+            Row(doc_id=2, text=B + rand_text(37, "QRSTUVWXYZ")),
+            Row(doc_id=3, text=P + "zzzzz" + P),  # self-repeat only
+            Row(doc_id=4, text=rand_text(120, "!@#$%^&*()")),
+        ]
+    )
+    rows = shared_span_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # B occupies doc1[41:140] and doc2[1:100]; windows land every 10
+    # chars, so 7 windows of B align across the two docs
+    assert r["shared_windows"] == 7
+    assert r["min_pos_a"] == 41 and r["min_pos_b"] == 1
+
+
+def test_shared_span_pairs_boilerplate_guard(spark):
+    """A block pasted into more documents than max_df is excluded
+    from pairing entirely — boilerplate belongs to boilerplate_report,
+    not the pair graph."""
+    import random
+
+    from dataengineeringpipeline_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(11)
+    B = "".join(rng.choice("abcdefghij") for _ in range(60))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=B + str(i)) for i in range(1, 6)]
+    )
+    # df=5 > max_df=4: no pairs at all
+    assert shared_span_pairs(docs, max_df=4).count() == 0
+    # df=5 <= max_df=5: all 10 pairs appear
+    assert shared_span_pairs(docs, max_df=5).count() == 10
+
+
 def test_doc_length_distribution_closed_form_and_approx_brackets(spark):
     """Known word/char counts: interpolated percentiles are hand-checked,
     and the approx (scale) path stays within the group's value range."""
