@@ -146,6 +146,7 @@ WINDOW_HEAD = [
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
+    "span_dedup_cleaned",
     # (b) queries whose operator code changed this round (re-prove):
     #     streaming dedup/search harness rework, ANN ordered-knob threading,
     #     arrow-recall oracle independence, numeric_drift approx flag
@@ -327,6 +328,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- cross-document verbatim-span pairs (quote/contamination
         #    evidence the coverage readout above cannot attribute) ----------
         "shared_span_pairs": lambda spark, sf: dedup_ops.shared_span_pairs(
+            _read(spark, sf, "documents")
+        ),
+        # -- substring-dedup APPLICATION: delete corpus-repeated spans;
+        #    cleaned text proved bit-exact via md5 ------------------------
+        "span_dedup_cleaned": lambda spark, sf: dedup_ops.remove_duplicate_spans(
             _read(spark, sf, "documents")
         ),
         "ngram_jaccard_pairs": lambda spark, sf: dedup_ops.ngram_jaccard_pairs(

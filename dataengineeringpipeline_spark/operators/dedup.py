@@ -983,6 +983,127 @@ def duplicate_span_coverage(
         )
     )
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = SPAN_WINDOW,
+    stride: int = SPAN_STRIDE,
+    fast: bool = False,
+) -> DataFrame:
+    """Apply substring dedup: delete every character covered by a
+    corpus-repeated span and return the cleaned text — the *removal*
+    step of the Lee-et-al.-2022 recipe whose decision input
+    :func:`duplicate_span_coverage` computes and whose attribution
+    :func:`shared_span_pairs` gives.
+
+    The duplicated-island set is derived exactly as in the coverage
+    operator (window hashes seen ≥ 2 anywhere, merged
+    gaps-and-islands); the kept text is the concatenation of the
+    complement segments, rebuilt with ONE ``aggregate`` expression over
+    each document's sorted island array — no per-segment explode, no
+    Python. Returns ``(doc_id, doc_chars, removed_chars, kept_chars,
+    cleaned_md5)``; ``cleaned_md5`` is the md5 of the cleaned text, so
+    the result is bit-checkable against any engine without shipping the
+    text itself. Documents with no duplicated spans keep their full
+    text (md5(text)); a fully-covered document cleans to the empty
+    string (md5("") = d41d8...).
+
+    Scale shape: identical to the coverage operator (map-only hash
+    front end, one hash-keyed shuffle for the duplicate set, islands
+    shuffled by doc_id) plus one broadcast-or-shuffle join of the tiny
+    per-doc island arrays back to the corpus — text still never enters
+    an exchange.
+    """
+    base = spread(docs, "doc_id").select(
+        "doc_id",
+        F.length("text").alias("doc_chars"),
+        F.when(
+            F.length("text") >= window,
+            F.sequence(F.lit(1), F.length("text") - window + 1, F.lit(stride)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("ps"),
+        "text",
+    )
+    hashed = tracked_persist(
+        base.select(
+            "doc_id",
+            "doc_chars",
+            "text",
+            F.transform(
+                "ps", lambda p: word_hash(F.substr("text", p, F.lit(window)), fast=fast)
+            ).alias("whs"),
+            "ps",
+        )
+    )
+    wins = hashed.select(
+        "doc_id", F.explode(F.arrays_zip("ps", "whs")).alias("z")
+    ).select("doc_id", F.col("z.ps").alias("pos"), F.col("z.whs").alias("h"))
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    spans = wins.join(dup_hashes, "h").select(
+        "doc_id", "pos", (F.col("pos") + window - 1).alias("end")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("isl"))
+    )
+    joined = hashed.select("doc_id", "doc_chars", "text").join(
+        islands, "doc_id", "left"
+    )
+    # Rebuild the kept text in one pass over the sorted islands: the
+    # accumulator carries (last covered end, kept-so-far); each island
+    # appends the gap before it; finish appends the tail after the last.
+    cleaned = F.when(F.col("isl").isNull(), F.col("text")).otherwise(
+        F.aggregate(
+            "isl",
+            F.struct(F.lit(0).alias("last"), F.lit("").alias("acc")),
+            lambda a, i: F.struct(
+                i["e"].alias("last"),
+                F.concat(
+                    a["acc"],
+                    F.substr(
+                        "text", a["last"] + 1, i["s"] - F.lit(1) - a["last"]
+                    ),
+                ).alias("acc"),
+            ),
+            lambda a: F.concat(
+                a["acc"],
+                F.substr("text", a["last"] + 1, F.col("doc_chars") - a["last"]),
+            ),
+        )
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.col("doc_chars").cast("long").alias("doc_chars"),
+            cleaned.alias("cleaned"),
+        )
+        .select(
+            "doc_id",
+            "doc_chars",
+            (F.col("doc_chars") - F.length("cleaned")).cast("long").alias(
+                "removed_chars"
+            ),
+            F.length("cleaned").cast("long").alias("kept_chars"),
+            F.md5("cleaned").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Pairing guard for cross-document span matching: a span hash present
 #: in more than this many DISTINCT documents is boilerplate (licence
 #: blocks, templates) and is excluded from pair generation — the same

@@ -1070,6 +1070,58 @@ ORDER BY doc_id
 """.strip()
 
 
+def _span_removal_sql(window: int, stride: int) -> str:
+    """Twin of dedup.remove_duplicate_spans: coverage islands, kept
+    segments via lag-gaps + tail, string_agg reconstruction, md5."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS doc_chars, text FROM documents
+),
+wins AS (
+  SELECT doc_id, pos, {_wh(f'substring(text, pos, {window})')} AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, doc_chars - {window - 1}, {stride})) AS pos
+    FROM base WHERE doc_chars >= {window}
+  )
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+ds AS (SELECT w.doc_id, w.pos, w.pos + {window - 1} AS e FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1 THEN 1 ELSE 0 END AS ni
+  FROM ds
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl
+),
+per_isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2 FROM isl2 GROUP BY 1, 2),
+segs AS (
+  SELECT doc_id, COALESCE(LAG(e2) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS seg_start,
+         s - 1 AS seg_end
+  FROM per_isl
+  UNION ALL
+  SELECT doc_id, MAX(e2) + 1 AS seg_start, NULL AS seg_end FROM per_isl GROUP BY doc_id
+),
+cleaned AS (
+  SELECT s2.doc_id,
+    string_agg(
+      CASE WHEN s2.seg_end IS NULL
+           THEN substring(b.text, s2.seg_start, b.doc_chars - s2.seg_start + 1)
+           ELSE substring(b.text, s2.seg_start, s2.seg_end - s2.seg_start + 1) END,
+      '' ORDER BY s2.seg_start) AS ct
+  FROM segs s2 JOIN base b USING (doc_id) GROUP BY s2.doc_id
+)
+SELECT b.doc_id,
+  CAST(b.doc_chars AS BIGINT) AS doc_chars,
+  CAST(b.doc_chars - length(COALESCE(c.ct, b.text)) AS BIGINT) AS removed_chars,
+  CAST(length(COALESCE(c.ct, b.text)) AS BIGINT) AS kept_chars,
+  md5(COALESCE(c.ct, b.text)) AS cleaned_md5
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+ORDER BY doc_id
+""".strip()
+
+
 def _span_pair_sql(window: int, stride: int, max_df: int, min_windows: int) -> str:
     """Twin of dedup.shared_span_pairs: per-(doc, hash) first positions,
     df-capped postings, hash self-join, per-pair aggregation."""
@@ -1345,6 +1397,7 @@ FROM (
         "exact_dedup": EXACT_DEDUP_SQL,
         "duplicate_span_coverage": _dup_span_sql(SPAN_WINDOW, SPAN_STRIDE),
         "shared_span_pairs": _span_pair_sql(SPAN_WINDOW, SPAN_STRIDE, SPAN_PAIR_MAX_DF, 2),
+        "span_dedup_cleaned": _span_removal_sql(SPAN_WINDOW, SPAN_STRIDE),
         "split_summary": split_summary_sql,
         "minhash_dup_clusters": minhash_clusters,
         "hybrid_dup_clusters": hybrid_clusters,

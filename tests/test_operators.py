@@ -890,6 +890,46 @@ def test_shared_span_pairs_closed_form(spark):
     assert r["min_pos_a"] == 41 and r["min_pos_b"] == 1
 
 
+def test_remove_duplicate_spans_closed_form(spark):
+    """The cleaned text is exactly the original minus the coverage
+    islands: verified by md5 against a hand-built expectation for every
+    island shape (head-covered, tail-covered, internal repeat, no
+    coverage, too-short)."""
+    import hashlib
+    import random
+
+    from dataengineeringpipeline_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(7)
+
+    def rand_text(n, alphabet="abcdefghijklmnopqrstuvwxyz"):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    B = rand_text(100)
+    P = rand_text(45, "ABCDEFGHIJKLMNOP")
+    t1 = rand_text(40, "0123456789") + B          # island [41,140] -> tail cut
+    t2 = B + rand_text(37, "QRSTUVWXYZ")          # island [1,100] -> head cut
+    t3 = P + "zzzzz" + P                          # islands [1,40],[51,90]
+    t4 = rand_text(120, "!@#$%^&*()")             # untouched
+    t5 = "short"                                  # untouched (< window)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i + 1, text=t) for i, t in enumerate([t1, t2, t3, t4, t5])]
+    )
+    expect = {
+        1: t1[:40],                 # keep chars 1..40
+        2: t2[100:],                # keep chars 101..137
+        3: t3[40:50] + t3[90:],     # keep 41..50 and 91..95
+        4: t4,
+        5: t5,
+    }
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    for d, txt in expect.items():
+        assert got[d]["kept_chars"] == len(txt), d
+        assert got[d]["cleaned_md5"] == hashlib.md5(txt.encode()).hexdigest(), d
+    assert got[1]["removed_chars"] == 100
+    assert got[3]["removed_chars"] == 80
+
+
 def test_shared_span_pairs_boilerplate_guard(spark):
     """A block pasted into more documents than max_df is excluded
     from pairing entirely — boilerplate belongs to boilerplate_report,
