@@ -42,6 +42,11 @@ PLAN_BOUNDS = {
     # BMP/WAV round trip is two chained mapInPandas passes — the only
     # exchange is the final presentation sort
     "multimodal_decode_report": (1, 0),
+    # substring-dedup family: hash-keyed duplicate-set shuffle + doc-keyed
+    # island shuffle(s); the duplicate-hash join side broadcasts at test
+    # scale (AQE may legitimately pick either at corpus scale)
+    "shared_span_pairs": (6, 1),
+    "span_dedup_cleaned": (4, 1),
 }
 
 
