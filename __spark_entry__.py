@@ -143,6 +143,9 @@ def _fuzzy_join_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ALL entries.
 WINDOW_HEAD = [
     # (a) NEW this round (never driver-checked)
+    "snapshot_diff_report",
+    "streaming_quality_gate",
+    "streaming_ann_topk",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -239,6 +242,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- streaming continuous-ingest dedup (incremental signature state)
         "streaming_incremental_dedup": streaming.streaming_incremental_dedup,
         "streaming_search_topk": streaming.streaming_search_topk,
+        "streaming_quality_gate": streaming.streaming_quality_gate,
+        "streaming_ann_topk": streaming.streaming_ann_topk,
         # -- streaming categorical-mix drift (streaming face of
         #    quality.category_drift) -------------------------------------
         "streaming_mix_drift": streaming.streaming_mix_drift,
@@ -373,6 +378,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- end-to-end corpus construction (scrub→dedup→gates→chunk→pack) --
         "training_corpus_funnel": lambda spark, sf: corpus_ops.training_corpus_funnel(
+            _read(spark, sf, "documents")
+        ),
+        # -- snapshot policy diff (two gate policies over one scored pass) --
+        "snapshot_diff_report": lambda spark, sf: corpus_ops.snapshot_diff_report(
             _read(spark, sf, "documents")
         ),
         # -- training shards (deterministic global shuffle, balance gauge) --

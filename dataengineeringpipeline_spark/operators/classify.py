@@ -62,6 +62,22 @@ def doc_features(text: str | Column = "text") -> Column:
     return F.concat(ws, bigrams)
 
 
+def with_classifier_score(docs: DataFrame) -> DataFrame:
+    """All input columns plus the gate columns (n_features, score_sum,
+    keep) — the projection the streaming gate uses to ROUTE full rows
+    (quarantine needs the original document, not just its score).
+    Map-only; adds nothing but expressions to the scan."""
+    feats = doc_features()
+    return docs.withColumns(
+        {
+            "n_features": F.size(feats).cast("long"),
+            "score_sum": F.aggregate(
+                feats, F.lit(0).cast("long"), lambda acc, t: acc + feature_weight(t)
+            ),
+        }
+    ).withColumn("keep", F.col("score_sum") >= 0)
+
+
 def classifier_scores(docs: DataFrame) -> DataFrame:
     """Per-document classifier scores — one map-only projection.
 
@@ -77,15 +93,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     from dataengineeringpipeline_spark.scale import spread
 
     docs = spread(docs, "doc_id")
-    feats = doc_features()
-    return docs.select(
-        "doc_id",
-        "source",
-        F.size(feats).cast("long").alias("n_features"),
-        F.aggregate(
-            feats, F.lit(0).cast("long"), lambda acc, t: acc + feature_weight(t)
-        ).alias("score_sum"),
-    ).select(
+    return with_classifier_score(docs).select(
         "doc_id",
         "source",
         "n_features",
@@ -93,7 +101,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
         (F.col("score_sum").cast("double") / F.col("n_features").cast("double")).alias(
             "mean_score"
         ),
-        (F.col("score_sum") >= 0).alias("keep"),
+        "keep",
     )
 
 

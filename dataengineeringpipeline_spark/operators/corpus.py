@@ -317,14 +317,15 @@ def snapshot_diff(spark, lake, snapshot_a: str, snapshot_b: str) -> DataFrame:
     snapshot (did the new gates drop 1% or 40%?).
 
     One full-outer join of the two id tables (ids only — the chunk
-    payloads never load) and single-row integer counts:
+    payloads never load, so a snapshot materialized without its chunk
+    table diffs just the same) and single-row integer counts:
     (docs_a, docs_b, kept_both, added, removed, churn_pm) where churn is
     the per-mille of snapshot B that is new. Engine-trivial at any
     corpus size: the id tables are the funnel's smallest artifact."""
-    a = read_corpus(spark, lake, snapshot_a)["keep_ids"].select(
+    a = lake.read(spark, "gold", f"corpus_{snapshot_a}_keep_ids").select(
         F.col("doc_id").alias("id_a")
     )
-    b = read_corpus(spark, lake, snapshot_b)["keep_ids"].select(
+    b = lake.read(spark, "gold", f"corpus_{snapshot_b}_keep_ids").select(
         F.col("doc_id").alias("id_b")
     )
     joined = a.join(b, a["id_a"] == b["id_b"], "full_outer")
@@ -346,3 +347,54 @@ def snapshot_diff(spark, lake, snapshot_a: str, snapshot_b: str) -> DataFrame:
             "CASE WHEN docs_b > 0 THEN (added * 1000) div docs_b ELSE 0 END"
         ).cast("long").alias("churn_pm"),
     )
+
+
+#: Gate settings for the two snapshots the diff contract query compares:
+#: snapshot A is the incumbent (quality ≥ 80, some repetition tolerated),
+#: snapshot B the candidate (slightly looser quality floor, but zero
+#: repetition tolerance) — a two-dimensional gate change, so the diff has
+#: both additions and removals, like a real policy revision would.
+SNAPSHOT_GATES_A = (80, 0.05)
+SNAPSHOT_GATES_B = (75, 0.0)
+
+
+def snapshot_diff_report(
+    docs: DataFrame,
+    lake=None,
+    gates_a: tuple[int, float] = SNAPSHOT_GATES_A,
+    gates_b: tuple[int, float] = SNAPSHOT_GATES_B,
+    dedup_threshold: float = 0.5,
+) -> DataFrame:
+    """Contract harness for :func:`snapshot_diff`: materialize two corpus
+    snapshots that differ only in gate policy, then diff their id tables
+    through the lake.
+
+    The expensive subtrees are shared, not recomputed per snapshot: the
+    LSH→verify→cluster loser set depends only on ``dedup_threshold``
+    (identical for both snapshots) and the quality/repetition scores are
+    per-document facts — so both are computed ONCE, persisted, and the
+    two snapshots are just two threshold filters over the same scored
+    frame. At 100 TB this is exactly how snapshot families are cut: one
+    scoring pass, N policy filters, N cheap id-table writes.
+    """
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    spark = docs.sparkSession
+    if lake is None:
+        import tempfile
+
+        lake = Lake(tempfile.mkdtemp(prefix="snapshot_diff_"))
+    docs = spread(docs, "doc_id")
+    losers = tracked_persist(_dedup_losers(docs, dedup_threshold))
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    scores = tracked_persist(
+        quality_score(text_stats(kept))
+        .select("doc_id", "quality_score")
+        .join(repetition_stats(kept).select("doc_id", "dup_ngram_ratio"), "doc_id")
+    )
+    for snapshot, (min_q, max_r) in (("snapa", gates_a), ("snapb", gates_b)):
+        keep = scores.filter(
+            (F.col("quality_score") >= min_q) & (F.col("dup_ngram_ratio") <= max_r)
+        ).select("doc_id")
+        lake.write(keep, "gold", f"corpus_{snapshot}_keep_ids")
+    return snapshot_diff(spark, lake, "snapa", "snapb")

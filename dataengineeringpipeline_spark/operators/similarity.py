@@ -815,6 +815,7 @@ def materialize_ann_index(
     lake,
     snapshot: str = "ann1",
     centroid_mod: int = IVF_CENTROID_MOD,
+    include_corpus: bool = True,
 ) -> dict[str, str]:
     """Write the IVF+PQ index state to gold tables — coarse centroids,
     PQ codebook, and the encoded+assigned corpus (4 bytes of codes + a
@@ -826,21 +827,29 @@ def materialize_ann_index(
     (:func:`ann_index_topk`). At 100 TB the encoded table is ~64×
     smaller than the vectors and is the only thing a query's candidate
     stage reads.
+
+    ``include_corpus=False`` is the pure FAISS ``train()`` step: write
+    the frozen quantizers only, and let every vector arrive later via
+    :func:`ann_index_append` or the streaming
+    ``streaming.stream_ann_index`` (which encodes arrivals into
+    per-batch partitions of the same encoded table).
     """
     base = tracked_persist(with_norms(embeddings))
     cents = ivf_centroids(embeddings, centroid_mod, base=base)
     codebook = tracked_persist(pq_codebook(embeddings, base=base))
-    encoded = pq_encode(embeddings, codebook, base=base).join(
-        ivf_assign(embeddings, centroid_mod, centroids=cents, base=base).select(
-            "vec_id", "centroid_id"
-        ),
-        "vec_id",
-    )
-    return {
+    paths = {
         "centroids": lake.write(cents, "gold", f"ann_{snapshot}_centroids"),
         "codebook": lake.write(codebook, "gold", f"ann_{snapshot}_codebook"),
-        "encoded": lake.write(encoded, "gold", f"ann_{snapshot}_encoded"),
     }
+    if include_corpus:
+        encoded = pq_encode(embeddings, codebook, base=base).join(
+            ivf_assign(embeddings, centroid_mod, centroids=cents, base=base).select(
+                "vec_id", "centroid_id"
+            ),
+            "vec_id",
+        )
+        paths["encoded"] = lake.write(encoded, "gold", f"ann_{snapshot}_encoded")
+    return paths
 
 
 def ann_index_append(
@@ -854,14 +863,27 @@ def ann_index_append(
     fresh snapshot when recall degrades."""
     cents = lake.read(spark, "gold", f"ann_{snapshot}_centroids")
     codebook = lake.read(spark, "gold", f"ann_{snapshot}_codebook")
+    lake.write(
+        encode_for_index(new_embeddings, cents, codebook),
+        "gold",
+        f"ann_{snapshot}_encoded",
+        mode="append",
+    )
+
+
+def encode_for_index(
+    new_embeddings: DataFrame, cents: DataFrame, codebook: DataFrame
+) -> DataFrame:
+    """Assign + PQ-encode a batch against FROZEN quantizer tables —
+    map-only over the batch (broadcast quantizers), the shared kernel of
+    :func:`ann_index_append` and the streaming index maintainer."""
     base = tracked_persist(with_norms(new_embeddings))
-    encoded = pq_encode(new_embeddings, codebook, base=base).join(
+    return pq_encode(new_embeddings, codebook, base=base).join(
         ivf_assign(new_embeddings, centroids=cents, base=base).select(
             "vec_id", "centroid_id"
         ),
         "vec_id",
     )
-    lake.write(encoded, "gold", f"ann_{snapshot}_encoded", mode="append")
 
 
 def ann_index_topk(

@@ -1362,6 +1362,58 @@ FROM pk_packed
 """.strip(),
     )
 
+    # -- corpus snapshot diff (operators/corpus.snapshot_diff_report) ---
+    # same loser CTEs; per-doc quality/repetition scores computed once
+    # and filtered by the two gate policies, then count-diffed.
+    from dataengineeringpipeline_spark.operators.corpus import (
+        SNAPSHOT_GATES_A,
+        SNAPSHOT_GATES_B,
+    )
+
+    (_ga_q, _ga_r), (_gb_q, _gb_r) = SNAPSHOT_GATES_A, SNAPSHOT_GATES_B
+    snapshot_diff_sql = _with_recursive(
+        {
+            **cluster_ctes,
+            "clusters": clusters_cte,
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+            "surv": (
+                "SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+                "ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn "
+                "FROM clusters c JOIN q ON c.doc_id = q.doc_id"
+            ),
+            "losers": "SELECT doc_id FROM surv WHERE rn > 1",
+            "rep": _REPETITION_SQL,
+            "scored": (
+                "SELECT q.doc_id, q.quality_score, r.dup_ngram_ratio "
+                "FROM q JOIN rep r ON q.doc_id = r.doc_id "
+                "LEFT JOIN losers l ON q.doc_id = l.doc_id WHERE l.doc_id IS NULL"
+            ),
+            "ka": (
+                f"SELECT doc_id FROM scored WHERE quality_score >= {_ga_q} "
+                f"AND dup_ngram_ratio <= {_ga_r}"
+            ),
+            "kb": (
+                f"SELECT doc_id FROM scored WHERE quality_score >= {_gb_q} "
+                f"AND dup_ngram_ratio <= {_gb_r}"
+            ),
+            "cnt": (
+                "SELECT (SELECT COUNT(*) FROM ka) AS docs_a,"
+                " (SELECT COUNT(*) FROM kb) AS docs_b,"
+                " (SELECT COUNT(*) FROM ka JOIN kb USING (doc_id)) AS kept_both"
+            ),
+        },
+        """
+SELECT CAST(docs_a AS BIGINT) AS docs_a, CAST(docs_b AS BIGINT) AS docs_b,
+  CAST(kept_both AS BIGINT) AS kept_both,
+  CAST(docs_b - kept_both AS BIGINT) AS added,
+  CAST(docs_a - kept_both AS BIGINT) AS removed,
+  CAST(CASE WHEN docs_b > 0 THEN ((docs_b - kept_both) * 1000) // docs_b ELSE 0 END AS BIGINT) AS churn_pm
+FROM cnt
+""".strip(),
+    )
+
     from dataengineeringpipeline_spark.operators.sampling import (
         SPLIT_TRAIN_PM,
         SPLIT_VAL_PM,
@@ -1399,6 +1451,7 @@ FROM (
         "shared_span_pairs": _span_pair_sql(SPAN_WINDOW, SPAN_STRIDE, SPAN_PAIR_MAX_DF, 2),
         "span_dedup_cleaned": _span_removal_sql(SPAN_WINDOW, SPAN_STRIDE),
         "split_summary": split_summary_sql,
+        "snapshot_diff_report": snapshot_diff_sql,
         "minhash_dup_clusters": minhash_clusters,
         "hybrid_dup_clusters": hybrid_clusters,
         "dedup_survivors": dedup_survivors_sql,
@@ -3514,3 +3567,51 @@ ORACLES.update(_numeric_drift_oracles())
 # streaming_search_topk merges streamed posting/count state that is, by
 # construction, identical to the batch index — same oracle as the inline op.
 ORACLES["streaming_search_topk"] = ORACLES["lexical_search_topk"]
+
+
+def _streaming_gate_sql() -> str:
+    """Twin of streaming.streaming_quality_gate: the arrival batch is the
+    deterministic ``doc_id % 3`` split, the decision the same integer
+    classifier arithmetic as _classifier_summary_sql."""
+    from dataengineeringpipeline_spark.operators.classify import (
+        _MULT,
+        _WEIGHT_MOD,
+        _WEIGHT_SHIFT,
+        N_BUCKETS,
+    )
+
+    weight = (
+        f"(({_wh('t')} % {N_BUCKETS}) * {_MULT}) % {_WEIGHT_MOD} - {_WEIGHT_SHIFT}"
+    )
+    return _with(
+        {
+            "feats": (
+                "SELECT doc_id, source, list_concat(ws,"
+                " list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs "
+                f"FROM (SELECT doc_id, source, {_W} AS ws FROM documents)"
+            ),
+            "scored": (
+                "SELECT doc_id % 3 AS arrival_batch, source,\n"
+                f"  list_reduce(list_transform(fs, t -> {weight}), (a, b) -> a + b) AS score_sum\n"
+                "FROM feats"
+            ),
+        },
+        """
+SELECT CAST(arrival_batch AS BIGINT) AS arrival_batch, source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+  CAST(SUM(CASE WHEN score_sum < 0 THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_docs,
+  CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+  CAST(SUM(score_sum) AS BIGINT) AS total_score
+FROM scored GROUP BY arrival_batch, source ORDER BY arrival_batch, source
+""".strip(),
+    )
+
+
+ORACLES["streaming_quality_gate"] = _streaming_gate_sql()
+
+# streaming_ann_topk drains per-batch encodings against frozen quantizers
+# that are, by construction, identical to the batch-materialized index —
+# same oracle as the inline IVF+PQ query.
+ORACLES["streaming_ann_topk"] = ORACLES["ann_ivfpq_topk"]

@@ -1338,3 +1338,209 @@ def streaming_search_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# -- streaming classifier quality gate ----------------------------------------
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Exactly-once streaming quality gate: every arriving micro-batch of
+    documents is scored by the hashed n-gram classifier (the same
+    map-only expression projection the batch gate runs —
+    ``operators/classify.with_classifier_score``) and ROUTED:
+
+    - per-document decisions to ``decisions/batch_id=<n>``;
+    - rejected documents' full rows to ``quarantine/batch_id=<n>`` —
+      the streaming sibling of the batch quarantine sink
+      (``quality.quarantine``; reference keeps failing rows too,
+      ``lambda/data_quality_monitor/lambda_function.py:455-496``).
+
+    Per-batch partitions make crash replay idempotent (a replayed batch
+    overwrites exactly its own two partitions — the CMS/HLL/dedup-state
+    layout), and scoring is pure per-row expressions, so the gate adds
+    ZERO shuffles to the stream: at 100 TB/day the cost is the scan the
+    ingest already pays, and the decision/quarantine writes partition by
+    batch naturally."""
+    from ..operators.classify import with_classifier_score
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = with_classifier_score(batch_df)
+        scored.select("doc_id", "source", "n_features", "score_sum", "keep").write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/decisions/batch_id={batch_id}")
+        scored.filter(~F.col("keep")).drop("n_features", "score_sum", "keep").write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/quarantine/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_quality_gate over {source_dir!r} did not finish within {timeout_s}s"
+        )
+
+
+def read_stream_gate_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All per-batch gate decisions; ``batch_id`` is the partition column."""
+    return spark.read.parquet(f"{state_dir}/decisions")
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream the corpus through the classifier
+    gate in three deterministic arrival batches (``doc_id % 3``, file
+    mtimes pinned so the file source drains them in order) and report
+    per-(arrival batch, source) routing: docs, kept, quarantined, keep
+    rate, and the integer score sum.
+
+    The batch split is a function of doc_id, so the SQL oracle
+    reproduces it exactly; the keep decision is the integer classifier
+    gate — no floats anywhere in the routed decision."""
+    import os
+    import tempfile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(docs, F.expr("doc_id % 3"), src, 3)
+    stream_quality_gate(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
+    dec = read_stream_gate_decisions(spark, f"{tmp}/state")
+    return (
+        dec.groupBy(
+            F.col("batch_id").cast("long").alias("arrival_batch"), F.col("source")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("quarantined_docs"),
+            F.sum("score_sum").cast("long").alias("total_score"),
+        )
+        .select(
+            "arrival_batch",
+            "source",
+            "docs",
+            "kept_docs",
+            "quarantined_docs",
+            (F.col("kept_docs").cast("double") / F.col("docs").cast("double")).alias(
+                "keep_rate"
+            ),
+            "total_score",
+        )
+        .orderBy("arrival_batch", "source")
+    )
+
+
+# -- streaming ANN index maintenance ------------------------------------------
+
+EMBEDDINGS_DDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def stream_ann_index(
+    spark: SparkSession,
+    source_dir: str,
+    lake,
+    snapshot: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Exactly-once streaming maintenance of the materialized IVF+PQ
+    index: each arriving micro-batch of vectors is assigned + PQ-encoded
+    against the FROZEN stored quantizers (map-only, broadcast quantizer
+    tables — the same kernel as ``similarity.ann_index_append``) and
+    written to a ``batch_id=<n>`` partition of the SAME encoded gold
+    table batch appends target. A crash-replayed batch overwrites
+    exactly its own partition, so a vector can never be encoded twice —
+    the blind-append race the batch ``mode("append")`` path would have
+    under replay is structurally impossible here.
+
+    Quantizers stay frozen across the stream (the FAISS ``add()``
+    contract); retraining is a new snapshot, not a stream concern. At
+    100 TB the per-batch cost is the batch scan + two broadcast joins —
+    no corpus-side work ever happens on the hot path."""
+    from ..operators.similarity import encode_for_index
+
+    cents = lake.read(spark, "gold", f"ann_{snapshot}_centroids")
+    codebook = lake.read(spark, "gold", f"ann_{snapshot}_codebook")
+    table_path = lake.path("gold", f"ann_{snapshot}_encoded")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        encode_for_index(batch_df, cents, codebook).write.mode("overwrite").parquet(
+            f"{table_path}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(EMBEDDINGS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_ann_index over {source_dir!r} did not finish within {timeout_s}s"
+        )
+
+
+def streaming_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Driver-contract query: freeze the quantizers (the pure ``train()``
+    half of ``similarity.materialize_ann_index``), stream the ENTIRE
+    vector corpus into the encoded table in three deterministic arrival
+    batches (``vec_id % 3``), then run the held-out queries
+    (``vec_id % 100 == 0``) against the drained index. Because encoding
+    against frozen quantizers is a pure per-vector function, the drained
+    table is EXACTLY the batch-materialized one — the result, and the
+    oracle, are the inline ``ann_ivfpq_topk``."""
+    import os
+    import tempfile
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..datalake import Lake
+    from ..operators.similarity import ann_index_topk, materialize_ann_index
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    lake = Lake(os.path.join(tmp, "lake"))
+    # quantizer training and arrival staging touch disjoint outputs —
+    # overlap them (the dedup-harness trick)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        train = ex.submit(
+            materialize_ann_index, emb, lake, "s1", include_corpus=False
+        )
+        stage = ex.submit(
+            _stage_arrival_batches, emb, F.expr("vec_id % 3"), src, 3
+        )
+        train.result()
+        stage.result()
+    stream_ann_index(spark, src, lake, "s1", f"{tmp}/ckpt")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_index_topk(queries, emb, spark, lake, snapshot="s1", k=k)

@@ -288,3 +288,25 @@ def test_snapshot_diff_counts_added_removed(spark, sf_dir, tmp_path):
     assert row["added"] == len(ids_b - ids_a)
     assert row["removed"] == len(ids_a - ids_b)
     assert row["churn_pm"] == (row["added"] * 1000) // row["docs_b"]
+
+
+def test_snapshot_diff_report_matches_policy_filters(spark, sf_dir, tmp_path):
+    """The two-policy harness must equal independently computed keep sets:
+    snapshot X = corpus_keep_ids under gates X (same dedup threshold)."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lake = Lake(str(tmp_path / "lake"))
+    row = corpus.snapshot_diff_report(docs, lake).collect()[0]
+    qa, ra = corpus.SNAPSHOT_GATES_A
+    qb, rb = corpus.SNAPSHOT_GATES_B
+    ids_a = {r["doc_id"] for r in corpus.corpus_keep_ids(docs, qa, ra).collect()}
+    ids_b = {r["doc_id"] for r in corpus.corpus_keep_ids(docs, qb, rb).collect()}
+    assert row["docs_a"] == len(ids_a)
+    assert row["docs_b"] == len(ids_b)
+    assert row["kept_both"] == len(ids_a & ids_b)
+    assert row["added"] == len(ids_b - ids_a)
+    assert row["removed"] == len(ids_a - ids_b)
+    # the fixture corpus must exercise both directions of the diff
+    assert row["added"] > 0 and row["removed"] > 0

@@ -825,3 +825,96 @@ def test_streamed_search_index_equals_batch_index(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, lexical_search_topk(docs).collect())
     )
+
+
+def test_stream_quality_gate_routes_and_replays_idempotently(spark, sf_dir, tmp_path):
+    """The gate must (a) score every streamed doc exactly once, (b) write
+    failing docs' FULL rows to quarantine, and (c) leave batch-replay
+    unable to double anything (per-batch overwrite layout)."""
+    import os
+
+    from dataengineeringpipeline_spark.operators.classify import classifier_scores
+    from dataengineeringpipeline_spark.streaming import (
+        _stage_arrival_batches,
+        read_stream_gate_decisions,
+        stream_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _stage_arrival_batches(docs, F.expr("doc_id % 3"), src, 3)
+    state = str(tmp_path / "state")
+    stream_quality_gate(spark, src, state, str(tmp_path / "ckpt"))
+
+    dec = read_stream_gate_decisions(spark, state)
+    n_decided = dec.count()
+    batch_ref = classifier_scores(docs)
+    # every doc decided once, decisions identical to the batch classifier
+    assert sorted(
+        (r["doc_id"], r["score_sum"], r["keep"])
+        for r in dec.select("doc_id", "score_sum", "keep").collect()
+    ) == sorted(
+        (r["doc_id"], r["score_sum"], r["keep"])
+        for r in batch_ref.select("doc_id", "score_sum", "keep").collect()
+    )
+    # arrival batch is the staged split
+    assert dec.filter(F.col("batch_id") != F.col("doc_id") % 3).count() == 0
+    # quarantine holds the full original rows of exactly the failing docs
+    quar = spark.read.parquet(f"{state}/quarantine")
+    failing = {r["doc_id"] for r in batch_ref.filter(~F.col("keep")).collect()}
+    assert {r["doc_id"] for r in quar.collect()} == failing
+    assert set(quar.columns) == set(docs.columns) | {"batch_id"}
+    # replaying one arrival file into a fresh checkpoint overwrites its
+    # own partition rather than appending (exactly-once by layout)
+    import glob
+    import shutil
+
+    replay_src = str(tmp_path / "replay_in")
+    os.makedirs(replay_src)
+    shutil.copy(sorted(glob.glob(os.path.join(src, "*.parquet")))[0], replay_src)
+    stream_quality_gate(spark, replay_src, state, str(tmp_path / "ckpt2"))
+    dec2 = read_stream_gate_decisions(spark, state)
+    assert dec2.count() == n_decided
+    assert dec2.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_streamed_ann_index_equals_batch_index(spark, sf_dir, tmp_path):
+    """Draining vectors through stream_ann_index against frozen
+    quantizers must reproduce the batch-materialized encoded table
+    content exactly (modulo the batch_id partition column), and a
+    replayed arrival file must overwrite, not double, its partition."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators import similarity as sim
+    from dataengineeringpipeline_spark.streaming import (
+        _stage_arrival_batches,
+        stream_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lake_b = Lake(str(tmp_path / "lake_batch"))
+    sim.materialize_ann_index(emb, lake_b, snapshot="b1")
+    want = sorted(
+        map(tuple, lake_b.read(spark, "gold", "ann_b1_encoded").collect())
+    )
+
+    lake_s = Lake(str(tmp_path / "lake_stream"))
+    sim.materialize_ann_index(emb, lake_s, snapshot="s1", include_corpus=False)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _stage_arrival_batches(emb, F.expr("vec_id % 3"), src, 3)
+    stream_ann_index(spark, src, lake_s, "s1", str(tmp_path / "ckpt"))
+    streamed = lake_s.read(spark, "gold", "ann_s1_encoded")
+    got = sorted(map(tuple, streamed.drop("batch_id").collect()))
+    assert got == want and len(got) == emb.count()
+    # replay one arrival file into a fresh checkpoint: same row count
+    import glob
+    import shutil
+
+    replay_src = str(tmp_path / "replay_in")
+    os.makedirs(replay_src)
+    shutil.copy(sorted(glob.glob(os.path.join(src, "*.parquet")))[0], replay_src)
+    stream_ann_index(spark, replay_src, lake_s, "s1", str(tmp_path / "ckpt2"))
+    assert lake_s.read(spark, "gold", "ann_s1_encoded").count() == emb.count()
