@@ -146,6 +146,7 @@ WINDOW_HEAD = [
     "snapshot_diff_report",
     "streaming_quality_gate",
     "streaming_ann_topk",
+    "corpus_datacard",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -382,6 +383,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- snapshot policy diff (two gate policies over one scored pass) --
         "snapshot_diff_report": lambda spark, sf: corpus_ops.snapshot_diff_report(
+            _read(spark, sf, "documents")
+        ),
+        # -- per-source dataset release card --
+        "corpus_datacard": lambda spark, sf: corpus_ops.corpus_datacard(
             _read(spark, sf, "documents")
         ),
         # -- training shards (deterministic global shuffle, balance gauge) --

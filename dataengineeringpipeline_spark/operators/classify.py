@@ -92,7 +92,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     # ~1s at sf0.1 on 32 cores); no-op on well-partitioned input.
     from dataengineeringpipeline_spark.scale import spread
 
-    docs = spread(docs, "doc_id")
+    docs = spread(docs.select("doc_id", "source", "text"), "doc_id")
     return with_classifier_score(docs).select(
         "doc_id",
         "source",
@@ -210,7 +210,7 @@ def _bigram_pairs(docs: DataFrame) -> DataFrame:
 
     ws = words_col()
     return (
-        spread(docs, "doc_id")
+        spread(docs.select("doc_id", "source", "text"), "doc_id")
         .select(
             "doc_id",
             "source",

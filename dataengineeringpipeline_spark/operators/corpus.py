@@ -44,6 +44,13 @@ DEFAULT_MIN_QUALITY = 40
 DEFAULT_MAX_DUP_RATIO = 0.2
 
 
+def _doc_cols(docs: DataFrame) -> DataFrame:
+    """Prune to the columns the funnel consumes BEFORE ``spread``: the
+    spread persist is an optimizer barrier, so anything not dropped here
+    is materialized in the cache and read from the scan for nothing."""
+    return docs.select("doc_id", "lang", "source", "text")
+
+
 def _dedup_losers(docs: DataFrame, dedup_threshold: float) -> DataFrame:
     """doc_ids removed by near-dup survivor selection (clustered, not the
     quality-weighted survivor); unclustered docs are implicit survivors."""
@@ -82,7 +89,7 @@ def corpus_keep_ids(
     removed; unclustered docs are implicit survivors. The gates then
     keep docs with quality ≥ ``min_quality`` and duplicate-3-gram ratio
     ≤ ``max_dup_ratio``."""
-    docs = spread(docs, "doc_id")
+    docs = spread(_doc_cols(docs), "doc_id")
     return _gate_ids(docs, _dedup_losers(docs, dedup_threshold), min_quality, max_dup_ratio)
 
 
@@ -99,7 +106,7 @@ def training_corpus(
 
     Returns (doc_id, chunk_idx, chunk_token_count, chunk_text,
     pack_group, seq_start_offset, seq_id)."""
-    docs = spread(docs, "doc_id")
+    docs = spread(_doc_cols(docs), "doc_id")
     keep = corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
     return _pack_kept(docs, keep, chunk_tokens, overlap, budget)
 
@@ -146,7 +153,7 @@ def training_corpus_funnel(
     corpus scans as ONE partition, serializing the regex/shingle/chunk
     maps on one core (measured ~13s → ~2.5s for the gate+pack path at
     sf0.1 on 32 cores; no-op on well-partitioned cluster-scale input)."""
-    docs = spread(docs, "doc_id")
+    docs = spread(_doc_cols(docs), "doc_id")
     losers = tracked_persist(_dedup_losers(docs, dedup_threshold))
     keep = tracked_persist(_gate_ids(docs, losers, min_quality, max_dup_ratio))
     stage_agg = (
@@ -206,7 +213,7 @@ def materialize_corpus(
     Idempotent per snapshot: overwrite mode — re-materializing a
     snapshot replaces it atomically at the table level.
     """
-    docs = spread(docs, "doc_id")
+    docs = spread(_doc_cols(docs), "doc_id")
     keep = tracked_persist(
         corpus_keep_ids(docs, min_quality, max_dup_ratio, dedup_threshold)
     )
@@ -384,7 +391,7 @@ def snapshot_diff_report(
         import tempfile
 
         lake = Lake(tempfile.mkdtemp(prefix="snapshot_diff_"))
-    docs = spread(docs, "doc_id")
+    docs = spread(_doc_cols(docs), "doc_id")
     losers = tracked_persist(_dedup_losers(docs, dedup_threshold))
     kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
     scores = tracked_persist(
@@ -398,3 +405,59 @@ def snapshot_diff_report(
         ).select("doc_id")
         lake.write(keep, "gold", f"corpus_{snapshot}_keep_ids")
     return snapshot_diff(spark, lake, "snapa", "snapb")
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """Per-source data card — the one-page summary a dataset release
+    ships (datasheet/data-card practice): volume, token yield, quality,
+    language composition, and exact-duplication rate, per source.
+
+    Two narrow per-doc frames share the corpus scan economics: the
+    quality/stats projection (map-only expressions) and the exact-dup
+    flag (one window over the md5 fingerprint — high-cardinality key,
+    well-spread shuffle of 16-byte rows; the text column never
+    shuffles). They meet in one doc_id join of int-sized rows, then a
+    single per-source aggregation. Integer per-mille rates (`div`) keep
+    every rate engine-exact; the only float is the final mean-quality
+    division."""
+    from pyspark.sql import Window
+
+    # prune BEFORE spread: column pruning does not push through a
+    # user-requested repartition, so an unpruned spread would drag every
+    # unused column through the scan
+    docs = spread(docs.select("doc_id", "lang", "source", "text"), "doc_id")
+    scored = quality_score(text_stats(docs)).select(
+        "doc_id", "source", "lang", "token_count", "quality_score", "is_high_quality"
+    )
+    dup_ids = (
+        docs.select("doc_id", F.md5("text").alias("m"))
+        .withColumn("gs", F.count(F.lit(1)).over(Window.partitionBy("m")))
+        .filter(F.col("gs") > 1)
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    per_doc = scored.join(dup_ids, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("token_count").cast("long").alias("tokens"),
+            F.sum("quality_score").cast("long").alias("_qsum"),
+            F.sum(F.when(F.col("is_high_quality"), 1).otherwise(0)).cast("long").alias("_hq"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("_en"),
+            F.countDistinct("lang").cast("long").alias("langs"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).cast("long").alias("_dups"),
+        )
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            (F.col("_qsum").cast("double") / F.col("docs").cast("double")).alias(
+                "mean_quality"
+            ),
+            F.expr("(_hq * 1000) div docs").cast("long").alias("high_quality_pm"),
+            F.expr("(_en * 1000) div docs").cast("long").alias("english_pm"),
+            "langs",
+            F.expr("(_dups * 1000) div docs").cast("long").alias("exact_dup_pm"),
+        )
+        .orderBy("source")
+    )

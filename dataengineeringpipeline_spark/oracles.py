@@ -3615,3 +3615,35 @@ ORACLES["streaming_quality_gate"] = _streaming_gate_sql()
 # that are, by construction, identical to the batch-materialized index —
 # same oracle as the inline IVF+PQ query.
 ORACLES["streaming_ann_topk"] = ORACLES["ann_ivfpq_topk"]
+
+
+def _datacard_sql() -> str:
+    """Twin of operators/corpus.corpus_datacard — quality/stats CTEs
+    shared with the text oracles, the dup flag a window over md5(text)."""
+    return _with(
+        {
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+            "dups": (
+                "SELECT doc_id FROM (SELECT doc_id,"
+                " COUNT(*) OVER (PARTITION BY md5(text)) AS gs FROM documents)"
+                " WHERE gs > 1"
+            ),
+        },
+        """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(token_count) AS BIGINT) AS tokens,
+  CAST(SUM(quality_score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+  CAST((SUM(CASE WHEN quality_score >= 70 THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS high_quality_pm,
+  CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS english_pm,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+  CAST((SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS exact_dup_pm
+FROM q LEFT JOIN dups d ON q.doc_id = d.doc_id
+GROUP BY source ORDER BY source
+""".strip(),
+    )
+
+
+ORACLES["corpus_datacard"] = _datacard_sql()

@@ -47,6 +47,9 @@ PLAN_BOUNDS = {
     # scale (AQE may legitimately pick either at corpus scale)
     "shared_span_pairs": (6, 1),
     "span_dedup_cleaned": (4, 1),
+    # data card: md5 window + doc_id join + source agg, dup flags
+    # broadcast at test scale; text never shuffles
+    "corpus_datacard": (5, 1),
 }
 
 

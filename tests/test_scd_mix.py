@@ -310,3 +310,25 @@ def test_snapshot_diff_report_matches_policy_filters(spark, sf_dir, tmp_path):
     assert row["removed"] == len(ids_a - ids_b)
     # the fixture corpus must exercise both directions of the diff
     assert row["added"] > 0 and row["removed"] > 0
+
+
+def test_corpus_datacard_flags_planted_duplicates(spark):
+    """Closed-form card: 3 sources, one with a planted exact duplicate
+    pair, one bilingual — rates are integer per-mille."""
+    from dataengineeringpipeline_spark.operators import corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en", "a"),
+        (3, "completely different text with many unusual distinct words here", "en", "a"),
+        (4, "bonjour le monde tout le monde est ici aujourd'hui", "fr", "b"),
+        (5, "hello world everyone is here today for the meeting", "en", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    card = {r["source"]: r for r in corpus.corpus_datacard(docs).collect()}
+    assert card["a"]["docs"] == 3 and card["b"]["docs"] == 2
+    assert card["a"]["exact_dup_pm"] == (2 * 1000) // 3
+    assert card["b"]["exact_dup_pm"] == 0
+    assert card["a"]["english_pm"] == 1000 and card["b"]["english_pm"] == 500
+    assert card["a"]["langs"] == 1 and card["b"]["langs"] == 2
+    assert card["a"]["tokens"] > 0
