@@ -37,6 +37,7 @@ from dataengineeringpipeline_spark.operators import classify as classify_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import layout as layout_ops
 from dataengineeringpipeline_spark.operators import linkage as linkage_ops
 from dataengineeringpipeline_spark.operators import mix as mix_ops
 from dataengineeringpipeline_spark.operators import multimodal as mm_ops
@@ -147,6 +148,11 @@ WINDOW_HEAD = [
     "streaming_quality_gate",
     "streaming_ann_topk",
     "corpus_datacard",
+    "pii_redaction_report",
+    "split_leakage_audit",
+    "point_in_time_features",
+    "layout_pruning_report",
+    "quality_gate_ensemble",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -271,6 +277,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_summary": lambda spark, sf: text_ops.pack_summary(
             _read(spark, sf, "documents")
         ),
+        # -- PII redaction (planted deterministic PII, md5-proved scrub) ----
+        "pii_redaction_report": lambda spark, sf: text_ops.pii_redaction_report(
+            _read(spark, sf, "documents")
+        ),
         "token_histogram": lambda spark, sf: text_ops.token_histogram(
             _read(spark, sf, "documents")
         ),
@@ -300,6 +310,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    one-row-per-left-record guarantee) ---------------------------
         "fuzzy_join_matches": _fuzzy_join_matches,
         # -- classifier calibration vs the heuristic quality gate -----------
+        # -- 2-of-3 majority-vote quality gate ensemble ----------------------
+        "quality_gate_ensemble": lambda spark, sf: classify_ops.quality_gate_ensemble(
+            _read(spark, sf, "documents")
+        ),
         "classifier_calibration": lambda spark, sf: classify_ops.classifier_calibration(
             _read(spark, sf, "documents")
         ),
@@ -412,6 +426,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
         # -- leakage-safe splits (cluster-hashed train/val/test) ------------
+        # -- cross-split near-dup leakage audit (naive vs cluster-keyed) ----
+        "split_leakage_audit": lambda spark, sf: sampling_ops.split_leakage_audit(
+            _read(spark, sf, "documents")
+        ),
         "split_summary": lambda spark, sf: sampling_ops.split_summary(
             _read(spark, sf, "documents")
         ),
@@ -489,6 +507,14 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- incremental ingestion + feature store --------------------------
         "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(
             load_events(spark, sf)
+        ),
+        # -- point-in-time-correct training join (leakage-free features) ----
+        "point_in_time_features": lambda spark, sf: featurestore.point_in_time_features(
+            load_events(spark, sf)
+        ),
+        # -- Z-order layout planning (file-pruning economics) ---------------
+        "layout_pruning_report": lambda spark, sf: layout_ops.layout_pruning_report(
+            _read(spark, sf, "events")
         ),
         # -- heavy-hitter skew triage (scale.py) ----------------------------
         "event_heavy_hitters": lambda spark, sf: scale.key_skew_profile(

@@ -119,6 +119,66 @@ def feature_store_latest(events: DataFrame) -> DataFrame:
     )
 
 
+def point_in_time_features(events: DataFrame, tolerance_days: int = 7) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    join that makes offline training match online serving: each label
+    event (here: every ``purchase``) is joined to the newest daily
+    feature row of the same user whose day had FULLY ELAPSED before the
+    label fired. A feature row for day D becomes servable at the end of
+    D (``feature_ts_us = (D+1)·86400s``), so a label at 14:00 on day D
+    sees day D−1's features — never same-day aggregates that would leak
+    the label's own event into its features (the train/serve-skew bug
+    point-in-time joins exist to prevent).
+
+    Built on :func:`operators.asof.asof_join` — one shuffle on
+    ``user_id``, cost independent of how many feature days precede each
+    label. ``tolerance_days`` voids matches older than the serving
+    window (a user dormant for a week gets null features, exactly what
+    the online store would return under the same TTL). Unmatched labels
+    keep null feature columns; ``feature_age_us`` is the label-to-
+    feature staleness the serving SLO monitors.
+    """
+    from dataengineeringpipeline_spark.operators.asof import asof_join
+
+    labels = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("value").cast("double").alias("label_value"),
+    )
+    feats = daily_user_features(events).select(
+        "user_id",
+        (
+            (F.datediff(F.col("event_date"), F.to_date(F.lit("1970-01-01"))).cast("long") + 1)
+            * F.lit(86_400_000_000)
+        ).alias("_f_ts_us"),
+        "daily_events",
+        "daily_value",
+        "purchase_events",
+    )
+    joined = asof_join(
+        labels,
+        feats,
+        key="user_id",
+        left_time="ts_us",
+        right_time="_f_ts_us",
+        payload_cols=["daily_events", "daily_value", "purchase_events"],
+        matched_time_col="feature_ts_us",
+        tolerance=tolerance_days * 86_400_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "label_value",
+        "daily_events",
+        "daily_value",
+        "purchase_events",
+        "feature_ts_us",
+        (F.col("ts_us") - F.col("feature_ts_us")).alias("feature_age_us"),
+    ).orderBy("event_id")
+
+
 def ingest_features(
     features: DataFrame,
     feature_group: str,

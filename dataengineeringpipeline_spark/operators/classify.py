@@ -249,7 +249,36 @@ def bigram_counts(docs: DataFrame):
     return uni, bi
 
 
-def bigram_fluency(docs: DataFrame) -> DataFrame:
+def _fluency_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_bigrams, fluency_sum, fluency_pm) for every
+    document with ≥1 bigram — the aggregation kernel both
+    :func:`bigram_fluency` (which re-attaches bigram-less docs) and
+    :func:`quality_gate_ensemble` (which left-joins and treats absence
+    as a failed gate) consume."""
+    from dataengineeringpipeline_spark.cache import tracked_persist
+
+    pairs = tracked_persist(_bigram_pairs(docs))
+    uni = (
+        docs.select(F.explode(words_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    return (
+        pairs.join(F.broadcast(bi), ["w", "w2"])
+        .join(F.broadcast(uni), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr(f"(c2 * {FLUENCY_SCALE}) div c1")).cast("long").alias(
+                "fluency_sum"
+            ),
+        )
+        .withColumn("fluency_pm", F.expr("fluency_sum div n_bigrams").cast("long"))
+    )
+
+
+def bigram_fluency(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Count-based LM fluency score per document — the perplexity-proxy
     quality signal (gibberish and shuffled text have rare word
     transitions; fluent text has common ones), kept in exact integers
@@ -272,32 +301,93 @@ def bigram_fluency(docs: DataFrame) -> DataFrame:
     longs per bigram, never text. Returns (doc_id, source, n_bigrams,
     fluency_sum, fluency_pm) with NULL scores for documents under 2
     words, ordered by doc_id."""
-    from dataengineeringpipeline_spark.cache import tracked_persist
-
-    pairs = tracked_persist(_bigram_pairs(docs))
-    uni = (
-        docs.select(F.explode(words_col()).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    )
-    bi = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    scored = (
-        pairs.join(F.broadcast(bi), ["w", "w2"])
-        .join(F.broadcast(uni), "w")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.expr(f"(c2 * {FLUENCY_SCALE}) div c1")).cast("long").alias(
-                "fluency_sum"
-            ),
-        )
-        .withColumn(
-            "fluency_pm", F.expr("fluency_sum div n_bigrams").cast("long")
-        )
-    )
-    return (
+    scored = _fluency_scored(docs)
+    out = (
         docs.select("doc_id", "source")
         .join(scored.drop("source"), "doc_id", "left")
         .select("doc_id", "source", "n_bigrams", "fluency_sum", "fluency_pm")
-        .orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
+
+
+#: Fluency gate threshold (per-mille mean conditional bigram frequency).
+#: Sits at the corpus median so the vote carries real signal; documents
+#: too short to have bigrams fail the gate (no evidence of fluency).
+FLUENCY_GATE_PM = 33
+
+
+def quality_gate_ensemble(docs: DataFrame) -> DataFrame:
+    """Majority-vote quality filter — three INDEPENDENT quality signals
+    (the hashed n-gram classifier, the heuristic length/diversity/punct
+    score, and the count-LM fluency gate) fused per document, reported
+    per source. Production corpus filtering runs ensembles because any
+    single scorer has exploitable blind spots (a spam page can be long
+    and diverse; gibberish can hash to positive features); requiring
+    2-of-3 keeps the false-keep rate multiplicative while letting each
+    scorer overrule one bad vote.
+
+    Plan shape: the classifier and heuristic votes are pure expressions
+    over the corpus scan (map-only, zero exchanges of their own); the
+    fluency vote reuses :func:`bigram_fluency`'s tokenize-once pipeline
+    (vocabulary-sized broadcast count tables, int-only doc_id
+    re-aggregation). The three int-per-doc frames meet in two doc_id
+    joins, then one per-source aggregation — text never shuffles.
+    Returns one row per source with per-gate pass counts, the
+    majority-vote keep count, unanimity counts, and the integer
+    per-mille ensemble keep rate, ordered by source.
+    """
+    from dataengineeringpipeline_spark.operators.text import quality_score, text_stats
+    from dataengineeringpipeline_spark.scale import spread
+
+    docs = spread(docs.select("doc_id", "lang", "source", "text"), "doc_id")
+    # classifier + heuristic votes stack on ONE scan projection (the
+    # extra_cols passthrough) — no doc_id join between them
+    scored = with_classifier_score(docs).withColumnRenamed("keep", "cls_keep")
+    heur_cls = quality_score(text_stats(scored, extra_cols=("cls_keep",))).select(
+        "doc_id", "source", "is_high_quality", "cls_keep"
+    )
+    flu = _fluency_scored(docs).select(
+        "doc_id", (F.col("fluency_pm") >= FLUENCY_GATE_PM).alias("flu_keep")
+    )
+    votes = (
+        F.when(F.col("is_high_quality"), 1).otherwise(0)
+        + F.when(F.col("cls_keep"), 1).otherwise(0)
+        + F.when(F.coalesce(F.col("flu_keep"), F.lit(False)), 1).otherwise(0)
+    )
+    per_doc = heur_cls.join(flu, "doc_id", "left").select(
+        "source", "is_high_quality", "cls_keep", "flu_keep", votes.alias("votes")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("cls_keep"), 1).otherwise(0)).cast("long").alias("cls_pass"),
+            F.sum(F.when(F.col("is_high_quality"), 1).otherwise(0))
+            .cast("long")
+            .alias("heur_pass"),
+            F.sum(F.when(F.coalesce(F.col("flu_keep"), F.lit(False)), 1).otherwise(0))
+            .cast("long")
+            .alias("flu_pass"),
+            F.sum(F.when(F.col("votes") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("ensemble_keep"),
+            F.sum(F.when(F.col("votes") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("unanimous_keep"),
+            F.sum(F.when(F.col("votes") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("unanimous_reject"),
+        )
+        .select(
+            "source",
+            "docs",
+            "cls_pass",
+            "heur_pass",
+            "flu_pass",
+            "ensemble_keep",
+            "unanimous_keep",
+            "unanimous_reject",
+            F.expr("(ensemble_keep * 1000) div docs").cast("long").alias("keep_pm"),
+        )
+        .orderBy("source")
     )

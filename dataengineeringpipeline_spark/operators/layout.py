@@ -1,0 +1,241 @@
+"""Data-layout optimization — Z-order (Morton) clustering and the scan-
+pruning economics it buys.
+
+At 100 TB the scan is the query: a parquet reader skips a file (or row
+group) when the predicate's range does not intersect the file's min/max
+stats, so WHERE a row lands decides how much of the table a 2-D box
+query touches. Arrival-ordered files localize nothing but ingestion
+time; files clustered by the Morton interleave of two columns' bits
+localize BOTH columns at once, cutting the files a (x-range AND
+y-range) predicate must read from "almost all" to "the few covering the
+box" — the same layout trade Delta's OPTIMIZE ZORDER and Hudi's
+space-filling-curve clustering make.
+
+Everything here is exact integer arithmetic (grid scaling via floor
+division, bit interleave as shift-free powers of two), so the layout
+decision is reproducible across engines and the DuckDB oracle can
+recompute it bit-for-bit.
+
+Reference parity: the reference has no layout optimizer; this is part
+of the at-scale lake-maintenance surface the brief adds (its Glue jobs
+rely on partition pruning only, `glue/etl_jobs/*.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Grid resolution per dimension: 16 bits → 65536 cells, z in [0, 2^32).
+GRID_BITS = 16
+#: Files the report models per layout.
+N_FILES = 64
+#: Box predicate bounds, per-mille of each dimension's span (a centered
+#: ~10% × ~10% box — selective on both dimensions, the case Z-order is
+#: built for).
+BOX_LO_PM = 450
+BOX_HI_PM = 550
+
+
+def _grid_expr(col: str, lo: str, hi: str, bits: int = GRID_BITS) -> str:
+    """SQL-string form of the grid scaling (used via ``F.expr`` so the
+    floor-division semantics are the documented ``div``)."""
+    top = (1 << bits) - 1
+    return f"CASE WHEN {hi} > {lo} THEN (({col} - {lo}) * {top}) div ({hi} - {lo}) ELSE 0 END"
+
+
+def _morton_expr(gx: str, gy: str, bits: int = GRID_BITS) -> str:
+    """Morton/Z interleave as pure integer arithmetic: bit b of ``gx``
+    lands at position 2b, bit b of ``gy`` at 2b+1 — no shift builtins,
+    so the identical text runs in Spark SQL and DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({gx}) div {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((({gy}) div {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _grid_expr_double(col: str, lo: str, hi: str, bits: int = GRID_BITS) -> str:
+    """Grid scaling for fractional columns: the same map computed in
+    double space with an explicit floor (integer ``div`` requires
+    integral operands). Used only by the physical write path; the
+    oracle-checked report integerizes its inputs first."""
+    top = (1 << bits) - 1
+    return (
+        f"CASE WHEN {hi} > {lo} THEN CAST(floor((({col}) - {lo}) * {top}"
+        f" / ({hi} - {lo})) AS BIGINT) ELSE 0 END"
+    )
+
+
+def zorder_keyed(df: DataFrame, x: str, y: str, bits: int = GRID_BITS) -> DataFrame:
+    """Attach ``gx``/``gy`` grid coordinates and the Morton key ``zkey``
+    for two numeric columns (integral columns use exact integer
+    arithmetic; fractional ones a floored double map). One scalar
+    min/max aggregation (broadcast, 1 row) plus a map-only projection —
+    no corpus shuffle."""
+    fractional = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    }
+    scalars = df.agg(
+        F.min(x).alias("_min_x"),
+        F.max(x).alias("_max_x"),
+        F.min(y).alias("_min_y"),
+        F.max(y).alias("_max_y"),
+    )
+    out = df.crossJoin(F.broadcast(scalars))
+    gridder = lambda c, lo, hi: (  # noqa: E731
+        _grid_expr_double(c, lo, hi, bits) if c in fractional else _grid_expr(c, lo, hi, bits)
+    )
+    return (
+        out.withColumn("gx", F.expr(gridder(x, "_min_x", "_max_x")).cast("long"))
+        .withColumn("gy", F.expr(gridder(y, "_min_y", "_max_y")).cast("long"))
+        .withColumn("zkey", F.expr(_morton_expr("gx", "gy", bits)).cast("long"))
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int = N_FILES
+) -> None:
+    """Materialize ``df`` Z-ordered on ``(x, y)``: range-partition by the
+    Morton key (the distributed equivalent of a global sort into
+    ``n_files`` contiguous z-ranges) and sort within each partition, so
+    every parquet file carries tight min/max stats on BOTH columns.
+    ``repartitionByRange`` samples the key — the standard, scalable
+    layout-write plan (one range exchange; no single-partition sort)."""
+    keyed = zorder_keyed(df, x, y).drop("_min_x", "_max_x", "_min_y", "_max_y")
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("gx", "gy", "zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def layout_pruning_report(
+    events: DataFrame, n_files: int = N_FILES, bits: int = GRID_BITS
+) -> DataFrame:
+    """Driver-contract query: how many files a centered 2-D box predicate
+    on ``(user_id, value)`` must read under two layouts of the same
+    rows into ``n_files`` files —
+
+    - ``arrival``: files are contiguous ``event_id`` ranges (ingestion
+      order, what an unclustered append-only table looks like);
+    - ``zorder``: files are contiguous Morton-key ranges (equi-width
+      over the 2^(2·bits) key space).
+
+    A file must be scanned iff its per-file min/max envelope of BOTH
+    columns intersects the box — exactly the parquet row-group pruning
+    rule. The report is the evidence for :func:`write_zordered`: same
+    rows, same predicate, an order-of-magnitude fewer rows read.
+
+    Plan: one scalar min/max agg (1 broadcast row), a map-only
+    grid/interleave projection, one explode into the two layout
+    assignments, and a ``(layout, file)`` aggregation — ≤ 2·n_files
+    groups, so the shuffle is map-side-combined and trivially small at
+    any corpus scale. Integer arithmetic throughout.
+    """
+    base = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    scalars = base.agg(
+        F.min("x").alias("_min_x"),
+        F.max("x").alias("_max_x"),
+        F.min("y").alias("_min_y"),
+        F.max("y").alias("_max_y"),
+        F.min("event_id").alias("_min_id"),
+        F.max("event_id").alias("_max_id"),
+    )
+    keyed = (
+        base.crossJoin(F.broadcast(scalars))
+        .withColumn("gx", F.expr(_grid_expr("x", "_min_x", "_max_x", bits)).cast("long"))
+        .withColumn("gy", F.expr(_grid_expr("y", "_min_y", "_max_y", bits)).cast("long"))
+        .withColumn("zkey", F.expr(_morton_expr("gx", "gy", bits)).cast("long"))
+        .withColumn(
+            "box_x_lo", F.expr(f"_min_x + ((_max_x - _min_x) * {BOX_LO_PM}) div 1000")
+        )
+        .withColumn(
+            "box_x_hi", F.expr(f"_min_x + ((_max_x - _min_x) * {BOX_HI_PM}) div 1000")
+        )
+        .withColumn(
+            "box_y_lo", F.expr(f"_min_y + ((_max_y - _min_y) * {BOX_LO_PM}) div 1000")
+        )
+        .withColumn(
+            "box_y_hi", F.expr(f"_min_y + ((_max_y - _min_y) * {BOX_HI_PM}) div 1000")
+        )
+    )
+    z_width = 1 << (2 * bits)
+    assigned = keyed.select(
+        "x",
+        "y",
+        "box_x_lo",
+        "box_x_hi",
+        "box_y_lo",
+        "box_y_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("layout"),
+                    F.expr(
+                        f"((event_id - _min_id) * {n_files}) div (_max_id - _min_id + 1)"
+                    )
+                    .cast("long")
+                    .alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"(zkey * {n_files}) div {z_width}").cast("long").alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+    ).select("x", "y", "box_x_lo", "box_x_hi", "box_y_lo", "box_y_hi", "a.layout", "a.file_id")
+    in_box = (
+        (F.col("x") >= F.col("box_x_lo"))
+        & (F.col("x") <= F.col("box_x_hi"))
+        & (F.col("y") >= F.col("box_y_lo"))
+        & (F.col("y") <= F.col("box_y_hi"))
+    )
+    per_file = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.min("x").alias("fx_lo"),
+        F.max("x").alias("fx_hi"),
+        F.min("y").alias("fy_lo"),
+        F.max("y").alias("fy_hi"),
+        F.sum(F.when(in_box, 1).otherwise(0)).cast("long").alias("match_rows"),
+        F.min("box_x_lo").alias("box_x_lo"),
+        F.min("box_x_hi").alias("box_x_hi"),
+        F.min("box_y_lo").alias("box_y_lo"),
+        F.min("box_y_hi").alias("box_y_hi"),
+    )
+    scanned = (
+        (F.col("fx_lo") <= F.col("box_x_hi"))
+        & (F.col("fx_hi") >= F.col("box_x_lo"))
+        & (F.col("fy_lo") <= F.col("box_y_hi"))
+        & (F.col("fy_hi") >= F.col("box_y_lo"))
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum("rows").cast("long").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_scanned_files"),
+            F.sum("match_rows").cast("long").alias("matching_rows"),
+        )
+        .select(
+            "layout",
+            "files_total",
+            "files_scanned",
+            "rows_total",
+            "rows_in_scanned_files",
+            "matching_rows",
+            F.expr("(rows_in_scanned_files * 1000) div rows_total")
+            .cast("long")
+            .alias("scan_pm"),
+        )
+        .orderBy("layout")
+    )

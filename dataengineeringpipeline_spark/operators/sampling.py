@@ -116,6 +116,109 @@ def split_summary(
     )
 
 
+def split_leakage_audit(
+    docs: DataFrame,
+    train_pm: int = SPLIT_TRAIN_PM,
+    val_pm: int = SPLIT_VAL_PM,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measure how much near-duplicate leakage a split policy lets
+    through — the audit that justifies :func:`leakage_safe_splits`.
+
+    For every *verified* near-dup pair (MinHash-LSH candidates, exact
+    shingle-Jaccard ≥ ``threshold``), compute both endpoints' split
+    under two policies and count pairs whose endpoints land in
+    different splits:
+
+    - ``naive``: bucket each doc by its own id — what a per-row
+      ``rand()``/hash split does, and what most pipelines ship;
+    - ``cluster_keyed``: bucket by the dedup-cluster id (the
+      :func:`leakage_safe_splits` policy) — provably 0 cross-split
+      pairs, which this audit asserts as data rather than as prose.
+
+    ``train_eval_pairs`` is the damage that matters: a duplicate
+    straddling train and val/test inflates eval scores.
+
+    Scale shape: the audit rides the pair set, not the corpus — pairs
+    are persisted once (the LSH chain runs once), cluster labels come
+    from the same persisted pairs, and both policy rows come from ONE
+    pass over the pairs (explode of two policy structs), so cost beyond
+    the dedup itself is O(|pairs|). Cluster labels broadcast (the
+    near-dup graph is orders of magnitude smaller than the corpus).
+    """
+    from dataengineeringpipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from dataengineeringpipeline_spark.cache import tracked_persist
+
+    # prune to the two consumed columns so the parquet scan under the
+    # persisted shingle arrays never reads lang/source/n_chars
+    docs = docs.select("doc_id", "text")
+    pairs = tracked_persist(
+        minhash_lsh_pairs(docs, threshold, ordered=False).select("doc_a", "doc_b")
+    )
+    clusters = connected_components(pairs)
+
+    def split_of(key: Column) -> Column:
+        b = per_mille_bucket(key)
+        return (
+            F.when(b < train_pm, "train")
+            .when(b < train_pm + val_pm, "val")
+            .otherwise("test")
+        )
+
+    ca = clusters.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("cl_a"))
+    cb = clusters.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cl_b"))
+    per_policy = (
+        pairs.join(F.broadcast(ca), "doc_a", "left")
+        .join(F.broadcast(cb), "doc_b", "left")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("cluster_keyed").alias("policy"),
+                        split_of(F.coalesce("cl_a", "doc_a")).alias("split_a"),
+                        split_of(F.coalesce("cl_b", "doc_b")).alias("split_b"),
+                    ),
+                    F.struct(
+                        F.lit("naive").alias("policy"),
+                        split_of(F.col("doc_a")).alias("split_a"),
+                        split_of(F.col("doc_b")).alias("split_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.policy", "p.split_a", "p.split_b")
+    )
+    return (
+        per_policy.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+            F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("cross_split_pairs"),
+            F.sum(
+                F.when(
+                    ((F.col("split_a") == "train") & (F.col("split_b") != "train"))
+                    | ((F.col("split_b") == "train") & (F.col("split_a") != "train")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("train_eval_pairs"),
+        )
+        .select(
+            "policy",
+            "dup_pairs",
+            "cross_split_pairs",
+            "train_eval_pairs",
+            F.expr("(cross_split_pairs * 1000) div dup_pairs").cast("long").alias("leak_pm"),
+        )
+        .orderBy("policy")
+    )
+
+
 def stratified_sample_summary(events: DataFrame) -> DataFrame:
     """Driver-contract query: per-class input/kept counts and achieved
     keep rate for the demo rate table over ``events``."""

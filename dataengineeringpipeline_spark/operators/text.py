@@ -47,9 +47,14 @@ def word_hash(word: Column, fast: bool = False) -> Column:
     return F.conv(F.substring(F.md5(word), 1, 12), 16, 10).cast("long")
 
 
-def text_stats(docs: DataFrame) -> DataFrame:
+def text_stats(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document statistics: size, tokenization, character-class ratios,
-    lexical diversity. One narrow projection — no shuffle."""
+    lexical diversity. One narrow projection — no shuffle.
+
+    ``extra_cols`` names input columns to carry through unchanged, so a
+    caller that already computed other per-doc signals on the same scan
+    (e.g. the classifier gate in ``classify.quality_gate_ensemble``) can
+    stack this projection on top instead of paying a doc_id join."""
     w = words_col()
     char_count = F.length("text")
     word_count = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(w))
@@ -57,6 +62,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        *extra_cols,
         char_count.alias("char_count"),
         word_count.alias("word_count"),
         F.size(F.array_distinct(w)).alias("distinct_words"),
@@ -362,6 +368,67 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         phone_n.alias("phone_count"),
         (email_n + url_n + phone_n).alias("redaction_count"),
         scrubbed.alias("scrubbed_text"),
+    )
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII into a slice of the corpus so the
+    scrubber has something real to remove (the synthetic documents are
+    PII-free; same synthesize-from-doc_id pattern as
+    ``multimodal.synthesize_media``): every 4th doc gains an email,
+    every 12th additionally a URL, every 20th additionally a phone
+    number, all derived from ``doc_id`` by string concatenation — so an
+    oracle can rebuild the identical dirty text without sharing any
+    code with the scrubber. Other docs pass through untouched.
+    """
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" Contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 12 == 0,
+            F.concat(F.lit(" via https://example.org/u/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 20 == 0,
+            F.concat(
+                F.lit(" or (555) 010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", dirty)
+
+
+def pii_redaction_report(docs: DataFrame) -> DataFrame:
+    """Driver-contract query: plant deterministic PII
+    (:func:`plant_pii`), scrub it (:func:`scrub_pii`), and emit one
+    audit row per affected document — typed redaction counts plus the
+    md5 of the scrubbed text, which proves the rewrite byte-for-byte
+    without shipping the text anywhere (the same md5-evidence pattern as
+    ``dedup.remove_duplicate_spans``). Map-only end to end: plant,
+    scrub, and hash are all projections; the only exchange is the
+    presentation sort.
+
+    Reference parity: the reference pipeline has no PII pass at all —
+    this is part of the LLM-training-data surface
+    (compliance/redaction) the brief adds on top.
+    """
+    out = scrub_pii(plant_pii(docs))
+    return (
+        out.filter(F.col("redaction_count") > 0)
+        .select(
+            "doc_id",
+            F.col("email_count").cast("long").alias("email_count"),
+            F.col("url_count").cast("long").alias("url_count"),
+            F.col("phone_count").cast("long").alias("phone_count"),
+            F.col("redaction_count").cast("long").alias("redaction_count"),
+            F.md5("scrubbed_text").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
     )
 
 

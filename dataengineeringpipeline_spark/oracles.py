@@ -897,7 +897,52 @@ def _text_oracles() -> dict[str, str]:
         "doc_fingerprints": _FINGERPRINT_SQL,
         "classifier_quality_summary": _classifier_summary_sql(),
         "lexical_search_topk": _lexical_search_sql(),
+        "pii_redaction_report": _pii_redaction_sql(),
     }
+
+
+def _pii_redaction_sql() -> str:
+    """Twin of text.pii_redaction_report: rebuilds the planted dirty
+    text from doc_id by concatenation (no code shared with the
+    scrubber), counts matches per pattern, and md5s the scrubbed text.
+    The regexes live in text.py and are dialect-portable by design
+    (no backrefs/lookaheads — Java regex and RE2 agree)."""
+    from dataengineeringpipeline_spark.operators.text import (
+        EMAIL_REGEX,
+        PHONE_REGEX,
+        URL_REGEX,
+    )
+
+    dirty = (
+        "text"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 12 = 0 THEN ' via https://example.org/u/'"
+        " || CAST(doc_id AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 20 = 0 THEN ' or (555) 010-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    scrubbed = (
+        f"regexp_replace(regexp_replace(regexp_replace(dirty, '{EMAIL_REGEX}',"
+        f" '[EMAIL]', 'g'), '{URL_REGEX}', '[URL]', 'g'), '{PHONE_REGEX}', '[PHONE]', 'g')"
+    )
+    return _with(
+        {
+            "d": f"SELECT doc_id, {dirty} AS dirty FROM documents",
+            "c": (
+                "SELECT doc_id,"
+                f" CAST(len(regexp_extract_all(dirty, '{EMAIL_REGEX}')) AS BIGINT) AS email_count,"
+                f" CAST(len(regexp_extract_all(dirty, '{URL_REGEX}')) AS BIGINT) AS url_count,"
+                f" CAST(len(regexp_extract_all(dirty, '{PHONE_REGEX}')) AS BIGINT) AS phone_count,"
+                f" md5({scrubbed}) AS scrubbed_md5 FROM d"
+            ),
+        },
+        """
+SELECT doc_id, email_count, url_count, phone_count,
+  email_count + url_count + phone_count AS redaction_count, scrubbed_md5
+FROM c WHERE email_count + url_count + phone_count > 0 ORDER BY doc_id
+""".strip(),
+    )
 
 
 def _lexical_search_sql() -> str:
@@ -1445,7 +1490,48 @@ FROM (
 """.strip(),
     )
 
+    # -- split leakage audit: verified pairs × two split policies ----------
+    def _split_case(key_expr: str) -> str:
+        return (
+            f"CASE WHEN ((({key_expr}) % 1000003) * 2654435761) % 1000 < {SPLIT_TRAIN_PM}"
+            f" THEN 'train' WHEN ((({key_expr}) % 1000003) * 2654435761) % 1000 <"
+            f" {SPLIT_TRAIN_PM + SPLIT_VAL_PM} THEN 'val' ELSE 'test' END"
+        )
+
+    split_leakage_sql = _with_recursive(
+        {
+            **cluster_ctes,
+            "clusters": clusters_cte,
+            "sp": (
+                "SELECT p.doc_a, p.doc_b,\n"
+                f"  {_split_case('p.doc_a')} AS na, {_split_case('p.doc_b')} AS nb,\n"
+                f"  {_split_case('COALESCE(ca.cluster_id, p.doc_a)')} AS sa,\n"
+                f"  {_split_case('COALESCE(cb.cluster_id, p.doc_b)')} AS sb\n"
+                "FROM pairs p LEFT JOIN clusters ca ON ca.doc_id = p.doc_a\n"
+                "             LEFT JOIN clusters cb ON cb.doc_id = p.doc_b"
+            ),
+        },
+        """
+SELECT policy, dup_pairs, cross_split_pairs, train_eval_pairs,
+  CAST((cross_split_pairs * 1000) // dup_pairs AS BIGINT) AS leak_pm
+FROM (
+  SELECT 'cluster_keyed' AS policy, CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+    CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS cross_split_pairs,
+    CAST(SUM(CASE WHEN (sa = 'train' AND sb <> 'train')
+                    OR (sb = 'train' AND sa <> 'train') THEN 1 ELSE 0 END) AS BIGINT) AS train_eval_pairs
+  FROM sp
+  UNION ALL
+  SELECT 'naive' AS policy, CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+    CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS cross_split_pairs,
+    CAST(SUM(CASE WHEN (na = 'train' AND nb <> 'train')
+                    OR (nb = 'train' AND na <> 'train') THEN 1 ELSE 0 END) AS BIGINT) AS train_eval_pairs
+  FROM sp
+) ORDER BY policy
+""".strip(),
+    )
+
     return {
+        "split_leakage_audit": split_leakage_sql,
         "exact_dedup": EXACT_DEDUP_SQL,
         "duplicate_span_coverage": _dup_span_sql(SPAN_WINDOW, SPAN_STRIDE),
         "shared_span_pairs": _span_pair_sql(SPAN_WINDOW, SPAN_STRIDE, SPAN_PAIR_MAX_DF, 2),
@@ -1963,12 +2049,55 @@ ORDER BY user_id
 """.strip()
 
 
+def _pit_features_sql(tolerance_days: int = 7) -> str:
+    """Twin of featurestore.point_in_time_features: day-D features become
+    servable at (D+1)·86400s; each purchase label takes the newest
+    servable feature row within the tolerance window, else nulls."""
+    tol = tolerance_days * 86_400_000_000
+    return _with(
+        {
+            "ev": EVENTS_BASE,
+            "daily": _daily_features_body(),
+            "f": (
+                "SELECT user_id,"
+                " (CAST(datediff('day', DATE '1970-01-01', event_date) AS BIGINT) + 1)"
+                " * 86400000000 AS feature_ts_us,"
+                " daily_events, daily_value, purchase_events FROM daily"
+            ),
+            "p": (
+                "SELECT event_id, user_id, ts_us, value AS label_value"
+                " FROM ev WHERE event_type = 'purchase'"
+            ),
+        },
+        f"""
+SELECT event_id, user_id, ts_us, label_value, daily_events, daily_value,
+  purchase_events, feature_ts_us, ts_us - feature_ts_us AS feature_age_us
+FROM (
+  SELECT p.event_id, p.user_id, p.ts_us, p.label_value,
+    f.daily_events, f.daily_value, f.purchase_events, f.feature_ts_us,
+    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY f.feature_ts_us DESC) AS rn
+  FROM p JOIN f ON f.user_id = p.user_id
+    AND f.feature_ts_us <= p.ts_us AND f.feature_ts_us >= p.ts_us - {tol}
+) WHERE rn = 1
+UNION ALL
+SELECT p.event_id, p.user_id, p.ts_us, p.label_value,
+  NULL, NULL, NULL, NULL, NULL
+FROM p WHERE NOT EXISTS (
+  SELECT 1 FROM f WHERE f.user_id = p.user_id
+    AND f.feature_ts_us <= p.ts_us AND f.feature_ts_us >= p.ts_us - {tol}
+)
+ORDER BY event_id
+""".strip(),
+    )
+
+
 def _ingest_oracles() -> dict[str, str]:
     return {
         "incremental_events": _with({"ev": EVENTS_BASE}, _INCREMENTAL_BODY),
         "feature_store_latest": _with(
             {"ev": EVENTS_BASE, "daily": _daily_features_body()}, _FS_LATEST_BODY
         ),
+        "point_in_time_features": _pit_features_sql(),
         "dq_referential_integrity": _REF_INTEGRITY_SQL,
         "dq_quarantine_rows": _with({"silver_orders": SILVER_ORDERS}, _QUARANTINE_BODY),
         "rule_driven_aggregation": _with({"silver_orders": SILVER_ORDERS}, _RULE_AGG_BODY),
@@ -2872,6 +3001,89 @@ ORACLES.update(_session_window_oracles())
 ORACLES.update(_cohort_funnel_oracles())
 
 
+def _layout_oracles() -> dict[str, str]:
+    """Twin of operators/layout.layout_pruning_report: rebuilds the grid
+    scaling, the Morton interleave (its own term loop — no code shared
+    with the operator), both file assignments, and the min/max pruning
+    rule in SQL. All arithmetic is non-negative integers, so DuckDB's
+    floor `//` and Spark's truncating `div` agree."""
+    from dataengineeringpipeline_spark.operators.layout import (
+        BOX_HI_PM,
+        BOX_LO_PM,
+        GRID_BITS,
+        N_FILES,
+    )
+
+    top = (1 << GRID_BITS) - 1
+    z_width = 1 << (2 * GRID_BITS)
+    morton = " + ".join(
+        f"((gx // {1 << b}) % 2) * {1 << (2 * b)} + ((gy // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(GRID_BITS)
+    )
+    sql = _with(
+        {
+            "s": (
+                "SELECT CAST(MIN(user_id) AS BIGINT) AS min_x, CAST(MAX(user_id) AS BIGINT) AS max_x,"
+                " CAST(MIN(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_y,"
+                " CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_y,"
+                " CAST(MIN(event_id) AS BIGINT) AS min_id, CAST(MAX(event_id) AS BIGINT) AS max_id"
+                " FROM events"
+            ),
+            "b": (
+                "SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS x,"
+                " CAST(floor(value * 100) AS BIGINT) AS y FROM events"
+            ),
+            "k": (
+                "SELECT b.*, s.*,\n"
+                f"  CASE WHEN max_x > min_x THEN ((x - min_x) * {top}) // (max_x - min_x) ELSE 0 END AS gx,\n"
+                f"  CASE WHEN max_y > min_y THEN ((y - min_y) * {top}) // (max_y - min_y) ELSE 0 END AS gy\n"
+                "FROM b, s"
+            ),
+            "z": (
+                f"SELECT *, {morton} AS zkey,\n"
+                f"  min_x + ((max_x - min_x) * {BOX_LO_PM}) // 1000 AS box_x_lo,\n"
+                f"  min_x + ((max_x - min_x) * {BOX_HI_PM}) // 1000 AS box_x_hi,\n"
+                f"  min_y + ((max_y - min_y) * {BOX_LO_PM}) // 1000 AS box_y_lo,\n"
+                f"  min_y + ((max_y - min_y) * {BOX_HI_PM}) // 1000 AS box_y_hi\n"
+                "FROM k"
+            ),
+            "a": (
+                "SELECT x, y, box_x_lo, box_x_hi, box_y_lo, box_y_hi, 'arrival' AS layout,\n"
+                f"  ((event_id - min_id) * {N_FILES}) // (max_id - min_id + 1) AS file_id FROM z\n"
+                "UNION ALL\n"
+                "SELECT x, y, box_x_lo, box_x_hi, box_y_lo, box_y_hi, 'zorder' AS layout,\n"
+                f"  (zkey * {N_FILES}) // {z_width} AS file_id FROM z"
+            ),
+            "pf": (
+                "SELECT layout, file_id, COUNT(*) AS nrows,\n"
+                "  MIN(x) AS fx_lo, MAX(x) AS fx_hi, MIN(y) AS fy_lo, MAX(y) AS fy_hi,\n"
+                "  SUM(CASE WHEN x BETWEEN box_x_lo AND box_x_hi"
+                " AND y BETWEEN box_y_lo AND box_y_hi THEN 1 ELSE 0 END) AS match_rows,\n"
+                "  MIN(box_x_lo) AS box_x_lo, MIN(box_x_hi) AS box_x_hi,\n"
+                "  MIN(box_y_lo) AS box_y_lo, MIN(box_y_hi) AS box_y_hi\n"
+                "FROM a GROUP BY layout, file_id"
+            ),
+        },
+        """
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+  CAST(SUM(CASE WHEN fx_lo <= box_x_hi AND fx_hi >= box_x_lo
+                 AND fy_lo <= box_y_hi AND fy_hi >= box_y_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+  CAST(SUM(nrows) AS BIGINT) AS rows_total,
+  CAST(SUM(CASE WHEN fx_lo <= box_x_hi AND fx_hi >= box_x_lo
+                 AND fy_lo <= box_y_hi AND fy_hi >= box_y_lo THEN nrows ELSE 0 END) AS BIGINT) AS rows_in_scanned_files,
+  CAST(SUM(match_rows) AS BIGINT) AS matching_rows,
+  CAST((SUM(CASE WHEN fx_lo <= box_x_hi AND fx_hi >= box_x_lo
+                  AND fy_lo <= box_y_hi AND fy_hi >= box_y_lo THEN nrows ELSE 0 END) * 1000)
+       // SUM(nrows) AS BIGINT) AS scan_pm
+FROM pf GROUP BY layout ORDER BY layout
+""".strip(),
+    )
+    return {"layout_pruning_report": sql}
+
+
+ORACLES.update(_layout_oracles())
+
+
 def _scale_prune_oracles() -> dict[str, str]:
     """Twins of scale.bloom_prune_stats and quality.category_drift."""
     from dataengineeringpipeline_spark.scale import BLOOM_K, BLOOM_M
@@ -3513,6 +3725,81 @@ FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
 
 
 ORACLES.update(_fluency_oracles())
+
+
+def _ensemble_oracles() -> dict[str, str]:
+    """Twin of classify.quality_gate_ensemble: the heuristic quality
+    CTEs, the classifier feature-hash CTEs, and the fluency count CTEs
+    composed per doc_id, majority-voted, aggregated per source."""
+    from dataengineeringpipeline_spark.operators.classify import (
+        _MULT,
+        _WEIGHT_MOD,
+        _WEIGHT_SHIFT,
+        FLUENCY_GATE_PM,
+        FLUENCY_SCALE,
+        N_BUCKETS,
+    )
+
+    weight = f"(({_wh('t')} % {N_BUCKETS}) * {_MULT}) % {_WEIGHT_MOD} - {_WEIGHT_SHIFT}"
+    sql = _with(
+        {
+            "base": TEXT_STATS,
+            "stats": _TEXT_STATS_DERIVED,
+            "q": _QUALITY_BODY,
+            "feats": (
+                "SELECT doc_id, list_concat(ws,"
+                " list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs "
+                f"FROM (SELECT doc_id, {_W} AS ws FROM documents)"
+            ),
+            "cls": (
+                "SELECT doc_id,"
+                f" list_reduce(list_transform(fs, t -> {weight}), (a, b) -> a + b) AS score_sum"
+                " FROM feats"
+            ),
+            "docw": f"SELECT doc_id, {_W} AS ws FROM documents",
+            "uni": (
+                "SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM ("
+                " SELECT unnest(ws) AS w FROM docw) GROUP BY w"
+            ),
+            "fpairs": (
+                "SELECT doc_id, ws[i] AS w, ws[i + 1] AS w2 FROM ("
+                " SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docw)"
+            ),
+            "fbi": (
+                "SELECT w, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM fpairs GROUP BY w, w2"
+            ),
+            "flu": (
+                "SELECT doc_id,"
+                f" CAST(SUM((b.c2 * {FLUENCY_SCALE}) // u.c1) AS BIGINT)"
+                " // CAST(COUNT(*) AS BIGINT) AS fluency_pm\n"
+                "FROM fpairs p JOIN fbi b USING (w, w2) JOIN uni u USING (w)\n"
+                "GROUP BY doc_id"
+            ),
+            "per": (
+                "SELECT q.source,\n"
+                "  CASE WHEN q.quality_score >= 70 THEN 1 ELSE 0 END AS g_heur,\n"
+                "  CASE WHEN c.score_sum >= 0 THEN 1 ELSE 0 END AS g_cls,\n"
+                f"  CASE WHEN f.fluency_pm >= {FLUENCY_GATE_PM} THEN 1 ELSE 0 END AS g_flu\n"
+                "FROM q JOIN cls c ON c.doc_id = q.doc_id\n"
+                "LEFT JOIN flu f ON f.doc_id = q.doc_id"
+            ),
+        },
+        """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(g_cls) AS BIGINT) AS cls_pass,
+  CAST(SUM(g_heur) AS BIGINT) AS heur_pass,
+  CAST(SUM(g_flu) AS BIGINT) AS flu_pass,
+  CAST(SUM(CASE WHEN g_heur + g_cls + g_flu >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ensemble_keep,
+  CAST(SUM(CASE WHEN g_heur + g_cls + g_flu = 3 THEN 1 ELSE 0 END) AS BIGINT) AS unanimous_keep,
+  CAST(SUM(CASE WHEN g_heur + g_cls + g_flu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unanimous_reject,
+  CAST((SUM(CASE WHEN g_heur + g_cls + g_flu >= 2 THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS keep_pm
+FROM per GROUP BY source ORDER BY source
+""".strip(),
+    )
+    return {"quality_gate_ensemble": sql}
+
+
+ORACLES.update(_ensemble_oracles())
 
 
 def _lang_mix_oracles() -> dict[str, str]:

@@ -78,6 +78,52 @@ def test_online_get_returns_latest_row(spark, sf_dir, tmp_path):
     assert entry["version"] == 1 and entry["row_count"] == feats.count()
 
 
+def test_point_in_time_features_never_leak_same_day(spark):
+    """The PIT contract: a 14:00 purchase on day 10 must see day 9's
+    features (day 10's aggregates include the label's own event — using
+    them would be train/serve leakage); a user whose only history is
+    older than the tolerance gets null features."""
+    import datetime as dt
+
+    DAY_US = 86_400_000_000
+
+    def row(eid, uid, day, hour, etype, value):
+        return (
+            eid,
+            uid,
+            day * DAY_US + hour * 3_600_000_000,
+            dt.date(1970, 1, 1) + dt.timedelta(days=day),
+            etype,
+            float(value),
+        )
+
+    events = spark.createDataFrame(
+        [
+            # user 1: activity on days 9 and 10, purchase 14:00 day 10
+            row(100, 1, 9, 1, "click", 5.0),
+            row(101, 1, 9, 2, "click", 7.0),
+            row(102, 1, 10, 1, "view", 11.0),
+            row(103, 1, 10, 14, "purchase", 99.0),
+            # user 2: last activity 30 days before the purchase
+            row(200, 2, 40, 3, "click", 1.0),
+            row(201, 2, 70, 12, "purchase", 50.0),
+        ],
+        "event_id long, user_id long, ts_us long, event_date date, event_type string, value double",
+    )
+    out = {r["event_id"]: r for r in featurestore.point_in_time_features(events).collect()}
+    # day-9 features: 2 events, value 12.0, 0 purchases; servable at day-10 start
+    m = out[103]
+    assert m["feature_ts_us"] == 10 * DAY_US
+    assert m["daily_events"] == 2 and m["daily_value"] == 12.0
+    assert m["purchase_events"] == 0
+    assert m["feature_age_us"] == 14 * 3_600_000_000
+    # user 2: nothing inside the 7-day window -> null features
+    d = out[201]
+    assert d["feature_ts_us"] is None and d["daily_events"] is None
+    # its own purchase day's features exist but are same-day -> excluded too
+    assert d["label_value"] == 50.0
+
+
 # -- JDBC source (S1 real-database path, embedded Derby) ---------------------
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"

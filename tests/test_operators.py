@@ -161,6 +161,29 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[4]["redaction_count"] == 0
 
 
+def test_pii_redaction_report_plants_and_scrubs(spark):
+    """doc_id 60 hits all three plant cadences (4, 12, 20); doc_id 4
+    only the email; doc_id 5 stays clean and is absent from the report.
+    The scrubbed md5 must equal the hash of the hand-computed cleaned
+    string — proving plant order and scrub order end-to-end."""
+    import hashlib
+
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "gamma delta"), (60, "omega")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.pii_redaction_report(docs).collect()}
+    assert set(rows) == {4, 60}
+    assert (rows[4]["email_count"], rows[4]["url_count"], rows[4]["phone_count"]) == (1, 0, 0)
+    assert rows[4]["scrubbed_md5"] == hashlib.md5(b"alpha beta Contact [EMAIL]").hexdigest()
+    assert (rows[60]["email_count"], rows[60]["url_count"], rows[60]["phone_count"]) == (1, 1, 1)
+    assert rows[60]["redaction_count"] == 3
+    expected_60 = "omega Contact [EMAIL] via [URL] or [PHONE]"
+    assert rows[60]["scrubbed_md5"] == hashlib.md5(expected_60.encode()).hexdigest()
+
+
 def test_pack_chunks_fills_sequences_in_order(spark):
     """Packing invariants: chunks keep their deterministic order inside a
     group, offsets are the running token sum, and a sequence's id is the
@@ -806,6 +829,33 @@ def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
         for r in sampling.leakage_safe_splits(docs.repartition(13)).collect()
     }
     assert again == split_of
+
+
+def test_split_leakage_audit_closed_form(spark):
+    """Two planted duplicate pairs whose endpoints hash into different
+    per-mille split buckets (1→train/17→test, 4→train/5→val by the
+    documented formula): the naive policy must leak both pairs, the
+    cluster-keyed policy neither."""
+    from dataengineeringpipeline_spark.operators import sampling
+
+    dup_a = "the migration guide explains how to move tables between regions safely " * 3
+    dup_b = "quarterly revenue grew across every segment while costs stayed flat overall " * 3
+    rows = [
+        (1, dup_a),
+        (17, dup_a),
+        (4, dup_b),
+        (5, dup_b),
+        (2, "entirely unrelated prose about gardening tools and their seasonal upkeep"),
+        (21, "another singleton document describing a bicycle repair procedure in detail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["policy"]: r for r in sampling.split_leakage_audit(docs).collect()}
+    assert out["naive"]["dup_pairs"] == out["cluster_keyed"]["dup_pairs"] == 2
+    assert out["cluster_keyed"]["cross_split_pairs"] == 0
+    assert out["cluster_keyed"]["leak_pm"] == 0
+    assert out["naive"]["cross_split_pairs"] == 2
+    assert out["naive"]["train_eval_pairs"] == 2
+    assert out["naive"]["leak_pm"] == 1000
 
 
 def test_duplicate_span_coverage_closed_form(spark):

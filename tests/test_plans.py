@@ -50,6 +50,19 @@ PLAN_BOUNDS = {
     # data card: md5 window + doc_id join + source agg, dup flags
     # broadcast at test scale; text never shuffles
     "corpus_datacard": (5, 1),
+    # plant + scrub + md5 are pure projections; only the final
+    # presentation sort exchanges
+    "pii_redaction_report": (1, 0),
+    # PIT join: daily-feature agg + one asof union window + final sort;
+    # the purchase label filter must reach the scan
+    "point_in_time_features": (3, 0),
+    # leakage audit rides the persisted pair set; cluster labels and
+    # verify candidates broadcast, band self-join is the only corpus
+    # shuffle inside the LSH chain
+    "split_leakage_audit": (5, 1),
+    # layout gauge: scalar agg + broadcast scalars + (layout,file) agg
+    # (≤2·n_files groups) + 2-row final agg; scan reads 3 columns only
+    "layout_pruning_report": (4, 1),
 }
 
 

@@ -117,6 +117,59 @@ def test_classifier_summary_reconciles_with_scores(spark, sf_dir):
         assert s["total_features"] == sum(r["n_features"] for r in rows)
 
 
+def test_quality_gate_ensemble_reconciles_with_component_gates(spark, sf_dir):
+    """The ensemble's per-source tallies must equal a driver-side
+    majority vote recomputed from the three component operators, with a
+    bigram-less document (no fluency evidence) counting as a fluency
+    fail, not a null vote."""
+    from dataengineeringpipeline_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_dir).limit(200)
+    cls = {r["doc_id"]: r["keep"] for r in classify.classifier_scores(docs).collect()}
+    heur = {
+        r["doc_id"]: r["is_high_quality"]
+        for r in text_ops.quality_score(text_ops.text_stats(docs)).collect()
+    }
+    flu = {
+        r["doc_id"]: (r["fluency_pm"] is not None and r["fluency_pm"] >= classify.FLUENCY_GATE_PM)
+        for r in classify.bigram_fluency(docs).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    expected: dict[str, dict[str, int]] = {}
+    for d, s in src.items():
+        e = expected.setdefault(
+            s, {"docs": 0, "cls": 0, "heur": 0, "flu": 0, "keep": 0, "ukeep": 0, "urej": 0}
+        )
+        votes = int(cls[d]) + int(heur[d]) + int(flu[d])
+        e["docs"] += 1
+        e["cls"] += int(cls[d])
+        e["heur"] += int(heur[d])
+        e["flu"] += int(flu[d])
+        e["keep"] += int(votes >= 2)
+        e["ukeep"] += int(votes == 3)
+        e["urej"] += int(votes == 0)
+    out = {r["source"]: r for r in classify.quality_gate_ensemble(docs).collect()}
+    assert set(out) == set(expected)
+    for s, e in expected.items():
+        r = out[s]
+        assert (r["docs"], r["cls_pass"], r["heur_pass"], r["flu_pass"]) == (
+            e["docs"],
+            e["cls"],
+            e["heur"],
+            e["flu"],
+        ), s
+        assert (r["ensemble_keep"], r["unanimous_keep"], r["unanimous_reject"]) == (
+            e["keep"],
+            e["ukeep"],
+            e["urej"],
+        ), s
+        assert r["keep_pm"] == (e["keep"] * 1000) // e["docs"]
+    # the fixture must exercise disagreement, or the vote is untested
+    assert any(
+        int(cls[d]) + int(heur[d]) + int(flu[d]) not in (0, 3) for d in src
+    ), "all gates unanimous - fixture too easy"
+
+
 # -- lexical retrieval ------------------------------------------------------
 
 
