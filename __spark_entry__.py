@@ -153,6 +153,8 @@ WINDOW_HEAD = [
     "point_in_time_features",
     "layout_pruning_report",
     "quality_gate_ensemble",
+    "table_stats_report",
+    "join_strategy_advisor",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -512,9 +514,29 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time_features": lambda spark, sf: featurestore.point_in_time_features(
             load_events(spark, sf)
         ),
+        # -- ANALYZE-style catalog statistics (CBO surface) ------------------
+        "table_stats_report": lambda spark, sf: quality.table_stats(
+            _read(spark, sf, "orders")
+        ),
         # -- Z-order layout planning (file-pruning economics) ---------------
         "layout_pruning_report": lambda spark, sf: layout_ops.layout_pruning_report(
             _read(spark, sf, "events")
+        ),
+        # -- join strategy advisor (broadcast / hot-key-split / shuffle) ----
+        # demo thresholds: 512 KiB ceiling + 0.5% hot-key bar so all three
+        # branches are exercised at test SFs (production defaults: 10 MiB /
+        # 5% — scale.BROADCAST_BYTES_DEFAULT / HOT_KEY_PM_DEFAULT)
+        "join_strategy_advisor": lambda spark, sf: scale.join_strategy_advisor(
+            [
+                ("orders", _read(spark, sf, "orders"), "o_custkey",
+                 "customer", _read(spark, sf, "customer"), "c_custkey"),
+                ("lineitem", _read(spark, sf, "lineitem"), "l_orderkey",
+                 "orders", _read(spark, sf, "orders"), "o_orderkey"),
+                ("events", _read(spark, sf, "events"), "user_id",
+                 "events", _read(spark, sf, "events"), "user_id"),
+            ],
+            broadcast_bytes=512 * 1024,
+            hot_key_pm=5,
         ),
         # -- heavy-hitter skew triage (scale.py) ----------------------------
         "event_heavy_hitters": lambda spark, sf: scale.key_skew_profile(

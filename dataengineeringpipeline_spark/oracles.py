@@ -3802,6 +3802,97 @@ FROM per GROUP BY source ORDER BY source
 ORACLES.update(_ensemble_oracles())
 
 
+def _table_stats_oracles() -> dict[str, str]:
+    """Twin of quality.table_stats on the orders table (exact mode).
+    Numeric/timestamp min-max normalize into one double domain
+    (timestamps as epoch µs); strings report lexicographic min/max and
+    mean length."""
+    specs = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    blocks = []
+    for c, kind in specs:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+            sl = "CAST(NULL AS BIGINT)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(CAST(MIN({c}) AS TIMESTAMP)) AS DOUBLE)"
+            mx = f"CAST(epoch_us(CAST(MAX({c}) AS TIMESTAMP)) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+            sl = "CAST(NULL AS BIGINT)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({c})", f"MAX({c})"
+            sl = f"CAST(SUM(length({c})) AS BIGINT)"
+        blocks.append(
+            f"SELECT '{c}' AS column_name, CAST(COUNT({c}) AS BIGINT) AS non_null,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv, {mn} AS min_num, {mx} AS max_num,\n"
+            f"  {mns} AS min_str, {mxs} AS max_str, {sl} AS sum_len FROM orders"
+        )
+    sql = _with(
+        {
+            "t": 'SELECT CAST(COUNT(*) AS BIGINT) AS "rows" FROM orders',
+            "u": "\nUNION ALL\n".join(blocks),
+        },
+        """
+SELECT column_name, "rows", non_null, CAST("rows" - non_null AS BIGINT) AS nulls, ndv,
+  min_num, max_num, min_str, max_str,
+  CAST(sum_len AS DOUBLE) / CAST(non_null AS DOUBLE) AS avg_len
+FROM u, t ORDER BY column_name
+""".strip(),
+    )
+    return {"table_stats_report": sql}
+
+
+ORACLES.update(_table_stats_oracles())
+
+
+def _advisor_oracles() -> dict[str, str]:
+    """Twin of scale.join_strategy_advisor at the contract call's demo
+    thresholds (512 KiB / 5 pm). Dim widths are the EST_TYPE_BYTES sums
+    for each table's schema: customer 8+20+4+8+20 = 60, orders
+    8+8+20+8+8+20 = 72, events 8+8+8+20+8+20 = 72."""
+    bb, hk = 512 * 1024, 5
+    joins = [
+        ("orders", "o_custkey", "customer", "c_custkey", 60),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", 72),
+        ("events", "user_id", "events", "user_id", 72),
+    ]
+    ctes, selects = {}, []
+    for i, (ft, fk, dt, dk, width) in enumerate(joins):
+        ctes[f"f{i}"] = (
+            "SELECT CAST(MAX(c) AS BIGINT) AS top_key_rows, CAST(SUM(c) AS BIGINT) AS fact_rows"
+            f" FROM (SELECT COUNT(*) AS c FROM {ft} GROUP BY {fk})"
+        )
+        ctes[f"d{i}"] = f"SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows FROM {dt}"
+        selects.append(
+            f"SELECT '{ft}' AS fact_table, '{dt}' AS dim_table, '{fk}={dk}' AS join_key,\n"
+            f"  fact_rows, dim_rows, CAST(dim_rows * {width} AS BIGINT) AS dim_est_bytes,\n"
+            "  top_key_rows, CAST((top_key_rows * 1000) // fact_rows AS BIGINT) AS top_key_pm\n"
+            f"FROM f{i}, d{i}"
+        )
+    ctes["u"] = "\nUNION ALL\n".join(selects)
+    sql = _with(
+        ctes,
+        f"""
+SELECT *, CASE WHEN dim_est_bytes <= {bb} THEN 'broadcast'
+               WHEN top_key_pm >= {hk} THEN 'hot_key_split'
+               ELSE 'shuffle_hash' END AS strategy
+FROM u ORDER BY fact_table, dim_table
+""".strip(),
+    )
+    return {"join_strategy_advisor": sql}
+
+
+ORACLES.update(_advisor_oracles())
+
+
 def _lang_mix_oracles() -> dict[str, str]:
     """Twin of text.language_mix_by_source."""
     sql = _with(

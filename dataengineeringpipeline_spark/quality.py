@@ -493,3 +493,89 @@ def numeric_drift(
         )
         .orderBy("p")
     )
+
+
+def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
+    """ANALYZE-style per-column table statistics — the catalog stats a
+    cost-based optimizer (and a data engineer sizing a join) feeds on:
+    row count, null count, distinct count, min/max (numeric and
+    temporal columns in one normalized double domain, strings as
+    strings), and mean string length.
+
+    One scan, one aggregation row, then a map-only ``stack`` to long
+    form. ``exact=True`` (the oracle-parity mode) uses ``countDistinct``
+    — Spark plans the multi-column distinct aggregate with one Expand,
+    which is exactly what ``ANALYZE TABLE ... COMPUTE STATISTICS`` pays;
+    at warehouse scale flip ``exact=False`` for
+    ``approx_count_distinct`` (HLL sketch, single pass, mergeable — the
+    same exact/approx dial as ``numeric_drift`` and
+    ``doc_length_distribution``).
+
+    Timestamps normalize to epoch microseconds and dates to epoch days
+    (exact integers < 2^53, so the double column is lossless).
+    Returns (column_name, rows, non_null, nulls, ndv, min_num, max_num,
+    min_str, max_str, avg_len) ordered by column_name.
+    """
+    num_types = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_s = "CAST(NULL AS STRING)"
+    pieces = []
+    for i, f in enumerate(df.schema.fields):
+        c = f.name
+        t = f.dataType.typeName()
+        aggs.append(F.count(c).cast("long").alias(f"_nn_{i}"))
+        ndv = (
+            F.countDistinct(c) if exact else F.approx_count_distinct(c, 0.01)
+        )
+        aggs.append(ndv.cast("long").alias(f"_ndv_{i}"))
+        if t in num_types or t.startswith("decimal"):
+            aggs.append(F.min(c).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"_mx_{i}"))
+            mn, mx, mns, mxs, sl = f"_mn_{i}", f"_mx_{i}", null_s, null_s, "CAST(NULL AS BIGINT)"
+        elif t in ("timestamp", "timestamp_ntz"):
+            # tz-free epoch µs, same dialect-portable forms as
+            # datalake.raw_ts_us_expr: NTZ diffs against the NTZ epoch
+            # (never consults the session timezone), UTC-adjusted uses
+            # the absolute-instant unix_micros
+            if t == "timestamp_ntz":
+                us = (
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {{m}}({c}))"
+                )
+            else:
+                us = f"unix_micros({{m}}({c}))"
+            aggs.append(F.expr(us.format(m="min")).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.expr(us.format(m="max")).cast("double").alias(f"_mx_{i}"))
+            mn, mx, mns, mxs, sl = f"_mn_{i}", f"_mx_{i}", null_s, null_s, "CAST(NULL AS BIGINT)"
+        elif t == "date":
+            aggs.append(F.datediff(F.min(c), F.lit("1970-01-01")).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.datediff(F.max(c), F.lit("1970-01-01")).cast("double").alias(f"_mx_{i}"))
+            mn, mx, mns, mxs, sl = f"_mn_{i}", f"_mx_{i}", null_s, null_s, "CAST(NULL AS BIGINT)"
+        else:  # string-like
+            aggs.append(F.min(c).cast("string").alias(f"_mns_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"_mxs_{i}"))
+            aggs.append(F.sum(F.length(c)).cast("long").alias(f"_sl_{i}"))
+            mn, mx, mns, mxs, sl = null_d, null_d, f"_mns_{i}", f"_mxs_{i}", f"_sl_{i}"
+        pieces.append(f"'{c}', _nn_{i}, _ndv_{i}, {mn}, {mx}, {mns}, {mxs}, {sl}")
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        "_rows",
+        F.expr(
+            f"stack({len(pieces)}, {', '.join(pieces)}) AS "
+            "(column_name, non_null, ndv, min_num, max_num, min_str, max_str, _sum_len)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        F.col("_rows").alias("rows"),
+        "non_null",
+        (F.col("_rows") - F.col("non_null")).cast("long").alias("nulls"),
+        "ndv",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        (F.col("_sum_len").cast("double") / F.col("non_null").cast("double")).alias(
+            "avg_len"
+        ),
+    ).orderBy("column_name")

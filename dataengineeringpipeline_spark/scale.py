@@ -731,3 +731,95 @@ def skew_join_segment_summary(events: DataFrame, customers: DataFrame) -> DataFr
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: Byte-width heuristic per Spark type for dimension-size estimation
+#: (fixed types at their storage width, strings at a nominal 20 B) —
+#: the same kind of width table a CBO uses when column stats are absent.
+EST_TYPE_BYTES = {
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "long": 8,
+    "float": 4,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "date": 4,
+    "boolean": 1,
+    "string": 20,
+}
+
+#: Production broadcast ceiling — Spark's default
+#: ``spark.sql.autoBroadcastJoinThreshold``.
+BROADCAST_BYTES_DEFAULT = 10 * 1024 * 1024
+#: Fact-side hot-key share (per mille) above which a non-broadcast join
+#: should split the hot keys out (:func:`skew_split_join`) or salt.
+HOT_KEY_PM_DEFAULT = 50
+
+
+def est_row_bytes(df: DataFrame) -> int:
+    """Schema-derived row-width estimate (bytes) from the type table."""
+    return sum(EST_TYPE_BYTES.get(f.dataType.typeName(), 20) for f in df.schema.fields)
+
+
+def join_strategy_advisor(
+    joins: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    hot_key_pm: int = HOT_KEY_PM_DEFAULT,
+) -> DataFrame:
+    """Recommend a physical join strategy per (fact ⋈ dim) pair — the
+    triage this module's tools exist for, emitted as data instead of
+    applied by hand:
+
+    - **broadcast** when the dim's estimated bytes (rows × schema width)
+      fit the broadcast ceiling — the hash map ships to every executor
+      and the fact side never shuffles;
+    - **hot_key_split** when the dim must shuffle AND the fact's top
+      join key holds ≥ ``hot_key_pm`` per mille of its rows — a plain
+      shuffle would hand one task the hot key's entire partition
+      (:func:`skew_split_join` is the matching fix);
+    - **shuffle_hash** otherwise — both sides exchange on the key, no
+      single task drowns.
+
+    ``joins`` entries are ``(fact_name, fact_df, fact_key, dim_name,
+    dim_df, dim_key)``. Cost: per join, one map-side-combined key count
+    on the fact (the expensive side is one agg over int keys) and a
+    1-row dim count; outputs union to |joins| rows. Everything is exact
+    integer arithmetic, so the recommendation is reproducible — and
+    oracle-checkable — on any engine.
+    """
+    out = None
+    for fact_name, fact, fact_key, dim_name, dim, dim_key in joins:
+        fstats = (
+            fact.groupBy(fact_key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").cast("long").alias("top_key_rows"),
+                F.sum("c").cast("long").alias("fact_rows"),
+            )
+        )
+        dstats = dim.agg(F.count(F.lit(1)).cast("long").alias("dim_rows"))
+        row = (
+            fstats.crossJoin(dstats)
+            .select(
+                F.lit(fact_name).alias("fact_table"),
+                F.lit(dim_name).alias("dim_table"),
+                F.lit(f"{fact_key}={dim_key}").alias("join_key"),
+                "fact_rows",
+                "dim_rows",
+                (F.col("dim_rows") * F.lit(est_row_bytes(dim)))
+                .cast("long")
+                .alias("dim_est_bytes"),
+                "top_key_rows",
+                F.expr("(top_key_rows * 1000) div fact_rows").cast("long").alias("top_key_pm"),
+            )
+            .withColumn(
+                "strategy",
+                F.when(F.col("dim_est_bytes") <= broadcast_bytes, "broadcast")
+                .when(F.col("top_key_pm") >= hot_key_pm, "hot_key_split")
+                .otherwise("shuffle_hash"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fact_table", "dim_table")

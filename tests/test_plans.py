@@ -63,6 +63,12 @@ PLAN_BOUNDS = {
     # layout gauge: scalar agg + broadcast scalars + (layout,file) agg
     # (≤2·n_files groups) + 2-row final agg; scan reads 3 columns only
     "layout_pruning_report": (4, 1),
+    # ANALYZE stats: one Expand-based multi-distinct agg (2 exchanges),
+    # stack is map-only
+    "table_stats_report": (2, 0),
+    # advisor: per join one fact key-count agg + scalar dim count,
+    # 1-row crossjoins broadcast; scans read only the join keys
+    "join_strategy_advisor": (9, 3),
 }
 
 

@@ -588,3 +588,72 @@ def test_numeric_drift_approx_grid_parity(spark):
             assert abs(a[col] - e[col]) <= abs(e[col]) * 0.01 + 1.0, (
                 a["p"], col, a[col], e[col],
             )
+
+
+def test_join_strategy_advisor_branches(spark):
+    """Three synthetic joins hit the three strategies: a tiny dim
+    broadcasts; a wide dim with a uniform fact shuffles; a wide dim with
+    a hot fact key (60% of rows on one key) splits."""
+    from dataengineeringpipeline_spark import scale
+
+    tiny_dim = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    # 40-col-equivalent width via strings: 3 string cols ~ 60B/row * 100 rows
+    wide_dim = spark.createDataFrame(
+        [(i, "x" * 5, "y" * 5) for i in range(100)], "k long, a string, b string"
+    )
+    uniform_fact = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+    hot_fact = spark.createDataFrame(
+        [(0,)] * 600 + [(i % 50 + 1,) for i in range(400)], "k long"
+    )
+    out = {
+        (r["fact_table"], r["dim_table"]): r
+        for r in scale.join_strategy_advisor(
+            [
+                ("f1", uniform_fact, "k", "tiny", tiny_dim, "k"),
+                ("f2", uniform_fact, "k", "wide", wide_dim, "k"),
+                ("f3", hot_fact, "k", "wide", wide_dim, "k"),
+            ],
+            broadcast_bytes=1000,  # tiny=80B fits; wide=4800B does not
+            hot_key_pm=100,
+        ).collect()
+    }
+    assert out[("f1", "tiny")]["strategy"] == "broadcast"
+    assert out[("f2", "wide")]["strategy"] == "shuffle_hash"
+    assert out[("f3", "wide")]["strategy"] == "hot_key_split"
+    r = out[("f3", "wide")]
+    assert r["fact_rows"] == 1000 and r["top_key_rows"] == 600 and r["top_key_pm"] == 600
+    assert out[("f2", "wide")]["dim_est_bytes"] == 100 * (8 + 20 + 20)
+
+
+def test_table_stats_closed_form(spark):
+    """Hand-computed stats: nulls, ndv, numeric min/max, string min/max
+    + mean length, timestamp epoch-µs normalization."""
+    import datetime as dt
+
+    from dataengineeringpipeline_spark import quality
+
+    rows = [
+        (1, 2.5, "bb", dt.datetime(1970, 1, 1, 0, 0, 1)),
+        (2, None, "a", dt.datetime(1970, 1, 2)),
+        (2, -1.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, s string, t timestamp")
+    out = {r["column_name"]: r for r in quality.table_stats(df).collect()}
+    assert set(out) == {"k", "v", "s", "t"}
+    k = out["k"]
+    assert (k["rows"], k["non_null"], k["nulls"], k["ndv"]) == (3, 3, 0, 2)
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0)
+    assert k["min_str"] is None and k["avg_len"] is None
+    v = out["v"]
+    assert (v["non_null"], v["nulls"], v["ndv"], v["min_num"], v["max_num"]) == (2, 1, 2, -1.0, 2.5)
+    s = out["s"]
+    assert (s["min_str"], s["max_str"], s["ndv"]) == ("a", "bb", 2)
+    assert s["avg_len"] == 1.5 and s["min_num"] is None
+    t = out["t"]
+    assert t["min_num"] == 1_000_000.0  # 1970-01-01T00:00:01 in µs
+    assert t["max_num"] == 86_400_000_000.0
+    # approx mode: same shape, sketched ndv within HLL tolerance
+    approx = {r["column_name"]: r for r in quality.table_stats(df, exact=False).collect()}
+    assert set(approx) == set(out)
+    for c in out:
+        assert abs(approx[c]["ndv"] - out[c]["ndv"]) <= max(1, out[c]["ndv"] // 10)
