@@ -1371,13 +1371,29 @@ def stream_quality_gate(
     from ..operators.classify import with_classifier_score
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scored = with_classifier_score(batch_df)
-        scored.select("doc_id", "source", "n_features", "score_sum", "keep").write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/decisions/batch_id={batch_id}")
-        scored.filter(~F.col("keep")).drop("n_features", "score_sum", "keep").write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/quarantine/batch_id={batch_id}")
+        # A single-file micro-batch arrives as ONE partition, which would
+        # serialize the md5 feature-hash fold on one core for both sink
+        # writes. spread() persists the repartitioned batch (the cache is
+        # the optimizer barrier — scoring attaches ABOVE it, or Catalyst
+        # pushes the projection back through the exchange onto the
+        # 1-task scan); both sinks then score in parallel off the cache.
+        from ..scale import spread
+
+        spreaded = spread(batch_df, "doc_id")
+        scored = with_classifier_score(spreaded)
+        try:
+            scored.select(
+                "doc_id", "source", "n_features", "score_sum", "keep"
+            ).write.mode("overwrite").parquet(
+                f"{state_dir}/decisions/batch_id={batch_id}"
+            )
+            scored.filter(~F.col("keep")).drop(
+                "n_features", "score_sum", "keep"
+            ).write.mode("overwrite").parquet(
+                f"{state_dir}/quarantine/batch_id={batch_id}"
+            )
+        finally:
+            spreaded.unpersist()
 
     reader = spark.readStream.schema(DOCUMENTS_DDL)
     if max_files_per_trigger is not None:
