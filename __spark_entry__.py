@@ -155,6 +155,7 @@ WINDOW_HEAD = [
     "quality_gate_ensemble",
     "table_stats_report",
     "join_strategy_advisor",
+    "contrastive_pairs_report",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -477,6 +478,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- product quantization (64x-compressed ADC + exact re-rank) ------
         "pq_ann_topk": lambda spark, sf: sim_ops.pq_topk_rerank(_read(spark, sf, "embeddings")),
+        # -- contrastive pair mining (dup positives vs stride negatives) ----
+        "contrastive_pairs_report": lambda spark, sf: sim_ops.contrastive_pairs_report(
+            _read(spark, sf, "documents"), _read(spark, sf, "embeddings")
+        ),
         "pq_ann_recall": lambda spark, sf: sim_ops.pq_recall(_read(spark, sf, "embeddings")),
         # -- IVF+PQ composed (FAISS-IVFPQ topology: probe -> ADC -> re-rank)
         "ann_ivfpq_topk": lambda spark, sf: sim_ops.ann_ivfpq_topk(

@@ -1155,3 +1155,94 @@ def knn_label_eval(
         )
         .orderBy("label")
     )
+
+
+#: Deterministic negative-pair stride: doc i pairs with doc i+17 (17 is
+#: coprime to the planted duplicate cadences, so stride pairs are
+#: overwhelmingly non-duplicates; verified ones are excluded anyway).
+NEG_STRIDE = 17
+#: Cosine fixed-point scale for order-independent mean aggregation.
+COS_SCALE = 1_000_000_000_000
+
+
+def contrastive_pairs_report(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    stride: int = NEG_STRIDE,
+) -> DataFrame:
+    """Mine contrastive supervision for embedding-model training from
+    the corpus itself — the self-supervised recipe: **positives** are
+    verified near-duplicate text pairs (MinHash-LSH candidates, exact
+    shingle-Jaccard ≥ ``threshold``), **negatives** are deterministic
+    stride pairs ``(i, i+stride)`` with any verified duplicates removed.
+    The report is the separation readout a training run gates on: if
+    positive and negative cosine bands overlap, the mined pairs (or the
+    base embeddings) are not trainable signal.
+
+    Scale shape: positives ride the bucketed LSH chain (never
+    all-pairs); negatives are one self-equi-join of the id column on a
+    shifted key (map-side after one shuffle); the tagged pair list is
+    tiny by construction and BROADCASTS into the normalized embedding
+    table twice, so vectors never shuffle. The mean cosine aggregates
+    in fixed-point (per-row ``floor(cos·1e12)``, exact decimal sum) —
+    order-independent, engine-exact; min/max are order-free on the raw
+    doubles. Returns (pair_set, pairs, mean_cos, min_cos, max_cos)
+    ordered by pair_set.
+    """
+    from dataengineeringpipeline_spark.cache import tracked_persist
+    from dataengineeringpipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    pos = tracked_persist(
+        minhash_lsh_pairs(docs, threshold, ordered=False).select("doc_a", "doc_b")
+    )
+    ids = docs.select("doc_id")
+    neg = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(
+            ids.select(
+                (F.col("doc_id") - F.lit(stride)).alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            "doc_a",
+        )
+        .join(pos, ["doc_a", "doc_b"], "left_anti")
+    )
+    tagged = pos.withColumn("pair_set", F.lit("positive")).unionByName(
+        neg.withColumn("pair_set", F.lit("negative"))
+    )
+    base = tracked_persist(with_norms(embeddings))
+    a = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        a.join(F.broadcast(tagged), "doc_a")
+        .join(F.broadcast(b.join(F.broadcast(tagged.select("doc_b").distinct()), "doc_b")), "doc_b")
+        .select("pair_set", cos.alias("cosine"))
+        .withColumn("ic", F.floor(F.col("cosine") * F.lit(COS_SCALE)).cast("long"))
+    )
+    return (
+        scored.groupBy("pair_set")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pairs"),
+            F.sum(F.col("ic").cast("decimal(38,0)")).alias("_sic"),
+            F.min("cosine").alias("min_cos"),
+            F.max("cosine").alias("max_cos"),
+        )
+        .select(
+            "pair_set",
+            "pairs",
+            (
+                F.col("_sic").cast("double")
+                / F.col("pairs").cast("double")
+                / F.lit(float(COS_SCALE))
+            ).alias("mean_cos"),
+            "min_cos",
+            "max_cos",
+        )
+        .orderBy("pair_set")
+    )

@@ -1530,8 +1530,52 @@ FROM (
 """.strip(),
     )
 
+    # -- contrastive pair mining: verified dup positives vs stride negs --
+    from dataengineeringpipeline_spark.operators.similarity import (
+        COS_SCALE as _CSCALE,
+        EMB_DIM as _CDIM,
+        NEG_STRIDE as _CSTRIDE,
+    )
+
+    contrastive_sql = _with(
+        {
+            "shingles": _SHINGLES,
+            "shingle_hashes": _SHINGLE_HASHES,
+            "sigs": sigs,
+            "bands": bands,
+            "pairs": minhash_pairs,
+            "n": _EMB_NORMS,
+            "neg": (
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+                f"FROM documents a JOIN documents b ON b.doc_id = a.doc_id + {_CSTRIDE}\n"
+                "WHERE NOT EXISTS (SELECT 1 FROM pairs p"
+                " WHERE p.doc_a = a.doc_id AND p.doc_b = b.doc_id)"
+            ),
+            "tagged": (
+                "SELECT doc_a, doc_b, 'positive' AS pair_set FROM pairs\n"
+                "UNION ALL SELECT doc_a, doc_b, 'negative' AS pair_set FROM neg"
+            ),
+            "cscored": (
+                "SELECT pair_set, cosine,"
+                f" CAST(floor(cosine * {_CSCALE}) AS BIGINT) AS ic FROM (\n"
+                "  SELECT t.pair_set,\n"
+                f"    list_reduce(list_transform(range(1, {_CDIM + 1}),"
+                " i -> na.e[i] * nb.e[i]), (a, b) -> a + b) / (na.nrm * nb.nrm) AS cosine\n"
+                "  FROM tagged t JOIN n na ON na.vec_id = t.doc_a"
+                " JOIN n nb ON nb.vec_id = t.doc_b)"
+            ),
+        },
+        f"""
+SELECT pair_set, CAST(COUNT(*) AS BIGINT) AS pairs,
+  {dec2dbl('SUM(ic)')} / CAST(COUNT(*) AS DOUBLE) / {float(_CSCALE)} AS mean_cos,
+  MIN(cosine) AS min_cos, MAX(cosine) AS max_cos
+FROM cscored GROUP BY pair_set ORDER BY pair_set
+""".strip(),
+    )
+
     return {
         "split_leakage_audit": split_leakage_sql,
+        "contrastive_pairs_report": contrastive_sql,
         "exact_dedup": EXACT_DEDUP_SQL,
         "duplicate_span_coverage": _dup_span_sql(SPAN_WINDOW, SPAN_STRIDE),
         "shared_span_pairs": _span_pair_sql(SPAN_WINDOW, SPAN_STRIDE, SPAN_PAIR_MAX_DF, 2),

@@ -1306,3 +1306,49 @@ def test_fuzzy_join_best_only_one_row_per_left_record(spark):
     assert [(r["left_key"], r["right_key"], r["distance"]) for r in rows] == [
         (1, 20, 1)
     ]
+
+
+def test_contrastive_pairs_mines_positives_and_excludes_dup_negatives(spark):
+    """Two planted dup pairs, one of them exactly a stride pair (3, 20):
+    positives = both pairs; negatives = every (i, i+17) EXCEPT the dup
+    one; with embeddings aligned to the duplicate structure the positive
+    band must sit above the negative band."""
+    from dataengineeringpipeline_spark.operators import similarity
+
+    dup_a = "the shared migration guide text repeated for the dedup pass " * 3
+    dup_b = "a second duplicated block of prose that also repeats verbatim " * 3
+    rows = []
+    for i in range(1, 41):
+        if i in (1, 2):
+            rows.append((i, dup_a))
+        elif i in (3, 20):
+            rows.append((i, dup_b))
+        else:
+            # token-disjoint filler so no two fillers share a shingle
+            rows.append((i, " ".join(f"w{i}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # embeddings: dup groups share a direction, everyone else orthogonal-ish
+    import math
+
+    def vec(i):
+        v = [0.0] * 64
+        if i in (1, 2):
+            v[0] = 1.0
+        elif i in (3, 20):
+            v[1] = 1.0
+        else:
+            v[2 + (i % 60)] = 1.0
+            v[(7 * i) % 64] += 0.1
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(1, 41)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["pair_set"]: r for r in similarity.contrastive_pairs_report(docs, emb).collect()}
+    assert out["positive"]["pairs"] == 2
+    # stride negatives: ids 1..23 have i+17 <= 40 -> 23 candidates, minus the (3,20) dup
+    assert out["negative"]["pairs"] == 22
+    assert out["positive"]["mean_cos"] > 0.9
+    assert out["negative"]["mean_cos"] < 0.5
+    assert out["positive"]["min_cos"] > out["negative"]["mean_cos"]
