@@ -63,9 +63,10 @@ PLAN_BOUNDS = {
     # layout gauge: scalar agg + broadcast scalars + (layout,file) agg
     # (≤2·n_files groups) + 2-row final agg; scan reads 3 columns only
     "layout_pruning_report": (4, 1),
-    # ANALYZE stats: one Expand-based multi-distinct agg (2 exchanges),
-    # stack is map-only
-    "table_stats_report": (2, 0),
+    # ANALYZE stats: the Expand-based multi-distinct agg runs ALONE
+    # (2 exchanges) beside the plain stats agg (1), 1-row broadcast
+    # crossjoin; stack is map-only
+    "table_stats_report": (3, 1),
     # advisor: per join one fact key-count agg + scalar dim count,
     # 1-row crossjoins broadcast; scans read only the join keys
     "join_strategy_advisor": (9, 3),
