@@ -14,7 +14,11 @@ space-filling-curve clustering make.
 Everything here is exact integer arithmetic (grid scaling via floor
 division, bit interleave as shift-free powers of two), so the layout
 decision is reproducible across engines and the DuckDB oracle can
-recompute it bit-for-bit.
+recompute it bit-for-bit. This module is the oracle-checked PLANNING
+gauge; the production REWRITE is ``datalake.Lake.cluster_by_zorder``
+(quantile-bucket ranks + ``repartitionByRange(z)``, atomic swap),
+whose parquet-footer read-amplification gains are verified in
+``tests/test_scale.py::test_zorder_cluster_serves_both_columns``.
 
 Reference parity: the reference has no layout optimizer; this is part
 of the at-scale lake-maintenance surface the brief adds (its Glue jobs
@@ -93,25 +97,6 @@ def zorder_keyed(df: DataFrame, x: str, y: str, bits: int = GRID_BITS) -> DataFr
     )
 
 
-def write_zordered(
-    df: DataFrame, path: str, x: str, y: str, n_files: int = N_FILES
-) -> None:
-    """Materialize ``df`` Z-ordered on ``(x, y)``: range-partition by the
-    Morton key (the distributed equivalent of a global sort into
-    ``n_files`` contiguous z-ranges) and sort within each partition, so
-    every parquet file carries tight min/max stats on BOTH columns.
-    ``repartitionByRange`` samples the key — the standard, scalable
-    layout-write plan (one range exchange; no single-partition sort)."""
-    keyed = zorder_keyed(df, x, y).drop("_min_x", "_max_x", "_min_y", "_max_y")
-    (
-        keyed.repartitionByRange(n_files, "zkey")
-        .sortWithinPartitions("zkey")
-        .drop("gx", "gy", "zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-
-
 def layout_pruning_report(
     events: DataFrame, n_files: int = N_FILES, bits: int = GRID_BITS
 ) -> DataFrame:
@@ -126,8 +111,9 @@ def layout_pruning_report(
 
     A file must be scanned iff its per-file min/max envelope of BOTH
     columns intersects the box — exactly the parquet row-group pruning
-    rule. The report is the evidence for :func:`write_zordered`: same
-    rows, same predicate, an order-of-magnitude fewer rows read.
+    rule. The report is the evidence for running
+    ``Lake.cluster_by_zorder``: same rows, same predicate, an
+    order-of-magnitude fewer rows read.
 
     Plan: one scalar min/max agg (1 broadcast row), a map-only
     grid/interleave projection, one explode into the two layout

@@ -64,24 +64,35 @@ def test_layout_pruning_report_invariants(spark, sf_dir):
     assert z["scan_pm"] < a["scan_pm"]
 
 
-def test_write_zordered_files_prune_harder(spark, sf_dir, tmp_path):
-    """The physical proof: write the same events arrival-ordered and
-    z-ordered, read back each parquet file's ACTUAL (user_id, value)
-    min/max envelope, and count files a centered box predicate must
-    read. The z-ordered layout must touch fewer files."""
+def test_zorder_rewrite_files_prune_harder_for_box_scan(spark, sf_dir, tmp_path):
+    """The gauge ↔ rewrite bridge: lay the same events down
+    arrival-ordered and through the production Z-order rewrite
+    (``Lake.cluster_by_zorder``), read back each parquet file's ACTUAL
+    (user_id, value) min/max envelope, and count files a centered box
+    predicate must read. The z-ordered layout must touch fewer files —
+    the physical realization of what ``layout_pruning_report``
+    predicts."""
+    from dataengineeringpipeline_spark.datalake import Lake, _file_stats
+
     events = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "user_id", "value")
     )
     n = 8
     arrival_path = str(tmp_path / "arrival")
-    z_path = str(tmp_path / "zorder")
     (
         events.repartitionByRange(n, "event_id")
         .write.mode("overwrite")
         .parquet(arrival_path)
     )
-    layout.write_zordered(events, z_path, "user_id", "value", n_files=n)
+    lake = Lake(str(tmp_path / "lake"))
+    lake.write(events.repartition(n), "silver", "ev_z")
+    _f, nbytes = _file_stats(lake.path("silver", "ev_z"))
+    lake.cluster_by_zorder(
+        spark, "silver", "ev_z", ("user_id", "value"), bits=8,
+        target_file_mb=nbytes / (n * 1e6),
+    )
+    z_path = lake.path("silver", "ev_z")
 
     stats = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
         F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
@@ -102,8 +113,7 @@ def test_write_zordered_files_prune_harder(spark, sf_dir, tmp_path):
                 hit += 1
         return hit
 
-    # same rows in both layouts
+    # same rows in both layouts; helper columns must not leak
     assert spark.read.parquet(z_path).count() == events.count()
-    # zkey/gx/gy helper columns must not leak into the table
     assert set(spark.read.parquet(z_path).columns) == {"event_id", "user_id", "value"}
     assert files_hit(z_path) < files_hit(arrival_path)
