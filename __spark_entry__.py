@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dataengineeringpipeline_spark import (
     alerts,
     cleaning,
+    datalake,
     events_analytics,
     features,
     featurestore,
@@ -156,6 +157,7 @@ WINDOW_HEAD = [
     "table_stats_report",
     "join_strategy_advisor",
     "contrastive_pairs_report",
+    "forget_users_report",
     "multimodal_decode_report",
     "fuzzy_join_matches",
     "shared_span_pairs",
@@ -519,6 +521,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time_features": lambda spark, sf: featurestore.point_in_time_features(
             load_events(spark, sf)
         ),
+        # -- delete propagation (opt-out purge + erasure-proof audit) --------
+        "forget_users_report": lambda spark, sf: datalake.forget_users_report(spark, sf),
         # -- ANALYZE-style catalog statistics (CBO surface) ------------------
         "table_stats_report": lambda spark, sf: quality.table_stats(
             _read(spark, sf, "orders")

@@ -3937,6 +3937,39 @@ FROM u ORDER BY fact_table, dim_table
 ORACLES.update(_advisor_oracles())
 
 
+def _purge_oracles() -> dict[str, str]:
+    """Twin of datalake.forget_users_report: the opt-out cohort is the
+    deterministic rule user_id % 97 = 0, so every audit count — and the
+    zero-remaining erasure proof — is predictable from the events table
+    without seeing the mutated lake."""
+    sql = _with(
+        {
+            "o": (
+                "SELECT COUNT(*) AS n,"
+                " SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS r FROM events"
+            ),
+            "g": (
+                "SELECT COUNT(DISTINCT user_id) AS n,"
+                " COUNT(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END) AS r"
+                " FROM events"
+            ),
+        },
+        """
+SELECT 'bronze.events_raw' AS table_name, CAST(n AS BIGINT) AS rows_before,
+  CAST(r AS BIGINT) AS rows_removed, CAST(n - r AS BIGINT) AS rows_after,
+  CAST(0 AS BIGINT) AS remaining_optout_rows FROM o
+UNION ALL
+SELECT 'gold.user_activity', CAST(n AS BIGINT), CAST(r AS BIGINT),
+  CAST(n - r AS BIGINT), CAST(0 AS BIGINT) FROM g
+ORDER BY table_name
+""".strip(),
+    )
+    return {"forget_users_report": sql}
+
+
+ORACLES.update(_purge_oracles())
+
+
 def _lang_mix_oracles() -> dict[str, str]:
     """Twin of text.language_mix_by_source."""
     sql = _with(

@@ -657,3 +657,38 @@ def test_table_stats_closed_form(spark):
     assert set(approx) == set(out)
     for c in out:
         assert abs(approx[c]["ndv"] - out[c]["ndv"]) <= max(1, out[c]["ndv"] // 10)
+
+
+def test_purge_keys_removes_only_matching_rows(spark, tmp_path):
+    """Erasure semantics: matching rows physically gone, everything else
+    byte-identical; purging an empty key list is a no-op rewrite; the
+    audit arithmetic reconciles."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)], "id long, user_id long, v double"
+    )
+    lake.write(df, "bronze", "t")
+    keys = spark.createDataFrame([(1,), (3,)], "user_id long")
+    audit = lake.purge_keys(spark, "bronze", "t", "user_id", keys)
+    assert audit == {
+        "table": "bronze.t",
+        "key_col": "user_id",
+        "rows_before": 100,
+        "rows_removed": 40,
+        "rows_after": 60,
+    }
+    back = lake.read(spark, "bronze", "t")
+    assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
+    kept = {(r["id"], r["v"]) for r in back.collect()}
+    assert kept == {(i, float(i)) for i in range(100) if i % 5 not in (1, 3)}
+    # no tombstone/backup dirs left behind
+    import os
+
+    siblings = os.listdir(str(tmp_path / "bronze"))
+    assert siblings == ["t"]
+    # empty opt-out list: rewrite is a no-op on content
+    empty = spark.createDataFrame([], "user_id long")
+    audit2 = lake.purge_keys(spark, "bronze", "t", "user_id", empty)
+    assert audit2["rows_removed"] == 0 and audit2["rows_after"] == 60
