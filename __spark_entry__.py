@@ -134,6 +134,41 @@ def _fuzzy_join_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE once, advise many: persist per-key join stats to a gold
+    table, then recommend join strategies reading ONLY that
+    metadata-sized table (no fact scan per advised join — the plan is
+    asserted fact-free in tests/test_scale.py). Same demo thresholds
+    and decision rule as ``join_strategy_advisor``."""
+    import tempfile
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    events = _read(spark, sf_dir, "events")
+    stats = (
+        scale.analyze_join_keys("orders", orders, ["o_custkey", "o_orderkey"])
+        .unionByName(scale.analyze_join_keys("lineitem", lineitem, ["l_orderkey"]))
+        .unionByName(scale.analyze_join_keys("customer", customer, ["c_custkey"]))
+        .unionByName(scale.analyze_join_keys("events", events, ["user_id"]))
+    )
+    lake = Lake(tempfile.mkdtemp(prefix="advisor_stats_"))
+    lake.write(stats, "gold", "join_key_stats")
+    joins = [
+        ("orders", "o_custkey", "customer", "c_custkey", scale.est_row_bytes(customer)),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", scale.est_row_bytes(orders)),
+        ("events", "user_id", "events", "user_id", scale.est_row_bytes(events)),
+    ]
+    return scale.join_strategy_advisor_from_stats(
+        lake.read(spark, "gold", "join_key_stats"),
+        joins,
+        broadcast_bytes=512 * 1024,
+        hot_key_pm=5,
+    )
+
+
 #: The driver's correctness record covers roughly the first 50 entries of
 #: ``queries()`` in insertion order. This list rotates the window each
 #: round: lead with (a) queries NEW this round, then (b) queries whose
@@ -547,6 +582,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             broadcast_bytes=512 * 1024,
             hot_key_pm=5,
         ),
+        # -- advisor fed from persisted ANALYZE stats (CBO loop) ------------
+        "advisor_from_stats": _advisor_from_stats,
         # -- heavy-hitter skew triage (scale.py) ----------------------------
         "event_heavy_hitters": lambda spark, sf: scale.key_skew_profile(
             load_events(spark, sf), ["user_id"], top_n=20

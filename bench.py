@@ -9,17 +9,23 @@ Each query is forced end-to-end with the ``noop`` sink (full execution,
 no collect-to-driver cost, no disk write skew). A JVM warm-up job runs
 first so the measurement isn't dominated by classloading.
 
-Per-query time is the MEDIAN across up to $SPARK_GRAFT_REPS full sweeps
+Per-query time is the MIN across up to $SPARK_GRAFT_REPS full sweeps
 (default 3): single-shot timings on this box vary 30-50% run-to-run
-(JIT, page cache, GC pauses), which made round-over-round comparisons
-chase noise — e.g. round 1 recorded supplier_performance at 7.7s where
-its steady state is ~1.2s. Repetition happens at SWEEP granularity
-under a wall-clock budget ($SPARK_GRAFT_BUDGET_S, default 420): the
-first sweep always completes (worst case ≡ the old single-shot bench),
-additional sweeps run only while budget remains, so a driver-side
-timeout can't be blown by the repetitions. "value" is the wall-clock of
-everything run; "queries" holds the per-query medians; "sweeps" says
-how many sweeps the medians cover.
+(JIT, page cache, GC pauses, ambient CPU steal), which made
+round-over-round comparisons chase noise — e.g. round 1 recorded
+supplier_performance at 7.7s where its steady state is ~1.2s, and the
+round-5 record whipsawed a false +19% regression out of 2-sweep
+medians at 6× higher steal. The minimum is the classic noise-floor
+(steady-state) estimator: ambient interference only ever ADDS time, so
+the smallest observed sample is the closest to the code's true cost,
+and it converges with 2 sweeps where a median needs 3+. Medians and
+every raw per-sweep sample are retained in BENCH_DETAIL.json.
+Repetition happens at SWEEP granularity under a wall-clock budget
+($SPARK_GRAFT_BUDGET_S, default 420): the first sweep always completes
+(worst case ≡ the old single-shot bench), additional sweeps run only
+while budget remains, so a driver-side timeout can't be blown by the
+repetitions. "value" is the wall-clock of everything run; "queries"
+holds the per-query minima; "sweeps" says how many sweeps they cover.
 """
 
 from __future__ import annotations
@@ -104,28 +110,29 @@ def main() -> int:
         sweeps += 1
         if time.perf_counter() - t_all > budget_s:
             break  # the first sweep always completes; extras are budget-gated
-    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
     total = round(time.perf_counter() - t_all, 3)
 
     # The harness that records this bench keeps only the last ~2000
     # characters of output and json-parses the final line within that
     # window: a single line carrying all per-query medians is ~2400+
     # chars and silently fails to parse (observed in two consecutive
-    # recorded rounds). So the FULL detail — every median, every
-    # minimum (the classic noise-floor estimator, robust when a run is
-    # degraded by host-level CPU steal: identical code has measured
-    # 93s/110s/139s sum-of-medians purely with ambient steal), and the
-    # measured steal share — is printed first AND written to
-    # BENCH_DETAIL.json next to this script, while the final line is a
-    # guaranteed-parsable compact summary: headline total plus as many
-    # per-query medians as fit, slowest first (the ones a reader acts
-    # on), with the count of elided fast queries.
+    # recorded rounds). So the FULL detail — every min (the headline
+    # estimator), every median (robust when a run is degraded by
+    # host-level CPU steal: identical code has measured 93s/110s/139s
+    # sum-of-medians purely with ambient steal), and the measured steal
+    # share — is printed first AND written to BENCH_DETAIL.json next to
+    # this script, while the final line is a guaranteed-parsable compact
+    # summary: headline total plus as many per-query minima as fit,
+    # slowest first (the ones a reader acts on), with the count of
+    # elided fast queries.
     detail = {
         "metric": "all_queries_wall",
         "value": total,
         "unit": "sec",
+        "estimator": "min_of_sweeps",
         "queries": timings,
-        "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
+        "queries_median": {n: round(statistics.median(s), 3) for n, s in samples.items()},
         # Raw per-sweep samples: the box shows PROCESS-SCOPED fast/slow
         # regimes (identical mid-suite scenario measured 7.8s and 2.8s
         # on the md5-heavy dedup family in runs minutes apart, ~0%
@@ -150,6 +157,7 @@ def main() -> int:
         "metric": "all_queries_wall",
         "value": total,
         "unit": "sec",
+        "estimator": "min_of_sweeps",
         "sf": _sf_from_dir(sf_dir),
         "sweeps": sweeps,
         "cpu_steal_pct": _steal_pct(),

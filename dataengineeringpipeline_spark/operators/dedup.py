@@ -752,6 +752,7 @@ def match_increment(
     threshold: float = 0.5,
     ordered: bool = True,
     distinct_candidates: bool = True,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Match an increment's signatures against stored dedup state — the
     shared kernel of :func:`incremental_dedup` (batch) and
@@ -772,14 +773,23 @@ def match_increment(
     are small relative to a whole shuffle stage's scheduling cost (the
     per-micro-batch streaming path); keep the default when stored
     arrays are large enough that re-verifying costs more than the
-    distinct."""
+    distinct.
+
+    ``order_col`` (when given) names an integer column present on BOTH
+    band tables: a candidate only counts when its order value is
+    strictly below the new doc's — the sequential "matched against
+    strictly earlier arrivals" contract computed in ONE join instead of
+    one join per arrival batch (``streaming.
+    stream_incremental_dedup_ordered``'s single-drain path; stored
+    state rides with order ``-1``)."""
+    cond = (F.col("n.band_idx") == F.col("o.band_idx")) & (
+        F.col("n.band_hash") == F.col("o.band_hash")
+    )
+    if order_col is not None:
+        cond = cond & (F.col(f"o.{order_col}") < F.col(f"n.{order_col}"))
     cand = (
         new_bands.alias("n")
-        .join(
-            old_bands.alias("o"),
-            (F.col("n.band_idx") == F.col("o.band_idx"))
-            & (F.col("n.band_hash") == F.col("o.band_hash")),
-        )
+        .join(old_bands.alias("o"), cond)
         .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup_of"))
     )
     if distinct_candidates:

@@ -94,6 +94,7 @@ def zorder_keyed(df: DataFrame, x: str, y: str, bits: int = GRID_BITS) -> DataFr
         out.withColumn("gx", F.expr(gridder(x, "_min_x", "_max_x")).cast("long"))
         .withColumn("gy", F.expr(gridder(y, "_min_y", "_max_y")).cast("long"))
         .withColumn("zkey", F.expr(_morton_expr("gx", "gy", bits)).cast("long"))
+        .drop("_min_x", "_max_x", "_min_y", "_max_y")
     )
 
 

@@ -3918,7 +3918,8 @@ def _advisor_oracles() -> dict[str, str]:
         selects.append(
             f"SELECT '{ft}' AS fact_table, '{dt}' AS dim_table, '{fk}={dk}' AS join_key,\n"
             f"  fact_rows, dim_rows, CAST(dim_rows * {width} AS BIGINT) AS dim_est_bytes,\n"
-            "  top_key_rows, CAST((top_key_rows * 1000) // fact_rows AS BIGINT) AS top_key_pm\n"
+            "  top_key_rows, CAST(CASE WHEN fact_rows > 0"
+            " THEN (top_key_rows * 1000) // fact_rows ELSE 0 END AS BIGINT) AS top_key_pm\n"
             f"FROM f{i}, d{i}"
         )
     ctes["u"] = "\nUNION ALL\n".join(selects)
@@ -3935,6 +3936,66 @@ FROM u ORDER BY fact_table, dim_table
 
 
 ORACLES.update(_advisor_oracles())
+
+
+def _advisor_from_stats_oracles() -> dict[str, str]:
+    """Twin of the ANALYZE-fed advisor: the stats CTE reproduces
+    scale.analyze_join_keys row-for-row, the advice derives from it
+    alone — structurally the same two-step loop the Spark side runs
+    (same demo thresholds and dim widths as join_strategy_advisor)."""
+    bb, hk = 512 * 1024, 5
+    stats_entries = [
+        ("orders", "o_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("customer", "c_custkey"),
+        ("events", "user_id"),
+    ]
+    ks = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+        " CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nrows,"
+        " CAST(COUNT(*) AS BIGINT) AS ndv,"
+        " CAST(COALESCE(MAX(n), 0) AS BIGINT) AS top_key_rows"
+        f" FROM (SELECT COUNT(*) AS n FROM {t} GROUP BY {c})"
+        for t, c in stats_entries
+    )
+    joins = [
+        ("orders", "o_custkey", "customer", "c_custkey", 60),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", 72),
+        ("events", "user_id", "events", "user_id", 72),
+    ]
+    meta = "\nUNION ALL\n".join(
+        f"SELECT '{ft}' AS fact_table, '{fk}' AS fact_key, '{dt}' AS dim_table,"
+        f" '{dk}' AS dim_key, {w} AS dim_row_bytes"
+        for ft, fk, dt, dk, w in joins
+    )
+    sql = _with(
+        {
+            "ks": ks,
+            "meta": meta,
+            "j": """
+SELECT m.fact_table, m.dim_table, m.fact_key || '=' || m.dim_key AS join_key,
+       f.nrows AS fact_rows, d.nrows AS dim_rows,
+       CAST(d.nrows * m.dim_row_bytes AS BIGINT) AS dim_est_bytes,
+       f.top_key_rows,
+       CAST(CASE WHEN f.nrows > 0 THEN (f.top_key_rows * 1000) // f.nrows
+                 ELSE 0 END AS BIGINT) AS top_key_pm
+FROM meta m
+JOIN ks f ON f.table_name = m.fact_table AND f.column_name = m.fact_key
+JOIN ks d ON d.table_name = m.dim_table AND d.column_name = m.dim_key
+""".strip(),
+        },
+        f"""
+SELECT *, CASE WHEN dim_est_bytes <= {bb} THEN 'broadcast'
+               WHEN top_key_pm >= {hk} THEN 'hot_key_split'
+               ELSE 'shuffle_hash' END AS strategy
+FROM j ORDER BY fact_table, dim_table
+""".strip(),
+    )
+    return {"advisor_from_stats": sql}
+
+
+ORACLES.update(_advisor_from_stats_oracles())
 
 
 def _purge_oracles() -> dict[str, str]:

@@ -812,7 +812,12 @@ def join_strategy_advisor(
                 .cast("long")
                 .alias("dim_est_bytes"),
                 "top_key_rows",
-                F.expr("(top_key_rows * 1000) div fact_rows").cast("long").alias("top_key_pm"),
+                F.expr(
+                    "CASE WHEN fact_rows > 0"
+                    " THEN (top_key_rows * 1000) div fact_rows ELSE 0 END"
+                )
+                .cast("long")
+                .alias("top_key_pm"),
             )
             .withColumn(
                 "strategy",
@@ -823,3 +828,93 @@ def join_strategy_advisor(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fact_table", "dim_table")
+
+
+def analyze_join_keys(table_name: str, df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """ANALYZE pass for join planning: per key column, the row count,
+    distinct-key count, and top-key frequency — the per-column stats
+    :func:`join_strategy_advisor_from_stats` consumes. One
+    map-side-combined ``groupBy`` per key column (the identical agg the
+    inline advisor pays per call), but paid ONCE at ANALYZE time and
+    persisted: the CBO loop is analyze once, advise many. Returns
+    ``(table_name, column_name, rows, ndv, top_key_rows)``."""
+    out = None
+    for c in key_cols:
+        row = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("rows"),
+                F.count(F.lit(1)).cast("long").alias("ndv"),
+                F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("top_key_rows"),
+            )
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "rows",
+                "ndv",
+                "top_key_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def join_strategy_advisor_from_stats(
+    key_stats: DataFrame,
+    joins: list[tuple[str, str, str, str, int]],
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    hot_key_pm: int = HOT_KEY_PM_DEFAULT,
+) -> DataFrame:
+    """:func:`join_strategy_advisor` fed from persisted ANALYZE output
+    instead of re-scanning the fact per call — the real CBO loop:
+    ``key_stats`` is a (gold) table of :func:`analyze_join_keys` rows,
+    and each advised join touches ONLY that metadata-sized table, never
+    the facts. ``joins`` entries are ``(fact_name, fact_key, dim_name,
+    dim_key, dim_row_bytes)`` — the dim width comes from the schema
+    (:func:`est_row_bytes`), which needs no scan either. Output schema
+    and decision rule are identical to the inline advisor; on the same
+    stats the two agree row-for-row (tested)."""
+    spark = key_stats.sparkSession
+    meta = spark.createDataFrame(
+        joins,
+        "fact_table string, fact_key string, dim_table string,"
+        " dim_key string, dim_row_bytes long",
+    )
+    fact = key_stats.select(
+        F.col("table_name").alias("fact_table"),
+        F.col("column_name").alias("fact_key"),
+        F.col("rows").alias("fact_rows"),
+        "top_key_rows",
+    )
+    dim = key_stats.select(
+        F.col("table_name").alias("dim_table"),
+        F.col("column_name").alias("dim_key"),
+        F.col("rows").alias("dim_rows"),
+    )
+    return (
+        meta.join(F.broadcast(fact), ["fact_table", "fact_key"])
+        .join(F.broadcast(dim), ["dim_table", "dim_key"])
+        .select(
+            "fact_table",
+            "dim_table",
+            F.concat_ws("=", "fact_key", "dim_key").alias("join_key"),
+            "fact_rows",
+            "dim_rows",
+            (F.col("dim_rows") * F.col("dim_row_bytes")).cast("long").alias("dim_est_bytes"),
+            "top_key_rows",
+            F.expr(
+                "CASE WHEN fact_rows > 0"
+                " THEN (top_key_rows * 1000) div fact_rows ELSE 0 END"
+            )
+            .cast("long")
+            .alias("top_key_pm"),
+        )
+        .withColumn(
+            "strategy",
+            F.when(F.col("dim_est_bytes") <= broadcast_bytes, "broadcast")
+            .when(F.col("top_key_pm") >= hot_key_pm, "hot_key_split")
+            .otherwise("shuffle_hash"),
+        )
+        .orderBy("fact_table", "dim_table")
+    )

@@ -1134,6 +1134,109 @@ def stream_incremental_dedup(
         )
 
 
+def stream_incremental_dedup_ordered(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    batch_of: str,
+    threshold: float = 0.5,
+    timeout_s: int = 300,
+) -> None:
+    """Single-drain variant of :func:`stream_incremental_dedup` for
+    backlogs whose arrival order is **provable from the data**:
+    ``batch_of`` is a SQL expression over ``doc_id`` giving each
+    document's logical arrival batch, so the sequential "match against
+    strictly earlier arrivals" contract no longer requires draining one
+    physical micro-batch per arrival. The whole backlog drains in ONE
+    availableNow micro-batch and the order predicate moves INTO the
+    band join (``match_increment(order_col=...)``): candidates are the
+    stored state (order ``-1``) plus arriving docs with a strictly
+    smaller logical batch. Decisions are identical to the sequential
+    drain; the per-document decision stays a pure function of
+    (document, earlier state).
+
+    Cost: one signature pass + one match join + three writes TOTAL,
+    versus ``n_batches × (2 state reads + match + 3 writes)`` plus a
+    stream-cycle per batch for the general operator — the shape to use
+    whenever a backlog is replayed or the arrival split is derived
+    (date partitions, monotone ingest ids). Exactly-once is unchanged:
+    the single batch writes ``batch_id=<n>`` partitions that a crash
+    replay overwrites wholesale.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..cache import tracked_persist
+    from ..operators.dedup import (
+        doc_shingle_hash_arrays,
+        match_increment,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    arrays_ddl = "doc_id BIGINT, hs ARRAY<BIGINT>, batch_id INT"
+    bands_ddl = "doc_id BIGINT, band_idx INT, band_hash BIGINT, batch_id INT"
+    order = F.expr(batch_of).cast("int")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
+        bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays)).withColumn(
+            "_lb", order
+        )
+        old_arrays = (
+            spark.read.schema(arrays_ddl)
+            .parquet(f"{state_dir}/arrays")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+        old_bands = (
+            spark.read.schema(bands_ddl)
+            .parquet(f"{state_dir}/bands")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+            .withColumn("_lb", F.lit(-1))
+        )
+        decisions = match_increment(
+            batch_df.select("doc_id"),
+            arrays,
+            bands,
+            arrays.unionByName(old_arrays),
+            old_bands.unionByName(bands),
+            threshold,
+            ordered=False,
+            distinct_candidates=False,
+            order_col="_lb",
+        )
+        arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id={batch_id}")
+        writes = [
+            (decisions, f"{state_dir}/decisions/batch_id={batch_id}"),
+            (bands.drop("_lb"), f"{state_dir}/bands/batch_id={batch_id}"),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
+                for df, p in writes
+            ]
+            for f in futs:
+                f.result()
+
+    raw = spark.readStream.schema(DOCUMENTS_DDL).parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_incremental_dedup_ordered over {source_dir!r}"
+            f" did not finish within {timeout_s}s"
+        )
+
+
 def read_stream_dedup_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
     """All per-batch dedup decisions, one row per streamed document."""
     return spark.read.parquet(f"{state_dir}/decisions").select(
@@ -1170,7 +1273,8 @@ def _stage_arrival_batches(df: DataFrame, batch_col, src: str, n_batches: int) -
         parts = glob.glob(os.path.join(stage, f"_b={b}", "part-*.parquet"))
         if not parts:
             continue  # empty batch: no file, no arrival
-        assert len(parts) == 1, f"batch {b} split across {len(parts)} files"
+        if len(parts) != 1:  # not assert: must survive `python -O`
+            raise RuntimeError(f"batch {b} split across {len(parts)} files")
         path = os.path.join(src, f"batch{b}.parquet")
         shutil.move(parts[0], path)
         os.utime(path, (t0 + 60 * b, t0 + 60 * b))
@@ -1187,7 +1291,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch split and ordering are deterministic functions of doc_id,
     which is what lets a SQL oracle reproduce the sequential semantics:
     a document's candidate set is the seeded corpus plus arriving
-    documents from strictly earlier batches.
+    documents from strictly earlier batches. BECAUSE the order is a
+    pure function of the data, the backlog drains through the
+    single-drain :func:`stream_incremental_dedup_ordered` (one
+    micro-batch, the order predicate inside the band join) — decisions
+    identical to the one-physical-batch-per-arrival general operator
+    (``tests/test_streaming.py`` proves the equivalence).
     """
     import os
     import tempfile
@@ -1216,7 +1325,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         seed.result()
         stage.result()
-    stream_incremental_dedup(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
+    stream_incremental_dedup_ordered(
+        spark, src, f"{tmp}/state", f"{tmp}/ckpt", "(doc_id div 5) % 3"
+    )
     return read_stream_dedup_decisions(spark, f"{tmp}/state").orderBy("doc_id")
 
 
@@ -1377,21 +1488,31 @@ def stream_quality_gate(
         # the optimizer barrier — scoring attaches ABOVE it, or Catalyst
         # pushes the projection back through the exchange onto the
         # 1-task scan); both sinks then score in parallel off the cache.
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..scale import spread
 
         spreaded = spread(batch_df, "doc_id")
         scored = with_classifier_score(spreaded)
+        writes = [
+            scored.select("doc_id", "source", "n_features", "score_sum", "keep"),
+            scored.filter(~F.col("keep")).drop("n_features", "score_sum", "keep"),
+        ]
+        paths = [
+            f"{state_dir}/decisions/batch_id={batch_id}",
+            f"{state_dir}/quarantine/batch_id={batch_id}",
+        ]
         try:
-            scored.select(
-                "doc_id", "source", "n_features", "score_sum", "keep"
-            ).write.mode("overwrite").parquet(
-                f"{state_dir}/decisions/batch_id={batch_id}"
-            )
-            scored.filter(~F.col("keep")).drop(
-                "n_features", "score_sum", "keep"
-            ).write.mode("overwrite").parquet(
-                f"{state_dir}/quarantine/batch_id={batch_id}"
-            )
+            # Both sinks run concurrently off the shared cache (the
+            # stream_incremental_dedup writer shape); a partition the
+            # slower job reaches first is computed once and reused.
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [
+                    ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
+                    for df, p in zip(writes, paths)
+                ]
+                for f in futs:
+                    f.result()
         finally:
             spreaded.unpersist()
 
@@ -1527,12 +1648,14 @@ def stream_ann_index(
 def streaming_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Driver-contract query: freeze the quantizers (the pure ``train()``
     half of ``similarity.materialize_ann_index``), stream the ENTIRE
-    vector corpus into the encoded table in three deterministic arrival
-    batches (``vec_id % 3``), then run the held-out queries
+    vector corpus into the encoded table, then run the held-out queries
     (``vec_id % 100 == 0``) against the drained index. Because encoding
-    against frozen quantizers is a pure per-vector function, the drained
-    table is EXACTLY the batch-materialized one — the result, and the
-    oracle, are the inline ``ann_ivfpq_topk``."""
+    against frozen quantizers is a pure per-vector function, arrival
+    order cannot matter — so the backlog files drain in ONE availableNow
+    micro-batch (``max_files_per_trigger=None``; the per-batch general
+    path and its crash replay stay covered by the operator tests) and
+    the drained table is EXACTLY the batch-materialized one — the
+    result, and the oracle, are the inline ``ann_ivfpq_topk``."""
     import os
     import tempfile
 
@@ -1557,6 +1680,6 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
         )
         train.result()
         stage.result()
-    stream_ann_index(spark, src, lake, "s1", f"{tmp}/ckpt")
+    stream_ann_index(spark, src, lake, "s1", f"{tmp}/ckpt", max_files_per_trigger=None)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_index_topk(queries, emb, spark, lake, snapshot="s1", k=k)

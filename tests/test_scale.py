@@ -659,6 +659,55 @@ def test_table_stats_closed_form(spark):
         assert abs(approx[c]["ndv"] - out[c]["ndv"]) <= max(1, out[c]["ndv"] // 10)
 
 
+def test_advisor_from_stats_agrees_and_never_scans_facts(spark, sf_dir, tmp_path):
+    """The ANALYZE-fed advisor must (a) agree row-for-row with the
+    inline advisor on the same data, and (b) read ONLY the persisted
+    stats table — no fact/dim parquet scan appears in its plan (the
+    one-fewer-fact-scan-per-advised-join claim, plan-asserted)."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inline = scale.join_strategy_advisor(
+        [
+            ("orders", orders, "o_custkey", "customer", customer, "c_custkey"),
+            ("events", events, "user_id", "events", events, "user_id"),
+        ],
+        broadcast_bytes=512 * 1024,
+        hot_key_pm=5,
+    ).collect()
+    lake = Lake(str(tmp_path))
+    stats = (
+        scale.analyze_join_keys("orders", orders, ["o_custkey"])
+        .unionByName(scale.analyze_join_keys("customer", customer, ["c_custkey"]))
+        .unionByName(scale.analyze_join_keys("events", events, ["user_id"]))
+    )
+    lake.write(stats, "gold", "join_key_stats")
+    advised = scale.join_strategy_advisor_from_stats(
+        lake.read(spark, "gold", "join_key_stats"),
+        [
+            ("orders", "o_custkey", "customer", "c_custkey", scale.est_row_bytes(customer)),
+            ("events", "user_id", "events", "user_id", scale.est_row_bytes(events)),
+        ],
+        broadcast_bytes=512 * 1024,
+        hot_key_pm=5,
+    )
+    plan = _plan(advised)
+    assert "join_key_stats" in plan  # the stats table is the only scan …
+    for fact in ("orders.parquet", "customer.parquet", "events.parquet"):
+        assert fact not in plan  # … no fact or dim is ever re-scanned
+    assert [tuple(r) for r in advised.collect()] == [tuple(r) for r in inline]
+
+
+def test_analyze_join_keys_empty_table(spark):
+    """Degenerate stats must be explicit zeros, not NULLs, so the
+    advisor's guarded top_key_pm stays well-defined."""
+    empty = spark.createDataFrame([], "k long, v double")
+    row = scale.analyze_join_keys("t", empty, ["k"]).collect()[0]
+    assert (row["rows"], row["ndv"], row["top_key_rows"]) == (0, 0, 0)
+
+
 def test_purge_keys_removes_only_matching_rows(spark, tmp_path):
     """Erasure semantics: matching rows physically gone, everything else
     byte-identical; purging an empty key list is a no-op rewrite; the
@@ -672,13 +721,14 @@ def test_purge_keys_removes_only_matching_rows(spark, tmp_path):
     lake.write(df, "bronze", "t")
     keys = spark.createDataFrame([(1,), (3,)], "user_id long")
     audit = lake.purge_keys(spark, "bronze", "t", "user_id", keys)
-    assert audit == {
+    assert {k: audit[k] for k in ("table", "key_col", "rows_before", "rows_removed", "rows_after")} == {
         "table": "bronze.t",
         "key_col": "user_id",
         "rows_before": 100,
         "rows_removed": 40,
         "rows_after": 60,
     }
+    assert 1 <= audit["files_rewritten"] <= audit["files_total"]
     back = lake.read(spark, "bronze", "t")
     assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
     kept = {(r["id"], r["v"]) for r in back.collect()}
@@ -688,7 +738,71 @@ def test_purge_keys_removes_only_matching_rows(spark, tmp_path):
 
     siblings = os.listdir(str(tmp_path / "bronze"))
     assert siblings == ["t"]
-    # empty opt-out list: rewrite is a no-op on content
+    # empty opt-out list: zero files rewritten, nothing touched
     empty = spark.createDataFrame([], "user_id long")
     audit2 = lake.purge_keys(spark, "bronze", "t", "user_id", empty)
     assert audit2["rows_removed"] == 0 and audit2["rows_after"] == 60
+    assert audit2["files_rewritten"] == 0
+
+
+def test_purge_keys_prunes_by_footer_envelope(spark, tmp_path):
+    """On a key-clustered table only the files whose footer [min,max]
+    envelope can hold an opt-out key are rewritten; every other file
+    survives byte-identical (same inode, same mtime — hard-linked, not
+    copied), and the audit arithmetic still reconciles without a
+    full-table count."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "user_id long, v double"
+    )
+    # 10 files of disjoint user_id ranges (0-99, 100-199, ...)
+    lake.write(df.repartitionByRange(10, "user_id").sortWithinPartitions("user_id"), "bronze", "t")
+    path = lake.path("bronze", "t")
+    before = {
+        f: (os.stat(os.path.join(path, f)).st_ino, os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    # keys land in exactly one range-file's envelope
+    keys = spark.createDataFrame([(250,), (251,)], "user_id long")
+    audit = lake.purge_keys(spark, "bronze", "t", "user_id", keys)
+    assert audit["rows_removed"] == 2 and audit["rows_after"] == 998
+    assert audit["files_rewritten"] == 1 and audit["files_total"] == 10
+    after = {
+        f: (os.stat(os.path.join(path, f)).st_ino, os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    untouched = set(before) & set(after)
+    assert len(untouched) == 9  # one file replaced, nine linked through
+    for f in untouched:
+        assert before[f] == after[f]  # same inode + mtime: byte-identical
+    back = lake.read(spark, "bronze", "t")
+    assert back.count() == 998
+    assert back.filter(F.col("user_id").isin(250, 251)).count() == 0
+
+
+def test_purge_keys_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames (live path absent, old copy
+    stranded at __prepurge) is repaired by the next purge call."""
+    import os
+    import shutil
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "user_id long, v double")
+    lake.write(df, "bronze", "t")
+    path = lake.path("bronze", "t")
+    # simulate the mid-swap crash: table renamed away, staging dir stale
+    os.rename(path, path + "__prepurge")
+    os.makedirs(path + "__purging")
+    keys = spark.createDataFrame([(7,)], "user_id long")
+    audit = lake.purge_keys(spark, "bronze", "t", "user_id", keys)
+    assert audit["rows_before"] == 50 and audit["rows_removed"] == 1
+    assert sorted(os.listdir(str(tmp_path / "bronze"))) == ["t"]
+    shutil.rmtree(str(tmp_path / "bronze"))

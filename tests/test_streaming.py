@@ -785,6 +785,39 @@ def test_stream_incremental_dedup_matches_cross_batch(spark, sf_dir, tmp_path):
         assert (r["dup_of"] // 5) % 3 < (r["doc_id"] // 5) % 3
 
 
+def test_single_drain_ordered_dedup_equals_sequential(spark, sf_dir, tmp_path):
+    """stream_incremental_dedup_ordered (ONE micro-batch, order predicate
+    in the band join) must produce decision-for-decision the same output
+    as the general one-physical-batch-per-arrival operator, and a replay
+    from a fresh checkpoint must be idempotent over the written state."""
+    src, state, n_arrivals = _build_dedup_stream_dirs(spark, sf_dir, tmp_path)
+    streaming.stream_incremental_dedup(spark, src, state, str(tmp_path / "ckpt"))
+    sequential = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"], r["is_duplicate"])
+        for r in streaming.read_stream_dedup_decisions(spark, state).collect()
+    }
+    src2, state2, _ = _build_dedup_stream_dirs(spark, sf_dir, tmp_path / "b")
+    streaming.stream_incremental_dedup_ordered(
+        spark, src2, state2, str(tmp_path / "b" / "ckpt"), "(doc_id div 5) % 3"
+    )
+    single = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"], r["is_duplicate"])
+        for r in streaming.read_stream_dedup_decisions(spark, state2).collect()
+    }
+    assert len(single) == n_arrivals
+    assert single == sequential
+    # fresh-checkpoint replay over already-written state partitions: the
+    # batch_id < n filter hides the previous run's own writes
+    streaming.stream_incremental_dedup_ordered(
+        spark, src2, state2, str(tmp_path / "b" / "ckpt2"), "(doc_id div 5) % 3"
+    )
+    replayed = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"], r["is_duplicate"])
+        for r in streaming.read_stream_dedup_decisions(spark, state2).collect()
+    }
+    assert replayed == sequential
+
+
 # -- streaming search-index maintenance ---------------------------------------
 
 
