@@ -291,6 +291,7 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_search_topk": streaming.streaming_search_topk,
         "streaming_quality_gate": streaming.streaming_quality_gate,
         "streaming_ann_topk": streaming.streaming_ann_topk,
+        "streaming_feature_store_latest": streaming.streaming_feature_store_latest,
         # -- streaming categorical-mix drift (streaming face of
         #    quality.category_drift) -------------------------------------
         "streaming_mix_drift": streaming.streaming_mix_drift,

@@ -6,14 +6,16 @@ mime, byte size, checksum); decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each task streams record batches through
 Python once — never a row-at-a-time UDF, never a driver-side collect.
 
-The container has no codec *libraries*, but two public byte formats are
-simple enough to decode with numpy alone, and :func:`decode_media` does:
-uncompressed 24-bit **BMP** (BITMAPINFOHEADER) and 16-bit PCM mono
-**WAV** (RIFF). :func:`encode_bmp` / :func:`encode_wav` are the matching
-writers, so the decode path is exercised with real container bytes end
-to end (``synthesize_media`` → ``decoded_media_features`` round-trips
-pixels/samples through actual files). Every other format (PNG/JPEG/
-video/compressed audio) still raises ``NotImplementedError`` — that is
+The container has no codec *libraries*, but three public byte formats
+are decodable with numpy + stdlib alone, and :func:`decode_media` does:
+uncompressed 24-bit **BMP** (BITMAPINFOHEADER), 8-bit truecolor **PNG**
+(stdlib ``zlib`` inflate + all five spec scanline filters, CRC-checked),
+and 16-bit PCM mono **WAV** (RIFF). :func:`encode_bmp` /
+:func:`encode_png` / :func:`encode_wav` are the matching writers, so the
+decode path is exercised with real container bytes end to end
+(``synthesize_media`` → ``decoded_media_features`` round-trips
+pixels/samples through actual files). The remaining formats (JPEG/
+video/compressed audio) still raise ``NotImplementedError`` — that is
 the swap-in-PIL/ffmpeg boundary. Everything around the kernel — schema,
 batch iteration, UDF signature, partitioning — is the real production
 plumbing either way.
@@ -160,19 +162,127 @@ def decode_wav(payload: bytes):
     raise NotImplementedError("WAV payload has no data chunk")
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG writer: 8-bit truecolor (color type 2), no
+    interlace, filter 0 scanlines, one zlib IDAT — pure stdlib
+    ``zlib``/``struct`` + numpy. ``pixels`` is an ``H×W×3 uint8`` RGB
+    array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG into an
+    ``H×W×3 uint8`` RGB array — pure stdlib ``zlib`` inflate plus
+    per-row unfiltering (all five spec filters: None/Sub/Up/Average/
+    Paeth), with chunk CRCs verified. Other color types / bit depths /
+    interlacing raise ``NotImplementedError`` — the remaining
+    real-codec boundary, not silent misreads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        length, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG payload missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else zero
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up: vectorized over the scanline
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the left neighbor
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[r] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
 def decode_media(payload: bytes, modality: str):
     """Decode a media payload by container magic.
 
-    Implemented here with pure numpy (no codec libraries): uncompressed
-    24-bit BMP → ``H×W×3 uint8`` RGB array; 16-bit PCM mono WAV →
-    ``(int16 samples, sample_rate)``. Every other container —
-    PNG/JPEG, compressed audio, video — raises ``NotImplementedError``:
-    that is where ``PIL.Image.open`` / ``soundfile.read`` / ffmpeg
-    frame-sampling slots in. Everything calling this is already
-    batch-shaped, so widening codec support changes only this dispatch.
+    Implemented here with pure numpy/stdlib (no codec libraries):
+    uncompressed 24-bit BMP and 8-bit truecolor PNG → ``H×W×3 uint8``
+    RGB array; 16-bit PCM mono WAV → ``(int16 samples, sample_rate)``.
+    Every other container — JPEG, compressed audio, video — raises
+    ``NotImplementedError``: that is where ``PIL.Image.open`` /
+    ``soundfile.read`` / ffmpeg frame-sampling slots in. Everything
+    calling this is already batch-shaped, so widening codec support
+    changes only this dispatch.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
@@ -255,7 +365,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     engine can predict every decoded feature without parsing a byte:
 
     - image: ``W=8``, ``H=4+doc_id%4``, flat pixel ``i`` (RGB scan
-      order) = ``(doc_id*31 + i) % 256``
+      order) = ``(doc_id*31 + i) % 256`` — containerized as PNG when
+      ``doc_id % 4 == 0`` and BMP otherwise (same pixels either way,
+      so decoded features are container-independent and the oracle
+      needs no container awareness)
     - audio: ``n=64+doc_id%32`` samples at 8 kHz, sample ``i`` =
       ``((doc_id*7 + i*13) % 512 - 256) * 64``
 
@@ -274,7 +387,8 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     h = 4 + d % 4
                     n = h * 8 * 3
                     flat = (d * 31 + np.arange(n)) % 256
-                    payloads.append(encode_bmp(flat.astype(np.uint8).reshape(h, 8, 3)))
+                    px = flat.astype(np.uint8).reshape(h, 8, 3)
+                    payloads.append(encode_png(px) if d % 4 == 0 else encode_bmp(px))
                     modalities.append("image")
                 else:
                     n = 64 + d % 32

@@ -2374,6 +2374,11 @@ ORDER BY window_bucket
         "streaming_hourly_counts": _with({"ev": EVENTS_BASE}, _STREAM_HOURLY_BODY),
         "streaming_session_counts": _with({"ev": EVENTS_BASE}, _STREAM_SESSIONS_BODY),
         "streaming_severity_counts": _with({"ev": EVENTS_BASE}, severity_body),
+        # The streamed feature upsert merges to BIT-EXACTLY the batch
+        # materialization, so its oracle IS feature_store_latest's.
+        "streaming_feature_store_latest": _with(
+            {"ev": EVENTS_BASE, "daily": _daily_features_body()}, _FS_LATEST_BODY
+        ),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_decode_report": _MM_DECODE_SQL,
         "frame_sample_plan": _FRAME_PLAN_SQL,

@@ -1683,3 +1683,144 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
     stream_ann_index(spark, src, lake, "s1", f"{tmp}/ckpt", max_files_per_trigger=None)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_index_topk(queries, emb, spark, lake, snapshot="s1", k=k)
+
+
+# -- streaming feature-store maintenance --------------------------------------
+
+
+#: Staged-events DDL for the feature-upsert stream: the harness stages
+#: the batch loader's derived integer-µs form, so the stream needs no
+#: timestamp-type probe.
+FEATURE_EVENTS_DDL = (
+    "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+)
+
+
+def stream_feature_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Exactly-once streaming maintenance of the daily-user feature
+    group (``featurestore.daily_user_features``): each arriving
+    micro-batch of events aggregates to per-``(user_id, event_date)``
+    **mergeable partials** written to its own ``batch_id=<n>`` partition
+    of the offline store — the CMS/HLL/dedup-state layout, so a
+    crash-replayed batch overwrites exactly its own partition and a
+    feature partial can never double-count.
+
+    The partial schema is chosen so the merged features are BIT-EXACTLY
+    the batch ``daily_user_features`` regardless of how a user's day
+    splits across arrival batches: counts and conditional counts sum;
+    the money sum stays DECIMAL until the final cast (decimal addition
+    is associative, so partial-then-merge equals one global sum — the
+    same determinism argument as ``functions.money_sum``); distinct
+    event types merge as sets; ``last_event_us`` is a max of maxes; the
+    average derives from (decimal sum, count) partials at read. This is
+    the upsert half of the feature-store lifecycle — the PIT join and
+    online view read the merged result (:func:`read_stream_features`).
+
+    At 100 TB/day the per-batch cost is one map-side-combined agg over
+    the batch (state never rescans), and the merge-on-read is a
+    partial-aggregate shuffle over partial rows, not events.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.withColumn(
+                "event_date",
+                F.expr("date_add(date'1970-01-01', cast(ts_us div 86400000000 as int))"),
+            )
+            .groupBy("user_id", "event_date")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.collect_set("event_type").alias("event_types"),
+                F.sum(F.col("value").cast("decimal(27,2)")).alias("value_sum"),
+                F.count("value").cast("long").alias("n_values"),
+                F.max("ts_us").alias("last_event_us"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                .cast("long")
+                .alias("purchase_events"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{state_dir}/features/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(FEATURE_EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_feature_upsert over {source_dir!r} did not finish within {timeout_s}s"
+        )
+
+
+def read_stream_features(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge the streamed per-batch feature partials into the exact
+    ``daily_user_features`` schema: sums of sums, max of maxes, set
+    union for the distinct count, and the average from (decimal sum,
+    count) — each step an identical IEEE-754/decimal op to the batch
+    aggregation, so the merge is bit-reproducible."""
+    partials = spark.read.parquet(f"{state_dir}/features")
+    return partials.groupBy("user_id", "event_date").agg(
+        F.sum("n_events").cast("long").alias("daily_events"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("event_types"))))
+        .cast("long")
+        .alias("distinct_event_types"),
+        F.sum("value_sum").cast("double").alias("daily_value"),
+        (F.sum("value_sum").cast("double") / F.sum("n_values")).alias("avg_event_value"),
+        F.max("last_event_us").alias("last_event_us"),
+        F.sum("purchase_events").cast("long").alias("purchase_events"),
+    )
+
+
+def streaming_feature_store_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream the events table into the feature
+    store in three arrival batches split by ``event_id % 3`` — which
+    scatters every user-day's events ACROSS batches, so the merge-on-
+    read genuinely reconciles partials — then serve the online latest
+    view. Result (and oracle) are exactly ``feature_store_latest``:
+    the streamed upsert is proven equivalent to the batch
+    materialization (also asserted bit-exactly in
+    ``tests/test_streaming.py``)."""
+    import os
+    import tempfile
+
+    from ..datalake import load_events
+    from ..featurestore import online_latest
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_feat_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(ev, F.expr("event_id % 3"), src, 3)
+    stream_feature_upsert(spark, src, f"{tmp}/state", f"{tmp}/ckpt")
+    return (
+        online_latest(read_stream_features(spark, f"{tmp}/state"), "user_id", "event_date")
+        .select(
+            "user_id",
+            "event_date",
+            "daily_events",
+            "distinct_event_types",
+            "daily_value",
+            "avg_event_value",
+            "last_event_us",
+            "purchase_events",
+        )
+        .orderBy("user_id")
+    )

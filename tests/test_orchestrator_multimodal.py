@@ -404,6 +404,96 @@ def test_wav_stereo_raises():
         mm.decode_wav(bytes(payload))
 
 
+def test_png_roundtrip_and_dispatch():
+    import numpy as np
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3) * 3 % 256
+    payload = mm.encode_png(px)
+    assert payload[:8] == mm.PNG_MAGIC
+    assert (mm.decode_png(payload) == px).all()
+    assert (mm.decode_media(payload, "image") == px).all()
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    """Hand-filter each scanline with a different spec filter (None,
+    Sub, Up, Average, Paeth) and check the decoder reconstructs the
+    original pixels — the part a codec can't fake."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    h, w, bpp = 5, 6, 3
+    px = rng.randint(0, 256, size=(h, w, bpp)).astype(np.uint8)
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        mm.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_png(payload) == px).all()
+
+
+def test_png_exotic_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    payload = bytearray(mm.encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # corrupt the IHDR CRC
+    bad_crc = bytearray(payload)
+    bad_crc[-17] ^= 0xFF  # a byte inside the IDAT data
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad_crc))
+    # grayscale (color type 0) is outside the supported boundary
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    gray = (
+        mm.PNG_MAGIC
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 0)
+        + b"IDAT"
+        + struct.pack(">I", zlib.crc32(b"IDAT") & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        mm.decode_png(gray)
+
+
 def test_decoded_media_features_roundtrip(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rows = mm.multimodal_decode_report(docs).collect()

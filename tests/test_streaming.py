@@ -818,6 +818,57 @@ def test_single_drain_ordered_dedup_equals_sequential(spark, sf_dir, tmp_path):
     assert replayed == sequential
 
 
+def test_stream_feature_upsert_merges_bit_exactly_and_replays(spark, sf_dir, tmp_path):
+    """The streamed per-batch feature partials must merge to BIT-EXACTLY
+    the batch daily_user_features (decimal partial sums, set-union
+    distinct, max-of-max), the online view must equal
+    feature_store_latest, and a fresh-checkpoint replay must overwrite
+    the per-batch partitions into the identical merged result."""
+    from dataengineeringpipeline_spark import featurestore
+    from dataengineeringpipeline_spark.datalake import load_events
+
+    ev = load_events(spark, sf_dir)
+    staged = ev.select("event_id", "ts_us", "user_id", "event_type", "value")
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    streaming._stage_arrival_batches(staged, F.expr("event_id % 3"), src, 3)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    streaming.stream_feature_upsert(spark, src, state, ckpt)
+    # three arrival batches → three partial partitions; user-days split
+    # across them, so the merge is genuinely exercised
+    batches = {d for d in os.listdir(f"{state}/features") if d.startswith("batch_id=")}
+    assert len(batches) == 3
+    merged = {
+        (r["user_id"], str(r["event_date"])): tuple(r)[2:]
+        for r in streaming.read_stream_features(spark, state).collect()
+    }
+    batch_rows = {
+        (r["user_id"], str(r["event_date"])): tuple(r)[2:]
+        for r in featurestore.daily_user_features(ev).collect()
+    }
+    assert merged == batch_rows  # bit-exact, including the float avg
+    latest = {
+        r["user_id"]: tuple(r)[1:]
+        for r in featurestore.online_latest(
+            streaming.read_stream_features(spark, state), "user_id", "event_date"
+        ).collect()
+    }
+    batch_latest = {
+        r["user_id"]: tuple(r)[1:]
+        for r in featurestore.feature_store_latest(ev).collect()
+    }
+    assert latest == batch_latest
+    # fresh-checkpoint replay: per-batch partitions overwrite themselves
+    streaming.stream_feature_upsert(spark, src, state, str(tmp_path / "ckpt2"))
+    replayed = {
+        (r["user_id"], str(r["event_date"])): tuple(r)[2:]
+        for r in streaming.read_stream_features(spark, state).collect()
+    }
+    assert replayed == merged
+
+
 # -- streaming search-index maintenance ---------------------------------------
 
 
