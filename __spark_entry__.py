@@ -180,67 +180,32 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ALL entries.
 WINDOW_HEAD = [
     # (a) NEW this round (never driver-checked)
-    "snapshot_diff_report",
-    "streaming_quality_gate",
-    "streaming_ann_topk",
-    "corpus_datacard",
-    "pii_redaction_report",
-    "split_leakage_audit",
-    "point_in_time_features",
-    "layout_pruning_report",
-    "quality_gate_ensemble",
-    "table_stats_report",
-    "join_strategy_advisor",
-    "contrastive_pairs_report",
-    "forget_users_report",
-    "multimodal_decode_report",
-    "fuzzy_join_matches",
-    "shared_span_pairs",
-    "span_dedup_cleaned",
+    "advisor_from_stats",
+    "streaming_feature_store_latest",
     # (b) queries whose operator code changed this round (re-prove):
-    #     streaming dedup/search harness rework, ANN ordered-knob threading,
-    #     arrow-recall oracle independence, numeric_drift approx flag
+    #     file-pruned purge_keys, single-drain ordered dedup/ANN
+    #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
+    #     zorder_keyed helper-column drop, PNG-containerized synthesis
+    "forget_users_report",
     "streaming_incremental_dedup",
-    "streaming_search_topk",
-    "ann_arrow_recall",
-    "pq_ann_topk",
-    "pq_ann_recall",
-    "ann_ivfpq_topk",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "ann_bruteforce_topk",
-    "value_drift_report",
-    # (c) oldest driver checks: the gold/dq/events/silver block (r01) and
-    #     dq_daily_anomalies (r02)
-    "dq_rule_report",
-    "dq_outliers",
-    "dq_quarantine_rows",
-    "dq_daily_anomalies",
-    "events_enriched",
-    "incremental_events",
-    "hourly_event_summary",
-    "event_type_summary",
-    "error_context",
-    "user_activity_summary",
-    "doc_fingerprints",
-    "silver_orders",
-    "silver_customers",
-    "silver_parts",
-    "silver_lineitems",
-    "dq_null_profile",
-    "dq_duplicates",
-    "dq_range_violations",
-    "dq_freshness",
-    # (d) r03 streaming block: oldest checks on the most-heavily-edited
-    #     file (streaming/__init__.py changed again this round)
-    "streaming_hourly_counts",
-    "streaming_severity_counts",
-    "streaming_session_counts",
-    "streaming_session_windows",
-    "streaming_attribution_pairs",
-    # (e) r03 dedup/multimodal families — their modules changed this
-    #     round (match_increment knobs; BMP/WAV codecs beside the
-    #     byte-feature path)
+    "streaming_ann_topk",
+    "streaming_quality_gate",
+    "join_strategy_advisor",
+    "layout_pruning_report",
+    "multimodal_decode_report",
+    # (c) the r04-checked retrieval/classifier/linkage block (oldest
+    #     checks on files earlier rounds touched — the rotation-policy
+    #     block VERDICT r05 item 5 names)
+    "lexical_search_topk",
+    "hybrid_search_topk",
+    "rag_context_stats",
+    "classifier_quality_summary",
+    "classifier_calibration",
+    "fuzzy_part_matches",
+    "entity_resolution_report",
+    # (d) r03 block, files touched this round first (dedup via the
+    #     match_increment order_col extension; multimodal beside the
+    #     PNG codec; featurestore beside the streaming upsert)
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -249,12 +214,38 @@ WINDOW_HEAD = [
     "dedup_survivors",
     "simhash_dup_candidates",
     "training_corpus_funnel",
-    "multimodal_features",
-    "frame_sample_plan",
     "embedding_near_dups",
     "semantic_dup_clusters",
     "boilerplate_report",
     "decontamination_report",
+    "multimodal_features",
+    "frame_sample_plan",
+    "feature_store_latest",
+    "streaming_attribution_pairs",
+    # (e) remaining r03 checks, oldest in the record, alphabetical
+    "chunk_summary",
+    "cohort_retention",
+    "conversion_funnel",
+    "customer_priority_scd2",
+    "customer_value_deciles",
+    "domain_mix_summary",
+    "event_heavy_hitters",
+    "incident_window_events",
+    "language_id_eval",
+    "pack_summary",
+    "purchase_attribution",
+    "repetition_stats",
+    "rule_driven_aggregation",
+    "rule_driven_features",
+    "salted_status_summary",
+    "session_summary",
+    "sliding_window_summary",
+    "split_summary",
+    "status_priority_cube",
+    "stratified_sample_summary",
+    "text_quality",
+    "text_stats",
+    "token_histogram",
 ]
 
 
