@@ -16,6 +16,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataengineeringpipeline_spark import (
     alerts,
@@ -182,6 +183,8 @@ WINDOW_HEAD = [
     # (a) NEW this round (never driver-checked)
     "advisor_from_stats",
     "streaming_feature_store_latest",
+    "value_quantile_sketch",
+    "streaming_value_quantiles",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -283,6 +286,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_gate": streaming.streaming_quality_gate,
         "streaming_ann_topk": streaming.streaming_ann_topk,
         "streaming_feature_store_latest": streaming.streaming_feature_store_latest,
+        # -- streaming quantile sketch (mergeable percentile monitor) -------
+        "streaming_value_quantiles": streaming.streaming_value_quantiles,
         # -- streaming categorical-mix drift (streaming face of
         #    quality.category_drift) -------------------------------------
         "streaming_mix_drift": streaming.streaming_mix_drift,
@@ -587,6 +592,16 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- HyperLogLog distinct sketch (bounded-state distinct counts) ----
         "hll_sketch_summary": lambda spark, sf: scale.hll_sketch_summary(
             _read(spark, sf, "events")
+        ),
+        # -- log-linear quantile sketch (bounded-state percentiles, with
+        #    the exact-quantile gauge alongside) ----------------------------
+        "value_quantile_sketch": lambda spark, sf: scale.quantile_sketch_report(
+            load_events(spark, sf).select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ),
+            "cents",
+            ("event_type",),
         ),
         # -- Bloom-filter join pruning (semi-join reduction, scale.py) ------
         "bloom_join_prune": lambda spark, sf: scale.bloom_prune_stats(

@@ -4168,3 +4168,75 @@ GROUP BY source ORDER BY source
 
 
 ORACLES["corpus_datacard"] = _datacard_sql()
+
+
+def _quantile_sketch_oracles() -> dict[str, str]:
+    """Twins of scale.quantile_sketch* — the log-linear (HdrHistogram /
+    DDSketch-style) quantile sketch. The bin function is exact integer
+    arithmetic (octave = bit length via ``bin()``, which DuckDB and
+    Spark both provide; sub-bucket via shifts), so the sketch estimate
+    reproduces bit-for-bit; the only doubles are the ``p·n`` rank
+    products, one IEEE multiply each."""
+    sub, sub_bits = 32, 5
+    binned = f"""
+SELECT event_type,
+  CASE WHEN v < {2 * sub} THEN CAST(v AS INT)
+       ELSE (CAST(length(bin(v)) AS INT) - 1 - {sub_bits + 1}) * {sub} + {2 * sub}
+            + CAST((v // (CAST(1 AS BIGINT) << (CAST(length(bin(v)) AS INT) - 1 - {sub_bits}))) - {sub} AS INT)
+  END AS bin
+FROM vals
+""".strip()
+    est_case = f"""
+  CASE WHEN bin < {2 * sub} THEN CAST(bin AS BIGINT)
+       ELSE CAST((bin - {2 * sub}) % {sub} + {sub} AS BIGINT)
+            * (CAST(1 AS BIGINT) << (CAST((bin - {2 * sub}) // {sub} AS INT) + 1))
+            + ((CAST(1 AS BIGINT) << (CAST((bin - {2 * sub}) // {sub} AS INT) + 1)) - 1) // 2
+  END
+""".strip()
+    ctes = {
+        "vals": "SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        "binned": binned,
+        "sk": "SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2",
+        "cum": (
+            "SELECT event_type, bin,"
+            " SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,"
+            " SUM(c) OVER (PARTITION BY event_type) AS n FROM sk"
+        ),
+        "probs": "SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(p)",
+        "hit": (
+            "SELECT event_type, p, CAST(n AS BIGINT) AS n, MIN(bin) AS bin"
+            " FROM cum JOIN probs ON cum >= GREATEST(1, CEIL(p * n))"
+            " GROUP BY 1, 2, 3"
+        ),
+        "est": f"SELECT event_type, p, n, {est_case} AS est FROM hit",
+        "dist": "SELECT event_type, v, COUNT(*) AS c FROM vals GROUP BY 1, 2",
+        "dcum": (
+            "SELECT event_type, v,"
+            " SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,"
+            " SUM(c) OVER (PARTITION BY event_type) AS n FROM dist"
+        ),
+        "ex": (
+            "SELECT event_type, p, MIN(v) AS exact"
+            " FROM dcum JOIN probs ON cum >= GREATEST(1, CEIL(p * n))"
+            " GROUP BY 1, 2"
+        ),
+    }
+    batch = _with(
+        ctes,
+        """
+SELECT est.event_type, est.p, est.n, est.est, ex.exact,
+  (abs(est.est - ex.exact) * 1000) // ex.exact AS err_pm
+FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
+ORDER BY est.event_type, est.p
+""".strip(),
+    )
+    # The streamed sketch merges bin partials by addition, which is
+    # exact — so the drained result IS the batch arithmetic.
+    stream = _with(
+        ctes,
+        "SELECT event_type, p, n, est AS est_cents FROM est ORDER BY event_type, p",
+    )
+    return {"value_quantile_sketch": batch, "streaming_value_quantiles": stream}
+
+
+ORACLES.update(_quantile_sketch_oracles())

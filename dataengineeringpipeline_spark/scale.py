@@ -918,3 +918,186 @@ def join_strategy_advisor_from_stats(
         )
         .orderBy("fact_table", "dim_table")
     )
+
+
+# -- log-linear quantile sketch ---------------------------------------------
+
+#: Linear sub-buckets per octave (2^QSK_SUB_BITS). 32 sub-buckets bound
+#: the bucket width at 1/32 of its lower edge, so a midpoint estimate is
+#: within ~1.6% relative error of any value in the bucket.
+QSK_SUB_BITS = 5
+QSK_SUB = 1 << QSK_SUB_BITS
+
+
+def _qsk_bin(v: str) -> Column:
+    """Log-linear histogram bin index for a non-negative int64 value —
+    the HdrHistogram / DDSketch bucketing scheme (log-spaced octaves,
+    linearly sub-divided) in EXACT integer arithmetic: the octave is the
+    value's bit length (``length(bin(v)) - 1``), never a floating
+    ``log``, so any engine reproduces the index bit-identically (libm
+    ``log2`` disagreement at octave boundaries is the classic
+    cross-engine hazard this sidesteps).
+
+    Layout: values < 2·QSK_SUB are their own bin (exact, width 1);
+    octave ``e ≥ QSK_SUB_BITS+1`` holds QSK_SUB bins of width
+    ``2^(e-QSK_SUB_BITS)``. Bin count for int64 input is ≤ 2·QSK_SUB +
+    57·QSK_SUB ≈ 1.9k — bounded state regardless of value cardinality.
+    """
+    # The variable-count shift goes through the SQL form (the python
+    # shiftrightunsigned() binding only accepts a literal count), so the
+    # input must be a NAMED column; callers project the value to ``v``.
+    e = f"(length(bin({v})) - 1)"
+    return F.expr(
+        f"CASE WHEN {v} < {2 * QSK_SUB} THEN cast({v} as int) "
+        f"ELSE cast(({e} - {QSK_SUB_BITS + 1}) * {QSK_SUB} + {2 * QSK_SUB} "
+        f"+ shiftrightunsigned({v}, {e} - {QSK_SUB_BITS}) - {QSK_SUB} as int) END"
+    )
+
+
+def _qsk_est_sql(idx: str) -> str:
+    """SQL for the midpoint estimate of bin column ``idx`` — inverse of
+    :func:`_qsk_bin`, same exact integer arithmetic (and the same text a
+    DuckDB oracle uses modulo its ``//`` spelling of ``div``)."""
+    w = (
+        f"shiftleft(cast(1 as bigint),"
+        f" cast((({idx} - {2 * QSK_SUB}) div {QSK_SUB}) + 1 as int))"
+    )
+    return (
+        f"CASE WHEN {idx} < {2 * QSK_SUB} THEN cast({idx} as bigint) "
+        f"ELSE cast(({idx} - {2 * QSK_SUB}) % {QSK_SUB} + {QSK_SUB} as bigint)"
+        f" * {w} + ({w} - 1) div 2 END"
+    )
+
+
+def quantile_sketch(
+    df: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Mergeable quantile sketch of a non-negative int64 ``value_col``
+    per group: ``(group..., bin, c)`` log-linear histogram rows — the
+    quantile member of the sketch family (CMS frequency, HLL distinct,
+    Bloom membership), after the public DDSketch (Masson et al., VLDB
+    2019) / HdrHistogram designs.
+
+    The 100 TB property mirrors :func:`cms_sketch`: state is O(bins) —
+    ≤ ~1.9k rows per group regardless of value cardinality — and bins
+    merge by COUNTER ADDITION, so partition partials, daily partials,
+    and stream micro-batch partials all combine with one
+    ``groupBy(bin).sum``. The map-side combine reduces each task to at
+    most the bin count before any exchange; contrast Spark's
+    ``percentile`` which shuffles every distinct value, and
+    ``approx_percentile`` whose GK sketch is neither deterministic
+    across partitionings nor reproducible by another engine. This bin
+    function is exact integer arithmetic, so the sketch — and every
+    quantile read off it — is oracle-checkable bit-for-bit.
+    """
+    named = df.select(
+        *group_cols, F.col(value_col).cast("long").alias("_qv")
+    )
+    return (
+        named.select(*group_cols, _qsk_bin("_qv").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantile_sketch_estimates(
+    bins: DataFrame, probs: list[float], group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Quantile estimates from (merged) sketch bins: for each group and
+    each ``p`` in ``probs``, the midpoint of the first bin whose
+    cumulative count reaches rank ``ceil(p·n)`` (the discrete-quantile
+    rank convention) — ``(group..., p, n, est)``.
+
+    Plan shape: one cumulative-sum window per group over ≤ ~1.9k bin
+    rows (sketch-sized, not data-sized), a broadcast of the tiny probs
+    list, and a min-aggregate — nothing here touches the raw values
+    again. Rank arithmetic: ``p·n`` is one double multiply of a ≤ 2^53
+    count, identical in any IEEE engine; everything after is integer.
+    """
+    from pyspark.sql.window import Window
+
+    spark = bins.sparkSession
+    gcols = list(group_cols)
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("bin")
+    cum = bins.select(
+        *gcols,
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*[F.col(c) for c in gcols])).alias("n"),
+    )
+    probs_df = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in probs], "p double")
+    )
+    hit = cum.join(
+        probs_df,
+        cum.cum >= F.greatest(F.lit(1), F.ceil(probs_df.p * cum.n)),
+    )
+    first = hit.groupBy(*gcols, "p", "n").agg(F.min("bin").alias("bin"))
+    return first.select(
+        *gcols,
+        "p",
+        F.col("n").cast("long").alias("n"),
+        F.expr(_qsk_est_sql("bin")).cast("long").alias("est"),
+    )
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Sketch quantile estimates side-by-side with the exact discrete
+    quantile and the per-mille relative error — the accuracy gauge that
+    shows what the log-linear binning costs on this corpus (the
+    :func:`cms_heavy_hitters` pattern: sketch answer + exact baseline in
+    one result). ``(group..., p, n, est, exact, err_pm)``.
+
+    The exact side cumulates per-DISTINCT-value counts (one map-side-
+    combined agg + a window over distinct values) using the same rank
+    convention as the sketch read — at 100 TB it is the part you drop,
+    keeping only the sketch; ``err_pm ≤ ~16`` (1/64 midpoint bound)
+    by construction.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    gcols = list(group_cols)
+    bins = quantile_sketch(df, value_col, group_cols)
+    est = quantile_sketch_estimates(bins, list(probs), group_cols)
+    v = F.col(value_col).cast("long")
+    dist = df.select(*gcols, v.alias("v")).groupBy(*gcols, "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("v")
+    cum = dist.select(
+        *gcols,
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*[F.col(c) for c in gcols])).alias("n"),
+    )
+    probs_df = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in probs], "p double")
+    )
+    exact = (
+        cum.join(
+            probs_df,
+            cum.cum >= F.greatest(F.lit(1), F.ceil(probs_df.p * cum.n)),
+        )
+        .groupBy(*gcols, "p")
+        .agg(F.min("v").alias("exact"))
+    )
+    return (
+        est.join(exact, [*gcols, "p"])
+        .select(
+            *gcols,
+            "p",
+            "n",
+            "est",
+            "exact",
+            # integer div on both sides: a double-division + cast would
+            # TRUNCATE here but ROUND in DuckDB — classic parity trap
+            F.expr("(abs(est - exact) * 1000) div exact").alias("err_pm"),
+        )
+        .orderBy(*gcols, "p")
+    )

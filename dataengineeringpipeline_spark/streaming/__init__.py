@@ -592,6 +592,89 @@ def read_hll_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
+def stream_quantile_sketch(
+    sdf: DataFrame,
+    value_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    group_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+) -> None:
+    """Maintain a log-linear quantile sketch over a stream — the
+    quantile member of the streaming sketch family
+    (:func:`stream_cms_sketch` frequency, :func:`stream_hll_sketch`
+    distinct): each micro-batch reduces to a ≤ ~1.9k-bin histogram
+    partial per group (``scale.quantile_sketch``), and bin partials
+    MERGE by counter addition, so a latency/value percentile monitor
+    holds KBs of state per group regardless of stream age or value
+    cardinality.
+
+    Same exactly-once-by-layout shape as the CMS twin: each batch's
+    partial lands in its own ``batch_id=<n>`` partition, a crash-
+    replayed batch overwrites itself, and the merged view is
+    :func:`read_quantile_sketch`'s ``groupBy(bin).sum`` at read.
+    Takes the stream DataFrame (not a source dir) so callers compose
+    it onto :func:`stream_events`' probed-schema source.
+    """
+    from ..scale import quantile_sketch
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        quantile_sketch(batch_df, value_col, group_cols).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_dir}/batch_id={batch_id}")
+
+    query = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(sdf.sparkSession, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_quantile_sketch did not finish within {timeout_s}s"
+        )
+
+
+def read_quantile_sketch(
+    spark: SparkSession, sketch_dir: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The merged (group..., bin, c) histogram across all streamed
+    batches — counter addition IS the quantile-sketch merge operation."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream the events backlog into a per-
+    event-type quantile sketch (cents-scaled ``value``), then read
+    p50/p90/p99 off the merged bins. Because bin-count merge is exact,
+    the drained sketch is bit-identical to the batch sketch over the
+    same rows — the oracle is the batch arithmetic."""
+    import tempfile
+
+    from ..scale import quantile_sketch_estimates
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_qsk_")
+    stream_quantile_sketch(
+        ev, "cents", f"{tmp}/sketch", f"{tmp}/ckpt", ("event_type",)
+    )
+    bins = read_quantile_sketch(spark, f"{tmp}/sketch", ("event_type",))
+    return (
+        quantile_sketch_estimates(bins, [0.5, 0.9, 0.99], ("event_type",))
+        .select("event_type", "p", "n", F.col("est").alias("est_cents"))
+        .orderBy("event_type", "p")
+    )
+
+
 def _await_deregistration(spark: SparkSession, query, timeout_s: float = 30.0) -> None:
     """Wait until a stopped query leaves the active registry — starting a
     new query on the same checkpoint before then fails with
