@@ -185,6 +185,7 @@ WINDOW_HEAD = [
     "streaming_feature_store_latest",
     "value_quantile_sketch",
     "streaming_value_quantiles",
+    "cdc_order_snapshot",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -544,6 +545,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- SCD Type-2 versioned dimension history -------------------------
         "customer_priority_scd2": lambda spark, sf: scd.customer_priority_scd2(
             _orders(spark, sf)
+        ),
+        # -- CDC changelog apply (Type-1 latest-state sibling) --------------
+        "cdc_order_snapshot": lambda spark, sf: scd.cdc_order_snapshot(
+            _orders(spark, sf), _read(spark, sf, "lineitem")
         ),
         # -- incremental ingestion + feature store --------------------------
         "feature_store_latest": lambda spark, sf: featurestore.feature_store_latest(

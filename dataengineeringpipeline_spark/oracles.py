@@ -2852,7 +2852,39 @@ ORDER BY customer_key, version
         "SELECT o_custkey AS customer_key, o_orderpriority AS priority, "
         "CAST(o_orderdate AS DATE) AS change_date, o_orderkey AS order_key FROM orders"
     )
-    return {"customer_priority_scd2": _with({"ch": ch}, body)}
+    snap = (
+        "SELECT o_orderkey AS order_key, o_orderstatus AS status,"
+        " o_totalprice AS total_price, CAST(o_orderdate AS DATE) AS last_change"
+        " FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'"
+    )
+    chg = (
+        "SELECT l_orderkey AS order_key,"
+        " CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,"
+        " 'SHIPPED-' || l_linestatus AS status,"
+        " l_extendedprice AS total_price,"
+        " CAST(l_shipdate AS DATE) AS last_change, l_linenumber AS line_number"
+        " FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '2001-01-01'"
+    )
+    latest = (
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY order_key"
+        " ORDER BY last_change DESC, line_number DESC) AS rn FROM chg)"
+        " WHERE rn = 1"
+    )
+    cdc_body = """
+SELECT order_key, status, total_price, last_change FROM (
+  SELECT s.order_key, s.status, s.total_price, s.last_change FROM snap s
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.order_key = s.order_key)
+  UNION ALL
+  SELECT order_key, status, total_price, last_change FROM latest
+  WHERE op <> 'D'
+) ORDER BY order_key
+""".strip()
+    return {
+        "customer_priority_scd2": _with({"ch": ch}, body),
+        "cdc_order_snapshot": _with(
+            {"snap": snap, "chg": chg, "latest": latest}, cdc_body
+        ),
+    }
 
 
 def _mix_oracles() -> dict[str, str]:

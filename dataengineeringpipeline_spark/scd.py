@@ -110,6 +110,86 @@ def scd2_apply_changes(
     return untouched.unionByName(merged.select(*untouched.columns))
 
 
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply an ordered CDC changelog (Debezium-style insert/update/
+    delete ops) to a latest-state snapshot — the Type-1 sibling of
+    :func:`scd2_apply_changes`: instead of versioned history, each key
+    keeps only its newest state, and a delete tombstone removes the key.
+
+    ``changes`` carries the snapshot's columns plus ``op_col`` ('D'
+    deletes the key; anything else upserts the row) and optional
+    tiebreakers; per key, only the LATEST change by ``(ts_col,
+    *tiebreak_cols)`` wins — intermediate churn within the batch is
+    collapsed before touching the snapshot, so a key updated 1000 times
+    in one batch costs the same as one updated once. A terminal 'D'
+    deletes even a key the snapshot never had (tombstone for an insert
+    collapsed away in the same batch).
+
+    100 TB shape: the only shuffle is the batch-sized latest-per-key
+    window; snapshot rows never shuffle — untouched keys pass through a
+    broadcast ``left_anti`` (the touched-key set is batch-sized) and the
+    union is partition-local. Pair with ``Lake.purge_keys``-style
+    footer pruning to rewrite only the files whose key envelope the
+    batch touches.
+    """
+    order = [F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols).distinct()
+    untouched = snapshot.join(F.broadcast(touched), list(key_cols), "left_anti")
+    survivors = latest.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    return untouched.unionByName(survivors)
+
+
+def cdc_order_snapshot(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Driver-contract query: CDC-apply a shipment changelog to an order
+    snapshot. The snapshot is pre-1999 orders (key, status, price, last
+    change date); the changelog is the 2001+ shipment tail of lineitem,
+    each shipment upserting its order (status ``SHIPPED-<linestatus>``,
+    price re-quoted to the line's extended price) and returned lines
+    (``l_returnflag = 'R'``) tombstoning it. Latest shipment per order
+    wins, ties broken by line number — bit-deterministic."""
+    snapshot = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("last_change"),
+    )
+    changes = lineitem.filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2001-01-01").cast("date")
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.when(F.col("l_returnflag") == "R", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("SHIPPED-"), F.col("l_linestatus")).alias("status"),
+        F.col("l_extendedprice").alias("total_price"),
+        F.col("l_shipdate").cast("date").alias("last_change"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    return cdc_apply(
+        snapshot,
+        changes,
+        key_cols=["order_key"],
+        ts_col="last_change",
+        op_col="op",
+        tiebreak_cols=["line_number"],
+    ).orderBy("order_key")
+
+
 def customer_priority_scd2(orders: DataFrame) -> DataFrame:
     """Driver-contract query: SCD2 history of each customer's order
     priority — every priority change opens a version, repeat orders at

@@ -332,3 +332,79 @@ def test_corpus_datacard_flags_planted_duplicates(spark):
     assert card["a"]["english_pm"] == 1000 and card["b"]["english_pm"] == 500
     assert card["a"]["langs"] == 1 and card["b"]["langs"] == 2
     assert card["a"]["tokens"] > 0
+
+
+# -- CDC apply (Type-1 latest-state changelog) ------------------------------
+
+
+def _cdc_fixtures(spark):
+    from pyspark.sql import Row
+
+    snap = spark.createDataFrame(
+        [(1, "A", 10.0, "2020-01-01"), (2, "B", 20.0, "2020-01-02"),
+         (3, "C", 30.0, "2020-01-03")],
+        "k long, status string, price double, ts string",
+    )
+    chg = spark.createDataFrame(
+        [
+            # key 1: two updates then a delete — terminal D wins
+            (1, "U", "A2", 11.0, "2020-02-01", 1),
+            (1, "U", "A3", 12.0, "2020-02-02", 1),
+            (1, "D", "A3", 12.0, "2020-02-03", 1),
+            # key 2: churn collapses to the latest update (same ts,
+            # tiebreak decides)
+            (2, "U", "B2", 21.0, "2020-02-01", 1),
+            (2, "U", "B3", 22.0, "2020-02-01", 2),
+            # key 4: insert of a key the snapshot never had
+            (4, "U", "D1", 40.0, "2020-02-01", 1),
+            # key 5: insert immediately tombstoned in the same batch
+            (5, "U", "E1", 50.0, "2020-02-01", 1),
+            (5, "D", "E1", 50.0, "2020-02-02", 1),
+        ],
+        "k long, op string, status string, price double, ts string, tb int",
+    )
+    return snap, chg
+
+
+def test_cdc_apply_semantics(spark):
+    """Latest-per-key wins, 'D' tombstones (even unseen keys), untouched
+    rows pass through verbatim."""
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    snap, chg = _cdc_fixtures(spark)
+    out = {
+        r["k"]: r
+        for r in cdc_apply(
+            snap, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}          # 1 and 5 deleted, 3 untouched
+    assert out[2]["status"] == "B3" and out[2]["price"] == 22.0
+    assert out[3]["status"] == "C" and out[3]["ts"] == "2020-01-03"
+    assert out[4]["status"] == "D1"
+
+
+def test_cdc_apply_snapshot_never_shuffles(spark):
+    """The untouched side goes through a broadcast left_anti — the
+    snapshot must not appear under any shuffle exchange (the 100 TB
+    property: only the batch shuffles)."""
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    snap, chg = _cdc_fixtures(spark)
+    plan = cdc_apply(
+        snap, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    """Re-applying the same batch to the applied snapshot is a no-op —
+    the at-least-once delivery property a CDC consumer needs."""
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    snap, chg = _cdc_fixtures(spark)
+    once = cdc_apply(snap, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"])
+    twice = cdc_apply(once, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
