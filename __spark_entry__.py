@@ -27,6 +27,7 @@ from dataengineeringpipeline_spark import (
     featurestore,
     gold,
     ingest,
+    ivm,
     quality,
     rules,
     scale,
@@ -186,6 +187,7 @@ WINDOW_HEAD = [
     "value_quantile_sketch",
     "streaming_value_quantiles",
     "cdc_order_snapshot",
+    "incremental_daily_sales",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -660,6 +662,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- gold aggregations (A1-A8, W2, U1, J1/J2, A5, P5) ---------------
         "daily_sales_summary": lambda spark, sf: gold.daily_sales_summary(_silver_orders(spark, sf)),
         "daily_metrics_long": lambda spark, sf: gold.daily_metrics_long(_silver_orders(spark, sf)),
+        # -- incremental materialized-view maintenance: merged partials
+        #    must reproduce the full-recompute summary bit-for-bit --------
+        "incremental_daily_sales": lambda spark, sf: ivm.incremental_daily_sales(
+            _silver_orders(spark, sf)
+        ),
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
         "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),

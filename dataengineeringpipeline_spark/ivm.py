@@ -1,0 +1,191 @@
+"""Incremental materialized-view maintenance (IVM) for the gold layer.
+
+The reference recomputes gold aggregates from the full silver table every
+run (``terraform/modules/glue/templates/silver_to_gold_analytics.py`` —
+cited for parity, not copied); at 100 TB a nightly full recompute of a
+daily summary is the single most wasteful job in the pipeline, because
+yesterday's groups did not change. This module keeps the summary as a
+table of MERGEABLE PARTIAL AGGREGATES so a delta batch maintains it with
+delta-sized work:
+
+- partials live at ``(order_date, customer_key)`` grain — fine enough
+  that even ``COUNT(DISTINCT customer_key)`` becomes mergeable (it is
+  the row count of the grain), which is the classic IVM trick for the
+  one non-mergeable measure in the summary;
+- sums are kept as UNCAST decimals (exact, order-independent — see
+  ``functions.money_sum``), so partial + partial == full recompute
+  bit-for-bit, not approximately;
+- the partials table is PARTITIONED BY ``order_date``; a delta touches
+  a handful of dates, so maintenance reads only those partitions
+  (partition pruning) and rewrites only those partitions (dynamic
+  partition overwrite). Untouched date partitions are not read and not
+  written — O(delta), not O(table).
+
+The final summary (`daily_summary_from_partials`) reproduces
+``gold.daily_sales_summary`` exactly: every derived measure uses the
+same IEEE operation sequence on the same exact decimal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .datalake import Lake
+
+#: Decimal types for the exact partial sums. ``rev`` matches
+#: ``money_sum``'s cast; ``rev_sq`` matches ``det_stddev``'s
+#: decimal(18,2) square (product type decimal(37,4)).
+_REV_DEC = "decimal(27,2)"
+_SQ_DEC = "decimal(18,2)"
+
+#: Canonical STORED types for the partial sums. Spark widens a decimal
+#: sum's precision by 10 (capped at 38) per aggregation, so without a
+#: pin the first write holds decimal(37,2) and a re-merged write holds
+#: decimal(38,2) — unreadable side by side in one partitioned table.
+#: Casting every partials frame to the widest type keeps the table
+#: schema stable across any number of maintenance rounds (the values
+#: are exact either way).
+_REV_STORE = "decimal(38,2)"
+_SQ_STORE = "decimal(38,4)"
+
+
+def _canonical(partials: DataFrame) -> DataFrame:
+    return partials.select(
+        "order_date",
+        "customer_key",
+        "cnt",
+        F.col("rev").cast(_REV_STORE).alias("rev"),
+        F.col("rev_sq").cast(_SQ_STORE).alias("rev_sq"),
+        "mn",
+        "mx",
+    )
+
+
+def sales_partials(silver_orders: DataFrame) -> DataFrame:
+    """Mergeable partial aggregates of the daily sales summary at
+    ``(order_date, customer_key)`` grain: ``cnt``, exact decimal
+    ``rev`` / ``rev_sq`` sums, ``mn`` / ``mx``.
+
+    One map-side-combined shuffle on the grain; every column merges by
+    SUM (or MIN/MAX), so partials from any two disjoint row sets — base
+    vs delta, day vs day, partition vs partition — combine with one
+    re-aggregation and the result is what a full recompute would have
+    produced, exactly.
+    """
+    p = F.col("total_price")
+    dec = p.cast(_SQ_DEC)
+    return _canonical(
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("order_date", "customer_key")
+        .agg(
+            F.count(p).alias("cnt"),
+            F.sum(p.cast(_REV_DEC)).alias("rev"),
+            F.sum(dec * dec).alias("rev_sq"),
+            F.min(p).alias("mn"),
+            F.max(p).alias("mx"),
+        )
+    )
+
+
+def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two partials frames — the IVM merge step. Counter/sum
+    addition and min/max are the whole operation; decimal sums make the
+    addition exact, so merge order and partitioning cannot perturb the
+    result."""
+    return _canonical(
+        base.unionByName(delta)
+        .groupBy("order_date", "customer_key")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("rev").alias("rev"),
+            F.sum("rev_sq").alias("rev_sq"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+
+
+def daily_summary_from_partials(partials: DataFrame) -> DataFrame:
+    """Fold the grain out: the exact ``gold.daily_sales_summary`` shape
+    from the partials table. ``unique_customers`` is the grain row
+    count; avg and stddev replay ``money_avg`` / ``det_stddev``'s IEEE
+    sequence on the summed decimals, so the incremental summary is
+    bit-identical to the batch one."""
+    agg = partials.groupBy("order_date").agg(
+        F.sum("cnt").alias("total_orders"),
+        F.count(F.lit(1)).alias("unique_customers"),
+        F.sum("rev").alias("_rev"),
+        F.sum("rev_sq").alias("_rev_sq"),
+        F.min("mn").alias("min_order_value"),
+        F.max("mx").alias("max_order_value"),
+    )
+    n = F.col("total_orders").cast("double")
+    sx = F.col("_rev").cast("double")
+    sxx = F.col("_rev_sq").cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    return agg.select(
+        "order_date",
+        "total_orders",
+        "unique_customers",
+        sx.alias("total_revenue"),
+        (sx / F.col("total_orders")).alias("avg_order_value"),
+        "min_order_value",
+        "max_order_value",
+        F.when(
+            F.col("total_orders") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))
+        ).alias("order_value_stddev"),
+    ).orderBy("order_date")
+
+
+def maintain_sales_partials(
+    lake: Lake,
+    delta_silver_orders: DataFrame,
+    layer: str = "gold",
+    table: str = "sales_partials",
+) -> list:
+    """Apply a silver delta to the materialized partials table, touching
+    ONLY the date partitions the delta hits. Returns the touched dates.
+
+    Read side: the base is read with an ``isin(touched)`` predicate that
+    prunes to the affected ``order_date=`` directories. Write side:
+    dynamic partition overwrite replaces exactly those directories —
+    sibling partitions' files are not rewritten (byte-identical after
+    maintenance; tested). The touched-date ``collect()`` is bounded by
+    the calendar, not the data: a delta is days wide, never
+    key-cardinality wide.
+    """
+    delta_p = sales_partials(delta_silver_orders)
+    touched = [
+        r["order_date"]
+        for r in delta_p.select("order_date").distinct().collect()
+    ]
+    if not touched:
+        return []
+    import os
+
+    path = lake.path(layer, table)
+    if os.path.isdir(path):
+        base = lake.read(
+            delta_silver_orders.sparkSession, layer, table
+        ).where(F.col("order_date").isin(touched))
+        merged = merge_partials(base, delta_p)
+    else:
+        merged = delta_p
+    lake.write(merged, layer, table, partition_by=("order_date",))
+    return touched
+
+
+def incremental_daily_sales(
+    silver_orders: DataFrame, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query: maintain the daily summary incrementally —
+    base partials from orders before ``cutoff``, a delta batch from
+    orders on/after it, one merge — and read the summary off the merged
+    partials. The oracle is the PLAIN FULL RECOMPUTE
+    (``daily_sales_summary`` SQL): passing means incremental == batch
+    bit-for-bit, which is the entire IVM contract."""
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = sales_partials(silver_orders.filter(d < lit_cut))
+    delta = sales_partials(silver_orders.filter(d >= lit_cut))
+    return daily_summary_from_partials(merge_partials(base, delta))

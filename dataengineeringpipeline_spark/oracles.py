@@ -4272,3 +4272,7 @@ ORDER BY est.event_type, est.p
 
 
 ORACLES.update(_quantile_sketch_oracles())
+
+# The IVM contract: the incrementally-maintained summary must equal the
+# full recompute EXACTLY, so its oracle IS the batch summary's SQL.
+ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
