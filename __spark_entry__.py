@@ -188,6 +188,7 @@ WINDOW_HEAD = [
     "streaming_value_quantiles",
     "cdc_order_snapshot",
     "incremental_daily_sales",
+    "streaming_cdc_snapshot",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -289,6 +290,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_gate": streaming.streaming_quality_gate,
         "streaming_ann_topk": streaming.streaming_ann_topk,
         "streaming_feature_store_latest": streaming.streaming_feature_store_latest,
+        # -- streaming CDC changelog apply (streaming face of cdc_apply) ----
+        "streaming_cdc_snapshot": streaming.streaming_cdc_snapshot,
         # -- streaming quantile sketch (mergeable percentile monitor) -------
         "streaming_value_quantiles": streaming.streaming_value_quantiles,
         # -- streaming categorical-mix drift (streaming face of

@@ -4276,3 +4276,7 @@ ORACLES.update(_quantile_sketch_oracles())
 # The IVM contract: the incrementally-maintained summary must equal the
 # full recompute EXACTLY, so its oracle IS the batch summary's SQL.
 ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
+
+# The streaming-CDC contract: the latest-change merge is associative, so
+# the drained snapshot must equal the batch apply — one shared oracle.
+ORACLES["streaming_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]

@@ -1907,3 +1907,153 @@ def streaming_feature_store_latest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+# -- streaming CDC changelog apply --------------------------------------------
+
+
+def stream_cdc_changes(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Exactly-once streaming consumption of a CDC changelog (the
+    streaming face of :func:`~dataengineeringpipeline_spark.scd.cdc_apply`):
+    each micro-batch collapses to its latest-per-key change rows —
+    tombstones included — and lands in a ``batch_id=<n>`` partition, so
+    a crash-replayed batch overwrites itself (the ``stream_cms_sketch``
+    layout).
+
+    No ordered drain is needed, unlike the dedup stream: "latest change
+    per key by ``(ts, *tiebreaks)``" is an ASSOCIATIVE merge, so batch
+    partials combine at read in any arrival interleaving and the result
+    is bit-identical to batch-applying the whole changelog at once.
+    State per batch is at most one row per key the batch touched —
+    intra-batch churn never persists, which is what keeps a hot-key
+    firehose (one key updated millions of times an hour) from bloating
+    the state at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_cdc_changes did not finish within {timeout_s}s")
+
+
+def read_cdc_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    state_dir: str,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The current latest-state table: the drained batch partials merged
+    onto ``snapshot`` with the SAME batch operator (``scd.cdc_apply``) —
+    one code path decides winner-per-key and tombstone semantics for
+    both faces, so they cannot drift."""
+    from ..scd import cdc_apply
+
+    changes = spark.read.parquet(state_dir).drop("batch_id")
+    return cdc_apply(
+        snapshot,
+        changes,
+        key_cols=list(key_cols),
+        ts_col=ts_col,
+        op_col=op_col,
+        tiebreak_cols=list(tiebreak_cols),
+    )
+
+
+def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the streaming twin of
+    ``scd.cdc_order_snapshot`` — the same pre-1999 order snapshot, the
+    same 2001+ shipment changelog, but the changelog ARRIVES as three
+    micro-batches (``order_key % 3``) through the exactly-once CDC
+    stream. Because the latest-change merge is associative, the drained
+    snapshot is bit-identical to the batch apply, and the oracle is the
+    batch arithmetic."""
+    import os
+    import tempfile
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    snapshot = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("last_change"),
+    )
+    changes = lineitem.filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2001-01-01").cast("date")
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.when(F.col("l_returnflag") == "R", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("SHIPPED-"), F.col("l_linestatus")).alias("status"),
+        F.col("l_extendedprice").alias("total_price"),
+        F.col("l_shipdate").cast("date").alias("last_change"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(changes, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, op string, status string, total_price double,"
+        " last_change date, line_number int"
+    )
+    stream_cdc_changes(
+        spark,
+        src,
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        ddl,
+        key_cols=("order_key",),
+        ts_col="last_change",
+        tiebreak_cols=("line_number",),
+    )
+    return read_cdc_snapshot(
+        spark,
+        snapshot,
+        f"{tmp}/state",
+        key_cols=("order_key",),
+        ts_col="last_change",
+        tiebreak_cols=("line_number",),
+    ).orderBy("order_key")

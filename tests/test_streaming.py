@@ -1002,3 +1002,82 @@ def test_streamed_ann_index_equals_batch_index(spark, sf_dir, tmp_path):
     shutil.copy(sorted(glob.glob(os.path.join(src, "*.parquet")))[0], replay_src)
     stream_ann_index(spark, replay_src, lake_s, "s1", str(tmp_path / "ckpt2"))
     assert lake_s.read(spark, "gold", "ann_s1_encoded").count() == emb.count()
+
+
+def test_stream_cdc_changes_crash_replay_and_batch_parity(spark, tmp_path):
+    """The streamed CDC snapshot equals the batch cdc_apply over the
+    same changelog, and a crash-replayed micro-batch (checkpoint commit
+    wiped, fresh-process restart) overwrites its own partition instead
+    of double-applying changes."""
+    import os
+    import subprocess
+    import sys
+
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(i, "OLD", float(i), "2020-01-01") for i in range(1, 21)],
+        "k long, status string, price double, ts string",
+    )
+    chg = spark.createDataFrame(
+        [
+            (k, "D" if k % 7 == 0 else "U", f"NEW{v}", float(10 * k + v),
+             f"2021-01-{v + 1:02d}", v)
+            for k in range(1, 31)
+            for v in range(3)
+        ],
+        "k long, op string, status string, price double, ts string, tb int",
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(chg, F.expr("k % 3"), src, 3)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    ddl = "k long, op string, status string, price double, ts string, tb int"
+    kw = dict(key_cols=("k",), ts_col="ts", tiebreak_cols=("tb",))
+    streaming.stream_cdc_changes(spark, src, state, ckpt, ddl, **kw)
+
+    got = sorted(
+        map(tuple, streaming.read_cdc_snapshot(spark, snap, state, **kw).collect())
+    )
+    want = sorted(
+        map(tuple, cdc_apply(snap, chg, ["k"], "ts", tiebreak_cols=["tb"]).collect())
+    )
+    assert got == want
+    assert all(r[1] == "NEW2" for r in got if r[0] <= 30)  # latest change won
+    assert not any(r[0] % 7 == 0 for r in got)  # tombstones applied
+
+    # state is batch-partitioned and intra-batch churn collapsed: ≤1 row
+    # per (batch, key)
+    per = spark.read.parquet(state).groupBy("batch_id", "k").count()
+    assert per.filter(F.col("count") > 1).count() == 0
+
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {repr(os.getcwd())})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+streaming.stream_cdc_changes(spark, {src!r}, {state!r}, {ckpt!r}, {ddl!r},
+                             key_cols=("k",), ts_col="ts", tiebreak_cols=("tb",))
+rows = streaming.read_cdc_snapshot(
+    spark,
+    spark.createDataFrame([(i, "OLD", float(i), "2020-01-01") for i in range(1, 21)],
+                          "k long, status string, price double, ts string"),
+    {state!r}, key_cols=("k",), ts_col="ts", tiebreak_cols=("tb",)).collect()
+print("REPLAY_ROWS", len(rows))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
+    assert int(line.split()[1]) == len(want)  # replay did not duplicate state
