@@ -40,6 +40,7 @@ from dataengineeringpipeline_spark.operators import classify as classify_ops
 from dataengineeringpipeline_spark.operators import corpus as corpus_ops
 from dataengineeringpipeline_spark.operators import decontam as decontam_ops
 from dataengineeringpipeline_spark.operators import dedup as dedup_ops
+from dataengineeringpipeline_spark.operators import graph as graph_ops
 from dataengineeringpipeline_spark.operators import layout as layout_ops
 from dataengineeringpipeline_spark.operators import linkage as linkage_ops
 from dataengineeringpipeline_spark.operators import mix as mix_ops
@@ -189,6 +190,7 @@ WINDOW_HEAD = [
     "cdc_order_snapshot",
     "incremental_daily_sales",
     "streaming_cdc_snapshot",
+    "item_pagerank",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -717,6 +719,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- event analytics near-duplicates --------------------------------
         "doc_fingerprints": lambda spark, sf: text_ops.fingerprint(_read(spark, sf, "documents")),
         "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
+        # -- link-graph analytics: PageRank over the item-transition graph --
+        "item_pagerank": lambda spark, sf: graph_ops.item_pagerank(
+            load_events(spark, sf)
+        ),
         "incremental_events": lambda spark, sf: ingest.incremental_events(
             load_events(spark, sf)
         ),

@@ -1,0 +1,189 @@
+"""Link-graph analytics: transition-edge derivation and PageRank.
+
+LLM data pipelines weight web documents by link-graph importance
+(PageRank over the crawl graph is the classic quality prior — Page et
+al. 1999; CommonCrawl's host-level ranks are the modern instance). The
+reference has no graph operator; this module supplies the Spark-first
+one: derive a weighted directed graph from an event stream (one window
++ one aggregation — the only data-sized work), then run power iteration
+as a fixed-depth chain of DataFrame joins over the EDGE table.
+
+Scale shape: the graph is aggregate-sized (|V| nodes, |E| weighted
+edges), not event-sized — transition counting collapses the fact table
+map-side before any iteration starts. Each PageRank iteration is one
+join of the rank vector (|V| rows) with the edge list plus one
+aggregation; at web scale both sides are huge but partition cleanly on
+node id, and the iteration count is a constant (default 5), so total
+cost is O(iters · |E|) regardless of corpus size.
+
+Determinism: a double SUM over shuffled rows is order-dependent, so
+rank mass entering a node is folded in SORTED source order
+(``aggregate(transform(array_sort(collect_list(...))))``) — the same
+IEEE addition sequence any engine reproduces (DuckDB:
+``list_reduce(list(... ORDER BY src))``), making PageRank — usually
+considered "approximately reproducible" — bit-exact oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def transition_edges(
+    events: DataFrame,
+    session_col: str,
+    item_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Weighted directed edges ``(src, dst, cnt)`` from consecutive
+    items within each session/user stream. The per-session ``lead``
+    window is the single data-sized shuffle; the count aggregation
+    collapses to |E| rows with map-side combine."""
+    w = Window.partitionBy(session_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        events.select(
+            F.col(item_col).alias("src"),
+            F.lead(item_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sorted_fold(pairs_col) -> F.Column:
+    """Deterministic double sum: fold contributions in ascending source
+    order — identical IEEE sequence in any engine."""
+    return F.aggregate(
+        F.transform(F.array_sort(pairs_col), lambda s: s["contrib"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over a weighted edge list by fixed-count power
+    iteration: ``(node, rank)``, ranks summing to 1.
+
+    Per iteration: rank mass flows along edges proportionally to edge
+    weight (``r_src · cnt / out_cnt``), dangling nodes' mass teleports
+    uniformly, and ``1-d`` teleports from everywhere — the standard
+    stochastic-matrix completion, so total mass is conserved and the
+    oracle can unroll the same arithmetic. The edge list and the node
+    set are computed once and reused across iterations (persist-free:
+    both are aggregate-sized plans Catalyst reuses via the shuffle
+    files); the rank vector is |V| rows, broadcast-joinable against
+    |E| at any scale.
+    """
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    ew = edges.join(out, "src")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dangling = nodes.join(
+        out.select(F.col("src").alias("node")), "node", "left_anti"
+    )
+    spark = edges.sparkSession
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(iterations):
+        # dangling mass this iteration — a 1-row scalar, folded in
+        # sorted node order so the double sum is deterministic
+        dmass = F.broadcast(
+            ranks.join(dangling, "node")
+            .agg(
+                F.coalesce(
+                    _sorted_fold(
+                        F.collect_list(
+                            F.struct(
+                                F.col("node").alias("src"),
+                                F.col("rank").alias("contrib"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias("dmass")
+            )
+        )
+        inflow = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    "src",
+                    (
+                        F.col("rank")
+                        * (
+                            F.col("cnt").cast("double")
+                            / F.col("out_cnt").cast("double")
+                        )
+                    ).alias("contrib"),
+                ).alias("pair"),
+            )
+            .groupBy("node")
+            .agg(_sorted_fold(F.collect_list("pair")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(n_nodes)
+            .crossJoin(dmass)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def item_pagerank(events: DataFrame, iterations: int = 5) -> DataFrame:
+    """Driver-contract query: PageRank over the item-transition graph of
+    the events stream — items are ``props.k``, edges are consecutive
+    items within a user's event sequence ordered by ``(ts_us,
+    event_id)``. Returns every item's rank with its degree profile,
+    ranked. Rank per-mille uses integer div so engines cannot disagree
+    on rounding."""
+    ev = events.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    edges = transition_edges(ev, "user_id", "item", ("ts_us", "event_id"))
+    ranks = pagerank(edges, iterations=iterations)
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_edges"), F.sum("cnt").alias("out_weight")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_edges")
+    )
+    return (
+        ranks.join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .select(
+            F.col("node").alias("item"),
+            # explicit floor: a bare long cast TRUNCATES in Spark but
+            # ROUNDS in DuckDB — the documented parity trap
+            F.floor(F.col("rank") * 1_000_000).alias("rank_ppm"),
+            F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+            F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+        )
+        .orderBy(F.col("rank_ppm").desc(), "item")
+    )

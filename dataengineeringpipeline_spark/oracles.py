@@ -4280,3 +4280,84 @@ ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
 # The streaming-CDC contract: the latest-change merge is associative, so
 # the drained snapshot must equal the batch apply — one shared oracle.
 ORACLES["streaming_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]
+
+
+def _graph_oracles() -> dict[str, str]:
+    """Twin of operators.graph.item_pagerank — the 5-iteration power
+    method UNROLLED into CTEs. Every floating sum is folded in sorted
+    source order on both sides (Spark ``aggregate(array_sort(...))``,
+    here ``list_reduce(list(... ORDER BY ...))``), so PageRank — usually
+    written off as only approximately reproducible — matches bit-exactly.
+    DuckDB's no-init list_reduce starts at x1 where Spark starts at
+    0.0 + x1; identical for finite doubles."""
+    d = "0.85"
+
+    def fold(expr: str, order: str) -> str:
+        return (
+            f"COALESCE(list_reduce(list({expr} ORDER BY {order}),"
+            " (a, b) -> a + b), 0.0)"
+        )
+
+    ctes: dict[str, str] = {
+        "ev": (
+            "SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,"
+            " event_id, CAST(props->>'k' AS BIGINT) AS item"
+            " FROM events WHERE props->>'k' IS NOT NULL"
+        ),
+        "seq": (
+            "SELECT item AS src, LEAD(item) OVER"
+            " (PARTITION BY user_id ORDER BY ts_us, event_id) AS dst FROM ev"
+        ),
+        "edges": (
+            "SELECT src, dst, COUNT(*) AS cnt FROM seq"
+            " WHERE dst IS NOT NULL GROUP BY src, dst"
+        ),
+        "outd": "SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt FROM edges GROUP BY src",
+        "ew": (
+            "SELECT e.src, e.dst, e.cnt, o.out_cnt"
+            " FROM edges e JOIN outd o ON e.src = o.src"
+        ),
+        "nodes": (
+            "SELECT DISTINCT node FROM"
+            " (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)"
+        ),
+        "dang": "SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outd)",
+        "nn": "SELECT COUNT(*) AS n_nodes FROM nodes",
+        "r0": "SELECT node, 1.0 / n_nodes AS rank FROM nodes, nn",
+    }
+    for i in range(1, 6):
+        p = f"r{i - 1}"
+        ctes[f"dm{i}"] = (
+            f"SELECT {fold('r.rank', 'r.node')} AS dmass"
+            f" FROM {p} r JOIN dang d ON r.node = d.node"
+        )
+        contrib = "(r.rank * (CAST(ew.cnt AS DOUBLE) / CAST(ew.out_cnt AS DOUBLE)))"
+        ctes[f"in{i}"] = (
+            f"SELECT ew.dst AS node, {fold(contrib, 'ew.src')} AS inflow"
+            f" FROM ew JOIN {p} r ON ew.src = r.node GROUP BY ew.dst"
+        )
+        ctes[f"r{i}"] = (
+            f"SELECT n.node, (1.0 - {d}) / nn.n_nodes"
+            f" + {d} * (COALESCE(i.inflow, 0.0) + dm.dmass / nn.n_nodes) AS rank"
+            f" FROM nodes n LEFT JOIN in{i} i ON n.node = i.node, nn, dm{i} dm"
+        )
+    ctes["od"] = (
+        "SELECT src AS node, COUNT(*) AS out_edges,"
+        " CAST(SUM(cnt) AS BIGINT) AS out_weight FROM edges GROUP BY src"
+    )
+    ctes["idg"] = "SELECT dst AS node, COUNT(*) AS in_edges FROM edges GROUP BY dst"
+    body = """
+SELECT r.node AS item,
+  CAST(floor(r.rank * 1000000) AS BIGINT) AS rank_ppm,
+  COALESCE(od.out_edges, 0) AS out_edges,
+  COALESCE(od.out_weight, 0) AS out_weight,
+  COALESCE(idg.in_edges, 0) AS in_edges
+FROM r5 r
+LEFT JOIN od ON r.node = od.node
+LEFT JOIN idg ON r.node = idg.node
+ORDER BY rank_ppm DESC, item
+""".strip()
+    return {"item_pagerank": _with(ctes, body)}
+
+
+ORACLES.update(_graph_oracles())
