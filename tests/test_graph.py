@@ -46,6 +46,23 @@ def test_pagerank_weighted_edges_split_proportionally(spark):
     )
 
 
+def test_pagerank_driver_and_distributed_paths_bit_identical(spark):
+    """Forcing the distributed path (driver_max_edges=0) must reproduce
+    the driver path bit-for-bit — both fold every floating sum in
+    ascending source order from a 0.0 seed."""
+    rows = [(i % 23, (i * 5 + 1) % 23, 1 + i % 4) for i in range(300)]
+    rows = [(a, b, c) for a, b, c in rows if a != b]
+    e = _edges(spark, rows)
+    drv = sorted(map(tuple, graph.pagerank(e, iterations=4).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            graph.pagerank(e, iterations=4, driver_max_edges=0).collect(),
+        )
+    )
+    assert drv == dist  # bitwise, not isclose
+
+
 def test_pagerank_deterministic_across_partitionings(spark):
     """Sorted-order folds make the double sums partition-invariant: the
     rank bits cannot move when the edge list arrives differently
