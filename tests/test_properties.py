@@ -407,3 +407,111 @@ def test_bpe_train_matches_python_model(spark, words):
         for m in bpe.bpe_train(docs, n_merges=4)
     ]
     assert got == model(words, 4)
+
+
+# -- CDC apply matches a python fold over any changelog ----------------------
+
+_cdc_snap = st.dictionaries(
+    st.integers(0, 9), st.integers(0, 99), min_size=0, max_size=6
+)
+_cdc_changes = st.lists(
+    st.tuples(
+        st.integers(0, 9),                     # key
+        st.sampled_from(["U", "D"]),           # op
+        st.integers(0, 99),                    # value
+        st.integers(0, 5),                     # ts
+        st.integers(0, 3),                     # tiebreak
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[3], t[4]),    # (key, ts, tb) total order
+)
+
+
+@given(_cdc_snap, _cdc_changes)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cdc_apply_matches_python_model_and_is_idempotent(spark, snap, changes):
+    """For ANY snapshot and changelog with a per-key total order:
+    cdc_apply == 'replay the log in order, keep last state, drop
+    tombstones', and re-applying the same batch is a no-op."""
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    snap_df = spark.createDataFrame(
+        [(k, v, -1, -1) for k, v in snap.items()], "k int, v int, ts int, tb int"
+    )
+    chg_df = spark.createDataFrame(
+        changes, "k int, op string, v int, ts int, tb int"
+    )
+    got = {
+        r["k"]: (r["v"], r["ts"], r["tb"])
+        for r in cdc_apply(
+            snap_df, chg_df, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]
+        ).collect()
+    }
+
+    want = {k: (v, -1, -1) for k, v in snap.items()}
+    for k, op, v, ts, tb in sorted(changes, key=lambda t: (t[3], t[4])):
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = (v, ts, tb)
+    assert got == want
+
+    again = {
+        r["k"]: (r["v"], r["ts"], r["tb"])
+        for r in cdc_apply(
+            cdc_apply(
+                snap_df, chg_df, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]
+            ),
+            chg_df,
+            ["k"],
+            "ts",
+            op_col="op",
+            tiebreak_cols=["tb"],
+        ).collect()
+    }
+    assert again == got
+
+
+# -- IVM: any split of the fact merges back to the full recompute ------------
+
+_ivm_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                       # date bucket
+        st.integers(0, 4),                       # customer
+        st.integers(1, 10_000),                  # price cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_ivm_rows, st.integers(0, 4))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ivm_merge_equals_full_recompute_for_any_split(spark, rows, cut):
+    """For ANY fact rows and ANY base/delta split point: partials(base)
+    ⊕ partials(delta) folded to the summary is BIT-identical to the
+    batch summary over the union — the IVM contract, including the
+    stddev's exact decimal sums."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import gold, ivm
+
+    def mk(rs):
+        return spark.createDataFrame(
+            [
+                (f"2024-01-{d + 1:02d}", c, cents / 100.0, True)
+                for d, c, cents in rs
+            ],
+            "order_date string, customer_key int, total_price double, is_complete_order boolean",
+        ).withColumn("order_date", F.col("order_date").cast("date"))
+
+    base = [r for r in rows if r[1] < cut]
+    delta = [r for r in rows if r[1] >= cut]
+    merged = ivm.merge_partials(
+        ivm.sales_partials(mk(base)) if base else ivm.sales_partials(mk(rows)).limit(0),
+        ivm.sales_partials(mk(delta)) if delta else ivm.sales_partials(mk(rows)).limit(0),
+    )
+    inc = ivm.daily_summary_from_partials(merged).collect()
+    full = gold.daily_sales_summary(mk(rows)).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
