@@ -191,6 +191,8 @@ WINDOW_HEAD = [
     "incremental_daily_sales",
     "streaming_cdc_snapshot",
     "item_pagerank",
+    "k_anon_release",
+    "k_anon_audit",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -722,6 +724,20 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- link-graph analytics: PageRank over the item-transition graph --
         "item_pagerank": lambda spark, sf: graph_ops.item_pagerank(
             load_events(spark, sf)
+        ),
+        # -- privacy: k-anonymous aggregate release + suppression audit -----
+        "k_anon_release": lambda spark, sf: quality.k_anonymous_release(
+            load_events(spark, sf),
+            ["event_date", "event_hour", "event_type"],
+            "user_id",
+            "value",
+            k=3,
+        ),
+        "k_anon_audit": lambda spark, sf: quality.k_anon_audit(
+            load_events(spark, sf),
+            ["event_date", "event_hour", "event_type"],
+            "user_id",
+            k=3,
         ),
         "incremental_events": lambda spark, sf: ingest.incremental_events(
             load_events(spark, sf)

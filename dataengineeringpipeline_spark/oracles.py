@@ -4361,3 +4361,34 @@ ORDER BY rank_ppm DESC, item
 
 
 ORACLES.update(_graph_oracles())
+
+
+def _privacy_oracles() -> dict[str, str]:
+    """Twins of quality.k_anonymous_release / k_anon_audit at k=3 over
+    (event_date, event_hour, event_type)."""
+    grp = f"""
+SELECT event_date, event_hour, event_type,
+  COUNT(DISTINCT user_id) AS n_individuals,
+  COUNT(*) AS n_rows,
+  {money_sum_sql('value')} AS total_value
+FROM ({EVENTS_BASE})
+GROUP BY event_date, event_hour, event_type
+""".strip()
+    release = f"""
+SELECT * FROM ({grp})
+WHERE n_individuals >= 3
+ORDER BY event_date, event_hour, event_type
+""".strip()
+    audit = f"""
+SELECT 3 AS k,
+  CAST(SUM(CASE WHEN n_individuals >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS released_groups,
+  CAST(SUM(CASE WHEN n_individuals < 3 THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_groups,
+  CAST(SUM(CASE WHEN n_individuals < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS suppressed_rows,
+  (CAST(SUM(CASE WHEN n_individuals < 3 THEN n_rows ELSE 0 END) AS BIGINT) * 1000)
+    // CAST(SUM(n_rows) AS BIGINT) AS suppressed_rows_pm
+FROM ({grp})
+""".strip()
+    return {"k_anon_release": release, "k_anon_audit": audit}
+
+
+ORACLES.update(_privacy_oracles())

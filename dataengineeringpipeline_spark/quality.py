@@ -584,3 +584,67 @@ def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
             "avg_len"
         ),
     ).orderBy("column_name")
+
+
+# -- privacy: k-anonymous aggregate release ----------------------------------
+
+
+def k_anonymous_release(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    measure_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Release aggregate rows ONLY for groups backed by at least ``k``
+    distinct individuals — the k-anonymity gate a privacy review applies
+    before publishing grouped statistics (suppressed cells never leave
+    the engine; pair with :func:`k_anon_audit` for the accounting and
+    ``Lake.purge_keys`` / PII redaction for the rest of the privacy
+    surface).
+
+    One aggregation over the fact: count/sum combine map-side; the
+    distinct-individual count is the usual two-phase expand. The ``>= k``
+    filter runs on the aggregate (group-cardinality rows), so the
+    release costs the same as the unguarded summary at any scale.
+    """
+    from .functions import money_sum
+
+    agg = df.groupBy(*group_cols).agg(
+        F.countDistinct(id_col).alias("n_individuals"),
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(measure_col, "total_value"),
+    )
+    return agg.filter(F.col("n_individuals") >= k).orderBy(*group_cols)
+
+
+def k_anon_audit(
+    df: DataFrame, group_cols: list[str], id_col: str, k: int = 5
+) -> DataFrame:
+    """The suppression accounting for :func:`k_anonymous_release`: one
+    row of (k, released/suppressed group counts, suppressed row mass in
+    per-mille) — the gauge that tells a data owner whether the chosen
+    grouping is publishable or needs coarsening. Integer per-mille, no
+    float division."""
+    g = df.groupBy(*group_cols).agg(
+        F.countDistinct(id_col).alias("n_individuals"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel = F.col("n_individuals") >= k
+    sums = g.agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("released_groups"),
+        F.sum(F.when(~rel, 1).otherwise(0)).alias("suppressed_groups"),
+        F.sum(F.when(~rel, F.col("n_rows")).otherwise(0)).alias("suppressed_rows"),
+        F.sum("n_rows").alias("_total_rows"),
+    )
+    return sums.select(
+        F.lit(k).alias("k"),
+        "released_groups",
+        "suppressed_groups",
+        "suppressed_rows",
+        # integer div: double-division + long cast would TRUNCATE here
+        # but ROUND in DuckDB — the documented parity trap
+        F.expr("(suppressed_rows * 1000) div _total_rows").alias(
+            "suppressed_rows_pm"
+        ),
+    )

@@ -408,3 +408,31 @@ def test_cdc_apply_idempotent_replay(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+# -- k-anonymity release gate ------------------------------------------------
+
+
+def test_k_anon_release_suppresses_small_groups(spark):
+    from dataengineeringpipeline_spark import quality
+
+    rows = (
+        # group 'big': 4 distinct users, 6 rows
+        [("big", u, 1.0) for u in (1, 2, 3, 4)]
+        + [("big", 1, 2.0), ("big", 2, 2.0)]
+        # group 'small': 2 distinct users (5 rows — row count must NOT
+        # rescue a group with too few individuals)
+        + [("small", 9, 1.0)] * 3
+        + [("small", 8, 1.0)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, user_id long, value double")
+    rel = quality.k_anonymous_release(df, ["g"], "user_id", "value", k=3).collect()
+    assert [r["g"] for r in rel] == ["big"]
+    assert rel[0]["n_individuals"] == 4 and rel[0]["n_rows"] == 6
+    assert rel[0]["total_value"] == 8.0
+
+    audit = quality.k_anon_audit(df, ["g"], "user_id", k=3).collect()[0]
+    assert audit["k"] == 3
+    assert audit["released_groups"] == 1 and audit["suppressed_groups"] == 1
+    assert audit["suppressed_rows"] == 5
+    assert audit["suppressed_rows_pm"] == 5 * 1000 // 11
