@@ -193,6 +193,7 @@ WINDOW_HEAD = [
     "item_pagerank",
     "k_anon_release",
     "k_anon_audit",
+    "lake_cdc_merged_snapshot",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -569,6 +570,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- delete propagation (opt-out purge + erasure-proof audit) --------
         "forget_users_report": lambda spark, sf: datalake.forget_users_report(spark, sf),
+        # -- lakehouse MERGE INTO: file-pruned physical CDC apply ------------
+        "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(
+            spark, sf
+        ),
         # -- ANALYZE-style catalog statistics (CBO surface) ------------------
         "table_stats_report": lambda spark, sf: quality.table_stats(
             _read(spark, sf, "orders")

@@ -4281,6 +4281,10 @@ ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
 # the drained snapshot must equal the batch apply — one shared oracle.
 ORACLES["streaming_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]
 
+# The lakehouse-MERGE contract: the physically merged table read back
+# must equal the logical batch apply — same oracle again.
+ORACLES["lake_cdc_merged_snapshot"] = ORACLES["cdc_order_snapshot"]
+
 
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power

@@ -806,3 +806,87 @@ def test_purge_keys_recovers_from_crashed_swap(spark, tmp_path):
     assert audit["rows_before"] == 50 and audit["rows_removed"] == 1
     assert sorted(os.listdir(str(tmp_path / "bronze"))) == ["t"]
     shutil.rmtree(str(tmp_path / "bronze"))
+
+
+def test_merge_changes_prunes_by_footer_envelope(spark, tmp_path):
+    """Lake MERGE INTO: a CDC batch touching one key range rewrites only
+    that range's file; the other files hard-link through byte-identical;
+    inserts of brand-new keys need no rewrite at all; the merged table
+    equals the logical cdc_apply."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"S{i % 7}", float(i)) for i in range(1000)],
+        "k long, status string, ts double",
+    )
+    lake.write(df.repartitionByRange(10, "k").sortWithinPartitions("k"), "silver", "t")
+    path = lake.path("silver", "t")
+
+    def state():
+        return {
+            f: (os.stat(os.path.join(path, f)).st_ino,
+                os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = state()
+    # batch: update 340, delete 341, insert 5000 (outside every envelope)
+    chg = spark.createDataFrame(
+        [
+            (340, "U", "UPD", 2000.0, 1),
+            (341, "D", "GONE", 2000.0, 1),
+            (5000, "U", "NEW", 2000.0, 1),
+        ],
+        "k long, op string, status string, ts double, tb int",
+    )
+    audit = lake.merge_changes(
+        spark, "silver", "t", chg, key_col="k", ts_col="ts", tiebreak_cols=("tb",)
+    )
+    assert audit["files_total"] == 10 and audit["files_rewritten"] == 1
+    assert audit["rows_before"] == 1000 and audit["rows_upserted"] == 2
+    assert audit["rows_after"] == 1000  # -1 delete +1 insert net zero; update in place
+
+    after = state()
+    untouched = set(before) & set(after)
+    assert len(untouched) == 9
+    for f in untouched:
+        assert before[f] == after[f]
+
+    got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cdc_apply(df, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_merge_changes_empty_batch_is_zero_io(spark, tmp_path):
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, ts double")
+    lake.write(df, "silver", "t")
+    path = lake.path("silver", "t")
+    before = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    chg = spark.createDataFrame([], "k long, op string, ts double")
+    audit = lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    assert audit["files_rewritten"] == 0 and audit["rows_after"] == 50
+    after = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert before == after
