@@ -2867,7 +2867,8 @@ ORDER BY customer_key, version
     )
     latest = (
         "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY order_key"
-        " ORDER BY last_change DESC, line_number DESC) AS rn FROM chg)"
+        " ORDER BY last_change DESC, line_number DESC, op DESC, status DESC,"
+        " total_price DESC) AS rn FROM chg)"
         " WHERE rn = 1"
     )
     cdc_body = """

@@ -159,7 +159,12 @@ def cdc_order_snapshot(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     each shipment upserting its order (status ``SHIPPED-<linestatus>``,
     price re-quoted to the line's extended price) and returned lines
     (``l_returnflag = 'R'``) tombstoning it. Latest shipment per order
-    wins, ties broken by line number — bit-deterministic."""
+    wins; the tiebreak chain extends through every payload column
+    because the synthetic data carries duplicate (order, ship date,
+    line number) rows with different payloads — ROW_NUMBER over a
+    non-total order is the classic cross-engine nondeterminism, caught
+    by the sf0.1 hostile probe. With the full chain, remaining ties are
+    bit-identical rows, so the winner is value-unique — deterministic."""
     snapshot = orders.filter(
         F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")
     ).select(
@@ -186,7 +191,7 @@ def cdc_order_snapshot(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         key_cols=["order_key"],
         ts_col="last_change",
         op_col="op",
-        tiebreak_cols=["line_number"],
+        tiebreak_cols=["line_number", "op", "status", "total_price"],
     ).orderBy("order_key")
 
 

@@ -2047,7 +2047,7 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ddl,
         key_cols=("order_key",),
         ts_col="last_change",
-        tiebreak_cols=("line_number",),
+        tiebreak_cols=("line_number", "op", "status", "total_price"),
     )
     return read_cdc_snapshot(
         spark,
@@ -2055,5 +2055,5 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tmp}/state",
         key_cols=("order_key",),
         ts_col="last_change",
-        tiebreak_cols=("line_number",),
+        tiebreak_cols=("line_number", "op", "status", "total_price"),
     ).orderBy("order_key")
