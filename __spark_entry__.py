@@ -49,6 +49,7 @@ from dataengineeringpipeline_spark.operators import sampling as sampling_ops
 from dataengineeringpipeline_spark.operators import search as search_ops
 from dataengineeringpipeline_spark.operators import similarity as sim_ops
 from dataengineeringpipeline_spark.operators import text as text_ops
+from dataengineeringpipeline_spark.operators import timeseries as ts_ops
 from dataengineeringpipeline_spark.datalake import load_events
 from dataengineeringpipeline_spark.oracles import ORACLES
 
@@ -194,6 +195,9 @@ WINDOW_HEAD = [
     "k_anon_release",
     "k_anon_audit",
     "lake_cdc_merged_snapshot",
+    "next_item_rules",
+    "gap_filled_daily_values",
+    "ewma_value_summary",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -728,6 +732,17 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched": lambda spark, sf: events_analytics.enrich_events(load_events(spark, sf)),
         # -- link-graph analytics: PageRank over the item-transition graph --
         "item_pagerank": lambda spark, sf: graph_ops.item_pagerank(
+            load_events(spark, sf)
+        ),
+        # -- association-rule mining: top-3 next items per source item ------
+        "next_item_rules": lambda spark, sf: graph_ops.next_item_rules(
+            load_events(spark, sf)
+        ),
+        # -- time-series shaping: calendar gap-fill + EWMA fold -------------
+        "gap_filled_daily_values": lambda spark, sf: ts_ops.gap_filled_daily_values(
+            load_events(spark, sf)
+        ),
+        "ewma_value_summary": lambda spark, sf: ts_ops.ewma_value_summary(
             load_events(spark, sf)
         ),
         # -- privacy: k-anonymous aggregate release + suppression audit -----

@@ -234,13 +234,9 @@ def item_pagerank(events: DataFrame, iterations: int = 5) -> DataFrame:
     event_id)``. Returns every item's rank with its degree profile,
     ranked. Rank per-mille uses integer div so engines cannot disagree
     on rounding."""
-    ev = events.select(
-        "user_id",
-        "ts_us",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).filter(F.col("item").isNotNull())
-    edges = transition_edges(ev, "user_id", "item", ("ts_us", "event_id"))
+    edges = transition_edges(
+        _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+    )
     ranks = pagerank(edges, iterations=iterations)
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_edges"), F.sum("cnt").alias("out_weight")
@@ -262,3 +258,58 @@ def item_pagerank(events: DataFrame, iterations: int = 5) -> DataFrame:
         )
         .orderBy(F.col("rank_ppm").desc(), "item")
     )
+
+
+def _item_stream(events: DataFrame) -> DataFrame:
+    """The (user, time, item) projection shared by the graph queries."""
+    return events.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).filter(F.col("item").isNotNull())
+
+
+def next_item_rules(events: DataFrame, top_n: int = 3) -> DataFrame:
+    """Association-rule mining over the item-transition graph: for each
+    source item, the ``top_n`` next items by transition count, with
+    support/confidence/lift — the classic next-item recommender /
+    market-basket readout. ``(src_item, next_item, cnt, out_cnt,
+    in_cnt, confidence, lift, rank)``.
+
+    Everything rides the edge aggregate: out-counts, in-counts, and the
+    1-row grand total are map-side-combined aggregations of edge rows,
+    and the per-source ranking window orders by INTEGER (cnt desc, dst)
+    — identical ordering to confidence (same denominator per source)
+    without comparing floats. Confidence and lift are each a fixed
+    two/three-operation IEEE tree on exact integer counts, so any
+    engine reproduces them bitwise.
+    """
+    from pyspark.sql.window import Window
+
+    edges = transition_edges(
+        _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+    )
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    inn = edges.groupBy("dst").agg(F.sum("cnt").alias("in_cnt"))
+    total = edges.agg(F.sum("cnt").alias("total_cnt"))
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    ranked = (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .join(out, "src")
+        .join(inn, "dst")
+        .crossJoin(F.broadcast(total))
+    )
+    conf = F.col("cnt").cast("double") / F.col("out_cnt").cast("double")
+    p_dst = F.col("in_cnt").cast("double") / F.col("total_cnt").cast("double")
+    return ranked.select(
+        F.col("src").alias("src_item"),
+        F.col("dst").alias("next_item"),
+        "cnt",
+        "out_cnt",
+        "in_cnt",
+        conf.alias("confidence"),
+        (conf / p_dst).alias("lift"),
+        "rank",
+    ).orderBy("src_item", "rank")

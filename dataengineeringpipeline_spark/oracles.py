@@ -4397,3 +4397,105 @@ FROM ({grp})
 
 
 ORACLES.update(_privacy_oracles())
+
+
+def _timeseries_oracles() -> dict[str, str]:
+    """Twins of operators.timeseries — calendar gap-fill with
+    carry-forward, and the EWMA fold (list_reduce starts from the first
+    element exactly as the Spark aggregate seeds with it)."""
+    daily = f"""
+SELECT event_type, event_date, COUNT(*) AS n_events,
+  {money_sum_sql('value')} AS daily_value
+FROM ({EVENTS_BASE}) GROUP BY event_type, event_date
+""".strip()
+    gap = _with(
+        {
+            "daily": daily,
+            "bounds": (
+                "SELECT event_type, MIN(event_date) AS d0, MAX(event_date) AS d1"
+                " FROM daily GROUP BY event_type"
+            ),
+            "spine": (
+                "SELECT event_type, CAST(unnest(generate_series(d0, d1,"
+                " INTERVAL 1 DAY)) AS DATE) AS event_date FROM bounds"
+            ),
+            "joined": (
+                "SELECT s.event_type, s.event_date, d.n_events,"
+                " d.daily_value AS observed_value"
+                " FROM spine s LEFT JOIN daily d"
+                " ON s.event_type = d.event_type AND s.event_date = d.event_date"
+            ),
+        },
+        """
+SELECT event_type, event_date,
+  observed_value IS NOT NULL AS is_observed,
+  COALESCE(n_events, 0) AS n_events,
+  last_value(observed_value IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY event_date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS daily_value
+FROM joined ORDER BY event_type, event_date
+""".strip(),
+    )
+    ewma = _with(
+        {
+            "daily": daily,
+            "series": (
+                "SELECT event_type, list(daily_value ORDER BY event_date) AS s,"
+                " COUNT(*) AS n_days, MIN(event_date) AS first_date,"
+                " MAX(event_date) AS last_date FROM daily GROUP BY event_type"
+            ),
+        },
+        """
+SELECT event_type, n_days, first_date, last_date,
+  s[len(s)] AS last_value,
+  list_reduce(s, (a, b) -> 0.25 * b + (1.0 - 0.25) * a) AS ewma_value
+FROM series ORDER BY event_type
+""".strip(),
+    )
+    return {"gap_filled_daily_values": gap, "ewma_value_summary": ewma}
+
+
+ORACLES.update(_timeseries_oracles())
+
+
+def _rules_mining_oracles() -> dict[str, str]:
+    """Twin of operators.graph.next_item_rules (top-3 next items)."""
+    ctes = {
+        "ev": (
+            "SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,"
+            " event_id, CAST(props->>'k' AS BIGINT) AS item"
+            " FROM events WHERE props->>'k' IS NOT NULL"
+        ),
+        "seq": (
+            "SELECT item AS src, LEAD(item) OVER"
+            " (PARTITION BY user_id ORDER BY ts_us, event_id) AS dst FROM ev"
+        ),
+        "edges": (
+            "SELECT src, dst, COUNT(*) AS cnt FROM seq"
+            " WHERE dst IS NOT NULL GROUP BY src, dst"
+        ),
+        "outd": "SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt FROM edges GROUP BY src",
+        "ind": "SELECT dst, CAST(SUM(cnt) AS BIGINT) AS in_cnt FROM edges GROUP BY dst",
+        "tot": "SELECT CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM edges",
+        "ranked": (
+            "SELECT * FROM (SELECT src, dst, cnt, ROW_NUMBER() OVER"
+            " (PARTITION BY src ORDER BY cnt DESC, dst) AS rank FROM edges)"
+            " WHERE rank <= 3"
+        ),
+    }
+    body = """
+SELECT r.src AS src_item, r.dst AS next_item, r.cnt, o.out_cnt, i.in_cnt,
+  CAST(r.cnt AS DOUBLE) / CAST(o.out_cnt AS DOUBLE) AS confidence,
+  (CAST(r.cnt AS DOUBLE) / CAST(o.out_cnt AS DOUBLE))
+    / (CAST(i.in_cnt AS DOUBLE) / CAST(t.total_cnt AS DOUBLE)) AS lift,
+  r.rank
+FROM ranked r
+JOIN outd o ON r.src = o.src
+JOIN ind i ON r.dst = i.dst
+CROSS JOIN tot t
+ORDER BY src_item, rank
+""".strip()
+    return {"next_item_rules": _with(ctes, body)}
+
+
+ORACLES.update(_rules_mining_oracles())
