@@ -287,8 +287,12 @@ def next_item_rules(events: DataFrame, top_n: int = 3) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    edges = transition_edges(
-        _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+    # four consumers (out/in/total/ranked) read the edge aggregate —
+    # persist so the fact-table window runs once, not four times
+    edges = tracked_persist(
+        transition_edges(
+            _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+        )
     )
     out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
     inn = edges.groupBy("dst").agg(F.sum("cnt").alias("in_cnt"))

@@ -70,6 +70,22 @@ PLAN_BOUNDS = {
     # advisor: per join one fact key-count agg + scalar dim count,
     # 1-row crossjoins broadcast; scans read only the join keys
     "join_strategy_advisor": (9, 3),
+    # CDC apply: batch latest-per-key window + union sort; the snapshot
+    # side must pass through a broadcast left_anti (never shuffle)
+    "cdc_order_snapshot": (3, 1),
+    # IVM: base/delta partials + merge re-agg + presentation sort; the
+    # date-split filters must reach the orders scan
+    "incremental_daily_sales": (4, 0),
+    # privacy gate: one grouped agg (+ distinct expand) + final shape
+    "k_anon_release": (3, 0),
+    "k_anon_audit": (3, 0),
+    # calendar spine join: daily agg + bounds agg + spine join (the
+    # calendar side broadcasts) + carry-forward window
+    "gap_filled_daily_values": (3, 1),
+    "ewma_value_summary": (3, 0),
+    # association rules off the PERSISTED edge aggregate: degree aggs +
+    # ranking window; 1-row total and dim sides broadcast
+    "next_item_rules": (7, 3),
 }
 
 
