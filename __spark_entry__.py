@@ -198,6 +198,7 @@ WINDOW_HEAD = [
     "next_item_rules",
     "gap_filled_daily_values",
     "ewma_value_summary",
+    "value_quartile_profile",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -619,6 +620,16 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- log-linear quantile sketch (bounded-state percentiles, with
         #    the exact-quantile gauge alongside) ----------------------------
         "value_quantile_sketch": lambda spark, sf: scale.quantile_sketch_report(
+            load_events(spark, sf).select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ),
+            "cents",
+            ("event_type",),
+        ),
+        # -- quartile-bucket profile: sketch edges broadcast back for a
+        #    map-only assignment (ANALYZE once, transform many) -------------
+        "value_quartile_profile": lambda spark, sf: scale.value_quartile_profile(
             load_events(spark, sf).select(
                 "event_type",
                 F.round(F.col("value") * 100).cast("long").alias("cents"),

@@ -4499,3 +4499,71 @@ ORDER BY src_item, rank
 
 
 ORACLES.update(_rules_mining_oracles())
+
+
+def _quartile_profile_oracle() -> dict[str, str]:
+    """Twin of scale.value_quartile_profile — quartile edges from the
+    log-linear sketch (same exact-integer bin/midpoint arithmetic as
+    _quantile_sketch_oracles, probed at 0.25/0.5/0.75), then a map-side
+    CASE assignment and integer per-mille shares."""
+    sub, sub_bits = 32, 5
+    binned = f"""
+SELECT event_type,
+  CASE WHEN v < {2 * sub} THEN CAST(v AS INT)
+       ELSE (CAST(length(bin(v)) AS INT) - 1 - {sub_bits + 1}) * {sub} + {2 * sub}
+            + CAST((v // (CAST(1 AS BIGINT) << (CAST(length(bin(v)) AS INT) - 1 - {sub_bits}))) - {sub} AS INT)
+  END AS bin
+FROM vals
+""".strip()
+    est_case = f"""
+  CASE WHEN bin < {2 * sub} THEN CAST(bin AS BIGINT)
+       ELSE CAST((bin - {2 * sub}) % {sub} + {sub} AS BIGINT)
+            * (CAST(1 AS BIGINT) << (CAST((bin - {2 * sub}) // {sub} AS INT) + 1))
+            + ((CAST(1 AS BIGINT) << (CAST((bin - {2 * sub}) // {sub} AS INT) + 1)) - 1) // 2
+  END
+""".strip()
+    ctes = {
+        "vals": "SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        "binned": binned,
+        "sk": "SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2",
+        "cum": (
+            "SELECT event_type, bin,"
+            " SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,"
+            " SUM(c) OVER (PARTITION BY event_type) AS n FROM sk"
+        ),
+        "probs": "SELECT * FROM (VALUES (0.25), (0.5), (0.75)) t(p)",
+        "hit": (
+            "SELECT event_type, p, MIN(bin) AS bin"
+            " FROM cum JOIN probs ON cum >= GREATEST(1, CEIL(p * n))"
+            " GROUP BY 1, 2"
+        ),
+        "est": f"SELECT event_type, p, {est_case} AS est FROM hit",
+        "edges": (
+            "SELECT event_type,"
+            " MAX(CASE WHEN p = 0.25 THEN est END) AS q1,"
+            " MAX(CASE WHEN p = 0.5 THEN est END) AS q2,"
+            " MAX(CASE WHEN p = 0.75 THEN est END) AS q3"
+            " FROM est GROUP BY event_type"
+        ),
+        "bucketed": (
+            "SELECT v.event_type, v.v,"
+            " CASE WHEN v.v <= e.q1 THEN 1 WHEN v.v <= e.q2 THEN 2"
+            " WHEN v.v <= e.q3 THEN 3 ELSE 4 END AS quartile"
+            " FROM vals v JOIN edges e ON v.event_type = e.event_type"
+        ),
+        "prof": (
+            "SELECT event_type, quartile, COUNT(*) AS n_rows,"
+            " MIN(v) AS min_v, MAX(v) AS max_v"
+            " FROM bucketed GROUP BY event_type, quartile"
+        ),
+    }
+    body = """
+SELECT event_type, quartile, n_rows,
+  (n_rows * 1000) // SUM(n_rows) OVER (PARTITION BY event_type) AS share_pm,
+  min_v, max_v
+FROM prof ORDER BY event_type, quartile
+""".strip()
+    return {"value_quartile_profile": _with(ctes, body)}
+
+
+ORACLES.update(_quartile_profile_oracle())

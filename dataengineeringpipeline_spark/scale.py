@@ -1101,3 +1101,68 @@ def quantile_sketch_report(
         )
         .orderBy(*gcols, "p")
     )
+
+
+def value_quartile_profile(
+    df: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Quartile-bucket profile via the quantile sketch — the "ANALYZE
+    once, transform many" application: Q1/Q2/Q3 edges come from the
+    ≤ ~1.9k-bin sketch (one aggregate-sized pass), broadcast back, and
+    every row is assigned its quartile with three comparisons — a
+    map-only transform no matter how large the fact table is. Spark's
+    own ``ntile`` would shuffle-sort EVERY row per group to hand out
+    the same labels. ``(group..., quartile, n_rows, share_pm, min_v,
+    max_v)``.
+
+    The bucket rule uses the sketch's integer midpoints (``v <= edge``),
+    so assignment is exact integer comparison — bucket populations are
+    approximate only in the DDSketch sense (edges within ~1.6% of the
+    true quantile), which the per-mille share column makes visible.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    named = df.select(*gcols, F.col(value_col).cast("long").alias("v"))
+    edges = (
+        quantile_sketch_estimates(
+            quantile_sketch(named, "v", tuple(gcols)), [0.25, 0.5, 0.75], tuple(gcols)
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.max(F.when(F.col("p") == 0.25, F.col("est"))).alias("q1"),
+            F.max(F.when(F.col("p") == 0.5, F.col("est"))).alias("q2"),
+            F.max(F.when(F.col("p") == 0.75, F.col("est"))).alias("q3"),
+        )
+    )
+    bucketed = named.join(F.broadcast(edges), gcols).select(
+        *gcols,
+        "v",
+        F.when(F.col("v") <= F.col("q1"), F.lit(1))
+        .when(F.col("v") <= F.col("q2"), F.lit(2))
+        .when(F.col("v") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("quartile"),
+    )
+    prof = bucketed.groupBy(*gcols, "quartile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols])
+    return prof.select(
+        *gcols,
+        "quartile",
+        "n_rows",
+        F.expr("n_rows * 1000").alias("_num"),
+        F.sum("n_rows").over(w).alias("_den"),
+        "min_v",
+        "max_v",
+    ).select(
+        *gcols,
+        "quartile",
+        "n_rows",
+        F.expr("_num div _den").alias("share_pm"),
+        "min_v",
+        "max_v",
+    ).orderBy(*gcols, "quartile")

@@ -114,3 +114,24 @@ def test_streaming_contract_matches_batch_estimates(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_value_quartile_profile_balances_buckets(spark):
+    """On a uniform integer stream every quartile holds ~250‰ (within
+    the sketch's ~1.6% edge error), buckets are exhaustive and ordered,
+    and min/max per bucket nest inside the edges."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import scale
+
+    df = spark.range(0, 40_000).select(
+        F.lit("t").alias("g"), (F.col("id") % 10_000).alias("v")
+    )
+    out = scale.value_quartile_profile(df, "v", ("g",)).collect()
+    assert [r["quartile"] for r in out] == [1, 2, 3, 4]
+    assert sum(r["n_rows"] for r in out) == 40_000
+    for r in out:
+        assert 220 <= r["share_pm"] <= 280
+    # buckets partition the domain: each min is the previous max + 1
+    for prev, nxt in zip(out, out[1:]):
+        assert nxt["min_v"] == prev["max_v"] + 1
