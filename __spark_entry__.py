@@ -199,6 +199,8 @@ WINDOW_HEAD = [
     "gap_filled_daily_values",
     "ewma_value_summary",
     "value_quartile_profile",
+    "monthly_sales_from_partials",
+    "streaming_daily_sales",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -694,6 +696,12 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_daily_sales": lambda spark, sf: ivm.incremental_daily_sales(
             _silver_orders(spark, sf)
         ),
+        # -- second granularity off the SAME partials (rollup hierarchy) ----
+        "monthly_sales_from_partials": lambda spark, sf: ivm.monthly_sales_from_partials(
+            _silver_orders(spark, sf)
+        ),
+        # -- streaming IVM: per-batch partials, merge-on-read ---------------
+        "streaming_daily_sales": streaming.streaming_daily_sales,
         "monthly_sales_summary": lambda spark, sf: gold.monthly_sales_summary(_silver_orders(spark, sf)),
         "sales_rollup": lambda spark, sf: gold.sales_rollup(_silver_orders(spark, sf)),
         "priority_performance": lambda spark, sf: gold.priority_performance(_silver_orders(spark, sf)),

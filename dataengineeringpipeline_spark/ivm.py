@@ -87,15 +87,12 @@ def sales_partials(silver_orders: DataFrame) -> DataFrame:
     )
 
 
-def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
-    """Combine two partials frames — the IVM merge step. Counter/sum
-    addition and min/max are the whole operation; decimal sums make the
-    addition exact, so merge order and partitioning cannot perturb the
-    result."""
+def reaggregate_partials(partials: DataFrame) -> DataFrame:
+    """Collapse any number of stacked partials rows back to one row per
+    grain — THE merge operation, shared by the batch two-frame merge and
+    the streaming merge-on-read (N batch partitions at once)."""
     return _canonical(
-        base.unionByName(delta)
-        .groupBy("order_date", "customer_key")
-        .agg(
+        partials.groupBy("order_date", "customer_key").agg(
             F.sum("cnt").alias("cnt"),
             F.sum("rev").alias("rev"),
             F.sum("rev_sq").alias("rev_sq"),
@@ -103,6 +100,14 @@ def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
             F.max("mx").alias("mx"),
         )
     )
+
+
+def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two partials frames — the IVM merge step. Counter/sum
+    addition and min/max are the whole operation; decimal sums make the
+    addition exact, so merge order and partitioning cannot perturb the
+    result."""
+    return reaggregate_partials(base.unionByName(delta))
 
 
 def daily_summary_from_partials(partials: DataFrame) -> DataFrame:
@@ -189,3 +194,61 @@ def incremental_daily_sales(
     base = sales_partials(silver_orders.filter(d < lit_cut))
     delta = sales_partials(silver_orders.filter(d >= lit_cut))
     return daily_summary_from_partials(merge_partials(base, delta))
+
+
+def monthly_summary_from_partials(partials: DataFrame) -> DataFrame:
+    """Second granularity off the SAME partials table — the
+    TimescaleDB-style continuous-aggregate hierarchy: because the grain
+    is (order_date, customer_key), the monthly rollup's
+    ``unique_customers`` is a distinct over grain rows, ``active_days``
+    a distinct over dates, and every sum re-folds the exact decimals —
+    the monthly summary never touches the fact table and still equals
+    ``gold.monthly_sales_summary`` bit-for-bit. One partials table,
+    every coarser rollup for free.
+    """
+    keyed = partials.select(
+        F.year("order_date").alias("order_year"),
+        F.month("order_date").alias("order_month"),
+        "order_date",
+        "customer_key",
+        "cnt",
+        "rev",
+    )
+    agg = keyed.groupBy("order_year", "order_month").agg(
+        F.sum("cnt").alias("total_orders"),
+        F.countDistinct("customer_key").alias("unique_customers"),
+        F.countDistinct("order_date").alias("active_days"),
+        F.sum("rev").alias("_rev"),
+    )
+    return agg.select(
+        "order_year",
+        "order_month",
+        "total_orders",
+        "unique_customers",
+        "active_days",
+        F.col("_rev").cast("double").alias("total_revenue"),
+        (F.col("_rev").cast("double") / F.col("total_orders")).alias(
+            "avg_order_value"
+        ),
+        F.to_date(
+            F.concat_ws(
+                "-",
+                F.col("order_year"),
+                F.lpad(F.col("order_month"), 2, "0"),
+                F.lit("01"),
+            )
+        ).alias("month_start"),
+    ).orderBy("order_year", "order_month")
+
+
+def monthly_sales_from_partials(silver_orders: DataFrame) -> DataFrame:
+    """Driver-contract query: the monthly summary read off the daily
+    partials (built through the same base/delta merge as
+    :func:`incremental_daily_sales`) — the oracle is the plain monthly
+    recompute, proving the partials hierarchy serves a second
+    granularity exactly."""
+    d = F.col("order_date")
+    lit_cut = F.lit("1998-06-01").cast("date")
+    base = sales_partials(silver_orders.filter(d < lit_cut))
+    delta = sales_partials(silver_orders.filter(d >= lit_cut))
+    return monthly_summary_from_partials(merge_partials(base, delta))

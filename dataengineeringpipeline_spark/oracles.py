@@ -4567,3 +4567,10 @@ FROM prof ORDER BY event_type, quartile
 
 
 ORACLES.update(_quartile_profile_oracle())
+
+
+# The IVM hierarchy contracts: the monthly rollup read off the daily
+# partials, and the STREAMED partials merged on read, must both equal
+# their plain full recomputes.
+ORACLES["monthly_sales_from_partials"] = ORACLES["monthly_sales_summary"]
+ORACLES["streaming_daily_sales"] = ORACLES["daily_sales_summary"]

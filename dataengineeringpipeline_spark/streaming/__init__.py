@@ -2057,3 +2057,78 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="last_change",
         tiebreak_cols=("line_number", "op", "status", "total_price"),
     ).orderBy("order_key")
+
+
+# -- streaming incremental view maintenance (IVM) -----------------------------
+
+
+def stream_sales_partials(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of the IVM partials (``ivm.sales_partials``): each
+    micro-batch of silver order rows collapses to its mergeable partial
+    aggregates and lands in a ``batch_id=<n>`` partition — the same
+    exactly-once-by-layout shape as the CMS/HLL/quantile/feature-store
+    streams, and because partials merge by EXACT decimal addition, the
+    merged-on-read summary is bit-identical to a batch recompute over
+    every row ever streamed. A crash-replayed batch overwrites itself.
+    """
+    from .. import ivm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivm.sales_partials(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_sales_partials did not finish within {timeout_s}s")
+
+
+def streaming_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream the silver orders backlog through
+    the IVM partials stream in three arrival batches and read the daily
+    summary off the merged batch partials. The oracle is the batch
+    ``daily_sales_summary`` SQL — streamed maintenance must equal the
+    full recompute bit-for-bit or the view is corrupt."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_date", "total_price", "is_complete_order"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ivm_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_date date,"
+        " total_price double, is_complete_order boolean"
+    )
+    stream_sales_partials(spark, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
+    merged = ivm.reaggregate_partials(
+        spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    )
+    return ivm.daily_summary_from_partials(merged)

@@ -90,3 +90,76 @@ def test_maintain_empty_delta_is_noop(spark, sf_dir, tmp_path):
     before = _file_state(lake.path("gold", "sales_partials"))
     assert ivm.maintain_sales_partials(lake, so.filter(F.lit(False))) == []
     assert _file_state(lake.path("gold", "sales_partials")) == before
+
+
+def test_monthly_from_partials_equals_full_recompute(spark, sf_dir):
+    so = _silver(spark, sf_dir)
+    inc = ivm.monthly_sales_from_partials(so).collect()
+    full = gold.monthly_sales_summary(so).collect()
+    # align columns: the batch summary carries the same names
+    cols = inc[0].__fields__
+    assert [tuple(r[c] for c in cols) for r in inc] == [
+        tuple(r[c] for c in cols) for r in full
+    ]
+
+
+def test_streaming_ivm_crash_replay(spark, sf_dir, tmp_path):
+    """A wiped checkpoint commit + fresh-process restart must not
+    double-count any partial (batch partition overwrites itself)."""
+    import os
+    import subprocess
+    import sys
+
+    from dataengineeringpipeline_spark import cleaning, streaming
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_date", "total_price", "is_complete_order"
+    )
+    src, state, ckpt = str(tmp_path / "in"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_date date,"
+        " total_price double, is_complete_order boolean"
+    )
+    streaming.stream_sales_partials(spark, src, state, ckpt, ddl)
+    want = sorted(
+        map(
+            tuple,
+            ivm.daily_summary_from_partials(
+                ivm.reaggregate_partials(spark.read.parquet(state).drop("batch_id"))
+            ).collect(),
+        )
+    )
+    batch = sorted(map(tuple, gold.daily_sales_summary(silver).collect()))
+    assert want == batch
+
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import ivm, streaming
+streaming.stream_sales_partials(spark, {src!r}, {state!r}, {ckpt!r}, {ddl!r})
+rows = ivm.daily_summary_from_partials(
+    ivm.reaggregate_partials(spark.read.parquet({state!r}).drop("batch_id"))).collect()
+print("REPLAY_SUM", sum(r["total_orders"] for r in rows))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_SUM"))
+    total = sum(r[1] for r in want)  # total_orders is column 2 of the summary
+    assert int(line.split()[1]) == total
