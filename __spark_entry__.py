@@ -201,6 +201,7 @@ WINDOW_HEAD = [
     "value_quartile_profile",
     "monthly_sales_from_partials",
     "streaming_daily_sales",
+    "stats_drift_report",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -763,6 +764,15 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ewma_value_summary": lambda spark, sf: ts_ops.ewma_value_summary(
             load_events(spark, sf)
+        ),
+        # -- ANALYZE-to-ANALYZE drift between two snapshots ------------------
+        "stats_drift_report": lambda spark, sf: quality.stats_drift(
+            _orders(spark, sf).filter(
+                F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")
+            ),
+            _orders(spark, sf).filter(
+                F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+            ),
         ),
         # -- privacy: k-anonymous aggregate release + suppression audit -----
         "k_anon_release": lambda spark, sf: quality.k_anonymous_release(

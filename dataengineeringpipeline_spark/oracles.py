@@ -4574,3 +4574,64 @@ ORACLES.update(_quartile_profile_oracle())
 # their plain full recomputes.
 ORACLES["monthly_sales_from_partials"] = ORACLES["monthly_sales_summary"]
 ORACLES["streaming_daily_sales"] = ORACLES["daily_sales_summary"]
+
+
+def _stats_drift_oracle() -> dict[str, str]:
+    """Twin of quality.stats_drift on orders split at 1997-01-01 —
+    reuses the table_stats arithmetic over two filtered relations."""
+    specs = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+
+    def stats_sub(rel: str) -> str:
+        blocks = []
+        for c, kind in specs:
+            if kind == "num":
+                mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+                mns = mxs = "CAST(NULL AS VARCHAR)"
+            elif kind == "ts":
+                mn = f"CAST(epoch_us(CAST(MIN({c}) AS TIMESTAMP)) AS DOUBLE)"
+                mx = f"CAST(epoch_us(CAST(MAX({c}) AS TIMESTAMP)) AS DOUBLE)"
+                mns = mxs = "CAST(NULL AS VARCHAR)"
+            else:
+                mn = mx = "CAST(NULL AS DOUBLE)"
+                mns, mxs = f"MIN({c})", f"MAX({c})"
+            blocks.append(
+                f"SELECT '{c}' AS column_name, CAST(COUNT({c}) AS BIGINT) AS non_null,\n"
+                f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv, {mn} AS min_num,"
+                f" {mx} AS max_num, {mns} AS min_str, {mxs} AS max_str FROM {rel}"
+            )
+        u = "\nUNION ALL\n".join(blocks)
+        return (
+            f"SELECT column_name, t.n_rows, CAST(t.n_rows - non_null AS BIGINT) AS nulls,"
+            f" ndv, min_num, max_num, min_str, max_str\n"
+            f"FROM ({u}) u, (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM {rel}) t"
+        )
+
+    ctes = {
+        "old_src": "SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'",
+        "new_src": "SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'",
+        "olds": stats_sub("old_src"),
+        "news": stats_sub("new_src"),
+    }
+    body = """
+SELECT o.column_name,
+  o.n_rows AS old_rows, n.n_rows AS new_rows,
+  CASE WHEN o.n_rows > 0 THEN (n.n_rows * 1000) // o.n_rows END AS rows_ratio_pm,
+  CASE WHEN o.n_rows > 0 THEN (o.nulls * 1000) // o.n_rows END AS null_pm_old,
+  CASE WHEN n.n_rows > 0 THEN (n.nulls * 1000) // n.n_rows END AS null_pm_new,
+  CASE WHEN o.ndv > 0 THEN (n.ndv * 1000) // o.ndv END AS ndv_ratio_pm,
+  COALESCE(n.min_num < o.min_num, FALSE) OR COALESCE(n.min_str < o.min_str, FALSE) AS min_widened,
+  COALESCE(n.max_num > o.max_num, FALSE) OR COALESCE(n.max_str > o.max_str, FALSE) AS max_widened
+FROM olds o JOIN news n ON o.column_name = n.column_name
+ORDER BY o.column_name
+""".strip()
+    return {"stats_drift_report": _with(ctes, body)}
+
+
+ORACLES.update(_stats_drift_oracle())

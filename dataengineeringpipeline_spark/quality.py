@@ -648,3 +648,58 @@ def k_anon_audit(
             "suppressed_rows_pm"
         ),
     )
+
+
+def stats_drift(old_df: DataFrame, new_df: DataFrame, exact: bool = True) -> DataFrame:
+    """ANALYZE-to-ANALYZE drift: per column, how the new snapshot's
+    catalog statistics moved against the old — row-count ratio, null
+    rate shift, distinct-count ratio (all integer per-mille), and
+    whether the value range widened at either end. The schema-evolution
+    and distribution-shift gauge a nightly snapshot diff publishes,
+    computed entirely from two :func:`table_stats` outputs —
+    metadata-sized rows, never the facts — so at 100 TB the comparison
+    costs two ANALYZE passes that were likely already running.
+
+    Ratio guards: a per-mille is NULL when its denominator is 0 (empty
+    old snapshot / all-null column) rather than a misleading 0.
+    """
+    old = table_stats(old_df, exact=exact).select(
+        "column_name",
+        *[
+            F.col(c).alias(f"old_{c}")
+            for c in ("rows", "nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
+        ],
+    )
+    new = table_stats(new_df, exact=exact).select(
+        "column_name",
+        *[
+            F.col(c).alias(f"new_{c}")
+            for c in ("rows", "nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
+        ],
+    )
+    j = old.join(new, "column_name")
+    widen_low = F.coalesce(
+        F.col("new_min_num") < F.col("old_min_num"), F.lit(False)
+    ) | F.coalesce(F.col("new_min_str") < F.col("old_min_str"), F.lit(False))
+    widen_high = F.coalesce(
+        F.col("new_max_num") > F.col("old_max_num"), F.lit(False)
+    ) | F.coalesce(F.col("new_max_str") > F.col("old_max_str"), F.lit(False))
+    return j.select(
+        "column_name",
+        "old_rows",
+        "new_rows",
+        F.expr(
+            "CASE WHEN old_rows > 0 THEN (new_rows * 1000) div old_rows END"
+        ).alias("rows_ratio_pm"),
+        F.expr(
+            "CASE WHEN old_rows > 0 THEN (old_nulls * 1000) div old_rows END"
+        ).alias("null_pm_old"),
+        F.expr(
+            "CASE WHEN new_rows > 0 THEN (new_nulls * 1000) div new_rows END"
+        ).alias("null_pm_new"),
+        F.expr(
+            "CASE WHEN old_ndv > 0 THEN (new_ndv * 1000) div old_ndv END"
+        ).alias("ndv_ratio_pm"),
+        widen_low.alias("min_widened"),
+        widen_high.alias("max_widened"),
+    ).orderBy("column_name")

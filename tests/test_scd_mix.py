@@ -436,3 +436,33 @@ def test_k_anon_release_suppresses_small_groups(spark):
     assert audit["released_groups"] == 1 and audit["suppressed_groups"] == 1
     assert audit["suppressed_rows"] == 5
     assert audit["suppressed_rows_pm"] == 5 * 1000 // 11
+
+
+def test_stats_drift_flags_planted_shifts(spark):
+    from dataengineeringpipeline_spark import quality
+
+    old = spark.createDataFrame(
+        [(i, float(i % 50), "A") for i in range(100)],
+        "k long, v double, s string",
+    )
+    # new: half the rows, nulls introduced in v, wider v range, new max s
+    new = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else float(i * 7 % 300), "B") for i in range(50)],
+        "k long, v double, s string",
+    )
+    d = {r["column_name"]: r for r in quality.stats_drift(old, new).collect()}
+    assert d["k"]["rows_ratio_pm"] == 500
+    assert d["v"]["null_pm_old"] == 0 and d["v"]["null_pm_new"] == 200
+    assert d["v"]["max_widened"] and not d["v"]["min_widened"]
+    assert d["s"]["max_widened"] and not d["s"]["min_widened"]  # 'B' > 'A'
+    assert d["k"]["ndv_ratio_pm"] == 500
+
+
+def test_stats_drift_empty_old_gives_null_ratios(spark):
+    from dataengineeringpipeline_spark import quality
+
+    old = spark.createDataFrame([], "k long")
+    new = spark.createDataFrame([(1,), (2,)], "k long")
+    r = quality.stats_drift(old, new).collect()[0]
+    assert r["rows_ratio_pm"] is None and r["ndv_ratio_pm"] is None
+    assert r["null_pm_new"] == 0
