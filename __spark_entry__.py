@@ -202,6 +202,7 @@ WINDOW_HEAD = [
     "monthly_sales_from_partials",
     "streaming_daily_sales",
     "stats_drift_report",
+    "eval_sample_picks",
     # (b) queries whose operator code changed this round (re-prove):
     #     file-pruned purge_keys, single-drain ordered dedup/ANN
     #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
@@ -476,6 +477,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "chunk_idx"),
         # -- deterministic stratified sampling (training-set rebalancing) ---
         "quality_sample_summary": lambda spark, sf: sampling_ops.quality_sample_summary(
+            _read(spark, sf, "documents")
+        ),
+        # -- exact-k per-source eval sample (deterministic picks) -----------
+        "eval_sample_picks": lambda spark, sf: sampling_ops.eval_sample_picks(
             _read(spark, sf, "documents")
         ),
         "stratified_sample_summary": lambda spark, sf: sampling_ops.stratified_sample_summary(

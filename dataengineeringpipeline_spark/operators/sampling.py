@@ -290,3 +290,47 @@ def quality_sample_summary(docs: DataFrame) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def fixed_k_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer only if the group is
+    smaller), picked deterministically: rows are ranked inside each
+    group by an integer hash of their key (ties broken by the key
+    itself) and the first ``k`` win. The eval-set constructor — "1000
+    docs per source, same 1000 on every run, any cluster, any engine"
+    — where rate-based sampling (:func:`stratified_sample`) can only
+    promise a proportion.
+
+    The hash is the same integer-arithmetic per-mille family as
+    :func:`per_mille_bucket` widened to a large prime, so a SQL oracle
+    reproduces the pick bit-for-bit. One window shuffle on the group
+    key; at warehouse scale pre-prune with a hash threshold
+    (``h < c·k/|group|·P``) before the exact window when k ≪ group
+    size, so the sort sees a k-proportional slice instead of the
+    whole group.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(key_col)
+    h = F.pmod(
+        F.pmod(c, F.lit(1_000_003)) * F.lit(2_654_435_761),
+        F.lit(1_000_000_007),
+    )
+    w = Window.partitionBy(group_col).orderBy(h.alias("h"), c)
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= k)
+    )
+
+
+def eval_sample_picks(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Driver-contract query: the deterministic per-source eval sample
+    — exactly ``k`` doc_ids per source, stable across runs, engines,
+    and partitionings. ``(source, doc_id, pick_rank)``."""
+    return (
+        fixed_k_sample(docs.select("source", "doc_id"), "source", "doc_id", k)
+        .select("source", "doc_id", "pick_rank")
+        .orderBy("source", "pick_rank")
+    )

@@ -4635,3 +4635,22 @@ ORDER BY o.column_name
 
 
 ORACLES.update(_stats_drift_oracle())
+
+
+def _fixed_k_sample_oracle() -> dict[str, str]:
+    """Twin of sampling.eval_sample_picks (k=20): same integer hash,
+    same (hash, key) ordering."""
+    h = "((doc_id % 1000003) * 2654435761) % 1000000007"
+    return {
+        "eval_sample_picks": f"""
+SELECT source, doc_id, pick_rank FROM (
+  SELECT source, doc_id, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY {h}, doc_id) AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 20
+ORDER BY source, pick_rank
+""".strip()
+    }
+
+
+ORACLES.update(_fixed_k_sample_oracle())

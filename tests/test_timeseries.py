@@ -83,3 +83,24 @@ def test_next_item_rules_confidence_and_lift(spark):
     assert r["rank"] == 1
     assert out[(7, 9)]["rank"] == 2
     assert out[(8, 7)]["confidence"] == 1.0
+
+
+def test_fixed_k_sample_exact_k_and_partition_invariant(spark):
+    from dataengineeringpipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(300)], "source string, doc_id long"
+    )
+    a = sampling.fixed_k_sample(df.repartition(1), "source", "doc_id", 10)
+    b = sampling.fixed_k_sample(df.repartition(13, "doc_id"), "source", "doc_id", 10)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # deterministic picks regardless of partitioning
+    per = {}
+    for s, d, r in ra:
+        per.setdefault(s, []).append(r)
+    assert all(sorted(v) == list(range(1, 11)) for v in per.values())
+
+    # groups smaller than k return the whole group
+    small = spark.createDataFrame([("x", 1), ("x", 2)], "source string, doc_id long")
+    assert sampling.fixed_k_sample(small, "source", "doc_id", 10).count() == 2
