@@ -86,6 +86,15 @@ PLAN_BOUNDS = {
     # association rules off the PERSISTED edge aggregate: degree aggs +
     # ranking window; 1-row total and dim sides broadcast
     "next_item_rules": (7, 3),
+    # exact-k eval sample: one pick window + presentation sort; the scan
+    # reads only (source, doc_id)
+    "eval_sample_picks": (2, 0),
+    # two ANALYZE passes (each: distinct agg alone + plain agg +
+    # broadcast 1×1), column_name join broadcast
+    "stats_drift_report": (6, 3),
+    # monthly rollup off merged partials: base/delta partials + merge +
+    # distinct-bearing month agg + presentation sort
+    "monthly_sales_from_partials": (5, 0),
 }
 
 
