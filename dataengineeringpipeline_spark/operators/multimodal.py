@@ -131,10 +131,57 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _mulaw_compress(samples) -> "np.ndarray":
+    """G.711 μ-law compression of int16 samples to uint8 codes — the
+    public ITU telephony codec, pure integer arithmetic (segment = top
+    set bit of the biased magnitude, 4-bit mantissa, complemented on the
+    wire). The first COMPRESSED audio format in the codec set."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # segment 0..7: biased-magnitude bit length minus 8 (seg s starts
+    # where the magnitude needs bit 7+s)
+    seg = np.zeros_like(mag)
+    for s in range(1, 8):
+        seg = np.where(mag >= (0x80 << s), s, seg)
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_expand(codes) -> "np.ndarray":
+    """Inverse of :func:`_mulaw_compress`: uint8 μ-law codes to int16
+    codebook samples. Codebook points are FIXED POINTS of the
+    compress∘expand pair (tested for all 256 codes), which is what lets
+    the decode-report oracle predict μ-law payload contents exactly."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    seg = (u >> 4) & 7
+    mag = (((u & 0x0F) << 3) + 0x84) << seg
+    val = mag - 0x84
+    return np.where(u & 0x80, -val, val).astype(np.int16)
+
+
+def encode_wav_mulaw(samples, sample_rate: int = 8000) -> bytes:
+    """Mono μ-law (G.711) WAV writer — RIFF format code 7, 8 bits per
+    sample: the int16 input is μ-law-compressed to one byte per sample
+    (2× smaller than PCM; the compression IS lossy — feed codebook
+    values for an exact round trip)."""
+    import struct
+
+    data = _mulaw_compress(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
-    """Decode a 16-bit PCM mono WAV into ``(int16 samples, sample_rate)``.
-    Raises ``NotImplementedError`` for compressed / multi-channel /
-    other-bit-depth variants."""
+    """Decode a mono WAV — 16-bit PCM or 8-bit μ-law (G.711) — into
+    ``(int16 samples, sample_rate)``. Raises ``NotImplementedError``
+    for other compression codes / multi-channel / other bit depths."""
     import struct
 
     import numpy as np
@@ -152,12 +199,17 @@ def decode_wav(payload: bytes):
             if fmt is None:
                 raise NotImplementedError("WAV data chunk before fmt chunk")
             audio_format, channels, rate, _, _, bits = fmt
-            if audio_format != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only PCM mono 16-bit WAV supported (fmt={fmt})"
+            if audio_format == 1 and channels == 1 and bits == 16:
+                data = np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=pos + 8
                 )
-            data = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
-            return data, rate
+                return data, rate
+            if audio_format == 7 and channels == 1 and bits == 8:
+                codes = np.frombuffer(payload, dtype=np.uint8, count=size, offset=pos + 8)
+                return _mulaw_expand(codes), rate
+            raise NotImplementedError(
+                f"only PCM-16 or mu-law mono WAV supported (fmt={fmt})"
+            )
         pos += 8 + size + (size & 1)
     raise NotImplementedError("WAV payload has no data chunk")
 
@@ -369,8 +421,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
       ``doc_id % 4 == 0`` and BMP otherwise (same pixels either way,
       so decoded features are container-independent and the oracle
       needs no container awareness)
-    - audio: ``n=64+doc_id%32`` samples at 8 kHz, sample ``i`` =
-      ``((doc_id*7 + i*13) % 512 - 256) * 64``
+    - audio: ``n=64+doc_id%32`` samples at 8 kHz, sample ``i`` = the
+      μ-law EXPANSION of code ``(doc_id*7 + i*13) % 256`` — codebook
+      fixed points, so the lossy μ-law container round-trips them
+      exactly — containerized as μ-law (G.711) WAV when
+      ``doc_id % 4 == 1`` and 16-bit PCM WAV otherwise (same sample
+      values either way, mirroring the PNG/BMP pair: decoded features
+      are container-independent and the oracle needs only the
+      expansion arithmetic)
 
     Encoding runs as an Arrow-batched ``mapInPandas`` — the same shape a
     production ingest uses to wrap raw arrays into container bytes.
@@ -392,8 +450,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     modalities.append("image")
                 else:
                     n = 64 + d % 32
-                    samples = ((d * 7 + np.arange(n) * 13) % 512 - 256) * 64
-                    payloads.append(encode_wav(samples.astype(np.int16), WAV_RATE))
+                    codes = ((d * 7 + np.arange(n) * 13) % 256).astype(np.uint8)
+                    samples = _mulaw_expand(codes)
+                    payloads.append(
+                        encode_wav_mulaw(samples, WAV_RATE)
+                        if d % 4 == 1
+                        else encode_wav(samples, WAV_RATE)
+                    )
                     modalities.append("audio")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "modality": modalities, "payload": payloads}

@@ -2243,13 +2243,20 @@ img AS (
   FROM s WHERE d % 2 = 0
 ),
 aud AS (
+  -- samples are mu-law codebook fixed points: expand(code) with
+  -- code = (d*7 + i*13) % 256, u = ~code & 0xFF, seg/mantissa per
+  -- G.711 — exact integer arithmetic, container-independent (PCM and
+  -- mu-law WAV carry the same values)
   SELECT d AS doc_id, 'audio' AS modality,
     CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
     8000 AS sample_rate, CAST(64 + d % 32 AS BIGINT) AS n_samples,
     CAST(64 + d % 32 AS DOUBLE) / 8000 AS duration_s,
-    CAST(list_aggregate(list_transform(range(0, 64 + d % 32),
-      i -> ((d * 7 + i * 13) % 512 - 256) * 64), 'sum') AS DOUBLE)
-      / (64 + d % 32) AS mean_value
+    CAST(list_aggregate(list_transform(
+      list_transform(range(0, 64 + d % 32), i -> 255 - (d * 7 + i * 13) % 256),
+      u -> CASE WHEN u >= 128
+        THEN -((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+        ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132 END
+    ), 'sum') AS DOUBLE) / (64 + d % 32) AS mean_value
   FROM s WHERE d % 2 = 1
 )
 SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id

@@ -512,7 +512,14 @@ def test_decoded_media_features_roundtrip(spark, sf_dir):
             n = 64 + d % 32
             assert (r["sample_rate"], r["n_samples"]) == (8000, n)
             assert r["duration_s"] == n / 8000
-            expect = sum(((d * 7 + i * 13) % 512 - 256) * 64 for i in range(n)) / n
+            # samples are mu-law codebook expansions of the code stream
+            # (independent python model of the expansion arithmetic)
+            def expand(code: int) -> int:
+                u = ~code & 0xFF
+                mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+                return -mag if u & 0x80 else mag
+
+            expect = sum(expand((d * 7 + i * 13) % 256) for i in range(n)) / n
             assert r["mean_value"] == expect
             assert r["width"] is None and r["height"] is None
 
@@ -587,3 +594,32 @@ def test_critical_path_tolerates_partial_runs_and_ties():
     from dataengineeringpipeline_spark.orchestrator import Pipeline as P2
 
     assert critical_path(P2(), {"durations": {}})["path"] == []
+
+
+def test_mulaw_codec_properties():
+    """G.711 mu-law: codebook values are value-level fixed points for
+    all 256 codes (byte-level for all but the negative-zero code 127,
+    which canonicalizes to 255 — both decode to 0), quantization error
+    is bounded by half the top-segment step, and the mu-law WAV
+    container round-trips codebook samples exactly."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators import multimodal as mm
+
+    codes = np.arange(256, dtype=np.uint8)
+    ex = mm._mulaw_expand(codes)
+    rt = mm._mulaw_compress(ex)
+    assert np.array_equal(mm._mulaw_expand(rt), ex)  # value-level fixed
+    mism = np.where(rt != codes)[0]
+    assert list(mism) == [127] and ex[127] == 0 and rt[127] == 255
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int16)
+    q = mm._mulaw_expand(mm._mulaw_compress(x))
+    err = np.abs(q.astype(np.int64) - np.clip(x, -32635, 32635).astype(np.int64))
+    assert err.max() <= 512  # half of the 1024-wide top-segment bucket
+
+    s = mm._mulaw_expand(((np.arange(70) * 13 + 21) % 256).astype(np.uint8))
+    d, rate = mm.decode_wav(mm.encode_wav_mulaw(s, 8000))
+    assert rate == 8000 and np.array_equal(d, s)
+    # mu-law payload is half the PCM size (plus fixed header delta)
+    assert len(mm.encode_wav_mulaw(s)) < len(mm.encode_wav(s)) - 50
