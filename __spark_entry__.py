@@ -183,68 +183,19 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle-checked every round by tests/test_oracle_parity.py, which runs
 #: ALL entries.
 WINDOW_HEAD = [
+    # ===== r07 window =====
     # (a) NEW this round (never driver-checked)
-    "advisor_from_stats",
-    "streaming_feature_store_latest",
-    "value_quantile_sketch",
-    "streaming_value_quantiles",
-    "cdc_order_snapshot",
-    "incremental_daily_sales",
-    "streaming_cdc_snapshot",
-    "item_pagerank",
-    "k_anon_release",
-    "k_anon_audit",
-    "lake_cdc_merged_snapshot",
-    "next_item_rules",
-    "gap_filled_daily_values",
-    "ewma_value_summary",
+    # (b) re-prove: oracle fixed (value_quartile_profile — the one red
+    #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
+    #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
+    #     bucketed fold)
     "value_quartile_profile",
-    "monthly_sales_from_partials",
-    "streaming_daily_sales",
-    "stats_drift_report",
     "eval_sample_picks",
-    # (b) queries whose operator code changed this round (re-prove):
-    #     file-pruned purge_keys, single-drain ordered dedup/ANN
-    #     harnesses, parallel quality-gate sinks, guarded top_key_pm,
-    #     zorder_keyed helper-column drop, PNG-containerized synthesis
-    "forget_users_report",
-    "streaming_incremental_dedup",
-    "streaming_ann_topk",
-    "streaming_quality_gate",
-    "join_strategy_advisor",
-    "layout_pruning_report",
-    "multimodal_decode_report",
-    # (c) the r04-checked retrieval/classifier/linkage block (oldest
-    #     checks on files earlier rounds touched — the rotation-policy
-    #     block VERDICT r05 item 5 names)
-    "lexical_search_topk",
-    "hybrid_search_topk",
-    "rag_context_stats",
-    "classifier_quality_summary",
-    "classifier_calibration",
-    "fuzzy_part_matches",
-    "entity_resolution_report",
-    # (d) r03 block, files touched this round first (dedup via the
-    #     match_increment order_col extension; multimodal beside the
-    #     PNG codec; featurestore beside the streaming upsert)
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "minhash_dup_clusters",
-    "minhash_recall",
-    "dedup_survivors",
-    "simhash_dup_candidates",
-    "training_corpus_funnel",
-    "embedding_near_dups",
-    "semantic_dup_clusters",
-    "boilerplate_report",
-    "decontamination_report",
-    "multimodal_features",
-    "frame_sample_plan",
-    "feature_store_latest",
-    "streaming_attribution_pairs",
-    # (e) remaining r03 checks, oldest in the record, alphabetical
-    "chunk_summary",
+    "item_pagerank",
+    "next_item_rules",
+    # (c) the 22 queries whose most recent driver proof is the r03
+    #     window — three rounds old, the oldest block in the record
+    #     (VERDICT r06 item 2's exact list)
     "cohort_retention",
     "conversion_funnel",
     "customer_priority_scd2",
@@ -267,6 +218,22 @@ WINDOW_HEAD = [
     "text_quality",
     "text_stats",
     "token_histogram",
+    # (d) next-oldest remaining checks (r03 dedup/multimodal/chunking
+    #     block re-proved r06 stays out; these are the oldest after (c))
+    "chunk_summary",
+    "boilerplate_report",
+    "decontamination_report",
+    # (e) r04 gold/feature block — oldest of the classic-ETL proofs
+    "daily_sales_summary",
+    "monthly_sales_summary",
+    "customer_analytics",
+    "customer_lifetime_metrics",
+    "ml_customer_features",
+    "priority_performance",
+    "category_performance",
+    "comprehensive_sales_summary",
+    "segment_summary",
+    "top_customers_per_segment",
 ]
 
 

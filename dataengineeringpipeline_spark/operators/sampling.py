@@ -292,6 +292,24 @@ def quality_sample_summary(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Hash modulus shared by the pick hash and the pre-prune threshold.
+_PICK_P = 1_000_000_007
+
+#: Pre-prune over-sampling factor: the hash-threshold filter keeps an
+#: expected ``_PRUNE_FACTOR * k`` rows per group, so under-fill (fewer
+#: than k survivors) has probability ~exp(-_PRUNE_FACTOR·k·(1-1/e)) —
+#: and when it DOES happen the exact fallback branch repairs it.
+_PRUNE_FACTOR = 4
+
+
+def _pick_hash(key_col: str):
+    c = F.col(key_col)
+    return F.pmod(
+        F.pmod(c, F.lit(1_000_003)) * F.lit(2_654_435_761),
+        F.lit(_PICK_P),
+    )
+
+
 def fixed_k_sample(
     df: DataFrame, group_col: str, key_col: str, k: int
 ) -> DataFrame:
@@ -305,24 +323,76 @@ def fixed_k_sample(
 
     The hash is the same integer-arithmetic per-mille family as
     :func:`per_mille_bucket` widened to a large prime, so a SQL oracle
-    reproduces the pick bit-for-bit. One window shuffle on the group
-    key; at warehouse scale pre-prune with a hash threshold
-    (``h < c·k/|group|·P``) before the exact window when k ≪ group
-    size, so the sort sees a k-proportional slice instead of the
-    whole group.
+    reproduces the pick bit-for-bit.
+
+    **Scale path (the 100 TB shape).** The naive form — one window over
+    the whole group — sorts every row of every group to keep k. Here
+    the window only ever sees a k-proportional slice:
+
+    1. a map-side-combined group count computes a per-group hash
+       threshold ``thr = min(P, (c·k·P) div n)`` (pure integer
+       arithmetic; groups with ``n ≤ c·k`` get ``thr = P``, i.e. no
+       pruning, so small groups are exact by construction);
+    2. the thresholds broadcast back (group-level metadata, tiny) and
+       ``h < thr`` prunes each group to ~``c·k`` expected survivors
+       BEFORE the window exchange — the sort shuffles ~c·k rows per
+       group instead of the group;
+    3. the prune is exact whenever ≥ min(k, n) rows survive: every
+       excluded row has ``h ≥ thr`` > the k-th smallest surviving hash,
+       so the global top-k by ``(h, key)`` is inside the survivor set;
+    4. groups where the prune under-fills (astronomically rare, but
+       handled exactly — including the zero-survivor case, detected
+       from the count table, not the survivor set) are re-picked by the
+       exact full window in a fallback branch. The fallback's build
+       side is empty in the common case, so AQE's empty-relation
+       propagation collapses that whole subtree at runtime — it costs a
+       static plan node, not a scan.
+
+    Decisions are identical to the naive window for every group (the
+    partition-invariance and oracle tests pin this).
     """
     from pyspark.sql.window import Window
 
-    c = F.col(key_col)
-    h = F.pmod(
-        F.pmod(c, F.lit(1_000_003)) * F.lit(2_654_435_761),
-        F.lit(1_000_000_007),
+    h = _pick_hash(key_col)
+    thr_df = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .withColumn(
+            "_thr",
+            F.when(F.col("_grp_n") <= _PRUNE_FACTOR * k, F.lit(_PICK_P))
+            .otherwise(F.expr(f"{_PRUNE_FACTOR * k * _PICK_P} div _grp_n"))
+            .cast("long"),
+        )
     )
-    w = Window.partitionBy(group_col).orderBy(h.alias("h"), c)
-    return (
-        df.withColumn("pick_rank", F.row_number().over(w))
+
+    surv = df.join(F.broadcast(thr_df), group_col).filter(h < F.col("_thr"))
+    w = Window.partitionBy(group_col).orderBy(h.alias("h"), F.col(key_col))
+    pruned_picks = (
+        surv.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= k)
+        .drop("_grp_n", "_thr")
+    )
+
+    # Under-filled groups: fewer than min(k, n) survivors — derived from
+    # the count table with a LEFT join so a group whose every row was
+    # pruned away (0 survivors, absent from `surv`) is still caught.
+    surv_n = surv.groupBy(group_col).agg(F.count(F.lit(1)).alias("_surv_n"))
+    notok = (
+        thr_df.join(F.broadcast(surv_n), group_col, "left")
+        .filter(
+            F.coalesce(F.col("_surv_n"), F.lit(0))
+            < F.least(F.lit(k).cast("long"), F.col("_grp_n"))
+        )
+        .select(group_col)
+    )
+
+    exact = pruned_picks.join(F.broadcast(notok), group_col, "left_anti")
+    fallback = (
+        df.join(F.broadcast(notok), group_col, "left_semi")
+        .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= k)
     )
+    return exact.unionByName(fallback)
 
 
 def eval_sample_picks(docs: DataFrame, k: int = 20) -> DataFrame:

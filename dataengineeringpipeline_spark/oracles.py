@@ -4566,7 +4566,7 @@ FROM vals
     }
     body = """
 SELECT event_type, quartile, n_rows,
-  (n_rows * 1000) // SUM(n_rows) OVER (PARTITION BY event_type) AS share_pm,
+  (n_rows * 1000) // CAST(SUM(n_rows) OVER (PARTITION BY event_type) AS BIGINT) AS share_pm,
   min_v, max_v
 FROM prof ORDER BY event_type, quartile
 """.strip()

@@ -86,9 +86,12 @@ PLAN_BOUNDS = {
     # association rules off the PERSISTED edge aggregate: degree aggs +
     # ranking window; 1-row total and dim sides broadcast
     "next_item_rules": (7, 3),
-    # exact-k eval sample: one pick window + presentation sort; the scan
-    # reads only (source, doc_id)
-    "eval_sample_picks": (2, 0),
+    # exact-k eval sample with the hash-threshold pre-prune: group-count
+    # agg + thr broadcast + pruned pick window + survivor-count agg +
+    # (AQE-eliminated) exact fallback branch + presentation sort; every
+    # scan reads only (source, doc_id) and the corpus-sized shuffles
+    # carry ~4k rows/group, not the group
+    "eval_sample_picks": (10, 7),
     # two ANALYZE passes (each: distinct agg alone + plain agg +
     # broadcast 1×1), column_name join broadcast
     "stats_drift_report": (6, 3),
@@ -121,3 +124,27 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     two = docs.select("doc_id", "source")
     assert set(plans.scan_columns(two)) == {"doc_id", "source"}
+
+
+def test_fixed_k_prune_precedes_window_exchange(spark, sf_dir):
+    """The hash-threshold pre-prune must execute BEFORE the pick
+    window's shuffle — i.e. the ``< _thr`` condition appears in the
+    subtree UNDER an ``Exchange hashpartitioning(source...)`` node (in
+    treeString children print below parents), so the exchange moves the
+    ~4k-per-group survivor slice, never the whole group."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    df = entrymod.queries()["eval_sample_picks"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    lines = buf.getvalue().splitlines()
+    ok = False
+    for i, ln in enumerate(lines):
+        if re.search(r"Exchange hashpartitioning\(source", ln):
+            if any("< _thr" in nxt for nxt in lines[i + 1 : i + 7]):
+                ok = True
+                break
+    assert ok, "threshold prune is not upstream of the pick-window exchange"
