@@ -17,11 +17,18 @@ node id, and the iteration count is a constant (default 5), so total
 cost is O(iters · |E|) regardless of corpus size.
 
 Determinism: a double SUM over shuffled rows is order-dependent, so
-rank mass entering a node is folded in SORTED source order
-(``aggregate(transform(array_sort(collect_list(...))))``) — the same
-IEEE addition sequence any engine reproduces (DuckDB:
-``list_reduce(list(... ORDER BY src))``), making PageRank — usually
-considered "approximately reproducible" — bit-exact oracle-checkable.
+rank mass entering a node is folded in a CANONICAL two-level order:
+sources salt into ``pmod(src, FOLD_BUCKETS)`` buckets, each bucket's
+contributions fold in ascending source order from a 0.0 seed, and the
+bucket sub-sums fold in ascending bucket order — the same IEEE addition
+sequence any engine reproduces (Spark
+``aggregate(transform(array_sort(collect_list(...))))`` twice, DuckDB
+``list_reduce(list(... ORDER BY ...))`` nested), making PageRank —
+usually considered "approximately reproducible" — bit-exact
+oracle-checkable. The two levels also bound per-task state: a web-scale
+hub with 10⁸ in-edges materializes ``FOLD_BUCKETS`` arrays of
+~in_degree/FOLD_BUCKETS contributions plus one array of FOLD_BUCKETS
+sub-sums, never one array of the whole in-neighborhood.
 """
 
 from __future__ import annotations
@@ -56,9 +63,18 @@ def transition_edges(
     )
 
 
+#: Source-salt bucket count for the canonical two-level fold. Bounds
+#: per-node (and per-task) fold state to O(FOLD_BUCKETS + max bucket
+#: size) instead of O(in-degree) — the hub-node guard.
+FOLD_BUCKETS = 1024
+
+
 def _sorted_fold(pairs_col) -> F.Column:
-    """Deterministic double sum: fold contributions in ascending source
-    order — identical IEEE sequence in any engine."""
+    """Deterministic double sum: fold ``contrib`` fields in ascending
+    order of the struct's FIRST field from a 0.0 seed — identical IEEE
+    sequence in any engine. Used at both fold levels: structs are
+    ``(src, contrib)`` inside a bucket and ``(bucket, sub-sum)``
+    across buckets."""
     return F.aggregate(
         F.transform(F.array_sort(pairs_col), lambda s: s["contrib"]),
         F.lit(0.0),
@@ -66,14 +82,32 @@ def _sorted_fold(pairs_col) -> F.Column:
     )
 
 
+def _bucketed_fold_py(pairs: list, key_of, val_of, n_buckets: int) -> float:
+    """The driver-side twin of the distributed two-level fold: ``pairs``
+    must already be sorted ascending by key; sub-sums fold per
+    ``key % n_buckets`` bucket, then across buckets in bucket order —
+    the exact IEEE sequence of two nested :func:`_sorted_fold` passes."""
+    buckets: dict = {}
+    for p in pairs:
+        buckets.setdefault(key_of(p) % n_buckets, []).append(p)
+    total = 0.0
+    for b in sorted(buckets):
+        sub = 0.0
+        for p in buckets[b]:
+            sub = sub + val_of(p)
+        total = total + sub
+    return total
+
+
 def _pagerank_driver(
-    edges: DataFrame, iterations: int, damping: float
+    edges: DataFrame, iterations: int, damping: float, fold_buckets: int
 ) -> DataFrame:
     """Driver-side power iteration over a bounded (≤ ``driver_max_edges``)
     collected edge list. Bit-for-bit the distributed arithmetic: python
-    floats ARE IEEE doubles, and every sum runs in ascending source
-    order from a 0.0 seed — the exact sequence the distributed sorted
-    folds (and the SQL oracle) execute."""
+    floats ARE IEEE doubles, and every sum runs the canonical two-level
+    bucketed fold (per-bucket ascending source order, then ascending
+    bucket order, 0.0 seeds) — the exact sequence the distributed folds
+    (and the SQL oracle) execute."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = edges.sparkSession
@@ -102,14 +136,17 @@ def _pagerank_driver(
     n = len(nodes)
     ranks = {v: 1.0 / n for v in nodes}
     for _ in range(iterations):
-        dmass = 0.0
-        for v in dangling:
-            dmass = dmass + ranks[v]
+        dmass = _bucketed_fold_py(
+            dangling, lambda v: v, lambda v: ranks[v], fold_buckets
+        )
         new = {}
         for v in nodes:
-            inflow = 0.0
-            for src, cnt in incoming.get(v, ()):
-                inflow = inflow + ranks[src] * (cnt / out_cnt[src])
+            inflow = _bucketed_fold_py(
+                incoming.get(v, ()),
+                lambda p: p[0],
+                lambda p: ranks[p[0]] * (p[1] / out_cnt[p[0]]),
+                fold_buckets,
+            )
             new[v] = (1.0 - damping) / n + damping * (inflow + dmass / n)
         ranks = new
     return spark.createDataFrame([(v, ranks[v]) for v in nodes], schema)
@@ -120,6 +157,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     driver_max_edges: int = 2_000_000,
+    fold_buckets: int = FOLD_BUCKETS,
 ) -> DataFrame:
     """PageRank over a weighted edge list by fixed-count power
     iteration: ``(node, rank)``, ranks summing to 1.
@@ -144,15 +182,21 @@ def pagerank(
     for a checkpoint to also truncate fault-recovery lineage).
 
     BOTH paths execute the identical IEEE operation sequence — every
-    floating sum folds in ascending source order from a 0.0 seed — so
-    they are bit-identical to each other and to the SQL oracle
-    (``tests/test_graph.py`` forces the distributed path and asserts
-    bitwise equality with the driver path).
+    floating sum runs the canonical two-level bucketed fold (sources
+    salt into ``pmod(src, fold_buckets)`` buckets; per-bucket fold in
+    ascending source order, then across buckets in bucket order, each
+    from a 0.0 seed) — so they are bit-identical to each other and to
+    the SQL oracle (``tests/test_graph.py`` forces the distributed path
+    and asserts bitwise equality with the driver path, including with
+    ``fold_buckets`` small enough that buckets genuinely multi-fill).
+    The bucketing is also the hub-node state bound: a node's fold state
+    is O(fold_buckets + in_degree/fold_buckets) per task, never one
+    array of the whole in-neighborhood.
     """
     edges = tracked_persist(edges)
     n_edges = edges.count()
     if n_edges <= driver_max_edges:
-        return _pagerank_driver(edges, iterations, damping)
+        return _pagerank_driver(edges, iterations, damping, fold_buckets)
     out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
     ew = tracked_persist(edges.join(out, "src"))
     nodes = tracked_persist(
@@ -172,18 +216,30 @@ def pagerank(
         nodes.select("node", (F.lit(1.0) / n_lit).alias("rank"))
     )
     ranks.count()
+    b_lit = F.lit(fold_buckets)
     for _ in range(iterations):
-        # dangling mass this iteration — a 1-row scalar, folded in
-        # sorted node order so the double sum is deterministic
+        # dangling mass this iteration — a 1-row scalar, two-level
+        # fold: per node-salt bucket in node order, then bucket order
         dmass = (
             ranks.join(dangling, "node")
+            .groupBy(F.pmod(F.col("node"), b_lit).alias("bucket"))
+            .agg(
+                _sorted_fold(
+                    F.collect_list(
+                        F.struct(
+                            F.col("node").alias("src"),
+                            F.col("rank").alias("contrib"),
+                        )
+                    )
+                ).alias("sub")
+            )
             .agg(
                 F.coalesce(
                     _sorted_fold(
                         F.collect_list(
                             F.struct(
-                                F.col("node").alias("src"),
-                                F.col("rank").alias("contrib"),
+                                F.col("bucket"),
+                                F.col("sub").alias("contrib"),
                             )
                         )
                     ),
@@ -196,6 +252,7 @@ def pagerank(
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
+                F.pmod(F.col("src"), b_lit).alias("bucket"),
                 F.struct(
                     "src",
                     (
@@ -207,8 +264,19 @@ def pagerank(
                     ).alias("contrib"),
                 ).alias("pair"),
             )
+            # level 1: per (node, source-bucket) sub-sums — bounded
+            # arrays even for web-hub in-degrees
+            .groupBy("node", "bucket")
+            .agg(_sorted_fold(F.collect_list("pair")).alias("sub"))
+            # level 2: fold the ≤ fold_buckets sub-sums in bucket order
             .groupBy("node")
-            .agg(_sorted_fold(F.collect_list("pair")).alias("inflow"))
+            .agg(
+                _sorted_fold(
+                    F.collect_list(
+                        F.struct(F.col("bucket"), F.col("sub").alias("contrib"))
+                    )
+                ).alias("inflow")
+            )
         )
         ranks = tracked_persist(
             nodes.join(inflow, "node", "left").select(

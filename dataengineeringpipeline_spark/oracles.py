@@ -4296,19 +4296,27 @@ ORACLES["lake_cdc_merged_snapshot"] = ORACLES["cdc_order_snapshot"]
 
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power
-    method UNROLLED into CTEs. Every floating sum is folded in sorted
-    source order on both sides (Spark ``aggregate(array_sort(...))``,
-    here ``list_reduce(list(... ORDER BY ...))``), so PageRank — usually
-    written off as only approximately reproducible — matches bit-exactly.
-    DuckDB's no-init list_reduce starts at x1 where Spark starts at
-    0.0 + x1; identical for finite doubles."""
+    method UNROLLED into CTEs. Every floating sum runs the engine's
+    canonical two-level bucketed fold (graph.FOLD_BUCKETS source-salt
+    buckets; per-bucket fold in ascending source order, then across
+    buckets in bucket order — Spark ``aggregate(array_sort(...))``
+    nested twice, here ``list_reduce(list(... ORDER BY ...))`` nested
+    twice), so PageRank — usually written off as only approximately
+    reproducible — matches bit-exactly. DuckDB's no-init list_reduce
+    starts at x1 where Spark starts at 0.0 + x1; identical for finite
+    doubles. ``pmod`` spelled ``((x % B) + B) % B`` so negative ids
+    would bucket identically too."""
     d = "0.85"
+    B = 1024  # graph.FOLD_BUCKETS
 
     def fold(expr: str, order: str) -> str:
         return (
             f"COALESCE(list_reduce(list({expr} ORDER BY {order}),"
             " (a, b) -> a + b), 0.0)"
         )
+
+    def bucket(expr: str) -> str:
+        return f"((({expr}) % {B}) + {B}) % {B}"
 
     ctes: dict[str, str] = {
         "ev": (
@@ -4340,13 +4348,19 @@ def _graph_oracles() -> dict[str, str]:
     for i in range(1, 6):
         p = f"r{i - 1}"
         ctes[f"dm{i}"] = (
-            f"SELECT {fold('r.rank', 'r.node')} AS dmass"
+            f"SELECT {fold('sub', 'bucket')} AS dmass FROM ("
+            f"SELECT {bucket('r.node')} AS bucket,"
+            f" {fold('r.rank', 'r.node')} AS sub"
             f" FROM {p} r JOIN dang d ON r.node = d.node"
+            f" GROUP BY {bucket('r.node')})"
         )
         contrib = "(r.rank * (CAST(ew.cnt AS DOUBLE) / CAST(ew.out_cnt AS DOUBLE)))"
         ctes[f"in{i}"] = (
-            f"SELECT ew.dst AS node, {fold(contrib, 'ew.src')} AS inflow"
-            f" FROM ew JOIN {p} r ON ew.src = r.node GROUP BY ew.dst"
+            f"SELECT node, {fold('sub', 'bucket')} AS inflow FROM ("
+            f"SELECT ew.dst AS node, {bucket('ew.src')} AS bucket,"
+            f" {fold(contrib, 'ew.src')} AS sub"
+            f" FROM ew JOIN {p} r ON ew.src = r.node"
+            f" GROUP BY ew.dst, {bucket('ew.src')}) GROUP BY node"
         )
         ctes[f"r{i}"] = (
             f"SELECT n.node, (1.0 - {d}) / nn.n_nodes"

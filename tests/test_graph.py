@@ -48,8 +48,8 @@ def test_pagerank_weighted_edges_split_proportionally(spark):
 
 def test_pagerank_driver_and_distributed_paths_bit_identical(spark):
     """Forcing the distributed path (driver_max_edges=0) must reproduce
-    the driver path bit-for-bit — both fold every floating sum in
-    ascending source order from a 0.0 seed."""
+    the driver path bit-for-bit — both run the canonical two-level
+    bucketed fold from 0.0 seeds."""
     rows = [(i % 23, (i * 5 + 1) % 23, 1 + i % 4) for i in range(300)]
     rows = [(a, b, c) for a, b, c in rows if a != b]
     e = _edges(spark, rows)
@@ -61,6 +61,33 @@ def test_pagerank_driver_and_distributed_paths_bit_identical(spark):
         )
     )
     assert drv == dist  # bitwise, not isclose
+
+
+def test_pagerank_bucketed_fold_bit_identical_when_buckets_fill(spark):
+    """fold_buckets=4 on a 23-node graph makes every bucket hold several
+    sources (and several dangling nodes), so the two-level sequence is
+    genuinely exercised — driver and distributed paths must still agree
+    bitwise, and mass must still be conserved."""
+    import math
+
+    rows = [(i % 23, (i * 5 + 1) % 23, 1 + i % 4) for i in range(300)]
+    rows = [(a, b, c) for a, b, c in rows if a != b]
+    # add dangling nodes (pointed to, never pointing) across buckets
+    rows += [(i, 100 + i, 1) for i in range(8)]
+    e = _edges(spark, rows)
+    drv = sorted(
+        map(tuple, graph.pagerank(e, iterations=4, fold_buckets=4).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            graph.pagerank(
+                e, iterations=4, driver_max_edges=0, fold_buckets=4
+            ).collect(),
+        )
+    )
+    assert drv == dist  # bitwise, not isclose
+    assert math.isclose(sum(r for _, r in drv), 1.0, rel_tol=1e-12)
 
 
 def test_pagerank_deterministic_across_partitionings(spark):
