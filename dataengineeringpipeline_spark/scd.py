@@ -36,15 +36,20 @@ def scd2_history(
     attr_cols: Sequence[str],
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Full SCD2 history from a change log.
 
     Returns one row per retained version:
-    ``(*key_cols, *attr_cols, valid_from, valid_to, version, is_current)``
-    where ``valid_from`` is the change's ``ts_col``, ``valid_to`` is the
-    next version's start (NULL for the open row), ``version`` counts from
-    1 per key, and consecutive records with identical tracked attributes
-    are suppressed (the earliest of the run survives).
+    ``(*key_cols, *attr_cols, *carry_cols, valid_from, valid_to,
+    version, is_current)`` where ``valid_from`` is the change's
+    ``ts_col``, ``valid_to`` is the next version's start (NULL for the
+    open row), ``version`` counts from 1 per key, and consecutive
+    records with identical tracked attributes are suppressed (the
+    earliest of the run survives). ``carry_cols`` are extra columns of
+    the version-OPENING record carried into its history row — store the
+    tiebreaker here (e.g. the opening order's key) and an incremental
+    re-derivation can reproduce the original total order bit-for-bit.
     """
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -60,6 +65,7 @@ def scd2_history(
         opening.select(
             *key_cols,
             *attr_cols,
+            *carry_cols,
             F.col(ts_col).alias("valid_from"),
             F.lead(ts_col).over(w2).alias("valid_to"),
             F.row_number().over(w2).cast("int").alias("version"),
@@ -75,6 +81,7 @@ def scd2_apply_changes(
     attr_cols: Sequence[str],
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Apply an update batch to an existing SCD2 dimension.
 
@@ -86,26 +93,41 @@ def scd2_apply_changes(
     Updates older than a key's current ``valid_from`` splice versions
     in-place (late-arriving changes), identical-attribute updates are
     suppressed — both inherited from :func:`scd2_history`.
+    ``carry_cols`` (present in both ``dim`` and ``updates``) ride each
+    version-opening record through the re-derivation — see
+    :func:`scd2_history`.
     """
     touched = updates.select(*key_cols).distinct()
     untouched = dim.join(F.broadcast(touched), list(key_cols), "left_anti")
+    extra = list(
+        dict.fromkeys(
+            c
+            for c in (*tiebreak_cols, *carry_cols)
+            if c not in (*key_cols, *attr_cols)
+        )
+    )
     old_changes = dim.join(F.broadcast(touched), list(key_cols), "left_semi").select(
         *key_cols, *attr_cols, F.col("valid_from").alias(ts_col),
-        *[F.col(c) for c in tiebreak_cols if c in dim.columns],
+        *[F.col(c) for c in extra if c in dim.columns],
     )
     # Harmonize update columns to the changelog shape (tiebreakers may be
     # absent from dim history — fill with the update's own, or NULLs).
     upd = updates.select(
         *key_cols, *attr_cols, F.col(ts_col),
-        *[F.col(c) for c in tiebreak_cols if c in updates.columns],
+        *[F.col(c) for c in extra if c in updates.columns],
     )
-    for c in tiebreak_cols:
+    for c in extra:
         if c not in old_changes.columns:
             old_changes = old_changes.withColumn(c, F.lit(None))
         if c not in upd.columns:
             upd = upd.withColumn(c, F.lit(None))
     merged = scd2_history(
-        old_changes.unionByName(upd), key_cols, attr_cols, ts_col, tiebreak_cols
+        old_changes.unionByName(upd),
+        key_cols,
+        attr_cols,
+        ts_col,
+        tiebreak_cols,
+        carry_cols,
     )
     return untouched.unionByName(merged.select(*untouched.columns))
 

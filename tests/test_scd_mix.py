@@ -466,3 +466,109 @@ def test_stats_drift_empty_old_gives_null_ratios(spark):
     r = quality.stats_drift(old, new).collect()[0]
     assert r["rows_ratio_pm"] is None and r["ndv_ratio_pm"] is None
     assert r["null_pm_new"] == 0
+
+
+def test_merge_scd2_prunes_by_footer_envelope(spark, tmp_path):
+    """Lake SCD2 MERGE: an update batch touching one key range rewrites
+    only that range's file; other files hard-link through byte-identical
+    (same inode, same mtime); brand-new keys' fresh histories need no
+    rewrite; the merged table equals the logical scd2_apply_changes."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_apply_changes, scd2_history
+
+    lake = Lake(str(tmp_path))
+    changes = spark.createDataFrame(
+        [(i, f"A{i % 3}", float(i % 5), i) for i in range(1000)],
+        "k long, attr string, ts double, tb long",
+    )
+    hist = scd2_history(
+        changes, ["k"], ["attr"], "ts", tiebreak_cols=["tb"], carry_cols=["tb"]
+    )
+    lake.write(
+        hist.repartitionByRange(10, "k").sortWithinPartitions("k"), "gold", "h"
+    )
+    path = lake.path("gold", "h")
+
+    def state():
+        return {
+            f: (
+                os.stat(os.path.join(path, f)).st_ino,
+                os.stat(os.path.join(path, f)).st_mtime_ns,
+            )
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = state()
+    dim_before = lake.read(spark, "gold", "h")
+    upd = spark.createDataFrame(
+        [(340, "NEW", 99.0, 9001), (5000, "FRESH", 1.0, 9002)],
+        "k long, attr string, ts double, tb long",
+    )
+    audit = lake.merge_scd2(
+        spark,
+        "gold",
+        "h",
+        upd,
+        key_col="k",
+        attr_cols=("attr",),
+        ts_col="ts",
+        tiebreak_cols=("tb",),
+        carry_cols=("tb",),
+    )
+    assert audit["files_total"] == 10 and audit["files_rewritten"] == 1
+
+    after = state()
+    untouched = set(before) & set(after)
+    assert len(untouched) == 9
+    for f in untouched:
+        assert before[f] == after[f]
+
+    got = sorted(map(tuple, lake.read(spark, "gold", "h").collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_apply_changes(
+                hist, upd, ["k"], ["attr"], "ts",
+                tiebreak_cols=["tb"], carry_cols=["tb"],
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the brand-new key opened a fresh v1 history
+    fresh = [r for r in got if r[0] == 5000]
+    assert len(fresh) == 1 and fresh[0][1] == "FRESH"
+
+
+def test_merge_scd2_empty_batch_is_zero_io(spark, tmp_path):
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_history
+
+    lake = Lake(str(tmp_path))
+    ch = spark.createDataFrame(
+        [(1, "A", 1.0), (1, "B", 2.0)], "k long, attr string, ts double"
+    )
+    lake.write(scd2_history(ch, ["k"], ["attr"], "ts"), "gold", "h")
+    path = lake.path("gold", "h")
+    before = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in os.listdir(path)
+    }
+    audit = lake.merge_scd2(
+        spark,
+        "gold",
+        "h",
+        spark.createDataFrame([], "k long, attr string, ts double"),
+        key_col="k",
+        attr_cols=("attr",),
+        ts_col="ts",
+    )
+    assert audit["files_rewritten"] == 0
+    assert audit["rows_before"] == audit["rows_after"]
+    after = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in os.listdir(path)
+    }
+    assert before == after
