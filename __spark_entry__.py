@@ -185,6 +185,8 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_HEAD = [
     # ===== r07 window =====
     # (a) NEW this round (never driver-checked)
+    "lake_scd2_merged_history",
+    "incremental_customer_metrics",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -554,6 +556,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(
             spark, sf
         ),
+        # -- lakehouse SCD2 MERGE: file-pruned physical history apply --------
+        "lake_scd2_merged_history": lambda spark, sf: datalake.lake_scd2_merged_history(
+            spark, sf
+        ),
         # -- ANALYZE-style catalog statistics (CBO surface) ------------------
         "table_stats_report": lambda spark, sf: quality.table_stats(
             _read(spark, sf, "orders")
@@ -667,6 +673,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- incremental materialized-view maintenance: merged partials
         #    must reproduce the full-recompute summary bit-for-bit --------
         "incremental_daily_sales": lambda spark, sf: ivm.incremental_daily_sales(
+            _silver_orders(spark, sf)
+        ),
+        # -- second IVM family: 11-measure customer metrics off mergeable
+        #    (customer_key, order_year)-grain partials ---------------------
+        "incremental_customer_metrics": lambda spark, sf: ivm.incremental_customer_metrics(
             _silver_orders(spark, sf)
         ),
         # -- second granularity off the SAME partials (rollup hierarchy) ----

@@ -252,3 +252,174 @@ def monthly_sales_from_partials(silver_orders: DataFrame) -> DataFrame:
     base = sales_partials(silver_orders.filter(d < lit_cut))
     delta = sales_partials(silver_orders.filter(d >= lit_cut))
     return monthly_summary_from_partials(merge_partials(base, delta))
+
+
+# ---------------------------------------------------------------------------
+# Second IVM family: per-customer lifetime metrics.
+#
+# Proof that the partials pattern is a LIBRARY, not a daily-summary
+# one-off: ``gold.customer_lifetime_metrics`` (A3, 11 measures —
+# count / exact-decimal sum / avg / min / max price / first / last date /
+# COUNT(DISTINCT order_year) / min recency / conditional sum) all fold
+# from one grain. The grain is ``(customer_key, order_year)`` — as with
+# the daily family, picking the grain that CONTAINS the distinct-counted
+# column is what makes ``active_years`` mergeable (it becomes the
+# grain-row count per customer). Partitioning the partials table by
+# ``order_year`` makes maintenance O(delta): an update batch of recent
+# orders touches only the latest year's partition, regardless of how
+# many customers it spans.
+# ---------------------------------------------------------------------------
+
+#: Pinned stored type for the exact revenue sum (same rationale as
+#: ``_REV_STORE``: stop Spark's per-merge decimal widening from forking
+#: the table schema between maintenance rounds).
+_CUST_COLS = (
+    "customer_key order_year cnt cnt_price rev mn_price mx_price "
+    "mn_date mx_date mn_recency xl"
+).split()
+
+
+def _cust_canonical(partials: DataFrame) -> DataFrame:
+    return partials.select(
+        *[
+            F.col(c).cast(_REV_STORE).alias(c) if c == "rev" else F.col(c)
+            for c in _CUST_COLS
+        ]
+    )
+
+
+def customer_partials(silver_orders: DataFrame) -> DataFrame:
+    """Mergeable partials of the customer lifetime metrics at
+    ``(customer_key, order_year)`` grain.
+
+    ``cnt`` and ``cnt_price`` are kept separately: the batch metric's
+    ``total_orders`` is ``COUNT(*)`` while ``money_avg`` divides by
+    ``COUNT(total_price)`` — folding both exactly requires both
+    counters. ``rev`` is the exact decimal sum (order-independent), so
+    partial ⊕ partial == full recompute bit-for-bit.
+    """
+    p = F.col("total_price")
+    return _cust_canonical(
+        silver_orders.filter(F.col("is_complete_order"))
+        .groupBy("customer_key", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(p).alias("cnt_price"),
+            F.sum(p.cast(_REV_DEC)).alias("rev"),
+            F.min(p).alias("mn_price"),
+            F.max(p).alias("mx_price"),
+            F.min("order_date").alias("mn_date"),
+            F.max("order_date").alias("mx_date"),
+            F.min("days_since_order").alias("mn_recency"),
+            F.sum(
+                F.when(F.col("order_size_category") == "EXTRA_LARGE", 1).otherwise(0)
+            ).alias("xl"),
+        )
+    )
+
+
+def reaggregate_customer_partials(partials: DataFrame) -> DataFrame:
+    """THE merge for the customer family — counter addition plus
+    min/max, shared by the batch two-frame merge and merge-on-read."""
+    return _cust_canonical(
+        partials.groupBy("customer_key", "order_year").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("cnt_price").alias("cnt_price"),
+            F.sum("rev").alias("rev"),
+            F.min("mn_price").alias("mn_price"),
+            F.max("mx_price").alias("mx_price"),
+            F.min("mn_date").alias("mn_date"),
+            F.max("mx_date").alias("mx_date"),
+            F.min("mn_recency").alias("mn_recency"),
+            F.sum("xl").alias("xl"),
+        )
+    )
+
+
+def merge_customer_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    return reaggregate_customer_partials(base.unionByName(delta))
+
+
+def customer_metrics_from_partials(partials: DataFrame) -> DataFrame:
+    """Fold the year grain out: the exact
+    ``gold.customer_lifetime_metrics`` shape. ``active_years`` is the
+    grain-row count; ``lifetime_value`` / ``avg_order_value`` replay
+    ``money_sum`` / ``money_avg``'s IEEE sequence (exact decimal sum →
+    one cast to double → one division), so the incremental metrics are
+    bit-identical to the batch ones."""
+    agg = partials.groupBy("customer_key").agg(
+        F.sum("cnt").alias("total_orders"),
+        F.sum("rev").alias("_rev"),
+        F.sum("cnt_price").alias("_cnt_price"),
+        F.min("mn_price").alias("min_order_value"),
+        F.max("mx_price").alias("max_order_value"),
+        F.min("mn_date").alias("first_order_date"),
+        F.max("mx_date").alias("last_order_date"),
+        F.count(F.lit(1)).alias("active_years"),
+        F.min("mn_recency").alias("recency_days"),
+        F.sum("xl").alias("extra_large_orders"),
+    )
+    sx = F.col("_rev").cast("double")
+    return agg.select(
+        "customer_key",
+        "total_orders",
+        sx.alias("lifetime_value"),
+        (sx / F.col("_cnt_price")).alias("avg_order_value"),
+        "min_order_value",
+        "max_order_value",
+        "first_order_date",
+        "last_order_date",
+        "active_years",
+        "recency_days",
+        "extra_large_orders",
+    )
+
+
+def maintain_customer_partials(
+    lake: Lake,
+    delta_silver_orders: DataFrame,
+    layer: str = "gold",
+    table: str = "customer_partials",
+) -> list:
+    """Apply a silver delta to the materialized customer-partials table,
+    touching ONLY the ``order_year`` partitions the delta hits. A
+    real-world delta (recent orders) lands in one or two year
+    partitions no matter how many customers it spans; every other
+    year's files are not read and not rewritten. Returns touched years.
+    """
+    delta_p = customer_partials(delta_silver_orders)
+    touched = [
+        r["order_year"]
+        for r in delta_p.select("order_year").distinct().collect()
+    ]
+    if not touched:
+        return []
+    import os
+
+    path = lake.path(layer, table)
+    if os.path.isdir(path):
+        base = lake.read(
+            delta_silver_orders.sparkSession, layer, table
+        ).where(F.col("order_year").isin(touched))
+        merged = merge_customer_partials(base, delta_p)
+    else:
+        merged = delta_p
+    lake.write(merged, layer, table, partition_by=("order_year",))
+    return touched
+
+
+def incremental_customer_metrics(
+    silver_orders: DataFrame, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query: maintain the 11-measure customer lifetime
+    metrics incrementally — base partials before ``cutoff``, a delta
+    batch on/after it, one merge — and fold the metrics off the merged
+    partials. The oracle is the PLAIN FULL RECOMPUTE
+    (``customer_lifetime_metrics`` SQL): passing means incremental ==
+    batch bit-for-bit across all 11 measures, including the
+    COUNT(DISTINCT order_year) the grain makes mergeable."""
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = customer_partials(silver_orders.filter(d < lit_cut))
+    delta = customer_partials(silver_orders.filter(d >= lit_cut))
+    return customer_metrics_from_partials(merge_customer_partials(base, delta))

@@ -2887,11 +2887,46 @@ SELECT order_key, status, total_price, last_change FROM (
   WHERE op <> 'D'
 ) ORDER BY order_key
 """.strip()
+    # Lakehouse SCD2 merge: the oracle is the TWO-PHASE arithmetic the
+    # merge performs — phase 1 derives history on the pre-1997 batch
+    # (keeping each version-opening record with its order_key
+    # tiebreaker), phase 2 re-derives over (phase-1 survivors ∪ 1997+
+    # changes). For keys the second batch never touches, re-deriving
+    # over the survivors alone reproduces phase-1 history exactly
+    # (consecutive survivors differ pairwise by construction), so one
+    # derivation over the union is the whole truth.
+    opener = (
+        "SELECT customer_key, priority, change_date, order_key FROM ("
+        " SELECT *, (LAG(change_date) OVER w IS NULL)"
+        " OR (priority IS DISTINCT FROM LAG(priority) OVER w) AS _open"
+        " FROM {src}"
+        " WINDOW w AS (PARTITION BY customer_key"
+        " ORDER BY change_date ASC, order_key ASC)"
+        ") WHERE _open"
+    )
+    scd2_lake_ctes = {
+        "ch": ch,
+        "b1": "SELECT * FROM ch WHERE change_date < DATE '1997-01-01'",
+        "b2": "SELECT * FROM ch WHERE change_date >= DATE '1997-01-01'",
+        "ph1": opener.format(src="b1"),
+        "un": "SELECT * FROM ph1 UNION ALL SELECT * FROM b2",
+        "op2": opener.format(src="un"),
+    }
+    scd2_lake_body = """
+SELECT customer_key, priority, order_key, change_date AS valid_from,
+  LEAD(change_date) OVER w2 AS valid_to,
+  CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+  LEAD(change_date) OVER w2 IS NULL AS is_current
+FROM op2
+WINDOW w2 AS (PARTITION BY customer_key ORDER BY change_date ASC, order_key ASC)
+ORDER BY customer_key, version
+""".strip()
     return {
         "customer_priority_scd2": _with({"ch": ch}, body),
         "cdc_order_snapshot": _with(
             {"snap": snap, "chg": chg, "latest": latest}, cdc_body
         ),
+        "lake_scd2_merged_history": _with(scd2_lake_ctes, scd2_lake_body),
     }
 
 
@@ -4284,6 +4319,7 @@ ORACLES.update(_quantile_sketch_oracles())
 # The IVM contract: the incrementally-maintained summary must equal the
 # full recompute EXACTLY, so its oracle IS the batch summary's SQL.
 ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
+ORACLES["incremental_customer_metrics"] = ORACLES["customer_lifetime_metrics"]
 
 # The streaming-CDC contract: the latest-change merge is associative, so
 # the drained snapshot must equal the batch apply — one shared oracle.

@@ -103,6 +103,83 @@ def test_monthly_from_partials_equals_full_recompute(spark, sf_dir):
     ]
 
 
+def test_customer_incremental_equals_full_recompute(spark, sf_dir):
+    """Second IVM family: merged customer partials reproduce the
+    11-measure batch metrics bit-for-bit (incl. the COUNT(DISTINCT
+    order_year) the grain makes mergeable)."""
+    so = _silver(spark, sf_dir)
+    cols = gold.customer_lifetime_metrics(so).columns
+    inc = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.incremental_customer_metrics(so).collect()
+    )
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in gold.customer_lifetime_metrics(so).collect()
+    )
+    assert inc == full
+
+
+def test_customer_merge_is_order_independent(spark, sf_dir):
+    so = _silver(spark, sf_dir)
+    cut = F.lit("1997-01-01").cast("date")
+    a = ivm.customer_partials(so.filter(F.col("order_date") < cut))
+    b = ivm.customer_partials(so.filter(F.col("order_date") >= cut))
+    ab = sorted(
+        map(
+            tuple,
+            ivm.customer_metrics_from_partials(
+                ivm.merge_customer_partials(a, b)
+            ).collect(),
+        )
+    )
+    ba = sorted(
+        map(
+            tuple,
+            ivm.customer_metrics_from_partials(
+                ivm.merge_customer_partials(b, a)
+            ).collect(),
+        )
+    )
+    assert ab == ba
+
+
+def test_maintain_customer_rewrites_only_touched_years(spark, sf_dir, tmp_path):
+    """A delta of recent orders rewrites ONLY the touched order_year
+    partitions — sibling years byte-identical — and the maintained
+    table reconciles with the batch metrics."""
+    lake = Lake(str(tmp_path / "lake"))
+    so = _silver(spark, sf_dir).persist()
+    hot = so.agg(F.max("order_year")).collect()[0][0]  # latest year = the delta
+    base = so.filter(F.col("order_year") < hot)
+    delta = so.filter(F.col("order_year") == hot)
+    assert ivm.maintain_customer_partials(lake, base)
+    before = _file_state(lake.path("gold", "customer_partials"))
+
+    touched = ivm.maintain_customer_partials(lake, delta)
+    assert touched == [hot]
+    after = _file_state(lake.path("gold", "customer_partials"))
+    hot_dir = f"order_year={hot}"
+    untouched_before = {k: v for k, v in before.items() if hot_dir not in k}
+    untouched_after = {k: v for k, v in after.items() if hot_dir not in k}
+    assert untouched_before == untouched_after
+    assert any(hot_dir in k for k in after)
+
+    cols = gold.customer_lifetime_metrics(so).columns
+    maintained = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.customer_metrics_from_partials(
+            lake.read(spark, "gold", "customer_partials")
+        ).collect()
+    )
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in gold.customer_lifetime_metrics(so).collect()
+    )
+    assert maintained == full
+    so.unpersist()
+
+
 def test_streaming_ivm_crash_replay(spark, sf_dir, tmp_path):
     """A wiped checkpoint commit + fresh-process restart must not
     double-count any partial (batch partition overwrites itself)."""
