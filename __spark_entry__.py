@@ -187,6 +187,7 @@ WINDOW_HEAD = [
     # (a) NEW this round (never driver-checked)
     "lake_scd2_merged_history",
     "incremental_customer_metrics",
+    "streaming_stats_drift",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -748,6 +749,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_value_summary": lambda spark, sf: ts_ops.ewma_value_summary(
             load_events(spark, sf)
         ),
+        # -- streaming ANALYZE: per-batch mergeable stats partials, drift
+        #    vs the latest persisted snapshot, merged-on-read ---------------
+        "streaming_stats_drift": streaming.streaming_stats_drift,
         # -- ANALYZE-to-ANALYZE drift between two snapshots ------------------
         "stats_drift_report": lambda spark, sf: quality.stats_drift(
             _orders(spark, sf).filter(

@@ -4693,6 +4693,10 @@ ORDER BY o.column_name
 
 ORACLES.update(_stats_drift_oracle())
 
+# The streaming-ANALYZE contract: merged stats partials must reproduce
+# the one-shot ANALYZE diff exactly — the batch drift SQL is the oracle.
+ORACLES["streaming_stats_drift"] = ORACLES["stats_drift_report"]
+
 
 def _fixed_k_sample_oracle() -> dict[str, str]:
     """Twin of sampling.eval_sample_picks (k=20): same integer hash,

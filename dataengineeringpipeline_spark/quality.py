@@ -495,45 +495,24 @@ def numeric_drift(
     )
 
 
-def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
-    """ANALYZE-style per-column table statistics — the catalog stats a
-    cost-based optimizer (and a data engineer sizing a join) feeds on:
-    row count, null count, distinct count, min/max (numeric and
-    temporal columns in one normalized double domain, strings as
-    strings), and mean string length.
-
-    Two aggregation rows — the distinct counts alone in one agg, every
-    non-distinct stat in another — crossJoined (1×1) and stacked
-    map-only to long form. Keeping min/max/count OUT of the distinct
-    aggregate matters: Spark plans multi-column distinct via Expand
-    (one replicated row per distinct column), and a combined agg drags
-    every other stat's machinery through that replication (measured 4×:
-    3.3s → 0.9s on the sf0.1 orders table). ``exact=True`` (the
-    oracle-parity mode) uses ``countDistinct`` — what ``ANALYZE TABLE
-    ... COMPUTE STATISTICS`` pays; at warehouse scale flip
-    ``exact=False`` for ``approx_count_distinct`` (HLL sketch, single
-    pass, mergeable — the same exact/approx dial as ``numeric_drift``
-    and ``doc_length_distribution``).
-
-    Timestamps normalize to epoch microseconds and dates to epoch days
-    (exact integers < 2^53, so the double column is lossless).
-    Returns (column_name, rows, non_null, nulls, ndv, min_num, max_num,
-    min_str, max_str, avg_len) ordered by column_name.
-    """
+def _stats_counter_aggs(fields) -> tuple[list, list]:
+    """Per-column MERGEABLE counter aggregates — everything in
+    :func:`table_stats` except the distinct counts (row/non-null counts,
+    normalized min/max, string-length sums all fold by SUM/MIN/MAX) —
+    plus per-column stack refs ``(name, nn, mn, mx, mns, mxs, sl)``.
+    Shared by :func:`table_stats` (batch ANALYZE) and
+    :func:`stats_counter_partials` (streaming/incremental ANALYZE), so
+    the two normalize values with the IDENTICAL expressions and the
+    merged partials reproduce the batch stats bit-for-bit."""
     num_types = {"byte", "short", "integer", "long", "float", "double", "decimal"}
-    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
-    ndv_aggs = []
     null_d = "CAST(NULL AS DOUBLE)"
     null_s = "CAST(NULL AS STRING)"
-    pieces = []
-    for i, f in enumerate(df.schema.fields):
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    refs = []
+    for i, f in enumerate(fields):
         c = f.name
         t = f.dataType.typeName()
         aggs.append(F.count(c).cast("long").alias(f"_nn_{i}"))
-        ndv = (
-            F.countDistinct(c) if exact else F.approx_count_distinct(c, 0.01)
-        )
-        ndv_aggs.append(ndv.cast("long").alias(f"_ndv_{i}"))
         if t in num_types or t.startswith("decimal"):
             aggs.append(F.min(c).cast("double").alias(f"_mn_{i}"))
             aggs.append(F.max(c).cast("double").alias(f"_mx_{i}"))
@@ -561,7 +540,46 @@ def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
             aggs.append(F.max(c).cast("string").alias(f"_mxs_{i}"))
             aggs.append(F.sum(F.length(c)).cast("long").alias(f"_sl_{i}"))
             mn, mx, mns, mxs, sl = null_d, null_d, f"_mns_{i}", f"_mxs_{i}", f"_sl_{i}"
-        pieces.append(f"'{c}', _nn_{i}, _ndv_{i}, {mn}, {mx}, {mns}, {mxs}, {sl}")
+        refs.append((c, f"_nn_{i}", mn, mx, mns, mxs, sl))
+    return aggs, refs
+
+
+def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
+    """ANALYZE-style per-column table statistics — the catalog stats a
+    cost-based optimizer (and a data engineer sizing a join) feeds on:
+    row count, null count, distinct count, min/max (numeric and
+    temporal columns in one normalized double domain, strings as
+    strings), and mean string length.
+
+    Two aggregation rows — the distinct counts alone in one agg, every
+    non-distinct stat in another — crossJoined (1×1) and stacked
+    map-only to long form. Keeping min/max/count OUT of the distinct
+    aggregate matters: Spark plans multi-column distinct via Expand
+    (one replicated row per distinct column), and a combined agg drags
+    every other stat's machinery through that replication (measured 4×:
+    3.3s → 0.9s on the sf0.1 orders table). ``exact=True`` (the
+    oracle-parity mode) uses ``countDistinct`` — what ``ANALYZE TABLE
+    ... COMPUTE STATISTICS`` pays; at warehouse scale flip
+    ``exact=False`` for ``approx_count_distinct`` (HLL sketch, single
+    pass, mergeable — the same exact/approx dial as ``numeric_drift``
+    and ``doc_length_distribution``).
+
+    Timestamps normalize to epoch microseconds and dates to epoch days
+    (exact integers < 2^53, so the double column is lossless).
+    Returns (column_name, rows, non_null, nulls, ndv, min_num, max_num,
+    min_str, max_str, avg_len) ordered by column_name.
+    """
+    aggs, refs = _stats_counter_aggs(df.schema.fields)
+    ndv_aggs = []
+    for i, f in enumerate(df.schema.fields):
+        ndv = (
+            F.countDistinct(f.name) if exact else F.approx_count_distinct(f.name, 0.01)
+        )
+        ndv_aggs.append(ndv.cast("long").alias(f"_ndv_{i}"))
+    pieces = [
+        f"'{c}', {nn}, _ndv_{i}, {mn}, {mx}, {mns}, {mxs}, {sl}"
+        for i, (c, nn, mn, mx, mns, mxs, sl) in enumerate(refs)
+    ]
     wide = df.agg(*aggs).crossJoin(df.agg(*ndv_aggs))
     stacked = wide.select(
         "_rows",
@@ -584,6 +602,109 @@ def table_stats(df: DataFrame, exact: bool = True) -> DataFrame:
             "avg_len"
         ),
     ).orderBy("column_name")
+
+
+def stats_counter_partials(df: DataFrame) -> DataFrame:
+    """Mergeable half of an incremental ANALYZE: the per-column counter
+    statistics of ONE row slice (a micro-batch, a partition, a delta),
+    long-form ``(column_name, rows, non_null, min_num, max_num, min_str,
+    max_str, sum_len)``. Every column folds by SUM or MIN/MAX, so
+    partials from disjoint slices merge into exactly what
+    :func:`table_stats` computes over the union — the same IVM trick as
+    ``ivm.sales_partials``, applied to catalog statistics."""
+    aggs, refs = _stats_counter_aggs(df.schema.fields)
+    pieces = [
+        f"'{c}', {nn}, {mn}, {mx}, {mns}, {mxs}, {sl}"
+        for (c, nn, mn, mx, mns, mxs, sl) in refs
+    ]
+    stacked = df.agg(*aggs).select(
+        "_rows",
+        F.expr(
+            f"stack({len(pieces)}, {', '.join(pieces)}) AS "
+            "(column_name, non_null, min_num, max_num, min_str, max_str, sum_len)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        F.col("_rows").alias("rows"),
+        "non_null",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        "sum_len",
+    )
+
+
+def stats_distinct_partials(df: DataFrame) -> DataFrame:
+    """The non-mergeable half of an incremental ANALYZE, made mergeable
+    the way every exact streaming-distinct is: keep the DISTINCT VALUES
+    themselves, long-form ``(column_name, value)`` with values
+    canonicalized to strings (Spark's cast is round-trippable for the
+    numeric/temporal types here, so the union's per-column distinct
+    count equals :func:`table_stats`'s exact ``ndv``). One map-side
+    stack pass + one distinct shuffle per slice; state is O(Σ column
+    NDVs) — the irreducible cost of EXACT distinct counts. At warehouse
+    scale flip the caller to sketch mode (``table_stats(exact=False)``'s
+    HLL dial) when ±1% ndv is acceptable."""
+    n = len(df.columns)
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in df.columns
+    )
+    return (
+        df.select(F.expr(f"stack({n}, {pairs}) AS (column_name, value)"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+
+
+def merge_stats_counters(partials: DataFrame) -> DataFrame:
+    """THE merge for counter partials — counter addition plus min/max
+    (exact longs/normalized doubles, so merge order cannot perturb the
+    result)."""
+    return partials.groupBy("column_name").agg(
+        F.sum("rows").alias("rows"),
+        F.sum("non_null").alias("non_null"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+        F.sum("sum_len").alias("sum_len"),
+    )
+
+
+def stats_from_partials(counters: DataFrame, distincts: DataFrame) -> DataFrame:
+    """Fold stacked partials back to the :func:`table_stats` shape —
+    counters re-aggregate, ndv is the per-column distinct-value count
+    (left join + 0 default keeps all-null columns at ndv=0 like
+    ``countDistinct``). Output is bit-identical to ``table_stats`` over
+    the union of the slices (tested), so anything consuming ANALYZE
+    output — :func:`stats_drift_from_stats`, the join advisor — can run
+    off incrementally-maintained statistics."""
+    c = merge_stats_counters(counters)
+    n = (
+        distincts.distinct()
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+    )
+    return (
+        c.join(n, "column_name", "left")
+        .select(
+            "column_name",
+            "rows",
+            "non_null",
+            (F.col("rows") - F.col("non_null")).cast("long").alias("nulls"),
+            F.coalesce("ndv", F.lit(0).cast("long")).alias("ndv"),
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+            (
+                F.col("sum_len").cast("double") / F.col("non_null").cast("double")
+            ).alias("avg_len"),
+        )
+        .orderBy("column_name")
+    )
 
 
 # -- privacy: k-anonymous aggregate release ----------------------------------
@@ -663,19 +784,24 @@ def stats_drift(old_df: DataFrame, new_df: DataFrame, exact: bool = True) -> Dat
     Ratio guards: a per-mille is NULL when its denominator is 0 (empty
     old snapshot / all-null column) rather than a misleading 0.
     """
-    old = table_stats(old_df, exact=exact).select(
-        "column_name",
-        *[
-            F.col(c).alias(f"old_{c}")
-            for c in ("rows", "nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
-        ],
+    return stats_drift_from_stats(
+        table_stats(old_df, exact=exact), table_stats(new_df, exact=exact)
     )
-    new = table_stats(new_df, exact=exact).select(
-        "column_name",
-        *[
-            F.col(c).alias(f"new_{c}")
-            for c in ("rows", "nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
-        ],
+
+
+def stats_drift_from_stats(old_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
+    """:func:`stats_drift` fed from two already-computed
+    :func:`table_stats` frames — the analyze-once-diff-many face: the
+    old side is a PERSISTED stats snapshot (a dated lake table), the new
+    side either a fresh ANALYZE or merged incremental partials
+    (:func:`stats_from_partials`), and the diff itself touches only
+    metadata-sized rows."""
+    cols = ("rows", "nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
+    old = old_stats.select(
+        "column_name", *[F.col(c).alias(f"old_{c}") for c in cols]
+    )
+    new = new_stats.select(
+        "column_name", *[F.col(c).alias(f"new_{c}") for c in cols]
     )
     j = old.join(new, "column_name")
     widen_low = F.coalesce(

@@ -2132,3 +2132,129 @@ def streaming_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{tmp}/state").drop("batch_id")
     )
     return ivm.daily_summary_from_partials(merged)
+
+
+def stream_stats_drift(
+    spark: SparkSession,
+    source_dir: str,
+    snapshot_stats_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ANALYZE-to-ANALYZE drift: each micro-batch lands its
+    MERGEABLE stats partials (``quality.stats_counter_partials`` +
+    ``stats_distinct_partials``) in ``batch_id=<n>`` partitions — the
+    same exactly-once-by-layout shape as the IVM/sketch streams; a
+    crash-replayed batch overwrites itself — then publishes the
+    CUMULATIVE drift of everything streamed so far against the LATEST
+    dated snapshot in ``snapshot_stats_path`` (a persisted
+    ``table_stats`` lake table, the ``analyze_join_keys``
+    analyze-once-advise-many pattern) to ``drift/batch_id=<n>``.
+
+    Because counter partials merge exactly and the distinct-value state
+    is the exact-NDV irreducible minimum, the drift after the final
+    batch is bit-identical to the batch
+    ``quality.stats_drift(snapshot_df, all_streamed_rows)`` — streamed
+    monitoring never diverges from the nightly report it replaces.
+    (During a crash replay an intermediate batch's drift row may
+    transiently include partials of later already-written batches; the
+    final batch's drift is always over the complete drained state.)
+    """
+    from .. import quality
+
+    snap = spark.read.parquet(snapshot_stats_path)
+    latest_date = snap.agg(F.max("snapshot_date")).collect()[0][0]
+    latest = snap.filter(F.col("snapshot_date") == F.lit(latest_date)).select(
+        "column_name", "rows", "non_null", "nulls", "ndv",
+        "min_num", "max_num", "min_str", "max_str", "avg_len",
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        quality.stats_counter_partials(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/counters/batch_id={batch_id}"
+        )
+        quality.stats_distinct_partials(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/distincts/batch_id={batch_id}"
+        )
+        merged = quality.stats_from_partials(
+            spark.read.parquet(f"{state_dir}/counters").drop("batch_id"),
+            spark.read.parquet(f"{state_dir}/distincts").drop("batch_id"),
+        )
+        quality.stats_drift_from_stats(latest, merged).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/drift/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_stats_drift did not finish within {timeout_s}s")
+
+
+def streaming_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: persist two dated ANALYZE snapshots of the
+    orders table (pre-1996 decoy + pre-1997 latest — the stream must
+    pick the latest), stream the 1997+ rows in three arrival batches
+    through :func:`stream_stats_drift`, and return the final batch's
+    cumulative drift. The oracle is the batch ``stats_drift_report``
+    SQL: the streamed drift must equal the one-shot ANALYZE diff
+    bit-for-bit."""
+    import os
+    import tempfile
+
+    from .. import quality
+    from ..datalake import Lake
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    d = F.col("o_orderdate").cast("date")
+    old = orders.filter(d < F.lit("1997-01-01").cast("date"))
+    new = orders.filter(d >= F.lit("1997-01-01").cast("date"))
+    tmp = tempfile.mkdtemp(prefix="stream_stats_")
+    lake = Lake(os.path.join(tmp, "lake"))
+    for snap_date, frame in (
+        ("1996-01-01", orders.filter(d < F.lit("1996-01-01").cast("date"))),
+        ("1997-01-01", old),
+    ):
+        lake.write(
+            quality.table_stats(frame)
+            .withColumn("table_name", F.lit("orders"))
+            .withColumn("snapshot_date", F.lit(snap_date).cast("date")),
+            "gold",
+            "stats_snapshots",
+            partition_by=("snapshot_date",),
+        )
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(new, F.expr("o_orderkey % 3"), src, 3)
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    stream_stats_drift(
+        spark,
+        src,
+        lake.path("gold", "stats_snapshots"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        ddl,
+    )
+    drift = spark.read.parquet(f"{tmp}/state/drift")
+    last = drift.agg(F.max("batch_id")).collect()[0][0]
+    return (
+        drift.filter(F.col("batch_id") == last)
+        .drop("batch_id")
+        .orderBy("column_name")
+    )

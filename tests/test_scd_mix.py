@@ -468,6 +468,106 @@ def test_stats_drift_empty_old_gives_null_ratios(spark):
     assert r["null_pm_new"] == 0
 
 
+def test_stats_from_partials_equals_table_stats(spark, sf_dir):
+    """Mergeable stats partials over disjoint slices fold back to the
+    one-shot ANALYZE bit-for-bit — every column type branch (numeric,
+    timestamp, string) exercised on the raw orders table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import quality
+
+    from functools import reduce
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    slices = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    counters = reduce(
+        lambda a, b: a.unionByName(b),
+        [quality.stats_counter_partials(s) for s in slices],
+    )
+    distincts = reduce(
+        lambda a, b: a.unionByName(b),
+        [quality.stats_distinct_partials(s) for s in slices],
+    )
+    got = quality.stats_from_partials(counters, distincts).collect()
+    want = quality.table_stats(orders).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_stats_drift_crash_replay(spark, sf_dir, tmp_path):
+    """Wiping the last stream commit and re-draining in a FRESH process
+    must leave the final drift identical (batch partitions overwrite
+    themselves), and the streamed drift equals the batch one-shot diff."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import quality, streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    d = F.col("o_orderdate").cast("date")
+    old = orders.filter(d < F.lit("1997-01-01").cast("date"))
+    new = orders.filter(d >= F.lit("1997-01-01").cast("date"))
+    lake = Lake(str(tmp_path / "lake"))
+    lake.write(
+        quality.table_stats(old)
+        .withColumn("table_name", F.lit("orders"))
+        .withColumn("snapshot_date", F.lit("1997-01-01").cast("date")),
+        "gold",
+        "stats_snapshots",
+        partition_by=("snapshot_date",),
+    )
+    src, state, ckpt = (str(tmp_path / p) for p in ("in", "state", "ckpt"))
+    os.makedirs(src)
+    streaming._stage_arrival_batches(new, F.expr("o_orderkey % 3"), src, 3)
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    snap_path = lake.path("gold", "stats_snapshots")
+    streaming.stream_stats_drift(spark, src, snap_path, state, ckpt, ddl)
+
+    def final_drift():
+        drift = spark.read.parquet(f"{state}/drift")
+        last = drift.agg(F.max("batch_id")).collect()[0][0]
+        return sorted(
+            map(tuple, drift.filter(F.col("batch_id") == last).drop("batch_id").collect())
+        )
+
+    got = final_drift()
+    want = sorted(map(tuple, quality.stats_drift(old, new).collect()))
+    assert got == want
+
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+streaming.stream_stats_drift(spark, {src!r}, {snap_path!r}, {state!r}, {ckpt!r}, {ddl!r})
+print("REPLAY_DONE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "REPLAY_DONE" in proc.stdout
+    assert final_drift() == want
+
+
 def test_merge_scd2_prunes_by_footer_envelope(spark, tmp_path):
     """Lake SCD2 MERGE: an update batch touching one key range rewrites
     only that range's file; other files hard-link through byte-identical
