@@ -196,6 +196,7 @@ WINDOW_HEAD = [
     "eval_sample_picks",
     "item_pagerank",
     "next_item_rules",
+    "multimodal_decode_report",
     # (c) the 22 queries whose most recent driver proof is the r03
     #     window — three rounds old, the oldest block in the record
     #     (VERDICT r06 item 2's exact list)

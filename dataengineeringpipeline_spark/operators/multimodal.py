@@ -10,13 +10,15 @@ The container has no codec *libraries*, but three public byte formats
 are decodable with numpy + stdlib alone, and :func:`decode_media` does:
 uncompressed 24-bit **BMP** (BITMAPINFOHEADER), 8-bit truecolor **PNG**
 (stdlib ``zlib`` inflate + all five spec scanline filters, CRC-checked),
-and 16-bit PCM mono **WAV** (RIFF). :func:`encode_bmp` /
-:func:`encode_png` / :func:`encode_wav` are the matching writers, so the
-decode path is exercised with real container bytes end to end
-(``synthesize_media`` → ``decoded_media_features`` round-trips
-pixels/samples through actual files). The remaining formats (JPEG/
-video/compressed audio) still raise ``NotImplementedError`` — that is
-the swap-in-PIL/ffmpeg boundary. Everything around the kernel — schema,
+16-bit PCM + G.711 μ-law mono **WAV** (RIFF), and baseline-sequential
+**JPEG** (:mod:`.jpeg` — pure-numpy Huffman + dequant + IDCT).
+:func:`encode_bmp` / :func:`encode_png` / :func:`encode_wav` /
+``jpeg.encode_jpeg`` are the matching writers, so the decode path is
+exercised with real container bytes end to end (``synthesize_media`` →
+``decoded_media_features`` round-trips pixels/samples through actual
+files). The remaining formats (progressive JPEG / video / perceptual
+audio) still raise ``NotImplementedError`` — that is the
+swap-in-PIL/ffmpeg boundary. Everything around the kernel — schema,
 batch iteration, UDF signature, partitioning — is the real production
 plumbing either way.
 
@@ -323,9 +325,11 @@ def decode_media(payload: bytes, modality: str):
     """Decode a media payload by container magic.
 
     Implemented here with pure numpy/stdlib (no codec libraries):
-    uncompressed 24-bit BMP and 8-bit truecolor PNG → ``H×W×3 uint8``
-    RGB array; 16-bit PCM mono WAV → ``(int16 samples, sample_rate)``.
-    Every other container — JPEG, compressed audio, video — raises
+    uncompressed 24-bit BMP, 8-bit truecolor PNG, and baseline
+    sequential JPEG (:mod:`.jpeg` — Huffman + dequant + IDCT) →
+    ``H×W×3 uint8`` RGB array; 16-bit PCM and G.711 μ-law mono WAV →
+    ``(int16 samples, sample_rate)``. Every other container —
+    progressive JPEG, perceptual audio, video — raises
     ``NotImplementedError``: that is where ``PIL.Image.open`` /
     ``soundfile.read`` / ffmpeg frame-sampling slots in. Everything
     calling this is already batch-shaped, so widening codec support
@@ -335,6 +339,10 @@ def decode_media(payload: bytes, modality: str):
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
@@ -420,7 +428,12 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
       order) = ``(doc_id*31 + i) % 256`` — containerized as PNG when
       ``doc_id % 4 == 0`` and BMP otherwise (same pixels either way,
       so decoded features are container-independent and the oracle
-      needs no container awareness)
+      needs no container awareness); EXCEPT ``doc_id % 8 == 2`` docs,
+      which become baseline JPEG: an 8×6 FLAT grayscale image of even
+      value ``2·((doc_id·17) % 128)`` — a quantizer fixed point of the
+      lossy DCT path (DC = 8·(v−128) divisible by the Annex-K quantum
+      16, AC exactly zero; see :mod:`.jpeg`), so even the compressed
+      container's decoded mean is closed-form in ``doc_id``
     - audio: ``n=64+doc_id%32`` samples at 8 kHz, sample ``i`` = the
       μ-law EXPANSION of code ``(doc_id*7 + i*13) % 256`` — codebook
       fixed points, so the lossy μ-law container round-trips them
@@ -442,11 +455,20 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 if d % 2 == 0:
-                    h = 4 + d % 4
-                    n = h * 8 * 3
-                    flat = (d * 31 + np.arange(n)) % 256
-                    px = flat.astype(np.uint8).reshape(h, 8, 3)
-                    payloads.append(encode_png(px) if d % 4 == 0 else encode_bmp(px))
+                    if d % 8 == 2:
+                        from .jpeg import encode_jpeg
+
+                        v = 2 * ((d * 17) % 128)
+                        px = np.full((6, 8), v, dtype=np.uint8)
+                        payloads.append(encode_jpeg(px))
+                    else:
+                        h = 4 + d % 4
+                        n = h * 8 * 3
+                        flat = (d * 31 + np.arange(n)) % 256
+                        px = flat.astype(np.uint8).reshape(h, 8, 3)
+                        payloads.append(
+                            encode_png(px) if d % 4 == 0 else encode_bmp(px)
+                        )
                     modalities.append("image")
                 else:
                     n = 64 + d % 32

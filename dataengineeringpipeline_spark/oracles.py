@@ -2240,7 +2240,18 @@ img AS (
     CAST(NULL AS DOUBLE) AS duration_s,
     CAST(list_aggregate(list_transform(range(0, (4 + d % 4) * 24),
       i -> (d * 31 + i) % 256), 'sum') AS DOUBLE) / ((4 + d % 4) * 24) AS mean_value
-  FROM s WHERE d % 2 = 0
+  FROM s WHERE d % 2 = 0 AND d % 8 <> 2
+),
+jpg AS (
+  -- baseline-JPEG docs are FLAT gray quantizer fixed points: the lossy
+  -- Huffman+DCT round trip returns the even value 2*((d*17) % 128)
+  -- exactly (DC divisible by the Annex-K quantum, AC all zero)
+  SELECT d AS doc_id, 'image' AS modality,
+    8 AS width, CAST(6 AS INTEGER) AS height,
+    CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+    CAST(NULL AS DOUBLE) AS duration_s,
+    CAST(2 * ((d * 17) % 128) AS DOUBLE) AS mean_value
+  FROM s WHERE d % 8 = 2
 ),
 aud AS (
   -- samples are mu-law codebook fixed points: expand(code) with
@@ -2259,7 +2270,8 @@ aud AS (
     ), 'sum') AS DOUBLE) / (64 + d % 32) AS mean_value
   FROM s WHERE d % 2 = 1
 )
-SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id
+SELECT * FROM img UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM aud
+ORDER BY doc_id
 """.strip()
 
 

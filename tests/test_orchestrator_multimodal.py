@@ -502,10 +502,14 @@ def test_decoded_media_features_roundtrip(spark, sf_dir):
         d = r["doc_id"]
         if d % 2 == 0:
             assert r["modality"] == "image"
-            assert (r["width"], r["height"]) == (8, 4 + d % 4)
-            n = (4 + d % 4) * 24
-            expect = sum((d * 31 + i) % 256 for i in range(n)) / n
-            assert r["mean_value"] == expect
+            if d % 8 == 2:  # flat-gray JPEG fixed point, lossless round trip
+                assert (r["width"], r["height"]) == (8, 6)
+                assert r["mean_value"] == 2 * ((d * 17) % 128)
+            else:
+                assert (r["width"], r["height"]) == (8, 4 + d % 4)
+                n = (4 + d % 4) * 24
+                expect = sum((d * 31 + i) % 256 for i in range(n)) / n
+                assert r["mean_value"] == expect
             assert r["sample_rate"] is None and r["duration_s"] is None
         else:
             assert r["modality"] == "audio"
@@ -623,3 +627,121 @@ def test_mulaw_codec_properties():
     assert rate == 8000 and np.array_equal(d, s)
     # mu-law payload is half the PCM size (plus fixed header delta)
     assert len(mm.encode_wav_mulaw(s)) < len(mm.encode_wav(s)) - 50
+
+
+def test_jpeg_handbuilt_flat128_decodes_exactly():
+    """Encoder-INDEPENDENT decode check: an 8x8 flat-128 baseline JPEG's
+    scan is hand-derivable from the public Annex-K tables (DC category 0
+    = bits '00', luma EOB = '1010', 1-padded -> the single scan byte
+    0x2B). Build the file from spec-level pieces and assert the decoder
+    returns all-128 — this catches any self-cancelling encoder/decoder
+    bug the round-trip tests cannot see."""
+    import struct
+
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators import jpeg as J
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in J.QUANT_LUMA[J.ZIGZAG]
+    )
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in (
+        (0, J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        (1, J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+    ):
+        body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += b"\x2b"  # hand-derived scan: '00' (DC cat 0) + '1010' (EOB) + '11'
+    out += b"\xff\xd9"
+    decoded = J.decode_jpeg(bytes(out))
+    assert decoded.shape == (8, 8, 3)
+    assert np.all(decoded == 128)
+
+
+def test_jpeg_flat_gray_fixed_points_roundtrip_exactly():
+    """Even flat values are quantizer fixed points: DC = 8*(v-128) is
+    divisible by the Annex-K DC quantum (16), AC is exactly zero, so the
+    lossy pipeline is lossless on them — including with non-8-multiple
+    dims (edge-replicated padding stays flat) and restart markers."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 2, 64, 128, 200, 254):
+        img = np.full((6, 8), v, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(img))
+        assert got.shape == (6, 8, 3) and np.all(got == v), v
+    big = np.full((33, 41), 202, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(big, restart_interval=3))
+    assert got.shape == (33, 41, 3) and np.all(got == 202)
+
+
+def test_jpeg_gradient_roundtrip_bounded_error():
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    img = np.minimum(
+        np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2, 255
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == (h, w, 3)
+    err = np.abs(got[..., 0].astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 12  # Q50 quantization envelope
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((17, 19, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 200, 17)[:, None].astype(np.uint8)
+    img[..., 1] = np.linspace(30, 220, 19)[None, :].astype(np.uint8)
+    img[..., 2] = 90
+    for sub in ((1, 1), (2, 2)):
+        got = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert got.shape == img.shape
+        err = np.abs(got.astype(int) - img.astype(int))
+        assert err.mean() < 6, (sub, err.mean())
+
+
+def test_jpeg_restart_interval_decodes_identically():
+    """RSTn resync + DC predictor reset must not change a single pixel
+    vs the unsegmented scan."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(48)[:, None] * 5 + np.arange(48)[None, :] * 3) % 230).astype(
+        np.uint8
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)), decode_jpeg(encode_jpeg(img, restart_interval=4))
+    )
+
+
+def test_jpeg_exotic_variants_raise():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.full((8, 8), 100, np.uint8)))
+    # flip SOF0 -> SOF2 (progressive): find the C0 marker and rewrite it
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(NotImplementedError):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(2, 1))
