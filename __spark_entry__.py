@@ -188,6 +188,7 @@ WINDOW_HEAD = [
     "lake_scd2_merged_history",
     "incremental_customer_metrics",
     "streaming_stats_drift",
+    "lake_time_travel_totals",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -560,6 +561,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- lakehouse SCD2 MERGE: file-pruned physical history apply --------
         "lake_scd2_merged_history": lambda spark, sf: datalake.lake_scd2_merged_history(
+            spark, sf
+        ),
+        # -- lakehouse time travel: hard-linked snapshots across a MERGE ----
+        "lake_time_travel_totals": lambda spark, sf: datalake.lake_time_travel_totals(
             spark, sf
         ),
         # -- ANALYZE-style catalog statistics (CBO surface) ------------------

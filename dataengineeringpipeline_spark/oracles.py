@@ -2933,12 +2933,33 @@ FROM op2
 WINDOW w2 AS (PARTITION BY customer_key ORDER BY change_date ASC, order_key ASC)
 ORDER BY customer_key, version
 """.strip()
+    # Time travel: version 1 is the staged snapshot, version 2 the
+    # CDC-merged state — both aggregates are pure arithmetic over the
+    # same CTEs the cdc oracle uses.
+    tt_body = f"""
+SELECT 1 AS version, status, COUNT(*) AS order_count,
+  {money_sum_sql('total_price')} AS total_value
+FROM snap GROUP BY status
+UNION ALL
+SELECT 2 AS version, status, COUNT(*) AS order_count,
+  {money_sum_sql('total_price')} AS total_value
+FROM (
+  SELECT s.status, s.total_price FROM snap s
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.order_key = s.order_key)
+  UNION ALL
+  SELECT status, total_price FROM latest WHERE op <> 'D'
+) GROUP BY status
+ORDER BY version, status
+""".strip()
     return {
         "customer_priority_scd2": _with({"ch": ch}, body),
         "cdc_order_snapshot": _with(
             {"snap": snap, "chg": chg, "latest": latest}, cdc_body
         ),
         "lake_scd2_merged_history": _with(scd2_lake_ctes, scd2_lake_body),
+        "lake_time_travel_totals": _with(
+            {"snap": snap, "chg": chg, "latest": latest}, tt_body
+        ),
     }
 
 

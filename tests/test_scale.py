@@ -890,3 +890,59 @@ def test_merge_changes_empty_batch_is_zero_io(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert before == after
+
+
+def test_time_travel_snapshot_survives_purge(spark, tmp_path):
+    """A hard-linked snapshot is immutable across destructive
+    mutations: purge keys from the live table, and version 1 still
+    reads the pre-purge rows from the SAME inodes, while the live
+    table no longer has them. Retention (expire_versions) is the
+    privacy counterpart."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}", float(i)) for i in range(500)],
+        "k long, user string, v double",
+    )
+    lake.write(
+        df.repartitionByRange(5, "k").sortWithinPartitions("k"), "gold", "t"
+    )
+    before = sorted(map(tuple, lake.read(spark, "gold", "t").collect()))
+    v1 = lake.snapshot_version("gold", "t")
+    assert v1 == 1 and lake.versions("gold", "t") == [1]
+    vdir = lake.path("gold", "t") + "__versions/v=1"
+    inodes_before = {
+        f: os.stat(os.path.join(vdir, f)).st_ino for f in os.listdir(vdir)
+    }
+
+    doomed = spark.createDataFrame([(i,) for i in range(100, 200)], "k long")
+    audit = lake.purge_keys(spark, "gold", "t", "k", doomed)
+    assert audit["rows_removed"] == 100
+    v2 = lake.snapshot_version("gold", "t")
+
+    live = sorted(map(tuple, lake.read(spark, "gold", "t").collect()))
+    assert len(live) == 400
+    time_traveled = sorted(
+        map(tuple, lake.read_version(spark, "gold", "t", v1).collect())
+    )
+    assert time_traveled == before  # pre-purge rows fully intact
+    inodes_after = {
+        f: os.stat(os.path.join(vdir, f)).st_ino for f in os.listdir(vdir)
+    }
+    assert inodes_before == inodes_after  # zero-copy, never rewritten
+    assert sorted(
+        map(tuple, lake.read_version(spark, "gold", "t", v2).collect())
+    ) == live
+
+    # retention: v1 predates the purge, so completing the erasure
+    # means expiring it
+    assert lake.expire_versions("gold", "t", keep=1) == [1]
+    assert lake.versions("gold", "t") == [2]
+    try:
+        lake.read_version(spark, "gold", "t", 1)
+        raise AssertionError("expected ValueError for expired version")
+    except ValueError:
+        pass
