@@ -98,6 +98,10 @@ PLAN_BOUNDS = {
     # monthly rollup off merged partials: base/delta partials + merge +
     # distinct-bearing month agg + presentation sort
     "monthly_sales_from_partials": (5, 0),
+    # second IVM family: base/delta (customer, year) partials + merge
+    # re-agg + customer fold; both date-split filters reach the scan and
+    # the scan reads only the 4 needed columns
+    "incremental_customer_metrics": (3, 0),
 }
 
 

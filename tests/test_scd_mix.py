@@ -672,3 +672,39 @@ def test_merge_scd2_empty_batch_is_zero_io(spark, tmp_path):
         f: os.stat(os.path.join(path, f)).st_mtime_ns for f in os.listdir(path)
     }
     assert before == after
+
+
+def test_ndv_sketch_partials_merge_close_to_exact(spark, sf_dir):
+    """The HLL dial: sketch partials over disjoint slices union-merge to
+    per-column NDV estimates within a few percent of the exact counts —
+    and re-merging a replayed slice does not move the estimate
+    (idempotent union)."""
+    import os
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import quality
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    slices = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    parts = reduce(
+        lambda a, b: a.unionByName(b),
+        [quality.stats_ndv_sketch_partials(s) for s in slices],
+    )
+    approx = {
+        r["column_name"]: r["ndv_approx"]
+        for r in quality.ndv_from_sketches(parts).collect()
+    }
+    exact = {
+        r["column_name"]: r["ndv"] for r in quality.table_stats(orders).collect()
+    }
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(2, 0.05 * n), (c, approx[c], n)
+
+    replayed = parts.unionByName(quality.stats_ndv_sketch_partials(slices[0]))
+    again = {
+        r["column_name"]: r["ndv_approx"]
+        for r in quality.ndv_from_sketches(replayed).collect()
+    }
+    assert again == approx
