@@ -189,6 +189,7 @@ WINDOW_HEAD = [
     "incremental_customer_metrics",
     "streaming_stats_drift",
     "lake_time_travel_totals",
+    "lake_version_changes",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -565,6 +566,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- lakehouse time travel: hard-linked snapshots across a MERGE ----
         "lake_time_travel_totals": lambda spark, sf: datalake.lake_time_travel_totals(
+            spark, sf
+        ),
+        # -- change data feed read off two snapshots (Delta CDF analog) -----
+        "lake_version_changes": lambda spark, sf: datalake.lake_version_changes(
             spark, sf
         ),
         # -- ANALYZE-style catalog statistics (CBO surface) ------------------

@@ -2951,6 +2951,26 @@ FROM (
 ) GROUP BY status
 ORDER BY version, status
 """.strip()
+    # Change data feed: the diff of the two snapshots must reproduce the
+    # change log it never saw — each set derived from the changelog
+    # arithmetic directly.
+    cdf_body = """
+SELECT * FROM (
+  SELECT 'insert' AS change_type, COUNT(*) AS n_rows,
+    MIN(order_key) AS min_key, MAX(order_key) AS max_key
+  FROM latest l WHERE op <> 'D'
+    AND NOT EXISTS (SELECT 1 FROM snap s WHERE s.order_key = l.order_key)
+  UNION ALL
+  SELECT 'delete', COUNT(*), MIN(s.order_key), MAX(s.order_key)
+  FROM snap s WHERE EXISTS (
+    SELECT 1 FROM latest l WHERE l.order_key = s.order_key AND l.op = 'D')
+  UNION ALL
+  SELECT 'update', COUNT(*), MIN(s.order_key), MAX(s.order_key)
+  FROM snap s JOIN latest l ON s.order_key = l.order_key AND l.op <> 'D'
+  WHERE (s.status, s.total_price, s.last_change)
+    IS DISTINCT FROM (l.status, l.total_price, l.last_change)
+) ORDER BY change_type
+""".strip()
     return {
         "customer_priority_scd2": _with({"ch": ch}, body),
         "cdc_order_snapshot": _with(
@@ -2959,6 +2979,9 @@ ORDER BY version, status
         "lake_scd2_merged_history": _with(scd2_lake_ctes, scd2_lake_body),
         "lake_time_travel_totals": _with(
             {"snap": snap, "chg": chg, "latest": latest}, tt_body
+        ),
+        "lake_version_changes": _with(
+            {"snap": snap, "chg": chg, "latest": latest}, cdf_body
         ),
     }
 

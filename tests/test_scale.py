@@ -946,3 +946,35 @@ def test_time_travel_snapshot_survives_purge(spark, tmp_path):
         raise AssertionError("expected ValueError for expired version")
     except ValueError:
         pass
+
+
+def test_version_changes_row_level_semantics(spark, tmp_path):
+    """CDF between snapshots: insert/delete/update tagged per key with
+    pre/post images; identical-payload rows (no-op upserts) produce NO
+    change row."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    v1_rows = [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)]
+    lake.write(
+        spark.createDataFrame(v1_rows, "k long, s string, v double"), "gold", "t"
+    )
+    v1 = lake.snapshot_version("gold", "t")
+    # mutate: delete k=1, update k=2, keep k=3 identical, insert k=4
+    v2_rows = [(2, "B2", 21.0), (3, "C", 30.0), (4, "D", 40.0)]
+    lake.write(
+        spark.createDataFrame(v2_rows, "k long, s string, v double"), "gold", "t"
+    )
+    v2 = lake.snapshot_version("gold", "t")
+
+    feed = {
+        r["k"]: r
+        for r in lake.version_changes(spark, "gold", "t", v1, v2, ("k",)).collect()
+    }
+    assert set(feed) == {1, 2, 4}  # k=3 unchanged -> absent
+    assert feed[1]["change_type"] == "delete" and feed[1]["post"] is None
+    assert feed[1]["pre"]["s"] == "A"
+    assert feed[2]["change_type"] == "update"
+    assert (feed[2]["pre"]["s"], feed[2]["post"]["s"]) == ("B", "B2")
+    assert feed[4]["change_type"] == "insert" and feed[4]["pre"] is None
+    assert feed[4]["post"]["v"] == 40.0
