@@ -515,3 +515,93 @@ def test_ivm_merge_equals_full_recompute_for_any_split(spark, rows, cut):
     inc = ivm.daily_summary_from_partials(merged).collect()
     full = gold.daily_sales_summary(mk(rows)).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+# -- lakehouse SCD2 merge == logical apply for ANY batch ----------------------
+
+_changelog = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # key
+        st.sampled_from(["A", "B", "C"]),  # tracked attr
+        st.integers(0, 9),  # ts
+        st.integers(0, 99),  # tiebreak
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[2], t[3]),
+)
+
+
+@given(_changelog, _changelog)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_scd2_equals_logical_apply_for_any_batch(
+    spark, tmp_path_factory, batch1, batch2
+):
+    """The physical file-pruned SCD2 MERGE must equal the frame-level
+    scd2_apply_changes for ANY pair of change batches — dup suppression,
+    late splices, new keys, and no-op updates included."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_apply_changes, scd2_history
+
+    ddl = "k int, attr string, ts int, tb int"
+    b1 = spark.createDataFrame(batch1, ddl)
+    b2 = spark.createDataFrame(batch2, ddl)
+    hist = scd2_history(b1, ["k"], ["attr"], "ts", tiebreak_cols=["tb"], carry_cols=["tb"])
+    lake = Lake(str(tmp_path_factory.mktemp("scd2prop")))
+    lake.write(hist, "gold", "h")
+    lake.merge_scd2(
+        spark, "gold", "h", b2,
+        key_col="k", attr_cols=("attr",), ts_col="ts",
+        tiebreak_cols=("tb",), carry_cols=("tb",),
+    )
+    got = sorted(map(tuple, lake.read(spark, "gold", "h").collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_apply_changes(
+                hist, b2, ["k"], ["attr"], "ts",
+                tiebreak_cols=["tb"], carry_cols=["tb"],
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+# -- JPEG: flat fixed points exact for any even value / dims ------------------
+
+
+@given(
+    st.integers(0, 127),
+    st.integers(1, 20),
+    st.integers(1, 20),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_flat_even_value_exact_for_any_dims(half_v, h, w):
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    v = 2 * half_v
+    img = np.full((h, w), v, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == (h, w, 3) and np.all(got == v)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(8, 24), st.integers(8, 24))
+@settings(max_examples=10, deadline=None)
+def test_jpeg_random_image_roundtrip_is_bounded_and_deterministic(seed, h, w):
+    """Arbitrary uint8 noise: dims always preserved, encode is
+    byte-deterministic, and Q50 quantization error stays bounded in the
+    mean (worst-case pixels can ring, the mean cannot)."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    assert payload == encode_jpeg(img)
+    got = decode_jpeg(payload)
+    assert got.shape == (h, w, 3)
+    err = np.abs(got[..., 0].astype(int) - img.astype(int))
+    assert err.mean() < 40.0
