@@ -978,3 +978,40 @@ def test_version_changes_row_level_semantics(spark, tmp_path):
     assert (feed[2]["pre"]["s"], feed[2]["post"]["s"]) == ("B", "B2")
     assert feed[4]["change_type"] == "insert" and feed[4]["pre"] is None
     assert feed[4]["post"]["v"] == 40.0
+
+
+def test_restore_version_rolls_back_and_history_reports(spark, tmp_path):
+    """RESTORE makes the live table the snapshot's exact state (zero
+    copy, snapshot preserved); DESCRIBE HISTORY reads counts from
+    footers only."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    lake.write(
+        spark.createDataFrame([(i, float(i)) for i in range(300)], "k long, v double"),
+        "gold",
+        "t",
+    )
+    before = sorted(map(tuple, lake.read(spark, "gold", "t").collect()))
+    v1 = lake.snapshot_version("gold", "t")
+
+    doomed = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    lake.purge_keys(spark, "gold", "t", "k", doomed)
+    assert lake.read(spark, "gold", "t").count() == 200
+    v2 = lake.snapshot_version("gold", "t")
+
+    lake.restore_version("gold", "t", v1)
+    assert sorted(map(tuple, lake.read(spark, "gold", "t").collect())) == before
+    # both snapshots still intact after the rollback
+    assert lake.read_version(spark, "gold", "t", v1).count() == 300
+    assert lake.read_version(spark, "gold", "t", v2).count() == 200
+
+    hist = lake.history("gold", "t")
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[v1]["rows"] == 300 and by_v[v2]["rows"] == 200
+    assert by_v[None]["rows"] == 300  # the restored live table
+    try:
+        lake.restore_version("gold", "t", 99)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
