@@ -190,6 +190,7 @@ WINDOW_HEAD = [
     "streaming_stats_drift",
     "lake_time_travel_totals",
     "lake_version_changes",
+    "incremental_rule_aggregation",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -661,6 +662,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rule_driven_features": lambda spark, sf: rules.rule_driven_features(
             gold.customer_lifetime_metrics(_silver_orders(spark, sf))
+        ),
+        # -- generic rule-IVM: the SAME config, maintained incrementally ----
+        "incremental_rule_aggregation": lambda spark, sf: ivm.incremental_rule_aggregation(
+            _silver_orders(spark, sf)
         ),
         "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
             _silver_orders(spark, sf)

@@ -408,6 +408,159 @@ def maintain_customer_partials(
     return touched
 
 
+# ---------------------------------------------------------------------------
+# Rule-driven IVM: compile ANY aggregation rule (rules.AggregationRule —
+# the reference's config schema) to mergeable partials + a fold that
+# reproduces ``rules.apply_aggregation_rule`` bit-for-bit. The two
+# hand-built families above are instances of this compiler's output;
+# this is the general form — IVM driven by the same CONFIG that drives
+# the batch job, so "make this configured summary incremental" is a
+# call, not a rewrite.
+#
+# Grain rule: partials live at ``group_by ∪ {count_distinct columns}``
+# (the usual trick — containing the distinct-counted columns makes them
+# mergeable). ``approx_count_distinct`` is rejected: one-pass HLL++ and
+# sketch-union estimates differ, so a partials fold could not reproduce
+# the batch number; use ``count_distinct`` (exact) or the explicit HLL
+# dial (``quality.stats_ndv_sketch_partials``) instead.
+# ---------------------------------------------------------------------------
+
+_P_SUM_DEC = "decimal(27,2)"  # money_sum's cast
+_P_SQ_DEC = "decimal(18,2)"  # det_stddev's square operand
+_P_SUM_STORE = "decimal(38,2)"
+_P_SQ_STORE = "decimal(38,4)"
+
+
+def _rule_partial_specs(rule) -> tuple[list, dict]:
+    """(grain columns, {partial column name: aggregate Column}) for a
+    rule — partials are deduplicated by content, so sum/avg/stddev over
+    the same column share one exact decimal sum."""
+    distinct_cols = [
+        a.column
+        for a in rule.aggregate_columns
+        if a.function.lower() == "count_distinct"
+    ]
+    grain = list(dict.fromkeys([*rule.group_by_columns, *distinct_cols]))
+    parts: dict = {}
+    for a in rule.aggregate_columns:
+        fn = a.function.lower()
+        c = F.col(a.column)
+        if fn in ("sum", "avg", "stddev"):
+            parts[f"_sum_{a.column}"] = F.sum(c.cast(_P_SUM_DEC)).cast(_P_SUM_STORE)
+        if fn in ("avg", "stddev", "count"):
+            parts[f"_cnt_{a.column}"] = F.count(c)
+        if fn == "stddev":
+            dec = c.cast(_P_SQ_DEC)
+            parts[f"_sq_{a.column}"] = F.sum(dec * dec).cast(_P_SQ_STORE)
+        if fn == "min":
+            parts[f"_min_{a.column}"] = F.min(c)
+        if fn == "max":
+            parts[f"_max_{a.column}"] = F.max(c)
+        if fn == "count_distinct":
+            pass  # the column IS part of the grain
+        if fn == "approx_count_distinct":
+            raise ValueError(
+                "approx_count_distinct is not exactly mergeable from partials; "
+                "use count_distinct or quality.stats_ndv_sketch_partials"
+            )
+    return grain, parts
+
+
+def rule_partials(df: DataFrame, rule) -> DataFrame:
+    """Mergeable partials of ``rules.apply_aggregation_rule(df, rule)``
+    over one row slice (a delta batch, a partition, a micro-batch)."""
+    if rule.filters:
+        df = df.filter(F.expr(rule.filters))
+    grain, parts = _rule_partial_specs(rule)
+    aggs = [col.alias(name) for name, col in parts.items()]
+    if not aggs:
+        raise ValueError(f"rule {rule.name!r} has no mergeable measures")
+    return df.groupBy(*grain).agg(*aggs) if grain else df.agg(*aggs)
+
+
+def merge_rule_partials(partials: DataFrame, rule) -> DataFrame:
+    """Collapse stacked partials back to one row per grain — counter/sum
+    addition plus min/max, the maintenance step that keeps a
+    materialized partials table delta-sized."""
+    grain, parts = _rule_partial_specs(rule)
+    aggs = []
+    for name in parts:
+        if name.startswith("_min_"):
+            aggs.append(F.min(name).alias(name))
+        elif name.startswith("_max_"):
+            aggs.append(F.max(name).alias(name))
+        elif name.startswith("_sum_"):
+            aggs.append(F.sum(name).cast(_P_SUM_STORE).alias(name))
+        elif name.startswith("_sq_"):
+            aggs.append(F.sum(name).cast(_P_SQ_STORE).alias(name))
+        else:  # _cnt_
+            aggs.append(F.sum(name).alias(name))
+    return partials.groupBy(*grain).agg(*aggs) if grain else partials.agg(*aggs)
+
+
+def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
+    """Fold partials out to the exact ``apply_aggregation_rule`` shape —
+    every measure replays the batch compiler's IEEE sequence
+    (``money_sum`` / ``money_avg`` / ``det_stddev`` arithmetic on the
+    same exact decimal sums), so incremental == batch bit-for-bit.
+    Works directly on STACKED partials (base ∪ delta): every fold
+    aggregate is itself a merge."""
+    outs = []
+    for a in rule.aggregate_columns:
+        fn = a.function.lower()
+        if fn == "sum":
+            outs.append(F.sum(f"_sum_{a.column}").cast("double").alias(a.alias))
+        elif fn == "avg":
+            outs.append(
+                (
+                    F.sum(f"_sum_{a.column}").cast("double")
+                    / F.sum(f"_cnt_{a.column}")
+                ).alias(a.alias)
+            )
+        elif fn == "stddev":
+            n = F.sum(f"_cnt_{a.column}").cast("double")
+            sx = F.sum(f"_sum_{a.column}").cast("double")
+            sxx = F.sum(f"_sq_{a.column}").cast("double")
+            var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+            outs.append(
+                F.when(
+                    F.sum(f"_cnt_{a.column}") > 1,
+                    F.sqrt(F.greatest(var, F.lit(0.0))),
+                ).alias(a.alias)
+            )
+        elif fn == "count":
+            outs.append(F.sum(f"_cnt_{a.column}").alias(a.alias))
+        elif fn == "count_distinct":
+            outs.append(F.countDistinct(a.column).alias(a.alias))
+        elif fn == "min":
+            outs.append(F.min(f"_min_{a.column}").alias(a.alias))
+        elif fn == "max":
+            outs.append(F.max(f"_max_{a.column}").alias(a.alias))
+    if rule.group_by_columns:
+        return partials.groupBy(*rule.group_by_columns).agg(*outs)
+    return partials.agg(*outs)
+
+
+def incremental_rule_aggregation(
+    silver_orders: DataFrame, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query: the CONFIGURED demo aggregation rule
+    (``rules.MONTHLY_REVENUE_RULE`` — sum/avg/stddev/count/
+    count_distinct/max with a filter) maintained incrementally through
+    the generic rule-IVM compiler. The oracle is the batch
+    ``rule_driven_aggregation`` SQL: config-driven incremental ==
+    config-driven batch, bit-for-bit."""
+    from .rules import MONTHLY_REVENUE_RULE as rule
+
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = rule_partials(silver_orders.filter(d < lit_cut), rule)
+    delta = rule_partials(silver_orders.filter(d >= lit_cut), rule)
+    return rule_summary_from_partials(base.unionByName(delta), rule).orderBy(
+        *rule.group_by_columns
+    )
+
+
 def incremental_customer_metrics(
     silver_orders: DataFrame, cutoff: str = "1998-06-01"
 ) -> DataFrame:

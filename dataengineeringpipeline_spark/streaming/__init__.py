@@ -2224,8 +2224,10 @@ def streaming_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = orders.filter(d >= F.lit("1997-01-01").cast("date"))
     tmp = tempfile.mkdtemp(prefix="stream_stats_")
     lake = Lake(os.path.join(tmp, "lake"))
+    # the decoy's only job is to exercise latest-snapshot selection, so
+    # it ANALYZEs a tiny early slice, not half the table
     for snap_date, frame in (
-        ("1996-01-01", orders.filter(d < F.lit("1996-01-01").cast("date"))),
+        ("1993-01-01", orders.filter(d < F.lit("1993-01-01").cast("date"))),
         ("1997-01-01", old),
     ):
         lake.write(

@@ -240,3 +240,67 @@ print("REPLAY_SUM", sum(r["total_orders"] for r in rows))
     line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_SUM"))
     total = sum(r[1] for r in want)  # total_orders is column 2 of the summary
     assert int(line.split()[1]) == total
+
+
+def test_rule_ivm_matches_batch_compiler_bit_for_bit(spark, sf_dir):
+    """Generic rule-IVM: partials fold of the configured demo rule ==
+    the batch rule compiler, including stddev and count_distinct; the
+    explicit merge step collapses stacked partials without changing the
+    fold."""
+    from dataengineeringpipeline_spark import rules
+
+    so = _silver(spark, sf_dir)
+    rule = rules.MONTHLY_REVENUE_RULE
+    cols = rules.apply_aggregation_rule(so, rule).columns
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(so, rule).collect()
+    )
+    cut = F.lit("1997-06-01").cast("date")
+    base = ivm.rule_partials(so.filter(F.col("order_date") < cut), rule)
+    delta = ivm.rule_partials(so.filter(F.col("order_date") >= cut), rule)
+    stacked = base.unionByName(delta)
+    inc = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.rule_summary_from_partials(stacked, rule).collect()
+    )
+    assert inc == batch
+    merged = ivm.merge_rule_partials(stacked, rule)
+    inc2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.rule_summary_from_partials(merged, rule).collect()
+    )
+    assert inc2 == batch
+    # the merge actually collapsed grain duplicates
+    assert merged.count() <= stacked.count()
+
+
+def test_rule_ivm_global_agg_and_approx_rejection(spark, sf_dir):
+    from dataengineeringpipeline_spark import rules
+
+    so = _silver(spark, sf_dir)
+    glob = rules.AggregationRule(
+        name="global",
+        group_by_columns=(),
+        aggregate_columns=(
+            rules.AggregateColumn("total_price", "sum", "rev"),
+            rules.AggregateColumn("customer_key", "count_distinct", "nc"),
+        ),
+        filters="is_complete_order",
+    )
+    batch = rules.apply_aggregation_rule(so, glob).collect()[0]
+    got = ivm.rule_summary_from_partials(ivm.rule_partials(so, glob), glob).collect()[0]
+    assert tuple(got) == tuple(batch)
+
+    bad = rules.AggregationRule(
+        name="bad",
+        group_by_columns=("order_status",),
+        aggregate_columns=(
+            rules.AggregateColumn("customer_key", "approx_count_distinct", "nc"),
+        ),
+    )
+    try:
+        ivm.rule_partials(so, bad)
+        raise AssertionError("expected ValueError for approx_count_distinct")
+    except ValueError:
+        pass
