@@ -191,6 +191,7 @@ WINDOW_HEAD = [
     "lake_time_travel_totals",
     "lake_version_changes",
     "incremental_rule_aggregation",
+    "streaming_rule_aggregation",
     # (b) re-prove: oracle fixed (value_quartile_profile — the one red
     #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
     #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
@@ -667,6 +668,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rule_aggregation": lambda spark, sf: ivm.incremental_rule_aggregation(
             _silver_orders(spark, sf)
         ),
+        # -- ...and streamed: config-driven per-batch partials, merge-on-read
+        "streaming_rule_aggregation": streaming.streaming_rule_aggregation,
         "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
             _silver_orders(spark, sf)
         ),

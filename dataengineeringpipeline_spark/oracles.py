@@ -4377,6 +4377,7 @@ ORACLES.update(_quantile_sketch_oracles())
 ORACLES["incremental_daily_sales"] = ORACLES["daily_sales_summary"]
 ORACLES["incremental_customer_metrics"] = ORACLES["customer_lifetime_metrics"]
 ORACLES["incremental_rule_aggregation"] = ORACLES["rule_driven_aggregation"]
+ORACLES["streaming_rule_aggregation"] = ORACLES["rule_driven_aggregation"]
 
 # The streaming-CDC contract: the latest-change merge is associative, so
 # the drained snapshot must equal the batch apply — one shared oracle.

@@ -2134,6 +2134,86 @@ def streaming_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.daily_summary_from_partials(merged)
 
 
+def stream_rule_partials(
+    spark: SparkSession,
+    rule,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of the GENERIC rule-IVM compiler
+    (``ivm.rule_partials``): each micro-batch of rows collapses to the
+    configured rule's mergeable partials and lands in a
+    ``batch_id=<n>`` partition — exactly-once by layout, crash replay
+    overwrites itself — so ANY aggregation rule from the reference's
+    config schema streams with the same machinery the hand-built
+    families use, and the merged-on-read summary equals the batch rule
+    compiler bit-for-bit."""
+    from .. import ivm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivm.rule_partials(batch_df, rule).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_rule_partials did not finish within {timeout_s}s")
+
+
+def streaming_rule_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream the silver backlog through the
+    configured demo rule's partials in three arrival batches and fold
+    the summary off the drained state. Oracle = the batch
+    ``rule_driven_aggregation`` SQL — config-driven streaming ==
+    config-driven batch, bit-for-bit."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+    from ..rules import MONTHLY_REVENUE_RULE as rule
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key",
+        "customer_key",
+        "order_year",
+        "order_month",
+        "order_status",
+        "total_price",
+        "is_complete_order",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rule_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int, order_month int,"
+        " order_status string, total_price double, is_complete_order boolean"
+    )
+    stream_rule_partials(spark, rule, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
+    stacked = spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    return ivm.rule_summary_from_partials(stacked, rule).orderBy(
+        *rule.group_by_columns
+    )
+
+
 def stream_stats_drift(
     spark: SparkSession,
     source_dir: str,

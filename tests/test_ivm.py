@@ -304,3 +304,64 @@ def test_rule_ivm_global_agg_and_approx_rejection(spark, sf_dir):
         raise AssertionError("expected ValueError for approx_count_distinct")
     except ValueError:
         pass
+
+
+def test_streaming_rule_ivm_crash_replay(spark, sf_dir, tmp_path):
+    """Config-driven streaming: wiping the last commit and re-draining
+    in a fresh process leaves the folded rule summary identical (batch
+    partitions overwrite themselves)."""
+    import os
+    import subprocess
+    import sys
+
+    from dataengineeringpipeline_spark import cleaning, rules, streaming
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_year", "order_month",
+        "order_status", "total_price", "is_complete_order",
+    )
+    src, state, ckpt = (str(tmp_path / p) for p in ("in", "state", "ckpt"))
+    os.makedirs(src)
+    streaming._stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int, order_month int,"
+        " order_status string, total_price double, is_complete_order boolean"
+    )
+    rule = rules.MONTHLY_REVENUE_RULE
+    streaming.stream_rule_partials(spark, rule, src, state, ckpt, ddl)
+
+    def summary():
+        stacked = spark.read.parquet(state).drop("batch_id")
+        return sorted(
+            map(tuple, ivm.rule_summary_from_partials(stacked, rule).collect())
+        )
+
+    want = sorted(map(tuple, rules.apply_aggregation_rule(silver, rule).collect()))
+    assert summary() == want
+
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+from dataengineeringpipeline_spark.rules import MONTHLY_REVENUE_RULE
+streaming.stream_rule_partials(spark, MONTHLY_REVENUE_RULE, {src!r}, {state!r}, {ckpt!r}, {ddl!r})
+print("REPLAY_DONE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert summary() == want
