@@ -541,6 +541,50 @@ def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
     return partials.agg(*outs)
 
 
+def maintain_rule_partials(
+    lake: Lake,
+    delta: DataFrame,
+    rule,
+    partition_col: str,
+    layer: str = "gold",
+    table: str | None = None,
+) -> list:
+    """Partitioned maintenance for ANY configured rule: apply a delta
+    to the rule's materialized partials table, touching only the
+    ``partition_col`` partitions the delta hits. ``partition_col`` must
+    be one of the rule's grain columns (group_by ∪ distinct cols) and
+    should be the column a real delta is naturally bounded on (a date
+    or year part) — the same O(delta) economics as the hand-built
+    families, now available to every configured summary. Returns the
+    touched partition values."""
+    grain, _ = _rule_partial_specs(rule)
+    if partition_col not in grain:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be a grain column of "
+            f"rule {rule.name!r} (grain: {grain})"
+        )
+    table = table or f"{rule.name}_partials"
+    delta_p = rule_partials(delta, rule)
+    touched = [
+        r[partition_col]
+        for r in delta_p.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    import os
+
+    path = lake.path(layer, table)
+    if os.path.isdir(path):
+        base = lake.read(delta.sparkSession, layer, table).where(
+            F.col(partition_col).isin(touched)
+        )
+        merged = merge_rule_partials(base.unionByName(delta_p), rule)
+    else:
+        merged = delta_p
+    lake.write(merged, layer, table, partition_by=(partition_col,))
+    return touched
+
+
 def incremental_rule_aggregation(
     silver_orders: DataFrame, cutoff: str = "1998-06-01"
 ) -> DataFrame:

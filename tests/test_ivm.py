@@ -365,3 +365,49 @@ print("REPLAY_DONE")
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert summary() == want
+
+
+def test_maintain_rule_partials_prunes_and_reconciles(spark, sf_dir, tmp_path):
+    """Generic rule maintenance: a delta bounded on one grain value
+    rewrites only that partition; the maintained table folds to the
+    batch rule output bit-for-bit; a non-grain partition_col is
+    rejected."""
+    from dataengineeringpipeline_spark import rules
+
+    lake = Lake(str(tmp_path / "lake"))
+    so = _silver(spark, sf_dir).persist()
+    rule = rules.MONTHLY_REVENUE_RULE
+    hot = so.agg(F.max("order_year")).collect()[0][0]
+    base = so.filter(F.col("order_year") < hot)
+    delta = so.filter(F.col("order_year") == hot)
+    assert ivm.maintain_rule_partials(lake, base, rule, "order_year")
+    tname = f"{rule.name}_partials"
+    before = _file_state(lake.path("gold", tname))
+
+    touched = ivm.maintain_rule_partials(lake, delta, rule, "order_year")
+    assert touched == [hot]
+    after = _file_state(lake.path("gold", tname))
+    hot_dir = f"order_year={hot}"
+    assert {k: v for k, v in before.items() if hot_dir not in k} == {
+        k: v for k, v in after.items() if hot_dir not in k
+    }
+
+    cols = rules.apply_aggregation_rule(so, rule).columns
+    maintained = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.rule_summary_from_partials(
+            lake.read(spark, "gold", tname), rule
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(so, rule).collect()
+    )
+    assert maintained == batch
+    so.unpersist()
+
+    try:
+        ivm.maintain_rule_partials(lake, delta, rule, "order_date")
+        raise AssertionError("expected ValueError for non-grain partition col")
+    except ValueError:
+        pass
