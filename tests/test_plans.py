@@ -86,12 +86,10 @@ PLAN_BOUNDS = {
     # association rules off the PERSISTED edge aggregate: degree aggs +
     # ranking window; 1-row total and dim sides broadcast
     "next_item_rules": (7, 3),
-    # exact-k eval sample with the hash-threshold pre-prune: group-count
-    # agg + thr broadcast + pruned pick window + survivor-count agg +
-    # (AQE-eliminated) exact fallback branch + presentation sort; every
-    # scan reads only (source, doc_id) and the corpus-sized shuffles
-    # carry ~4k rows/group, not the group
-    "eval_sample_picks": (10, 7),
+    # exact-k eval sample: ONE scan + pick-window exchange (k-bounded by
+    # the engine's partial WindowGroupLimit, asserted below) +
+    # presentation sort — no joins, nothing to broadcast
+    "eval_sample_picks": (2, 0),
     # two ANALYZE passes (each: distinct agg alone + plain agg +
     # broadcast 1×1), column_name join broadcast
     "stats_drift_report": (6, 3),
@@ -130,12 +128,15 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
     assert set(plans.scan_columns(two)) == {"doc_id", "source"}
 
 
-def test_fixed_k_prune_precedes_window_exchange(spark, sf_dir):
-    """The hash-threshold pre-prune must execute BEFORE the pick
-    window's shuffle — i.e. the ``< _thr`` condition appears in the
-    subtree UNDER an ``Exchange hashpartitioning(source...)`` node (in
-    treeString children print below parents), so the exchange moves the
-    ~4k-per-group survivor slice, never the whole group."""
+def test_fixed_k_partial_group_limit_precedes_window_exchange(spark, sf_dir):
+    """The pick window's shuffle must be k-bounded by the engine's
+    rank-limit pushdown: a ``WindowGroupLimit ... Partial`` node (map
+    side top-k per group, SPARK-37099) appears in the subtree UNDER the
+    ``Exchange hashpartitioning(source...)`` node (in treeString,
+    children print below parents), so each map task forwards at most k
+    rows per group — the exchange never moves whole groups. Also pins
+    that the query stays a single scan of documents (the earlier
+    hand-built pre-prune cost five)."""
     import io
     import re
     from contextlib import redirect_stdout
@@ -148,7 +149,12 @@ def test_fixed_k_prune_precedes_window_exchange(spark, sf_dir):
     ok = False
     for i, ln in enumerate(lines):
         if re.search(r"Exchange hashpartitioning\(source", ln):
-            if any("< _thr" in nxt for nxt in lines[i + 1 : i + 7]):
+            if any(
+                "WindowGroupLimit" in nxt and "Partial" in nxt
+                for nxt in lines[i + 1 : i + 7]
+            ):
                 ok = True
                 break
-    assert ok, "threshold prune is not upstream of the pick-window exchange"
+    assert ok, "no partial WindowGroupLimit under the pick-window exchange"
+    scans = sum(1 for ln in lines if "FileScan" in ln and "documents" in ln)
+    assert scans == 1, f"expected a single documents scan, saw {scans}"

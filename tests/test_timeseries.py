@@ -106,60 +106,29 @@ def test_fixed_k_sample_exact_k_and_partition_invariant(spark):
     assert sampling.fixed_k_sample(small, "source", "doc_id", 10).count() == 2
 
 
-def _naive_fixed_k(df, group_col, key_col, k):
-    """The pre-prune-free exact window — the spec fixed_k_sample must
-    reproduce bit-for-bit."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+def _reference_fixed_k(rows, k):
+    """Driver-side re-derivation of the spec pick: rank by
+    (hash(key), key) within each group, keep the first k."""
+    from dataengineeringpipeline_spark.operators.sampling import _PICK_P
 
-    from dataengineeringpipeline_spark.operators.sampling import _pick_hash
+    per: dict = {}
+    for s, d in rows:
+        h = ((d % 1_000_003) * 2_654_435_761) % _PICK_P
+        per.setdefault(s, []).append((h, d))
+    out = []
+    for s, hs in per.items():
+        for rank, (_, d) in enumerate(sorted(hs)[:k], start=1):
+            out.append((s, d, rank))
+    return sorted(out)
 
-    h = _pick_hash(key_col)
-    w = Window.partitionBy(group_col).orderBy(h.alias("h"), F.col(key_col))
-    return df.withColumn("pick_rank", F.row_number().over(w)).filter(
-        F.col("pick_rank") <= k
-    )
 
-
-def test_fixed_k_prune_matches_naive_window(spark):
-    """Pre-pruned picks == naive-window picks for k spanning the
-    prune-active and prune-bypassed regimes (incl. k=1, where random
-    under-fill is likeliest)."""
+def test_fixed_k_matches_reference_ranking(spark):
+    """Spark picks == the driver-side spec re-derivation for k spanning
+    tiny through group-exceeding (incl. k=1)."""
     from dataengineeringpipeline_spark.operators import sampling
 
-    df = spark.createDataFrame(
-        [(f"g{i % 5}", i * 7 + 3) for i in range(20000)],
-        "source string, doc_id long",
-    )
+    rows = [(f"g{i % 5}", i * 7 + 3) for i in range(20000)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
     for k in (1, 2, 10, 100):
         got = sorted(map(tuple, sampling.fixed_k_sample(df, "source", "doc_id", k).collect()))
-        want = sorted(map(tuple, _naive_fixed_k(df, "source", "doc_id", k).collect()))
-        assert got == want, f"k={k}: prune changed the picks"
-
-
-def test_fixed_k_underfill_fallback_repairs_exactly(spark):
-    """Adversarial group built ONLY from keys whose hash clears the
-    prune threshold — zero survivors, so the exact fallback branch must
-    produce the picks (and they must equal the naive window's)."""
-    from dataengineeringpipeline_spark.operators import sampling
-    from dataengineeringpipeline_spark.operators.sampling import (
-        _PICK_P,
-        _PRUNE_FACTOR,
-    )
-
-    k, n = 1, 100
-    thr = (_PRUNE_FACTOR * k * _PICK_P) // n
-    hostile, i = [], 0
-    while len(hostile) < n:
-        h = ((i % 1_000_003) * 2_654_435_761) % _PICK_P
-        if h >= thr:
-            hostile.append(i)
-        i += 1
-    df = spark.createDataFrame(
-        [("bad", d) for d in hostile] + [("good", j) for j in range(500)],
-        "source string, doc_id long",
-    )
-    got = sorted(map(tuple, sampling.fixed_k_sample(df, "source", "doc_id", k).collect()))
-    want = sorted(map(tuple, _naive_fixed_k(df, "source", "doc_id", k).collect()))
-    assert got == want
-    assert {r[0] for r in got} == {"bad", "good"}  # the starved group is repaired
+        assert got == _reference_fixed_k(rows, k), f"k={k}: picks diverged"
