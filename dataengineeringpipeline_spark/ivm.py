@@ -147,37 +147,32 @@ def maintain_sales_partials(
     delta_silver_orders: DataFrame,
     layer: str = "gold",
     table: str = "sales_partials",
+    batch_id: str | None = None,
 ) -> list:
     """Apply a silver delta to the materialized partials table, touching
     ONLY the date partitions the delta hits. Returns the touched dates.
 
     Read side: the base is read with an ``isin(touched)`` predicate that
     prunes to the affected ``order_date=`` directories. Write side:
-    dynamic partition overwrite replaces exactly those directories —
-    sibling partitions' files are not rewritten (byte-identical after
-    maintenance; tested). The touched-date ``collect()`` is bounded by
+    :meth:`Lake.upsert_partitions` — the merged touched partitions are
+    staged and swapped in atomically while every sibling partition's
+    files hard-link across byte-identical, so a crash at any point
+    leaves the table fully pre-delta or fully post-delta (never a
+    partially-merged mix a retry would double-count), and a ``batch_id``
+    makes retries of an applied delta exact no-ops (the applied-batch
+    ledger rides the swap). The touched-date ``collect()`` is bounded by
     the calendar, not the data: a delta is days wide, never
     key-cardinality wide.
     """
-    delta_p = sales_partials(delta_silver_orders)
-    touched = [
-        r["order_date"]
-        for r in delta_p.select("order_date").distinct().collect()
-    ]
-    if not touched:
-        return []
-    import os
-
-    path = lake.path(layer, table)
-    if os.path.isdir(path):
-        base = lake.read(
-            delta_silver_orders.sparkSession, layer, table
-        ).where(F.col("order_date").isin(touched))
-        merged = merge_partials(base, delta_p)
-    else:
-        merged = delta_p
-    lake.write(merged, layer, table, partition_by=("order_date",))
-    return touched
+    return lake.upsert_partitions(
+        delta_silver_orders.sparkSession,
+        layer,
+        table,
+        sales_partials(delta_silver_orders),
+        "order_date",
+        merge_partials,
+        batch_id=batch_id,
+    )
 
 
 def incremental_daily_sales(
@@ -380,32 +375,25 @@ def maintain_customer_partials(
     delta_silver_orders: DataFrame,
     layer: str = "gold",
     table: str = "customer_partials",
+    batch_id: str | None = None,
 ) -> list:
     """Apply a silver delta to the materialized customer-partials table,
     touching ONLY the ``order_year`` partitions the delta hits. A
     real-world delta (recent orders) lands in one or two year
     partitions no matter how many customers it spans; every other
-    year's files are not read and not rewritten. Returns touched years.
+    year's files hard-link across untouched. Returns touched years.
+    Crash-safe + retry-idempotent via :meth:`Lake.upsert_partitions`
+    (see :func:`maintain_sales_partials`).
     """
-    delta_p = customer_partials(delta_silver_orders)
-    touched = [
-        r["order_year"]
-        for r in delta_p.select("order_year").distinct().collect()
-    ]
-    if not touched:
-        return []
-    import os
-
-    path = lake.path(layer, table)
-    if os.path.isdir(path):
-        base = lake.read(
-            delta_silver_orders.sparkSession, layer, table
-        ).where(F.col("order_year").isin(touched))
-        merged = merge_customer_partials(base, delta_p)
-    else:
-        merged = delta_p
-    lake.write(merged, layer, table, partition_by=("order_year",))
-    return touched
+    return lake.upsert_partitions(
+        delta_silver_orders.sparkSession,
+        layer,
+        table,
+        customer_partials(delta_silver_orders),
+        "order_year",
+        merge_customer_partials,
+        batch_id=batch_id,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -548,6 +536,7 @@ def maintain_rule_partials(
     partition_col: str,
     layer: str = "gold",
     table: str | None = None,
+    batch_id: str | None = None,
 ) -> list:
     """Partitioned maintenance for ANY configured rule: apply a delta
     to the rule's materialized partials table, touching only the
@@ -555,34 +544,24 @@ def maintain_rule_partials(
     be one of the rule's grain columns (group_by ∪ distinct cols) and
     should be the column a real delta is naturally bounded on (a date
     or year part) — the same O(delta) economics as the hand-built
-    families, now available to every configured summary. Returns the
-    touched partition values."""
+    families, now available to every configured summary. Crash-safe +
+    retry-idempotent via :meth:`Lake.upsert_partitions` (see
+    :func:`maintain_sales_partials`). Returns the touched values."""
     grain, _ = _rule_partial_specs(rule)
     if partition_col not in grain:
         raise ValueError(
             f"partition_col {partition_col!r} must be a grain column of "
             f"rule {rule.name!r} (grain: {grain})"
         )
-    table = table or f"{rule.name}_partials"
-    delta_p = rule_partials(delta, rule)
-    touched = [
-        r[partition_col]
-        for r in delta_p.select(partition_col).distinct().collect()
-    ]
-    if not touched:
-        return []
-    import os
-
-    path = lake.path(layer, table)
-    if os.path.isdir(path):
-        base = lake.read(delta.sparkSession, layer, table).where(
-            F.col(partition_col).isin(touched)
-        )
-        merged = merge_rule_partials(base.unionByName(delta_p), rule)
-    else:
-        merged = delta_p
-    lake.write(merged, layer, table, partition_by=(partition_col,))
-    return touched
+    return lake.upsert_partitions(
+        delta.sparkSession,
+        layer,
+        table or f"{rule.name}_partials",
+        rule_partials(delta, rule),
+        partition_col,
+        lambda base, d: merge_rule_partials(base.unionByName(d), rule),
+        batch_id=batch_id,
+    )
 
 
 def incremental_rule_aggregation(

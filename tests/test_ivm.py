@@ -411,3 +411,75 @@ def test_maintain_rule_partials_prunes_and_reconciles(spark, sf_dir, tmp_path):
         raise AssertionError("expected ValueError for non-grain partition col")
     except ValueError:
         pass
+
+
+def test_maintain_retry_with_batch_id_is_noop(spark, sf_dir, tmp_path):
+    """Exactly-once maintenance: re-applying the same delta under the
+    same batch_id must change NOTHING (the applied-batch ledger rides
+    the atomic swap), where a retry without batch_id would double-count
+    the delta into the touched partitions."""
+    lake = Lake(str(tmp_path / "lake"))
+    so = _silver(spark, sf_dir).persist()
+    cut = F.lit("1998-06-01").cast("date")
+    base = so.filter(F.col("order_date") < cut)
+    delta = so.filter(F.col("order_date") >= cut)
+    assert ivm.maintain_sales_partials(lake, base, batch_id="b0")
+    assert ivm.maintain_sales_partials(lake, delta, batch_id="b1")
+    state1 = _file_state(lake.path("gold", "sales_partials"))
+    want = [
+        tuple(r)
+        for r in ivm.daily_summary_from_partials(
+            lake.read(spark, "gold", "sales_partials")
+        ).collect()
+    ]
+    # retry of an applied batch: byte-identical no-op
+    assert ivm.maintain_sales_partials(lake, delta, batch_id="b1") == []
+    assert _file_state(lake.path("gold", "sales_partials")) == state1
+    got = [
+        tuple(r)
+        for r in ivm.daily_summary_from_partials(
+            lake.read(spark, "gold", "sales_partials")
+        ).collect()
+    ]
+    assert got == want == [tuple(r) for r in gold.daily_sales_summary(so).collect()]
+    so.unpersist()
+
+
+def test_maintain_crash_recovery_never_leaves_a_mixed_table(spark, sf_dir, tmp_path):
+    """Simulated crashes around the maintenance swap: (a) a stale stage
+    dir from a crash mid-stage-write, (b) a crash between the two swap
+    renames (live path gone, old copy stranded). In both cases the next
+    maintenance call recovers and applies the delta exactly once."""
+    import shutil
+
+    lake = Lake(str(tmp_path / "lake"))
+    so = _silver(spark, sf_dir).persist()
+    cut = F.lit("1998-06-01").cast("date")
+    base, delta = so.filter(F.col("order_date") < cut), so.filter(F.col("order_date") >= cut)
+    ivm.maintain_sales_partials(lake, base, batch_id="b0")
+    path = lake.path("gold", "sales_partials")
+
+    # (a) crash mid-stage-write: junk stage dir beside the live table
+    os.makedirs(path + "__upserting/order_date=junk", exist_ok=True)
+    ivm.maintain_sales_partials(lake, delta, batch_id="b1")
+    assert not os.path.exists(path + "__upserting")
+    want = [
+        tuple(r)
+        for r in ivm.daily_summary_from_partials(
+            lake.read(spark, "gold", "sales_partials")
+        ).collect()
+    ]
+    assert want == [tuple(r) for r in gold.daily_sales_summary(so).collect()]
+
+    # (b) crash between the swap renames: live absent, old stranded
+    os.rename(path, path + "__preupsert")
+    ivm.maintain_sales_partials(lake, delta, batch_id="b1")  # recover + no-op
+    assert os.path.isdir(path) and not os.path.exists(path + "__preupsert")
+    got = [
+        tuple(r)
+        for r in ivm.daily_summary_from_partials(
+            lake.read(spark, "gold", "sales_partials")
+        ).collect()
+    ]
+    assert got == want
+    so.unpersist()

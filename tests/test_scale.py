@@ -1015,3 +1015,126 @@ def test_restore_version_rolls_back_and_history_reports(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_concurrent_writers_fence(spark, tmp_path):
+    """Single-writer fence: while one mutation holds the table's writer
+    lock, a second concurrent mutation fails fast with
+    ConcurrentWriteError (never interleaves swap stages), and the table
+    stays consistent. A lock left by a dead process is cleared."""
+    import threading
+
+    from dataengineeringpipeline_spark.datalake import (
+        ConcurrentWriteError,
+        Lake,
+        _table_lock,
+    )
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "k long, v double"
+    )
+    lake.write(df, "gold", "t")
+    path = lake.path("gold", "t")
+
+    entered = threading.Event()
+    release = threading.Event()
+    orig_swap = __import__(
+        "dataengineeringpipeline_spark.datalake", fromlist=["_atomic_swap"]
+    )._atomic_swap
+
+    def slow_swap(p, tmp, old):
+        entered.set()
+        release.wait(timeout=30)
+        orig_swap(p, tmp, old)
+
+    import dataengineeringpipeline_spark.datalake as dl
+
+    dl._atomic_swap = slow_swap
+    errors: list = []
+
+    def winner():
+        try:
+            lake.compact(spark, "gold", "t")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=winner)
+    t.start()
+    try:
+        assert entered.wait(timeout=60), "winner never reached the swap"
+        # loser: mutation attempted while the winner holds the lock
+        try:
+            lake.purge_keys(
+                spark, "gold", "t", "k",
+                spark.createDataFrame([(1,)], "k long"),
+            )
+            raise AssertionError("expected ConcurrentWriteError")
+        except ConcurrentWriteError:
+            pass
+    finally:
+        release.set()
+        t.join(timeout=120)
+        dl._atomic_swap = orig_swap
+    assert not errors
+    assert lake.read(spark, "gold", "t").count() == 2000  # consistent
+
+    # stale lock from a dead pid is cleared and the mutation proceeds
+    with open(path + "__lock", "w") as f:
+        f.write("999999999")
+    audit = lake.purge_keys(
+        spark, "gold", "t", "k", spark.createDataFrame([(5,)], "k long")
+    )
+    assert audit["rows_removed"] == 1
+    assert not __import__("os").path.exists(path + "__lock")
+
+    # and a held lock in the SAME process also fences (thread-vs-thread)
+    with _table_lock(path):
+        try:
+            lake.compact(spark, "gold", "t")
+            raise AssertionError("expected ConcurrentWriteError")
+        except ConcurrentWriteError:
+            pass
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commit timestamps are strictly increasing, ride
+    the snapshot atomically, resolve to the newest version at-or-before
+    the asked instant (int us or ISO string), and error before the
+    first commit."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    lake.write(spark.createDataFrame([(1,)], "k long"), "gold", "t")
+    v1 = lake.snapshot_version("gold", "t")
+    lake.write(spark.createDataFrame([(1,), (2,)], "k long"), "gold", "t")
+    v2 = lake.snapshot_version("gold", "t")
+
+    hist = {h["version"]: h for h in lake.history("gold", "t")}
+    t1, t2 = hist[v1]["committed_us"], hist[v2]["committed_us"]
+    assert t1 < t2  # strictly increasing even for back-to-back commits
+    assert hist[None]["committed_us"] is None
+
+    assert lake.resolve_as_of("gold", "t", t1) == v1
+    assert lake.resolve_as_of("gold", "t", t2 - 1) == v1
+    assert lake.resolve_as_of("gold", "t", t2) == v2
+    assert lake.resolve_as_of("gold", "t", t2 + 10_000_000) == v2
+    assert lake.read_version(spark, "gold", "t", as_of=t1).count() == 1
+    assert lake.read_version(spark, "gold", "t", as_of=t2).count() == 2
+
+    # ISO-8601 string form (UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t2 / 1e6, tz=timezone.utc).isoformat()
+    assert lake.resolve_as_of("gold", "t", iso) == v2
+
+    try:
+        lake.resolve_as_of("gold", "t", t1 - 1)
+        raise AssertionError("expected ValueError before the first commit")
+    except ValueError:
+        pass
+    try:
+        lake.read_version(spark, "gold", "t", version=v1, as_of=t1)
+        raise AssertionError("expected ValueError for both args")
+    except ValueError:
+        pass
