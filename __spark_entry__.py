@@ -281,6 +281,8 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_feature_store_latest": streaming.streaming_feature_store_latest,
         # -- streaming CDC changelog apply (streaming face of cdc_apply) ----
         "streaming_cdc_snapshot": streaming.streaming_cdc_snapshot,
+        # -- streaming SCD2 merge (dimension updates through Lake.merge_scd2)
+        "streaming_scd2_history": streaming.streaming_scd2_history,
         # -- streaming quantile sketch (mergeable percentile monitor) -------
         "streaming_value_quantiles": streaming.streaming_value_quantiles,
         # -- streaming categorical-mix drift (streaming face of
@@ -670,6 +672,15 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- ...and streamed: config-driven per-batch partials, merge-on-read
         "streaming_rule_aggregation": streaming.streaming_rule_aggregation,
+        # -- approx-NDV rule through the IVM compiler: HLL register-map
+        #    partials, integer-digest oracle, three bit-identical faces --
+        "rule_ndv_aggregation": lambda spark, sf: ivm.rule_ndv_aggregation(
+            _silver_orders(spark, sf)
+        ),
+        "incremental_ndv_rule": lambda spark, sf: ivm.incremental_ndv_rule(
+            _silver_orders(spark, sf)
+        ),
+        "streaming_ndv_rule": streaming.streaming_ndv_rule,
         "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
             _silver_orders(spark, sf)
         ),

@@ -407,10 +407,18 @@ def maintain_customer_partials(
 #
 # Grain rule: partials live at ``group_by ∪ {count_distinct columns}``
 # (the usual trick — containing the distinct-counted columns makes them
-# mergeable). ``approx_count_distinct`` is rejected: one-pass HLL++ and
-# sketch-union estimates differ, so a partials fold could not reproduce
-# the batch number; use ``count_distinct`` (exact) or the explicit HLL
-# dial (``quality.stats_ndv_sketch_partials``) instead.
+# mergeable). ``approx_count_distinct`` compiles to a mergeable
+# HYPERLOGLOG REGISTER MAP per grain row (the portable md5-prefix HLL
+# from ``scale.hll_registers`` — register state is O(2^p) per group
+# regardless of key cardinality, and registers merge by element-wise
+# MAX): the folded measure is the SKETCH-UNION estimate, which is the
+# documented semantics — it will NOT bit-match Spark's one-pass native
+# ``approx_count_distinct`` (a different sketch), but it is mergeable,
+# bit-identical across the batch/incremental/streaming faces, and
+# within the sketch's ~1.04/√m relative-error bound of exact
+# (property-tested). The batch compiler (``rules.apply_aggregation_rule``)
+# keeps the native one-pass estimator; pipelines that need face-parity
+# use the IVM faces end to end.
 # ---------------------------------------------------------------------------
 
 _P_SUM_DEC = "decimal(27,2)"  # money_sum's cast
@@ -447,30 +455,87 @@ def _rule_partial_specs(rule) -> tuple[list, dict]:
         if fn == "count_distinct":
             pass  # the column IS part of the grain
         if fn == "approx_count_distinct":
-            raise ValueError(
-                "approx_count_distinct is not exactly mergeable from partials; "
-                "use count_distinct or quality.stats_ndv_sketch_partials"
-            )
+            pass  # compiled to an HLL register-map partial (see below)
     return grain, parts
+
+
+def _rule_ndv_cols(rule) -> list[str]:
+    """Columns carrying an ``approx_count_distinct`` measure — each gets
+    a mergeable HLL register-map partial column ``_hll_<col>``."""
+    return list(
+        dict.fromkeys(
+            a.column
+            for a in rule.aggregate_columns
+            if a.function.lower() == "approx_count_distinct"
+        )
+    )
+
+
+def _collect_register_map(regs: DataFrame, grain: list, alias: str) -> DataFrame:
+    """(grain..., bucket, max_rho) register rows → one ``map<bucket,
+    max_rho>`` column per grain row (sorted entries, so the stored bytes
+    are deterministic)."""
+    agg = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("bucket", "max_rho")))
+    ).alias(alias)
+    return regs.groupBy(*grain).agg(agg) if grain else regs.agg(agg)
+
+
+def _hll_map_partial(df: DataFrame, grain: list, col: str) -> DataFrame:
+    """Per grain row, the HLL register map of ``col`` over one row slice
+    — the approx-NDV partial. Registers merge by element-wise MAX, so
+    partials from disjoint slices union to exactly the registers a
+    one-pass build over all rows would hold (sketch-union == one-pass on
+    REGISTERS; only the native estimator differs)."""
+    from .scale import hll_registers
+
+    return _collect_register_map(
+        hll_registers(df, col, tuple(grain)), grain, f"_hll_{col}"
+    )
+
+
+def _merged_registers(partials: DataFrame, keys: list, col: str) -> DataFrame:
+    """Stacked partials → merged (keys..., bucket, max_rho) register rows
+    for ``col`` (element-wise MAX across the stacked maps)."""
+    ex = partials.select(
+        *keys, F.explode(f"_hll_{col}").alias("bucket", "rho")
+    )
+    return ex.groupBy(*keys, "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def _join_on(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
+    return left.join(right, keys) if keys else left.crossJoin(F.broadcast(right))
 
 
 def rule_partials(df: DataFrame, rule) -> DataFrame:
     """Mergeable partials of ``rules.apply_aggregation_rule(df, rule)``
-    over one row slice (a delta batch, a partition, a micro-batch)."""
+    over one row slice (a delta batch, a partition, a micro-batch).
+    ``approx_count_distinct`` measures add one HLL register-map column
+    per sketched column (still one row per grain)."""
     if rule.filters:
         df = df.filter(F.expr(rule.filters))
     grain, parts = _rule_partial_specs(rule)
+    ndv = _rule_ndv_cols(rule)
     aggs = [col.alias(name) for name, col in parts.items()]
-    if not aggs:
+    if not aggs and not ndv:
         raise ValueError(f"rule {rule.name!r} has no mergeable measures")
-    return df.groupBy(*grain).agg(*aggs) if grain else df.agg(*aggs)
+    out = (
+        (df.groupBy(*grain).agg(*aggs) if grain else df.agg(*aggs))
+        if aggs
+        else df.select(*grain).distinct()
+    )
+    for c in ndv:
+        out = _join_on(out, _hll_map_partial(df, grain, c), grain)
+    return out
 
 
 def merge_rule_partials(partials: DataFrame, rule) -> DataFrame:
     """Collapse stacked partials back to one row per grain — counter/sum
-    addition plus min/max, the maintenance step that keeps a
-    materialized partials table delta-sized."""
+    addition plus min/max (and element-wise register MAX for approx-NDV
+    maps), the maintenance step that keeps a materialized partials table
+    delta-sized."""
     grain, parts = _rule_partial_specs(rule)
+    ndv = _rule_ndv_cols(rule)
     aggs = []
     for name in parts:
         if name.startswith("_min_"):
@@ -483,7 +548,17 @@ def merge_rule_partials(partials: DataFrame, rule) -> DataFrame:
             aggs.append(F.sum(name).cast(_P_SQ_STORE).alias(name))
         else:  # _cnt_
             aggs.append(F.sum(name).alias(name))
-    return partials.groupBy(*grain).agg(*aggs) if grain else partials.agg(*aggs)
+    out = (
+        (partials.groupBy(*grain).agg(*aggs) if grain else partials.agg(*aggs))
+        if aggs
+        else partials.select(*grain).distinct()
+    )
+    for c in ndv:
+        merged = _collect_register_map(
+            _merged_registers(partials, grain, c), grain, f"_hll_{c}"
+        )
+        out = _join_on(out, merged, grain)
+    return out
 
 
 def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
@@ -520,13 +595,31 @@ def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
             outs.append(F.sum(f"_cnt_{a.column}").alias(a.alias))
         elif fn == "count_distinct":
             outs.append(F.countDistinct(a.column).alias(a.alias))
+        elif fn == "approx_count_distinct":
+            continue  # folded from the register maps below (needs its own agg)
         elif fn == "min":
             outs.append(F.min(f"_min_{a.column}").alias(a.alias))
         elif fn == "max":
             outs.append(F.max(f"_max_{a.column}").alias(a.alias))
-    if rule.group_by_columns:
-        return partials.groupBy(*rule.group_by_columns).agg(*outs)
-    return partials.agg(*outs)
+    keys = list(rule.group_by_columns)
+    ndv_specs = [
+        a for a in rule.aggregate_columns
+        if a.function.lower() == "approx_count_distinct"
+    ]
+    if outs:
+        main = partials.groupBy(*keys).agg(*outs) if keys else partials.agg(*outs)
+    else:
+        main = partials.select(*keys).distinct()
+    for a in ndv_specs:
+        from .scale import hll_estimate
+
+        est = hll_estimate(
+            _merged_registers(partials, keys, a.column), tuple(keys)
+        ).withColumnRenamed("hll_estimate", a.alias)
+        main = _join_on(main, est, keys)
+    if ndv_specs:  # restore the configured measure order after the joins
+        main = main.select(*keys, *[a.alias for a in rule.aggregate_columns])
+    return main
 
 
 def maintain_rule_partials(
@@ -582,6 +675,70 @@ def incremental_rule_aggregation(
     return rule_summary_from_partials(base.unionByName(delta), rule).orderBy(
         *rule.group_by_columns
     )
+
+
+def rule_ndv_profile(partials: DataFrame, rule) -> DataFrame:
+    """Oracle-checkable integer digest of a rule's approx-NDV state off
+    STACKED partials: per group, the rule's exact mergeable measures
+    plus, per sketched measure, ``<alias>_occupied`` /
+    ``<alias>_register_sum`` / ``<alias>_deepest`` from the merged
+    registers. This is the cross-engine-hard part of the sketch
+    (hashing, bucketing, leading-zero ranks — reproduced bit-identically
+    by the SQL oracle) kept free of the one engine-dependent float: the
+    linear-counting ``ln`` inside the estimate itself, whose accuracy
+    is property-tested instead (same split as
+    ``scale.hll_sketch_summary`` vs ``hll_estimate``)."""
+    keys = list(rule.group_by_columns)
+    outs = []
+    for a in rule.aggregate_columns:
+        if a.function.lower() == "count":
+            outs.append(F.sum(f"_cnt_{a.column}").alias(a.alias))
+    main = partials.groupBy(*keys).agg(*outs) if outs else partials.select(*keys).distinct()
+    for a in rule.aggregate_columns:
+        if a.function.lower() != "approx_count_distinct":
+            continue
+        digest = (
+            _merged_registers(partials, keys, a.column)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"{a.alias}_occupied"),
+                F.sum("max_rho").cast("long").alias(f"{a.alias}_register_sum"),
+                F.max("max_rho").cast("int").alias(f"{a.alias}_deepest"),
+            )
+        )
+        main = _join_on(main, digest, keys)
+    return main
+
+
+def rule_ndv_aggregation(silver_orders: DataFrame) -> DataFrame:
+    """Driver-contract query (BATCH face): the approx-NDV demo rule
+    (``rules.NDV_RULE``) compiled to HLL register-map partials over the
+    full table in one shot, folded to the integer digest. The oracle
+    rebuilds the registers in SQL (same portable md5-prefix hash), so a
+    pass proves the sketch state itself is bit-exact cross-engine."""
+    from .rules import NDV_RULE as rule
+
+    return rule_ndv_profile(rule_partials(silver_orders, rule), rule).orderBy(
+        *rule.group_by_columns
+    )
+
+
+def incremental_ndv_rule(
+    silver_orders: DataFrame, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query (INCREMENTAL face): the same approx-NDV
+    rule maintained as base/delta partials through THE merge
+    (``merge_rule_partials`` — element-wise register MAX), digest off
+    the merged state. Shares the batch face's oracle: sketch-union
+    registers == one-pass registers, bit-for-bit."""
+    from .rules import NDV_RULE as rule
+
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = rule_partials(silver_orders.filter(d < lit_cut), rule)
+    delta = rule_partials(silver_orders.filter(d >= lit_cut), rule)
+    merged = merge_rule_partials(base.unionByName(delta), rule)
+    return rule_ndv_profile(merged, rule).orderBy(*rule.group_by_columns)
 
 
 def incremental_customer_metrics(

@@ -886,6 +886,32 @@ def encode_for_index(
     )
 
 
+def ann_index_purge(
+    spark, lake, keys: DataFrame, snapshot: str = "ann1"
+) -> dict:
+    """Delete propagation into the materialized ANN index — the piece
+    that makes ``Lake.purge_keys`` / ``forget_users`` complete for a
+    corpus that is ALSO indexed: the purged ``vec_id``s' codes are
+    physically removed from the encoded table (the same footer-pruned
+    rewrite + hard-linked untouched files as every lake purge), so a
+    purged vector can never surface from :func:`ann_index_topk` — the
+    ADC candidate stage reads only the encoded table, and the exact
+    re-rank joins only ids the shortlist produced. Ranks backfill
+    automatically: the shortlist and final windows rank whatever
+    survives, so each query still returns k neighbors (the next-best
+    candidates shift up).
+
+    ``keys`` is a 1-column DataFrame of vec_ids (any column name). The
+    frozen quantizers (centroids, PQ codebook) hold only AGGREGATE state
+    — no per-vector rows — like any trained model, they retain the
+    purged vectors' statistical influence; re-materialize a fresh
+    snapshot when erasure policy requires retraining. Returns the purge
+    audit dict."""
+    return lake.purge_keys(
+        spark, "gold", f"ann_{snapshot}_encoded", "vec_id", keys
+    )
+
+
 def ann_index_topk(
     query_embeddings: DataFrame,
     corpus_embeddings: DataFrame,

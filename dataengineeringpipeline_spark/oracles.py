@@ -4387,6 +4387,58 @@ ORACLES["streaming_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]
 # must equal the logical batch apply — same oracle again.
 ORACLES["lake_cdc_merged_snapshot"] = ORACLES["cdc_order_snapshot"]
 
+# The streaming-SCD2 contract: per-key-complete micro-batches touch
+# disjoint key sets, so the drained history must be bit-identical to the
+# single-batch lake merge — one shared oracle.
+ORACLES["streaming_scd2_history"] = ORACLES["lake_scd2_merged_history"]
+
+
+def _ndv_rule_oracle() -> dict[str, str]:
+    """Integer register digest of the approx-NDV demo rule
+    (``rules.NDV_RULE`` through the IVM compiler): the oracle rebuilds
+    the HLL registers in SQL — same portable md5-prefix 48-bit hash,
+    same bucket/rank arithmetic as ``scale.hll_registers`` — so a pass
+    proves the sketch STATE is bit-exact cross-engine. The float
+    estimate (linear-counting ``ln`` is libm-dependent) stays out of the
+    oracle and is property-tested instead. One oracle for all three
+    faces: registers merge by element-wise MAX, so one-pass ==
+    base/delta merge == streamed micro-batches, bit-for-bit."""
+    from dataengineeringpipeline_spark.scale import HLL_REGISTER_BITS
+
+    wmod = 1 << HLL_REGISTER_BITS
+    rb = HLL_REGISTER_BITS
+    body = f"""
+SELECT s.order_status, c.order_count, s.approx_customers_occupied,
+  s.approx_customers_register_sum, s.approx_customers_deepest
+FROM (
+  SELECT order_status,
+    CAST(COUNT(*) AS BIGINT) AS approx_customers_occupied,
+    CAST(SUM(max_rho) AS BIGINT) AS approx_customers_register_sum,
+    CAST(MAX(max_rho) AS INTEGER) AS approx_customers_deepest
+  FROM (
+    SELECT order_status, h // {wmod} AS bucket,
+      MAX(CASE WHEN h % {wmod} = 0 THEN {rb + 1}
+          ELSE {rb} - (length(bin(h % {wmod})) - 1) END) AS max_rho
+    FROM (
+      SELECT order_status, {_wh('CAST(customer_key AS VARCHAR)')} AS h
+      FROM silver_orders WHERE is_complete_order
+    )
+    GROUP BY 1, 2
+  ) r GROUP BY r.order_status
+) s
+JOIN (
+  SELECT order_status, CAST(COUNT(order_key) AS BIGINT) AS order_count
+  FROM silver_orders WHERE is_complete_order GROUP BY 1
+) c USING (order_status)
+ORDER BY s.order_status
+""".strip()
+    return {"rule_ndv_aggregation": _with({"silver_orders": SILVER_ORDERS}, body)}
+
+
+ORACLES.update(_ndv_rule_oracle())
+ORACLES["incremental_ndv_rule"] = ORACLES["rule_ndv_aggregation"]
+ORACLES["streaming_ndv_rule"] = ORACLES["rule_ndv_aggregation"]
+
 
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power

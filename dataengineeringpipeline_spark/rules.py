@@ -157,6 +157,21 @@ MONTHLY_REVENUE_RULE = AggregationRule(
     filters="is_complete_order AND order_status <> 'P'",
 )
 
+#: Demo approx-NDV rule (same variables.tf:352-417 config shape): an
+#: ``approx_count_distinct`` measure beside an exact count. Through the
+#: IVM compiler (``ivm.rule_partials``) the NDV measure becomes a
+#: mergeable HLL register map — the bounded-state dial for NDV over a
+#: key universe too large to carry in the grain.
+NDV_RULE = AggregationRule(
+    name="status_customer_ndv",
+    group_by_columns=("order_status",),
+    aggregate_columns=(
+        AggregateColumn("order_key", "count", "order_count"),
+        AggregateColumn("customer_key", "approx_count_distinct", "approx_customers"),
+    ),
+    filters="is_complete_order",
+)
+
 #: Demo feature-rule config (variables.tf:449-483 shape; LOG rounded —
 #: natural log differs between libm builds in the last ulp).
 ENGAGEMENT_FEATURE_RULES = (

@@ -2214,6 +2214,39 @@ def streaming_rule_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_ndv_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query (STREAMING face of the approx-NDV rule):
+    the silver backlog streams through ``rules.NDV_RULE``'s partials —
+    each micro-batch lands its HLL register-map partials in a
+    ``batch_id=<n>`` partition via the SAME generic harness every
+    configured rule uses — and the integer digest folds off the drained
+    state. Registers merge by element-wise MAX, so the streamed sketch
+    state is bit-identical to the one-pass build and the oracle is
+    shared with ``rule_ndv_aggregation``."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+    from ..rules import NDV_RULE as rule
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_status", "total_price", "is_complete_order"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ndv_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_status string,"
+        " total_price double, is_complete_order boolean"
+    )
+    stream_rule_partials(spark, rule, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
+    stacked = spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    return ivm.rule_ndv_profile(stacked, rule).orderBy(*rule.group_by_columns)
+
+
 def stream_stats_drift(
     spark: SparkSession,
     source_dir: str,
@@ -2339,4 +2372,151 @@ def streaming_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift.filter(F.col("batch_id") == last)
         .drop("batch_id")
         .orderBy("column_name")
+    )
+
+
+# -- streaming SCD2 (dimension-update micro-batches through Lake.merge_scd2) --
+
+
+def stream_scd2_updates(
+    spark: SparkSession,
+    source_dir: str,
+    lake,
+    layer: str,
+    table: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    carry_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of :meth:`Lake.merge_scd2` — dimension updates
+    arrive as micro-batches and each batch MERGEs into the SCD2 history
+    table (the reference's customer-dimension SCD2 columns,
+    ``bronze_to_silver_customers.py:159-174``, maintained continuously
+    instead of by full refresh).
+
+    Exactly-once: the checkpoint makes re-runs incremental, and each
+    merge carries ``batch_id`` into the table's applied-batch ledger —
+    written inside the staged tree, so it commits in the same atomic
+    swap as the data. A crash-replayed batch whose merge committed
+    before its checkpoint did is a no-op (``skipped_replay``), never a
+    double-apply; foreachBatch ids are stable across checkpoint replays,
+    which is what makes the ledger sound.
+
+    Ordering note: within one batch, :func:`scd.scd2_apply_changes`
+    splices late changes in-place, so any intra-batch order works. A
+    change for a key landing in a LATER batch than a newer change for
+    the same key re-derives that key's history again (openers are kept,
+    suppressed duplicates are not) — deliver a key's changes in
+    per-key-ordered batches (every real CDC transport: Debezium,
+    Kinesis partition-key) for bit-exact parity with a one-shot apply.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lake.merge_scd2(
+            spark,
+            layer,
+            table,
+            batch_df,
+            key_col=key_col,
+            attr_cols=attr_cols,
+            ts_col=ts_col,
+            tiebreak_cols=tiebreak_cols,
+            carry_cols=carry_cols,
+            batch_id=f"scd2-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_scd2_updates did not finish within {timeout_s}s")
+
+
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the STREAMING twin of
+    ``datalake.lake_scd2_merged_history`` — same pre-1997 seeded history,
+    same 1997+ priority changes, but the changes ARRIVE as three
+    micro-batches (split by ``customer_key % 3``, i.e. per-key-complete
+    batches — each key's changes land in one batch, the per-key-ordered
+    delivery every real CDC transport provides) through the exactly-once
+    streaming SCD2 merge. Batches touch disjoint key sets, so the
+    drained history is bit-identical to the single-batch lake merge and
+    the oracle is shared with ``lake_scd2_merged_history``."""
+    import os
+    import tempfile
+
+    from ..datalake import Lake
+    from ..scd import scd2_history
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    changes = orders.select(
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("change_date"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    split = F.lit("1997-01-01").cast("date")
+    hist1 = scd2_history(
+        changes.filter(F.col("change_date") < split),
+        key_cols=["customer_key"],
+        attr_cols=["priority"],
+        ts_col="change_date",
+        tiebreak_cols=["order_key"],
+        carry_cols=["order_key"],
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_scd2_")
+    lake = Lake(os.path.join(tmp, "lake"))
+    lake.write(hist1, "gold", "priority_history")
+    lake.cluster_by(spark, "gold", "priority_history", ("customer_key",))
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(
+        changes.filter(F.col("change_date") >= split),
+        F.expr("customer_key % 3"),
+        src,
+        3,
+    )
+    ddl = "customer_key bigint, priority string, change_date date, order_key bigint"
+    stream_scd2_updates(
+        spark,
+        src,
+        lake,
+        "gold",
+        "priority_history",
+        os.path.join(tmp, "ckpt"),
+        ddl,
+        key_col="customer_key",
+        attr_cols=("priority",),
+        ts_col="change_date",
+        tiebreak_cols=("order_key",),
+        carry_cols=("order_key",),
+    )
+    return (
+        lake.read(spark, "gold", "priority_history")
+        .select(
+            "customer_key",
+            "priority",
+            "order_key",
+            "valid_from",
+            "valid_to",
+            "version",
+            "is_current",
+        )
+        .orderBy("customer_key", "version")
     )

@@ -275,7 +275,7 @@ def test_rule_ivm_matches_batch_compiler_bit_for_bit(spark, sf_dir):
     assert merged.count() <= stacked.count()
 
 
-def test_rule_ivm_global_agg_and_approx_rejection(spark, sf_dir):
+def test_rule_ivm_global_agg_and_global_approx(spark, sf_dir):
     from dataengineeringpipeline_spark import rules
 
     so = _silver(spark, sf_dir)
@@ -292,18 +292,26 @@ def test_rule_ivm_global_agg_and_approx_rejection(spark, sf_dir):
     got = ivm.rule_summary_from_partials(ivm.rule_partials(so, glob), glob).collect()[0]
     assert tuple(got) == tuple(batch)
 
-    bad = rules.AggregationRule(
-        name="bad",
-        group_by_columns=("order_status",),
+    # approx-only GLOBAL rule (empty grain): the register map rides a
+    # single partials row; one-shot and base/delta-merged estimates are
+    # bit-identical (the crossJoin fold path)
+    approx_glob = rules.AggregationRule(
+        name="approx_global",
+        group_by_columns=(),
         aggregate_columns=(
             rules.AggregateColumn("customer_key", "approx_count_distinct", "nc"),
         ),
+        filters="is_complete_order",
     )
-    try:
-        ivm.rule_partials(so, bad)
-        raise AssertionError("expected ValueError for approx_count_distinct")
-    except ValueError:
-        pass
+    one = ivm.rule_summary_from_partials(
+        ivm.rule_partials(so, approx_glob), approx_glob
+    ).collect()[0]
+    cut = F.lit("1998-06-01").cast("date")
+    stacked = ivm.rule_partials(so.filter(F.col("order_date") < cut), approx_glob).unionByName(
+        ivm.rule_partials(so.filter(F.col("order_date") >= cut), approx_glob)
+    )
+    two = ivm.rule_summary_from_partials(stacked, approx_glob).collect()[0]
+    assert one["nc"] == two["nc"] and one["nc"] > 0
 
 
 def test_streaming_rule_ivm_crash_replay(spark, sf_dir, tmp_path):
@@ -482,4 +490,44 @@ def test_maintain_crash_recovery_never_leaves_a_mixed_table(spark, sf_dir, tmp_p
         ).collect()
     ]
     assert got == want
+    so.unpersist()
+
+
+def test_ndv_rule_estimate_accuracy_and_face_identity(spark, sf_dir):
+    """The approx-NDV rule's folded ESTIMATE (sketch-union HLL): (a)
+    bit-identical between the one-shot and base/delta-merged faces (the
+    registers are identical, so the same IEEE fold runs on both), and
+    (b) within 3× the sketch's theoretical relative error (1.04/√m) of
+    the exact distinct count for every group."""
+    import math
+
+    from dataengineeringpipeline_spark.rules import NDV_RULE as rule
+    from dataengineeringpipeline_spark.scale import HLL_P
+
+    so = _silver(spark, sf_dir).persist()
+    one_shot = ivm.rule_summary_from_partials(ivm.rule_partials(so, rule), rule)
+    cut = F.lit("1998-06-01").cast("date")
+    base = ivm.rule_partials(so.filter(F.col("order_date") < cut), rule)
+    delta = ivm.rule_partials(so.filter(F.col("order_date") >= cut), rule)
+    merged = ivm.rule_summary_from_partials(
+        ivm.merge_rule_partials(base.unionByName(delta), rule), rule
+    )
+    a = {r["order_status"]: r for r in one_shot.collect()}
+    b = {r["order_status"]: r for r in merged.collect()}
+    assert set(a) == set(b) and len(a) >= 2
+    for k in a:
+        assert a[k]["approx_customers"] == b[k]["approx_customers"]  # bit-identical
+        assert a[k]["order_count"] == b[k]["order_count"]
+
+    exact = {
+        r["order_status"]: r["ndv"]
+        for r in so.filter("is_complete_order")
+        .groupBy("order_status")
+        .agg(F.countDistinct("customer_key").alias("ndv"))
+        .collect()
+    }
+    bound = 3 * 1.04 / math.sqrt(1 << HLL_P)
+    for k, row in a.items():
+        rel = abs(row["approx_customers"] - exact[k]) / exact[k]
+        assert rel <= bound, f"{k}: est {row['approx_customers']} vs {exact[k]} ({rel:.3%})"
     so.unpersist()

@@ -1352,3 +1352,40 @@ def test_contrastive_pairs_mines_positives_and_excludes_dup_negatives(spark):
     assert out["positive"]["mean_cos"] > 0.9
     assert out["negative"]["mean_cos"] < 0.5
     assert out["positive"]["min_cos"] > out["negative"]["mean_cos"]
+
+
+def test_ann_index_purge_removes_neighbor_with_rank_backfill(spark, sf_dir, tmp_path):
+    """Purging a known top-1 neighbor from the materialized index: the
+    purged vec_id never surfaces again (candidate codes physically
+    gone), every query still returns k neighbors (ranks backfill with
+    the next-best candidates), and the survivors keep their relative
+    order."""
+    from dataengineeringpipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lake = Lake(str(tmp_path / "lake"))
+    sim.materialize_ann_index(emb, lake, snapshot="p1")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = sim.ann_index_topk(queries, emb, spark, lake, snapshot="p1", k=5).collect()
+    per_q: dict = {}
+    for r in before:
+        per_q.setdefault(r["query_id"], []).append(r)
+    qid, rows = next((q, rs) for q, rs in per_q.items() if len(rs) == 5)
+    doomed = rows[0]["neighbor_id"]
+
+    audit = sim.ann_index_purge(
+        spark, lake, spark.createDataFrame([(doomed,)], "vec_id long"), snapshot="p1"
+    )
+    assert audit["rows_removed"] == 1
+
+    after = sim.ann_index_topk(queries, emb, spark, lake, snapshot="p1", k=5).collect()
+    assert all(r["neighbor_id"] != doomed for r in after)  # erased everywhere
+    per_q_after: dict = {}
+    for r in after:
+        per_q_after.setdefault(r["query_id"], []).append(r)
+    got = per_q_after[qid]
+    assert len(got) == 5  # rank backfilled to k
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # survivors keep their relative order; the old ranks 2..5 shift up
+    old_tail = [r["neighbor_id"] for r in rows if r["neighbor_id"] != doomed]
+    assert [r["neighbor_id"] for r in got][: len(old_tail)] == old_tail

@@ -1081,3 +1081,141 @@ print("REPLAY_ROWS", len(rows))
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
     assert int(line.split()[1]) == len(want)  # replay did not duplicate state
+
+
+def test_streaming_scd2_crash_replay(spark, sf_dir, tmp_path):
+    """Streaming SCD2 exactly-once: a wiped checkpoint commit + a
+    fresh-process restart replays the last micro-batch, whose merge
+    already committed — the applied-batch ledger (riding the merge's
+    atomic swap) must turn the replay into a no-op, leaving the history
+    bit-identical to the batch two-phase apply."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_apply_changes, scd2_history
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    changes = orders.select(
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("change_date"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    split = F.lit("1997-01-01").cast("date")
+    hist1 = scd2_history(
+        changes.filter(F.col("change_date") < split),
+        key_cols=["customer_key"],
+        attr_cols=["priority"],
+        ts_col="change_date",
+        tiebreak_cols=["order_key"],
+        carry_cols=["order_key"],
+    )
+    lake = Lake(str(tmp_path / "lake"))
+    lake.write(hist1, "gold", "priority_history")
+    lake.cluster_by(spark, "gold", "priority_history", ("customer_key",))
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    tail = changes.filter(F.col("change_date") >= split)
+    streaming._stage_arrival_batches(tail, F.expr("customer_key % 3"), src, 3)
+    ddl = "customer_key bigint, priority string, change_date date, order_key bigint"
+    kwargs = dict(
+        key_col="customer_key",
+        attr_cols=("priority",),
+        ts_col="change_date",
+        tiebreak_cols=("order_key",),
+        carry_cols=("order_key",),
+    )
+    streaming.stream_scd2_updates(
+        spark, src, lake, "gold", "priority_history", ckpt, ddl, **kwargs
+    )
+    cols = [
+        "customer_key", "priority", "order_key",
+        "valid_from", "valid_to", "version", "is_current",
+    ]
+    got = sorted(
+        map(tuple, lake.read(spark, "gold", "priority_history").select(*cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_apply_changes(hist1, tail, ["customer_key"], ["priority"],
+                               "change_date", ["order_key"], ["order_key"])
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want  # streamed == one-shot batch apply
+
+    # simulate the crash: merge committed, checkpoint commit lost
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lake_root = str(tmp_path / "lake")
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+from dataengineeringpipeline_spark.datalake import Lake
+lake = Lake({lake_root!r})
+streaming.stream_scd2_updates(spark, {src!r}, lake, "gold", "priority_history",
+    {ckpt!r}, {ddl!r}, key_col="customer_key", attr_cols=("priority",),
+    ts_col="change_date", tiebreak_cols=("order_key",), carry_cols=("order_key",))
+rows = lake.read(spark, "gold", "priority_history").count()
+print("REPLAY_ROWS", rows)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
+    assert int(line.split()[1]) == len(got)
+    after = sorted(
+        map(tuple, lake.read(spark, "gold", "priority_history").select(*cols).collect())
+    )
+    assert after == want  # replay was a no-op, not a double-apply
+
+
+def test_merge_scd2_batch_ledger_survives_compact(spark, tmp_path):
+    """A replayed batch_id is a no-op even after an unrelated rewrite
+    (compact) — the ledger is rescued across swaps that don't update it."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_history
+
+    lake = Lake(str(tmp_path))
+    changes = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "B", "2024-02-01", 11), (2, "A", "2024-01-05", 12)],
+        "k long, attr string, d string, ob long",
+    ).select("k", "attr", F.col("d").cast("date").alias("d"), "ob")
+    hist = scd2_history(changes, ["k"], ["attr"], "d", ["ob"], ["ob"])
+    lake.write(hist, "gold", "h")
+    upd = spark.createDataFrame(
+        [(2, "B", "2024-03-01", 13)], "k long, attr string, d string, ob long"
+    ).select("k", "attr", F.col("d").cast("date").alias("d"), "ob")
+    a1 = lake.merge_scd2(
+        spark, "gold", "h", upd, key_col="k", attr_cols=("attr",), ts_col="d",
+        tiebreak_cols=("ob",), carry_cols=("ob",), batch_id="b1",
+    )
+    assert "skipped_replay" not in a1
+    rows1 = sorted(map(tuple, lake.read(spark, "gold", "h").collect()))
+    lake.compact(spark, "gold", "h")  # unrelated rewrite between batches
+    a2 = lake.merge_scd2(
+        spark, "gold", "h", upd, key_col="k", attr_cols=("attr",), ts_col="d",
+        tiebreak_cols=("ob",), carry_cols=("ob",), batch_id="b1",
+    )
+    assert a2.get("skipped_replay") is True
+    assert sorted(map(tuple, lake.read(spark, "gold", "h").collect())) == rows1
