@@ -183,65 +183,74 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle-checked every round by tests/test_oracle_parity.py, which runs
 #: ALL entries.
 WINDOW_HEAD = [
-    # ===== r07 window =====
-    # (a) NEW this round (never driver-checked)
-    "lake_scd2_merged_history",
-    "incremental_customer_metrics",
-    "streaming_stats_drift",
+    # ===== r08 window =====
+    # (a) NEW this round (never driver-checked): streaming SCD2 merge +
+    #     the three approx-NDV rule faces
+    "streaming_scd2_history",
+    "rule_ndv_aggregation",
+    "incremental_ndv_rule",
+    "streaming_ndv_rule",
+    # (b) operator code changed this round: fixed_k_sample reverted to
+    #     the single-window plan (WindowGroupLimit); time travel gained
+    #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
+    #     existing faces); IVM maintenance moved to upsert_partitions;
+    #     jpeg decoder gained fill-byte/multi-scan/index-map handling;
+    #     stats partials gained float canonicalization. Plus the two
+    #     r07 bench watch items (monthly_sales_from_partials,
+    #     events_enriched) re-proved under the 3-sweep bench.
+    "eval_sample_picks",
     "lake_time_travel_totals",
-    "lake_version_changes",
     "incremental_rule_aggregation",
     "streaming_rule_aggregation",
-    # (b) re-prove: oracle fixed (value_quartile_profile — the one red
-    #     r06 row, HUGEINT cast per VERDICT item 1) and operator code
-    #     changed (fixed_k_sample hash-threshold pre-prune; PageRank
-    #     bucketed fold)
-    "value_quartile_profile",
-    "eval_sample_picks",
-    "item_pagerank",
-    "next_item_rules",
+    "incremental_daily_sales",
+    "incremental_customer_metrics",
+    "monthly_sales_from_partials",
     "multimodal_decode_report",
-    # (c) the 22 queries whose most recent driver proof is the r03
-    #     window — three rounds old, the oldest block in the record
-    #     (VERDICT r06 item 2's exact list)
-    "cohort_retention",
-    "conversion_funnel",
-    "customer_priority_scd2",
-    "customer_value_deciles",
-    "domain_mix_summary",
-    "event_heavy_hitters",
-    "incident_window_events",
-    "language_id_eval",
-    "pack_summary",
-    "purchase_attribution",
-    "repetition_stats",
-    "rule_driven_aggregation",
-    "rule_driven_features",
-    "salted_status_summary",
-    "session_summary",
-    "sliding_window_summary",
-    "split_summary",
-    "status_priority_cube",
-    "stratified_sample_summary",
-    "text_quality",
-    "text_stats",
-    "token_histogram",
-    # (d) next-oldest remaining checks (r03 dedup/multimodal/chunking
-    #     block re-proved r06 stays out; these are the oldest after (c))
-    "chunk_summary",
-    "boilerplate_report",
-    "decontamination_report",
-    # (e) r04 gold/feature block — oldest of the classic-ETL proofs
-    "daily_sales_summary",
-    "monthly_sales_summary",
-    "customer_analytics",
-    "customer_lifetime_metrics",
-    "ml_customer_features",
-    "priority_performance",
-    "category_performance",
-    "comprehensive_sales_summary",
-    "segment_summary",
-    "top_customers_per_segment",
+    "streaming_stats_drift",
+    "events_enriched",
+    # (c) the 30 queries whose most recent driver proof is the r04
+    #     window — the oldest block in the record (VERDICT r07 item 2's
+    #     exact list, oldest-first rotation policy)
+    "bigram_fluency",
+    "bloom_join_prune",
+    "bpe_merge_table",
+    "bpe_subword_stats",
+    "cms_heavy_hitters",
+    "daily_metrics_long",
+    "doc_length_distribution",
+    "dq_referential_integrity",
+    "duplicate_span_coverage",
+    "hll_sketch_summary",
+    "hybrid_dup_clusters",
+    "knn_label_eval",
+    "language_mix_by_source",
+    "pipeline_alerts",
+    "priority_drift_report",
+    "quality_sample_summary",
+    "sales_rollup",
+    "semantic_cluster_mix",
+    "semantic_decontamination",
+    "shard_balance_report",
+    "skew_join_segment_summary",
+    "source_overlap_matrix",
+    "streaming_heavy_hitters",
+    "streaming_mix_drift",
+    "streaming_volume_alerts",
+    "supplier_performance",
+    "suppressed_volume_alerts",
+    "temperature_mix_summary",
+    "token_budget_plan",
+    "top_ngrams_per_source",
+    # (d) oldest remaining (r05) proofs on files this round touched:
+    #     table_stats/quarantine live in quality.py (stats
+    #     canonicalization edit), the silver cleaners feed every changed
+    #     IVM query
+    "table_stats_report",
+    "dq_rule_report",
+    "dq_outliers",
+    "dq_quarantine_rows",
+    "silver_orders",
+    "silver_customers",
 ]
 
 

@@ -8,11 +8,13 @@ is ITU-T T.81 **baseline DCT sequential**, the format >99% of real-world
 JFIF files use:
 
 - decoder: 8-bit precision, 1 or 3 components, ANY sampling factors
-  (generic nearest-neighbor chroma upsampling), tables parsed from the
-  stream's own DQT/DHT segments, restart-interval (DRI/RSTn) and
-  byte-stuffing handling; progressive / arithmetic / 12-bit /
-  hierarchical raise ``NotImplementedError`` (the honest remaining
-  boundary, not silent misreads);
+  (index-mapped nearest-neighbor chroma upsampling — exact for divisor
+  ratios, correct for non-divisor ones like 3:2), tables parsed from
+  the stream's own DQT/DHT segments, restart-interval (DRI/RSTn),
+  byte-stuffing, and 0xFF fill-byte handling; progressive / arithmetic
+  / 12-bit / hierarchical / multi-scan non-interleaved baseline raise
+  ``NotImplementedError`` (the honest remaining boundary, not silent
+  misreads);
 - encoder: grayscale and 4:4:4 / 4:2:0 YCbCr color with the public
   Annex K quantization + Huffman tables, edge-replicated block padding.
 
@@ -433,6 +435,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
+        # spec-legal 0xFF fill bytes may pad before any marker code
+        # (B.1.1.2): skip the run, the marker is the first non-FF byte
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         m = payload[pos + 1]
         if m == 0xD9:
             break
@@ -479,6 +487,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     if frame is None or scan is None:
         raise NotImplementedError("JPEG stream missing SOF0/SOS")
     fh, fw, comps = frame
+    if len(scan) < len(comps):
+        # non-interleaved baseline (one scan per component) is spec-legal;
+        # decoding it as one interleaved scan would misread the MCU layout
+        # — honest boundary instead of a silent misdecode
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG not supported"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
@@ -529,10 +544,18 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
     full = []
+    th, tw = mcus_y * vmax * 8, mcus_x * hmax * 8
     for cid, ch, cv, _qid in comps:
         p = planes[cid]
-        if ch != hmax or cv != vmax:  # nearest-neighbor upsample
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        if ch != hmax or cv != vmax:
+            # index-mapped nearest-neighbor upsample: target pixel t reads
+            # source pixel (t·c)//max — exact for divisor ratios (reduces
+            # to np.repeat) and correct for non-divisor sampling factors
+            # (e.g. 3:2), where integer-factor repeat would misalign or
+            # crash on shape mismatch
+            rows = (np.arange(th) * cv) // vmax
+            cols = (np.arange(tw) * ch) // hmax
+            p = p[rows[:, None], cols]
         full.append(p[:fh, :fw] + 128.0)
     if len(full) == 1:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)

@@ -636,6 +636,16 @@ def stats_counter_partials(df: DataFrame) -> DataFrame:
     )
 
 
+def _canon_value_str(col: str, dtype: str) -> str:
+    """String canonicalization of a column for distinct-value state:
+    injective-equivalent to grouping semantics. Floats widen to double
+    and add ``0.0`` so ``-0.0`` collapses onto ``0.0`` (grouping already
+    treats them as equal; their strings otherwise differ)."""
+    if dtype in ("double", "float"):
+        return f"CAST((CAST({col} AS DOUBLE) + 0.0d) AS STRING)"
+    return f"CAST({col} AS STRING)"
+
+
 def stats_distinct_partials(df: DataFrame) -> DataFrame:
     """The non-mergeable half of an incremental ANALYZE, made mergeable
     the way every exact streaming-distinct is: keep the DISTINCT VALUES
@@ -646,10 +656,17 @@ def stats_distinct_partials(df: DataFrame) -> DataFrame:
     stack pass + one distinct shuffle per slice; state is O(Σ column
     NDVs) — the irreducible cost of EXACT distinct counts. At warehouse
     scale flip the caller to sketch mode (``table_stats(exact=False)``'s
-    HLL dial) when ±1% ndv is acceptable."""
+    HLL dial) when ±1% ndv is acceptable.
+
+    Floating columns are normalized before the cast (``+ 0.0`` after a
+    double widening): grouping treats ``-0.0`` and ``0.0`` as one value
+    but their strings differ, so without the normalization the merged
+    ndv could exceed ``countDistinct`` on data containing ``-0.0``
+    (all NaNs already canonicalize to one ``'NaN'`` string, matching
+    grouping's all-NaNs-equal rule)."""
     n = len(df.columns)
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in df.columns
+        f"'{c}', {_canon_value_str(c, t)}" for c, t in df.dtypes
     )
     return (
         df.select(F.expr(f"stack({n}, {pairs}) AS (column_name, value)"))
@@ -664,11 +681,12 @@ def stats_ndv_sketch_partials(df: DataFrame) -> DataFrame:
     instead of distinct-value state — constant bytes per column per
     slice, union-mergeable, ±~2% at the default lgConfigK. One agg pass
     (no Expand), values canonicalized to strings exactly like
-    :func:`stats_distinct_partials` so the two dials estimate the same
-    quantity. Long-form ``(column_name, ndv_sketch binary)``."""
+    :func:`stats_distinct_partials` (same float ``-0.0`` collapse) so
+    the two dials estimate the same quantity. Long-form
+    ``(column_name, ndv_sketch binary)``."""
     aggs = [
-        F.hll_sketch_agg(F.col(c).cast("string")).alias(f"_s_{i}")
-        for i, c in enumerate(df.columns)
+        F.hll_sketch_agg(F.expr(_canon_value_str(c, t))).alias(f"_s_{i}")
+        for i, (c, t) in enumerate(df.dtypes)
     ]
     pieces = ", ".join(f"'{c}', _s_{i}" for i, c in enumerate(df.columns))
     return df.agg(*aggs).select(

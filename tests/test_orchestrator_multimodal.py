@@ -745,3 +745,69 @@ def test_jpeg_exotic_variants_raise():
         decode_jpeg(b"\x00\x01not a jpeg")
     with pytest.raises(NotImplementedError):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(2, 1))
+
+
+def test_jpeg_fill_bytes_and_multiscan_boundary():
+    """Spec-legal 0xFF fill bytes before a marker decode identically;
+    a multi-scan (non-interleaved) baseline stream raises
+    NotImplementedError instead of misreading the MCU layout."""
+    import struct
+
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    enc = encode_jpeg(img)
+    base = decode_jpeg(enc)
+
+    # insert a run of fill bytes right after SOI (before the first marker)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]
+    assert np.array_equal(decode_jpeg(padded), base)
+
+    # rewrite the SOS header to Ns=1 (< 3 frame components): a
+    # non-interleaved scan — must be an honest boundary, not a misdecode
+    i = enc.find(b"\xff\xda")
+    assert enc[i + 4] == 3  # 3-component interleaved scan
+    multiscan = (
+        enc[: i + 2]
+        + struct.pack(">H", 8)
+        + bytes([1])
+        + enc[i + 5 : i + 7]
+        + enc[i + 11 : i + 14]
+        + enc[i + 14 :]
+    )
+    try:
+        decode_jpeg(multiscan)
+        raise AssertionError("expected NotImplementedError for multi-scan")
+    except NotImplementedError:
+        pass
+
+
+def test_jpeg_nondivisor_upsample_index_map():
+    """The index-mapped chroma upsample reduces exactly to integer
+    repeat on divisor ratios (4:2:0 round trip unchanged) and handles a
+    non-divisor 3:2 plane without shape errors (direct kernel check —
+    the encoder only emits divisor ratios)."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # divisor path still exact: flat-gray 4:2:0 fixed point
+    img = np.full((20, 28, 3), 130, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
+    assert np.array_equal(got, img)
+
+    # kernel equivalence: index map == np.repeat for factor 2
+    p = np.arange(12, dtype=np.float64).reshape(3, 4)
+    th, tw = 6, 8
+    rows = (np.arange(th) * 3) // 6  # cv=3, vmax=6 -> factor 2
+    cols = (np.arange(tw) * 4) // 8
+    assert np.array_equal(p[rows[:, None], cols], np.repeat(np.repeat(p, 2, 0), 2, 1))
+    # non-divisor 3:2: maps cleanly onto the target grid (no crash, shape ok)
+    th2 = 9  # vmax=3 over cv=2: 6-row source plane -> 9-row target
+    rows2 = (np.arange(th2) * 2) // 3
+    src = np.arange(24, dtype=np.float64).reshape(6, 4)
+    up = src[rows2[:, None], np.arange(4)]
+    assert up.shape == (9, 4) and up[0, 0] == src[0, 0] and up[8, 0] == src[5, 0]

@@ -708,3 +708,19 @@ def test_ndv_sketch_partials_merge_close_to_exact(spark, sf_dir):
         for r in quality.ndv_from_sketches(replayed).collect()
     }
     assert again == approx
+
+
+def test_stats_distinct_partials_float_canonicalization(spark):
+    """-0.0 and 0.0 are ONE grouping value — the distinct-value state
+    must not split them into two strings; NaNs collapse to one value."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import quality
+
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (float("nan"),), (float("nan"),), (1.5,)], "v double"
+    )
+    state = quality.stats_distinct_partials(df)
+    ndv_state = state.filter("column_name = 'v'").count()
+    ndv_exact = df.agg(F.countDistinct("v")).collect()[0][0]
+    assert ndv_state == ndv_exact == 3  # {0.0, NaN, 1.5}
