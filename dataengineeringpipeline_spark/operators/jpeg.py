@@ -11,12 +11,19 @@ JFIF files use:
   (index-mapped nearest-neighbor chroma upsampling — exact for divisor
   ratios, correct for non-divisor ones like 3:2), tables parsed from
   the stream's own DQT/DHT segments, restart-interval (DRI/RSTn),
-  byte-stuffing, and 0xFF fill-byte handling; progressive / arithmetic
-  / 12-bit / hierarchical / multi-scan non-interleaved baseline raise
+  byte-stuffing, and 0xFF fill-byte handling — and **PROGRESSIVE
+  (SOF2, Huffman)**: the full Annex-G surface of spectral selection and
+  successive approximation (DC/AC first + refinement scans, EOB runs,
+  per-scan table redefinition). Arithmetic / 12-bit / hierarchical /
+  lossless / multi-scan non-interleaved *baseline* raise
   ``NotImplementedError`` (the honest remaining boundary, not silent
   misreads);
 - encoder: grayscale and 4:4:4 / 4:2:0 YCbCr color with the public
-  Annex K quantization + Huffman tables, edge-replicated block padding.
+  Annex K quantization + Huffman tables, edge-replicated block padding;
+  a progressive sibling (:func:`encode_jpeg_progressive`) emits a
+  configurable scan script whose complete bit coverage makes the
+  progressive decode equal the baseline decode BIT-FOR-BIT — the
+  round-trip oracle that pins the Annex-G decoder.
 
 Exactness anchor (same trick as the μ-law codebook fixed points in
 ``multimodal.py``): a FLAT gray image whose value ``v`` is even has
@@ -417,13 +424,468 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -- progressive encoder (T.81 Annex G, Huffman) -------------------------------
+
+#: Default progressive scan script (component indices, Ss, Se, Ah, Al):
+#: interleaved DC first at Al=1, per-component AC firsts (luma split into
+#: two bands), then AC and DC refinements down to Al=0 — the same shape
+#: as libjpeg's default script, trimmed to two precision levels. Every
+#: coefficient bit is eventually sent, so a decode of the progressive
+#: stream must equal a decode of the baseline stream bit-for-bit.
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _quantized_components(px: "np.ndarray", subsample: tuple[int, int]):
+    """Shared front half of both encoders: color convert, subsample,
+    pad, FDCT + quantize. Returns ``(gray, h, w, samps, quants, coefs)``
+    where ``coefs[ci]`` is an ``(nby, nbx, 64)`` int32 array in zig-zag
+    order over the component's FULL interleaved grid."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    sv, sh = subsample if not gray else (1, 1)
+    if (sv, sh) not in ((1, 1), (2, 2)):
+        raise NotImplementedError("subsample must be (1,1) or (2,2)")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+        if (sv, sh) == (2, 2):
+            for i in (1, 2):
+                p = _pad_to_blocks(planes[i], 2, 2)
+                planes[i] = (
+                    p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+                )
+    samps = [(1, 1)] if gray else [(sh, sv), (1, 1), (1, 1)]
+    padded = [
+        _pad_to_blocks(p - 128.0, 8 * (sv if i == 0 and not gray else 1),
+                       8 * (sh if i == 0 and not gray else 1))
+        for i, p in enumerate(planes)
+    ]
+    padded = [_pad_to_blocks(p, 8, 8) for p in padded]
+    quants = [QUANT_LUMA] + [QUANT_CHROMA] * (len(planes) - 1)
+    coefs = []
+    for ci, p in enumerate(padded):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((nby, nbx, 64), dtype=np.int32)
+        q64 = quants[ci].astype(np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                c = _DCT_M @ block @ _DCT_M.T
+                arr[by, bx] = np.rint(c.reshape(64) / q64).astype(np.int64)[ZIGZAG]
+        coefs.append(arr)
+    return gray, h, w, samps, quants, coefs
+
+
+def encode_jpeg_progressive(
+    pixels: "np.ndarray",
+    subsample: tuple[int, int] = (1, 1),
+    script: tuple | None = None,
+) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JPEG: the same quantized
+    coefficients as :func:`encode_jpeg`, delivered as a scan script of
+    spectral bands and successive-approximation bit layers. Because the
+    default script eventually sends every coefficient bit, decoding the
+    progressive stream reproduces the baseline decode EXACTLY — the
+    round-trip test that pins the progressive decoder.
+
+    Table policy: the public Annex-K Huffman tables serve every scan,
+    which constrains the encoder to EOB runs of length 1 (symbol 0x00 —
+    longer EOBn symbols are absent from the baseline tables). Spec-legal
+    and decoder-agnostic; a production encoder would emit optimized
+    per-scan tables.
+    """
+    px = np.asarray(pixels)
+    gray, h, w, samps, _quants, coefs = _quantized_components(px, subsample)
+    ncomp = 1 if gray else 3
+    if script is None:
+        script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    sh, sv = samps[0]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, table: "np.ndarray") -> bytes:
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in table[ZIGZAG]
+        )
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, QUANT_LUMA)
+    if not gray:
+        out += dqt(1, QUANT_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        sof += bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    dc_codes = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_codes = [_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + [
+        _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    comp_ids = [1, 2, 3][:ncomp]
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        ch, cv = samps[ci]
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    for comps_s, ss, se, ah, al in script:
+        sos = bytes([len(comps_s)])
+        for ci in comps_s:
+            # DC scans name a DC table; AC scans an AC table
+            sos += bytes([comp_ids[ci], ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        if ss == 0:
+            _encode_prog_dc_scan(bw, comps_s, ah, al, samps, coefs, dc_codes)
+        else:
+            _encode_prog_ac_scan(
+                bw, comps_s[0], ss, se, ah, al, coefs, ac_codes, comp_grid(comps_s[0])
+            )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_dc_scan(bw, comps_s, ah, al, samps, coefs, dc_codes) -> None:
+    """DC scan: interleaved MCU order when several components, the
+    component's full grid otherwise. First pass diff-codes the
+    point-transformed DC; refinement emits raw bit ``al`` per block."""
+    if len(comps_s) > 1:
+        hmax = max(samps[ci][0] for ci in comps_s)
+        vmax = max(samps[ci][1] for ci in comps_s)
+        nby0, nbx0 = coefs[0].shape[:2]
+        mcus_y, mcus_x = nby0 // samps[0][1], nbx0 // samps[0][0]
+        preds = {ci: 0 for ci in comps_s}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comps_s:
+                    ch, cv = samps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            _encode_prog_dc_block(
+                                bw, int(coefs[ci][my * cv + by, mx * ch + bx, 0]),
+                                ah, al, preds, ci, dc_codes[ci],
+                            )
+    else:
+        ci = comps_s[0]
+        preds = {ci: 0}
+        nby, nbx = coefs[ci].shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                _encode_prog_dc_block(
+                    bw, int(coefs[ci][by, bx, 0]), ah, al, preds, ci, dc_codes[ci]
+                )
+
+
+def _encode_prog_dc_block(bw, dc, ah, al, preds, ci, dc_t) -> None:
+    # The DC point transform is an ARITHMETIC shift (T.81 A.4) — the
+    # refinement bit is bit ``al`` of the two's-complement value, and
+    # the decoder ORs it back in, so sign-magnitude here would corrupt
+    # negative DCs.
+    if ah == 0:
+        v = dc >> al  # python >> floors: two's-complement arithmetic shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = _category(diff)
+        length, code = dc_t[size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    else:
+        bw.write((dc >> al) & 1, 1)
+
+
+def _encode_prog_ac_scan(bw, ci, ss, se, ah, al, coefs, ac_codes, grid) -> None:
+    """AC band scan over one component's own block grid. First pass:
+    run/size coding of the point-transformed band with EOB0 block
+    terminators. Refinement: the G.1.2.3 correction-bit walk — new ±1
+    coefficients as (run,1) symbols, history coefficients' bits buffered
+    and flushed after the NEXT emitted symbol, ZRL flushes forced at any
+    nonzero once the zero-history run exceeds 15 (so the buffer can
+    never hold a bit the decoder would consume out of order)."""
+    ac_t = ac_codes[ci]
+    nby, nbx = grid
+
+    def emit(sym: int) -> None:
+        length, code = ac_t[sym]
+        bw.write(code, length)
+
+    for by in range(nby):
+        for bx in range(nbx):
+            band = coefs[ci][by, bx]
+            if ah == 0:
+                vals = {}
+                last_nz = ss - 1
+                for k in range(ss, se + 1):
+                    v = int(band[k])
+                    t = (v >> al) if v >= 0 else -((-v) >> al)
+                    vals[k] = t
+                    if t:
+                        last_nz = k
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    t = vals[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        emit(0xF0)
+                        run -= 16
+                    size = _category(t)
+                    emit((run << 4) | size)
+                    bw.write(t if t >= 0 else t + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < se:
+                    emit(0x00)  # EOB (run of exactly 1 under baseline tables)
+            else:
+                mags = {}
+                last_new = ss - 1
+                for k in range(ss, se + 1):
+                    m = int(band[k])
+                    m = (m if m >= 0 else -m) >> al
+                    mags[k] = m
+                    if m == 1:
+                        last_new = k
+                run = 0
+                buf: list[int] = []
+                for k in range(ss, se + 1):
+                    m = mags[k]
+                    if m == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= last_new:
+                        emit(0xF0)
+                        run -= 16
+                        for bit in buf:
+                            bw.write(bit, 1)
+                        buf = []
+                    if m > 1:  # history coefficient: buffer its bit
+                        buf.append(m & 1)
+                        continue
+                    emit((run << 4) | 1)
+                    bw.write(1 if int(band[k]) >= 0 else 0, 1)
+                    for bit in buf:
+                        bw.write(bit, 1)
+                    buf = []
+                    run = 0
+                if last_new < se:
+                    # the block didn't end on a new coefficient at Se:
+                    # EOB covers the tail, then the decoder refines every
+                    # remaining history coefficient — exactly `buf`
+                    emit(0x00)
+                    for bit in buf:
+                        bw.write(bit, 1)
+
+
+# -- progressive scan decoding (T.81 Annex G: spectral selection +
+#    successive approximation) --------------------------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position at or after ``pos`` holding a real marker (0xFF
+    followed by neither a stuffed 0x00 nor an RSTn) — where header
+    parsing resumes after an entropy-coded segment."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _refine_nonzero(br: _BitReader, block, k: int, p1: int, m1: int) -> None:
+    """One AC successive-approximation correction bit (T.81 G.1.2.3):
+    append bit ``Al`` to an already-nonzero coefficient's magnitude.
+    The two's-complement bit test is exact because every stored value at
+    this point is a multiple of 2^Al."""
+    if br.read_bit():
+        v = int(block[k])
+        if (v & p1) == 0:
+            block[k] = v + (p1 if v >= 0 else m1)
+
+
+def _decode_prog_dc_scan(
+    br: _BitReader, scan, Ss, Se, Ah, Al, by_id, mcus_x, mcus_y, dec, dri, coefs, comp_grids
+) -> None:
+    """DC scan (first pass Ah=0: Huffman diff of the point-transformed
+    DC; refinement Ah>0: one raw bit per block). Interleaved when the
+    scan names several components, the component's own block raster
+    otherwise."""
+    preds = {cid: 0 for cid, _dc, _ac in scan}
+    if len(scan) > 1:
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and unit and unit % dri == 0:
+                    br.restart()
+                    preds = {cid: 0 for cid in preds}
+                unit += 1
+                for cid, dc_id, _ac_id in scan:
+                    ch, cv, _qid = by_id[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            block = coefs[cid][my * cv + by, mx * ch + bx]
+                            _decode_prog_dc_block(br, block, dec.get((0, dc_id)), Ah, Al, preds, cid)
+    else:
+        cid, dc_id, _ac_id = scan[0]
+        nby, nbx = comp_grids[cid]
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and unit and unit % dri == 0:
+                    br.restart()
+                    preds = {cid: 0}
+                unit += 1
+                _decode_prog_dc_block(br, coefs[cid][by, bx], dec.get((0, dc_id)), Ah, Al, preds, cid)
+
+
+def _decode_prog_dc_block(br, block, dc_t, Ah, Al, preds, cid) -> None:
+    if Ah == 0:
+        size = br.read_symbol(dc_t)
+        preds[cid] += _extend(br.read_bits(size), size)
+        block[0] = preds[cid] << Al
+    else:
+        if br.read_bit():
+            block[0] = int(block[0]) | (1 << Al)
+
+
+def _decode_prog_ac_scan(
+    br: _BitReader, scan, Ss, Se, Ah, Al, dec, dri, coefs, comp_grids
+) -> None:
+    """AC scan over ONE component's band ``Ss..Se`` (spec: AC scans are
+    always non-interleaved). First pass decodes run/size symbols with
+    EOB-run counts; refinement replays the correction-bit walk."""
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must name exactly one component")
+    cid, _dc_id, ac_id = scan[0]
+    ac_t = dec[(1, ac_id)]
+    nby, nbx = comp_grids[cid]
+    p1, m1 = 1 << Al, -(1 << Al)
+    eobrun = 0
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and unit and unit % dri == 0:
+                br.restart()
+                eobrun = 0
+            unit += 1
+            block = coefs[cid][by, bx]
+            if Ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = br.read_symbol(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC run past the band edge")
+                    block[k] = _extend(br.read_bits(s), s) << Al
+                    k += 1
+            else:
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = br.read_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # ZRL: advance over 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError("refinement magnitude must be 1")
+                            newval = p1 if br.read_bit() else m1
+                        while k <= Se:
+                            if block[k] != 0:
+                                _refine_nonzero(br, block, k, p1, m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= Se:
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        if block[k] != 0:
+                            _refine_nonzero(br, block, k, p1, m1)
+                        k += 1
+                    eobrun -= 1
+
+
 # -- decoder ------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Decode a baseline-sequential JPEG into ``H×W×3 uint8`` RGB
-    (grayscale replicates into all three channels). Progressive /
-    arithmetic-coded / 12-bit streams raise ``NotImplementedError``."""
+    """Decode a baseline-sequential OR progressive (SOF2, Huffman) JPEG
+    into ``H×W×3 uint8`` RGB (grayscale replicates into all three
+    channels). Progressive support covers the full Annex-G Huffman
+    surface: spectral selection, successive approximation (DC and AC
+    first + refinement scans, EOB runs), per-scan table redefinition,
+    and restart intervals. Arithmetic-coded / 12-bit / hierarchical /
+    lossless streams raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -432,6 +894,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     frame = None
     dri = 0
     scan = None
+    progressive = False
+    coefs: dict[int, "np.ndarray"] = {}
+    comp_grids: dict[int, tuple[int, int]] = {}
+    n_prog_scans = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
@@ -465,29 +931,71 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = list(seg[i + 17 : i + 17 + n])
                 dec[(cls, tid)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif m == 0xC0:  # SOF0 baseline
-            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            prec, fh_, fw_, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
-            frame = (fh, fw, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            frame = (fh_, fw_, comps)
+            progressive = m == 0xC2
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline-sequential and progressive (Huffman) JPEG supported"
+            )
         elif m == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS: entropy data follows the header
             ns = seg[0]
             scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F) for c in range(ns)]
-            pos = pos + 2 + seglen
-            break
+            if not progressive:
+                pos = pos + 2 + seglen
+                break
+            if frame is None:
+                raise NotImplementedError("progressive SOS before SOF2")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not coefs:
+                fh, fw, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-fw // (8 * hmax))
+                mcus_y = -(-fh // (8 * vmax))
+                for cid, ch, cv, _qid in comps:
+                    # full interleaved grid rows/cols (DC scans cover the
+                    # padded MCU lattice, dummy blocks included)
+                    coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                    # the component's OWN grid (non-interleaved AC scans)
+                    comp_h = -(-fh * cv // vmax)
+                    comp_w = -(-fw * ch // hmax)
+                    comp_grids[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+            br = _BitReader(payload, pos + 2 + seglen)
+            fh, fw, comps = frame
+            by_id_p = {cid: (ch, cv, qid) for cid, ch, cv, qid in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_prog_dc_scan(
+                    br, scan, ss, se, ah, al, by_id_p, mcus_x, mcus_y, dec, dri, coefs, comp_grids
+                )
+            else:
+                _decode_prog_ac_scan(br, scan, ss, se, ah, al, dec, dri, coefs, comp_grids)
+            n_prog_scans += 1
+            pos = _next_marker(payload, br.pos)
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not progressive):
         raise NotImplementedError("JPEG stream missing SOF0/SOS")
     fh, fw, comps = frame
-    if len(scan) < len(comps):
+    if progressive and n_prog_scans == 0:
+        raise NotImplementedError("progressive JPEG with no scans")
+    if not progressive and len(scan) < len(comps):
         # non-interleaved baseline (one scan per component) is spec-legal;
         # decoding it as one interleaved scan would misread the MCU layout
         # — honest boundary instead of a silent misdecode
@@ -503,45 +1011,60 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
     by_id = {cid: (ch, cv, qid) for cid, ch, cv, qid in comps}
 
-    br = _BitReader(payload, pos)
-    preds = {cid: 0 for cid, *_ in comps}
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and mcu_index and mcu_index % dri == 0:
-                br.restart()
-                preds = {cid: 0 for cid, *_ in comps}
-            mcu_index += 1
-            for cid, dc_id, ac_id in scan:
-                ch, cv, qid = by_id[cid]
-                dc_t = dec[(0, dc_id)]
-                ac_t = dec[(1, ac_id)]
-                quant = qts[qid].astype(np.float64)
-                for by in range(cv):
-                    for bx in range(ch):
-                        q = np.zeros(64, dtype=np.float64)
-                        size = br.read_symbol(dc_t)
-                        diff = _extend(br.read_bits(size), size)
-                        preds[cid] += diff
-                        q[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_symbol(ac_t)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            s = rs & 0x0F
-                            q[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[ZIGZAG] = q * quant
-                        block = _DCT_M.T @ coeffs.reshape(8, 8) @ _DCT_M
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    if progressive:
+        # all scans already accumulated into the coefficient store:
+        # dequantize + IDCT every block (identical math to the baseline
+        # path — same coefficients in, same pixels out)
+        for cid, ch, cv, qid in comps:
+            quant = qts[qid].astype(np.float64)
+            nby, nbx = coefs[cid].shape[:2]
+            for by in range(nby):
+                for bx in range(nbx):
+                    q = coefs[cid][by, bx].astype(np.float64)
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[ZIGZAG] = q * quant
+                    block = _DCT_M.T @ coeffs.reshape(8, 8) @ _DCT_M
+                    planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    else:
+        br = _BitReader(payload, pos)
+        preds = {cid: 0 for cid, *_ in comps}
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu_index and mcu_index % dri == 0:
+                    br.restart()
+                    preds = {cid: 0 for cid, *_ in comps}
+                mcu_index += 1
+                for cid, dc_id, ac_id in scan:
+                    ch, cv, qid = by_id[cid]
+                    dc_t = dec[(0, dc_id)]
+                    ac_t = dec[(1, ac_id)]
+                    quant = qts[qid].astype(np.float64)
+                    for by in range(cv):
+                        for bx in range(ch):
+                            q = np.zeros(64, dtype=np.float64)
+                            size = br.read_symbol(dc_t)
+                            diff = _extend(br.read_bits(size), size)
+                            preds[cid] += diff
+                            q[0] = preds[cid]
+                            k = 1
+                            while k < 64:
+                                rs = br.read_symbol(ac_t)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                s = rs & 0x0F
+                                q[k] = _extend(br.read_bits(s), s)
+                                k += 1
+                            coeffs = np.zeros(64, dtype=np.float64)
+                            coeffs[ZIGZAG] = q * quant
+                            block = _DCT_M.T @ coeffs.reshape(8, 8) @ _DCT_M
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
     full = []
     th, tw = mcus_y * vmax * 8, mcus_x * hmax * 8

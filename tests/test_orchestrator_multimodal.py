@@ -736,9 +736,11 @@ def test_jpeg_exotic_variants_raise():
     from dataengineeringpipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(np.full((8, 8), 100, np.uint8)))
-    # flip SOF0 -> SOF2 (progressive): find the C0 marker and rewrite it
+    # flip SOF0 -> SOF9 (arithmetic-coded sequential): an honest boundary
+    # (SOF2 progressive is SUPPORTED as of round 8 — see the round-trip
+    # tests below)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with pytest.raises(NotImplementedError):
@@ -811,3 +813,55 @@ def test_jpeg_nondivisor_upsample_index_map():
     src = np.arange(24, dtype=np.float64).reshape(6, 4)
     up = src[rows2[:, None], np.arange(4)]
     assert up.shape == (9, 4) and up[0, 0] == src[0, 0] and up[8, 0] == src[5, 0]
+
+
+def test_progressive_jpeg_roundtrip_equals_baseline():
+    """Progressive (SOF2) decode must reproduce the baseline decode
+    BIT-FOR-BIT: the default script sends every coefficient bit
+    (spectral bands + two successive-approximation layers for DC and
+    AC), so both streams carry identical quantized coefficients."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(42)
+    for shape, sub in [
+        ((16, 16, 3), (1, 1)),
+        ((24, 40, 3), (2, 2)),
+        ((17, 23, 3), (2, 2)),  # odd dims + subsampling: dummy-block edge
+        ((8, 8), (1, 1)),
+        ((19, 13), (1, 1)),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        if len(shape) == 3:
+            base = J.decode_jpeg(J.encode_jpeg(img, subsample=sub))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(img, subsample=sub))
+        else:
+            base = J.decode_jpeg(J.encode_jpeg(img))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog), f"{shape}/{sub} diverged"
+
+
+def test_progressive_jpeg_spectral_only_script_and_flat_fixed_point():
+    """A spectral-selection-only script (no successive approximation)
+    decodes identically too, and the flat-gray quantizer fixed point
+    survives the progressive path (lossless end to end)."""
+    import numpy as np
+
+    from dataengineeringpipeline_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    script = (
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 9, 0, 0),
+        ((0,), 10, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    )
+    base = J.decode_jpeg(J.encode_jpeg(img))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, script=script))
+    assert np.array_equal(base, prog)
+
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)  # even gray: lossless
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg_progressive(flat)), flat)
