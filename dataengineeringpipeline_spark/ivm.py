@@ -646,13 +646,24 @@ def maintain_rule_partials(
             f"partition_col {partition_col!r} must be a grain column of "
             f"rule {rule.name!r} (grain: {grain})"
         )
+    def _merge(base, d):
+        stacked = base.unionByName(d)
+        if _rule_ndv_cols(rule):
+            # NDV rules' merge consumes the stacked frame once per
+            # register column plus once for the main measures — persist
+            # so the delta's fact scan runs once, not per consumer
+            from .cache import tracked_persist
+
+            stacked = tracked_persist(stacked)
+        return merge_rule_partials(stacked, rule)
+
     return lake.upsert_partitions(
         delta.sparkSession,
         layer,
         table or f"{rule.name}_partials",
         rule_partials(delta, rule),
         partition_col,
-        lambda base, d: merge_rule_partials(base.unionByName(d), rule),
+        _merge,
         batch_id=batch_id,
     )
 
@@ -675,6 +686,83 @@ def incremental_rule_aggregation(
     return rule_summary_from_partials(base.unionByName(delta), rule).orderBy(
         *rule.group_by_columns
     )
+
+
+def fold_stream_partials(
+    spark,
+    lake: Lake,
+    state_dir: str,
+    layer: str,
+    table: str,
+    partition_col: str,
+    merge,
+    feed: str = "stream",
+) -> list:
+    """Stream-state COMPACTION: fold drained ``batch_id=<n>`` streaming
+    partials into the maintained partitioned partials table, then delete
+    the folded batch directories. This is the missing lifecycle step
+    between the streaming layout (append-only batch partitions,
+    merge-on-read) and the batch-maintained table (one row per grain,
+    partition-pruned reads): without it, merge-on-read cost grows with
+    every micro-batch ever streamed; with it, reads hit a compacted
+    table whose size is the grain cardinality.
+
+    Exactly-once end to end:
+
+    - all pending batches fold through ONE
+      :meth:`Lake.upsert_partitions` call whose ledger entry lists every
+      folded batch id — the merge and the "these batches are folded"
+      record commit in the same atomic swap;
+    - batch directories are deleted only AFTER their ids are visible in
+      the live table's ledger, so a crash between the swap and the
+      deletes re-runs as a ledger-hit no-op fold followed by the
+      leftover deletes — never a double-count, never a lost batch;
+    - a batch that lands in ``state_dir`` mid-fold is simply not in this
+      fold's pending set and survives for the next one.
+
+    ``merge`` is the family's stacked-partials re-aggregation
+    (``merge_partials`` / ``merge_customer_partials`` / a
+    ``merge_rule_partials`` closure). ``feed`` namespaces the ledger
+    ids (``<feed>:<n>``) — a restarted or second stream writes a fresh
+    checkpoint whose batch ids restart at 0, so each feed must fold
+    under its own name. Returns the folded batch numbers.
+    """
+    import os
+    import shutil
+
+    from .datalake import _read_ledger
+
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=") and os.path.isdir(os.path.join(state_dir, d))
+    ) if os.path.isdir(state_dir) else []
+    path = lake.path(layer, table)
+    applied = set(_read_ledger(path)) if os.path.isdir(path) else set()
+    pending = [b for b in batches if f"{feed}:{b}" not in applied]
+    if pending:
+        delta = spark.read.parquet(
+            *[os.path.join(state_dir, f"batch_id={b}") for b in pending]
+        )
+        # stacked batch partials can hold several rows per grain — the
+        # merge callback re-aggregates, so pre-collapsing here would be
+        # a redundant shuffle
+        lake.upsert_partitions(
+            spark,
+            layer,
+            table,
+            delta,
+            partition_col,
+            lambda base, d: merge(base, d),
+            batch_id=[f"{feed}:{b}" for b in pending],
+        )
+    # delete every batch dir whose id the LIVE ledger now records —
+    # includes leftovers from a crash after a previous fold's swap
+    applied = set(_read_ledger(path)) if os.path.isdir(path) else set()
+    for b in batches:
+        if f"{feed}:{b}" in applied:
+            shutil.rmtree(os.path.join(state_dir, f"batch_id={b}"), ignore_errors=True)
+    return pending
 
 
 def rule_ndv_profile(partials: DataFrame, rule) -> DataFrame:
@@ -715,12 +803,17 @@ def rule_ndv_aggregation(silver_orders: DataFrame) -> DataFrame:
     (``rules.NDV_RULE``) compiled to HLL register-map partials over the
     full table in one shot, folded to the integer digest. The oracle
     rebuilds the registers in SQL (same portable md5-prefix hash), so a
-    pass proves the sketch state itself is bit-exact cross-engine."""
+    pass proves the sketch state itself is bit-exact cross-engine.
+
+    The partials frame is persisted (group-cardinality-sized — tiny at
+    any scale) because the profile's count fold and register digest are
+    two consumers of it: without the persist each consumer re-executes
+    the partials subtree, i.e. re-scans the fact table."""
+    from .cache import tracked_persist
     from .rules import NDV_RULE as rule
 
-    return rule_ndv_profile(rule_partials(silver_orders, rule), rule).orderBy(
-        *rule.group_by_columns
-    )
+    p = tracked_persist(rule_partials(silver_orders, rule))
+    return rule_ndv_profile(p, rule).orderBy(*rule.group_by_columns)
 
 
 def incremental_ndv_rule(
@@ -730,14 +823,23 @@ def incremental_ndv_rule(
     rule maintained as base/delta partials through THE merge
     (``merge_rule_partials`` — element-wise register MAX), digest off
     the merged state. Shares the batch face's oracle: sketch-union
-    registers == one-pass registers, bit-for-bit."""
+    registers == one-pass registers, bit-for-bit.
+
+    The stacked base∪delta partials persist before the merge: the merge
+    (main measures + register maps) and the profile (count fold +
+    digest) each reference them more than once, and without the persist
+    every reference re-scans the fact table — measured 16 scans in the
+    unpersisted plan vs 2 per slice (the irreducible main-agg +
+    register-build passes) with it."""
+    from .cache import tracked_persist
     from .rules import NDV_RULE as rule
 
     d = F.col("order_date")
     lit_cut = F.lit(cutoff).cast("date")
     base = rule_partials(silver_orders.filter(d < lit_cut), rule)
     delta = rule_partials(silver_orders.filter(d >= lit_cut), rule)
-    merged = merge_rule_partials(base.unionByName(delta), rule)
+    stacked = tracked_persist(base.unionByName(delta))
+    merged = tracked_persist(merge_rule_partials(stacked, rule))
     return rule_ndv_profile(merged, rule).orderBy(*rule.group_by_columns)
 
 

@@ -2243,7 +2243,11 @@ def streaming_ndv_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         " total_price double, is_complete_order boolean"
     )
     stream_rule_partials(spark, rule, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
-    stacked = spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    from ..cache import tracked_persist
+
+    # the profile's count fold and register digest both read the drained
+    # state — persist the (group-sized) stack so it loads once
+    stacked = tracked_persist(spark.read.parquet(f"{tmp}/state").drop("batch_id"))
     return ivm.rule_ndv_profile(stacked, rule).orderBy(*rule.group_by_columns)
 
 

@@ -531,3 +531,99 @@ def test_ndv_rule_estimate_accuracy_and_face_identity(spark, sf_dir):
         rel = abs(row["approx_customers"] - exact[k]) / exact[k]
         assert rel <= bound, f"{k}: est {row['approx_customers']} vs {exact[k]} ({rel:.3%})"
     so.unpersist()
+
+
+def test_fold_stream_partials_compacts_state_exactly_once(spark, sf_dir, tmp_path):
+    """Stream-state compaction: drained batch_id partials fold into the
+    maintained partitioned table (summary == batch recompute), folded
+    batch dirs are deleted, a re-fold is a no-op, and a crash between
+    the fold's swap and the dir deletes self-heals (leftover dirs are
+    removed, nothing double-counts)."""
+    from dataengineeringpipeline_spark import cleaning, streaming
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_date", "total_price", "is_complete_order"
+    )
+    cut = F.lit("1998-06-01").cast("date")
+    early, late = silver.filter(F.col("order_date") < cut), silver.filter(
+        F.col("order_date") >= cut
+    )
+    src, state, ckpt = str(tmp_path / "in"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(early, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_date date,"
+        " total_price double, is_complete_order boolean"
+    )
+    streaming.stream_sales_partials(
+        spark, src, state, ckpt, ddl, max_files_per_trigger=1
+    )
+
+    lake = Lake(str(tmp_path / "lake"))
+    folded = ivm.fold_stream_partials(
+        spark, lake, state, "gold", "sales_partials", "order_date", ivm.merge_partials
+    )
+    assert folded == [0, 1, 2]
+    assert not any(d.startswith("batch_id=") for d in os.listdir(state))
+    got = sorted(
+        map(
+            tuple,
+            ivm.daily_summary_from_partials(
+                lake.read(spark, "gold", "sales_partials")
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, gold.daily_sales_summary(early).collect()))
+    assert got == want
+
+    # crash between swap and deletes: resurrect a folded batch dir —
+    # its id is in the ledger, so the re-fold must not double-count
+    ghost = os.path.join(state, "batch_id=0")
+    os.makedirs(ghost)
+    ivm.sales_partials(early.filter(F.col("order_key") % 3 == 0)).write.mode(
+        "overwrite"
+    ).parquet(ghost)
+    assert ivm.fold_stream_partials(
+        spark, lake, state, "gold", "sales_partials", "order_date", ivm.merge_partials
+    ) == []
+    assert not os.path.exists(ghost)  # leftover removed, state clean
+    still = sorted(
+        map(
+            tuple,
+            ivm.daily_summary_from_partials(
+                lake.read(spark, "gold", "sales_partials")
+            ).collect(),
+        )
+    )
+    assert still == want
+
+    # a second streamed increment — its own feed (source, checkpoint,
+    # state dir; a fresh stream restarts batch ids at 0, so it folds
+    # under its own feed namespace in the shared table's ledger)
+    assert ivm.fold_stream_partials(
+        spark, lake, state, "gold", "sales_partials", "order_date", ivm.merge_partials
+    ) == []  # first feed is fully folded already: re-fold is a no-op
+    src2, state2, ckpt2 = (
+        str(tmp_path / "in2"),
+        str(tmp_path / "state2"),
+        str(tmp_path / "ckpt2"),
+    )
+    os.makedirs(src2)
+    streaming._stage_arrival_batches(late, F.expr("order_key % 2"), src2, 2)
+    streaming.stream_sales_partials(spark, src2, state2, ckpt2, ddl)
+    folded2 = ivm.fold_stream_partials(
+        spark, lake, state2, "gold", "sales_partials", "order_date",
+        ivm.merge_partials, feed="feed2",
+    )
+    assert folded2 == [0]
+    final = sorted(
+        map(
+            tuple,
+            ivm.daily_summary_from_partials(
+                lake.read(spark, "gold", "sales_partials")
+            ).collect(),
+        )
+    )
+    assert final == sorted(map(tuple, gold.daily_sales_summary(silver).collect()))

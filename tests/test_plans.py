@@ -100,6 +100,14 @@ PLAN_BOUNDS = {
     # re-agg + customer fold; both date-split filters reach the scan and
     # the scan reads only the 4 needed columns
     "incremental_customer_metrics": (3, 0),
+    # approx-NDV rule, batch face: persisted partials (count fold +
+    # register digest read the cache, not the fact table), register
+    # two-level agg + digest agg + presentation sort
+    "rule_ndv_aggregation": (8, 1),
+    # approx-NDV rule, incremental face: base/delta partials persist
+    # once, merge + digest re-aggregate the cached stack (static plan
+    # counts include the InMemoryRelation's cached subtree)
+    "incremental_ndv_rule": (14, 3),
 }
 
 
