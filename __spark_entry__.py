@@ -184,9 +184,10 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ALL entries.
 WINDOW_HEAD = [
     # ===== r08 window =====
-    # (a) NEW this round (never driver-checked): streaming SCD2 merge +
-    #     the three approx-NDV rule faces
+    # (a) NEW this round (never driver-checked): streaming SCD2 + CDC
+    #     lake merges, the three approx-NDV rule faces
     "streaming_scd2_history",
+    "streaming_lake_cdc_snapshot",
     "rule_ndv_aggregation",
     "incremental_ndv_rule",
     "streaming_ndv_rule",
@@ -292,6 +293,9 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_snapshot": streaming.streaming_cdc_snapshot,
         # -- streaming SCD2 merge (dimension updates through Lake.merge_scd2)
         "streaming_scd2_history": streaming.streaming_scd2_history,
+        # -- streaming CDC lake merge (changelog batches through
+        #    Lake.merge_changes — physical Type-1 sibling) ----------------
+        "streaming_lake_cdc_snapshot": streaming.streaming_lake_cdc_snapshot,
         # -- streaming quantile sketch (mergeable percentile monitor) -------
         "streaming_value_quantiles": streaming.streaming_value_quantiles,
         # -- streaming categorical-mix drift (streaming face of

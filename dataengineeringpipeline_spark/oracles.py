@@ -4392,6 +4392,10 @@ ORACLES["lake_cdc_merged_snapshot"] = ORACLES["cdc_order_snapshot"]
 # single-batch lake merge — one shared oracle.
 ORACLES["streaming_scd2_history"] = ORACLES["lake_scd2_merged_history"]
 
+# ...and its Type-1 sibling: changelog micro-batches physically MERGEd
+# into the lake table must land on the same batch-apply arithmetic.
+ORACLES["streaming_lake_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]
+
 
 def _ndv_rule_oracle() -> dict[str, str]:
     """Integer register digest of the approx-NDV demo rule

@@ -2379,6 +2379,137 @@ def streaming_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- streaming CDC lake merge (changelog micro-batches through
+#    Lake.merge_changes — the Type-1 sibling of the streaming SCD2 face) ------
+
+
+def stream_cdc_merge(
+    spark: SparkSession,
+    source_dir: str,
+    lake,
+    layer: str,
+    table: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of :meth:`Lake.merge_changes`: each CDC changelog
+    micro-batch MERGEs physically into the lake table (footer-pruned
+    rewrite + hard-linked untouched files), exactly-once via the
+    applied-batch ledger riding the merge's atomic swap — the Type-1
+    latest-state sibling of :func:`stream_scd2_updates`, for pipelines
+    that want the live table maintained continuously instead of
+    merge-on-read over batch partials (:func:`stream_cdc_changes`).
+
+    Ordering: within a batch, latest-per-key by ``(ts, *tiebreaks)``
+    wins (one code path: ``scd.cdc_apply``). Across batches the merge
+    is LAST-WRITER-WINS per key — deliver a key's changes in order
+    (per-key-ordered transports: Debezium, Kinesis partition key) or in
+    per-key-complete batches for parity with the one-shot batch apply.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lake.merge_changes(
+            spark,
+            layer,
+            table,
+            batch_df,
+            key_col=key_col,
+            ts_col=ts_col,
+            op_col=op_col,
+            tiebreak_cols=tiebreak_cols,
+            batch_id=f"cdc-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_cdc_merge did not finish within {timeout_s}s")
+
+
+def streaming_lake_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the PHYSICAL streaming CDC face — the same
+    pre-1999 order snapshot and 2001+ shipment changelog as
+    ``lake_cdc_merged_snapshot``, but the changelog ARRIVES as three
+    per-key-complete micro-batches (``order_key % 3``) that each MERGE
+    into the key-clustered lake table through the exactly-once streaming
+    merge. Batches touch disjoint key sets, so the final table is
+    bit-identical to the single-batch lake merge and the oracle is the
+    shared batch-apply arithmetic."""
+    import os
+    import tempfile
+
+    from ..datalake import Lake
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    snapshot = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("last_change"),
+    )
+    changes = lineitem.filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2001-01-01").cast("date")
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.when(F.col("l_returnflag") == "R", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("SHIPPED-"), F.col("l_linestatus")).alias("status"),
+        F.col("l_extendedprice").alias("total_price"),
+        F.col("l_shipdate").cast("date").alias("last_change"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_merge_")
+    lake = Lake(os.path.join(tmp, "lake"))
+    lake.write(snapshot, "silver", "orders_current")
+    lake.cluster_by(spark, "silver", "orders_current", ("order_key",))
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(changes, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, op string, status string, total_price double,"
+        " last_change date, line_number int"
+    )
+    stream_cdc_merge(
+        spark,
+        src,
+        lake,
+        "silver",
+        "orders_current",
+        os.path.join(tmp, "ckpt"),
+        ddl,
+        key_col="order_key",
+        ts_col="last_change",
+        tiebreak_cols=("line_number", "op", "status", "total_price"),
+        max_files_per_trigger=1,
+    )
+    return (
+        lake.read(spark, "silver", "orders_current")
+        .select("order_key", "status", "total_price", "last_change")
+        .orderBy("order_key")
+    )
+
+
 # -- streaming SCD2 (dimension-update micro-batches through Lake.merge_scd2) --
 
 

@@ -1138,3 +1138,40 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         raise AssertionError("expected ValueError for both args")
     except ValueError:
         pass
+
+
+def test_merge_changes_batch_ledger_and_restore_as_of(spark, tmp_path):
+    """merge_changes(batch_id=...) is a retry no-op once committed (the
+    Type-1 twin of the SCD2 ledger), and RESTORE resolves TIMESTAMP AS
+    OF to the right snapshot."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    snap = spark.createDataFrame(
+        [(1, "A", "2024-01-01"), (2, "B", "2024-01-02")], "k long, s string, d string"
+    ).select("k", "s", F.col("d").cast("date").alias("d"))
+    lake.write(snap, "silver", "t")
+    v1 = lake.snapshot_version("silver", "t")
+    ch = spark.createDataFrame(
+        [(2, "U", "B2", "2024-02-01"), (3, "U", "C", "2024-02-02")],
+        "k long, op string, s string, d string",
+    ).select("k", "op", "s", F.col("d").cast("date").alias("d"))
+    a1 = lake.merge_changes(
+        spark, "silver", "t", ch, key_col="k", ts_col="d", batch_id="b1"
+    )
+    assert a1["rows_upserted"] == 2 and "skipped_replay" not in a1
+    rows1 = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    a2 = lake.merge_changes(
+        spark, "silver", "t", ch, key_col="k", ts_col="d", batch_id="b1"
+    )
+    assert a2.get("skipped_replay") is True
+    assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == rows1
+
+    # RESTORE ... TIMESTAMP AS OF v1's commit instant rolls back
+    t1 = {h["version"]: h for h in lake.history("silver", "t")}[v1]["committed_us"]
+    lake.restore_version("silver", "t", as_of=t1)
+    assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == sorted(
+        map(tuple, snap.collect())
+    )

@@ -1219,3 +1219,94 @@ def test_merge_scd2_batch_ledger_survives_compact(spark, tmp_path):
     )
     assert a2.get("skipped_replay") is True
     assert sorted(map(tuple, lake.read(spark, "gold", "h").collect())) == rows1
+
+
+def test_streaming_cdc_merge_crash_replay(spark, sf_dir, tmp_path):
+    """Streaming CDC lake merge exactly-once: wipe the last checkpoint
+    commit, replay in a fresh process — the applied-batch ledger turns
+    the replayed merge into a no-op and the table equals the one-shot
+    batch apply."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    snapshot = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("last_change"),
+    )
+    changes = lineitem.filter(
+        F.col("l_shipdate").cast("date") >= F.lit("2001-01-01").cast("date")
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.when(F.col("l_returnflag") == "R", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("SHIPPED-"), F.col("l_linestatus")).alias("status"),
+        F.col("l_extendedprice").alias("total_price"),
+        F.col("l_shipdate").cast("date").alias("last_change"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    lake = Lake(str(tmp_path / "lake"))
+    lake.write(snapshot, "silver", "t")
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(changes, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, op string, status string, total_price double,"
+        " last_change date, line_number int"
+    )
+    tb = ("line_number", "op", "status", "total_price")
+    streaming.stream_cdc_merge(
+        spark, src, lake, "silver", "t", ckpt, ddl,
+        key_col="order_key", ts_col="last_change", tiebreak_cols=tb,
+    )
+    got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cdc_apply(snapshot, changes, ["order_key"], "last_change",
+                      tiebreak_cols=list(tb)).collect(),
+        )
+    )
+    assert got == want
+
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lake_root = str(tmp_path / "lake")
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import streaming
+from dataengineeringpipeline_spark.datalake import Lake
+lake = Lake({lake_root!r})
+streaming.stream_cdc_merge(spark, {src!r}, lake, "silver", "t", {ckpt!r}, {ddl!r},
+    key_col="order_key", ts_col="last_change",
+    tiebreak_cols=("line_number", "op", "status", "total_price"))
+print("REPLAY_ROWS", lake.read(spark, "silver", "t").count())
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
+    assert int(line.split()[1]) == len(got)
+    assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == want
