@@ -185,12 +185,16 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_HEAD = [
     # ===== r08 window =====
     # (a) NEW this round (never driver-checked): streaming SCD2 + CDC
-    #     lake merges, the three approx-NDV rule faces
+    #     lake merges, the three approx-NDV rule faces, the three
+    #     exact-percentile rule faces
     "streaming_scd2_history",
     "streaming_lake_cdc_snapshot",
     "rule_ndv_aggregation",
     "incremental_ndv_rule",
     "streaming_ndv_rule",
+    "rule_quartile_aggregation",
+    "incremental_quartile_rule",
+    "streaming_quartile_rule",
     # (b) operator code changed this round: fixed_k_sample reverted to
     #     the single-window plan (WindowGroupLimit); time travel gained
     #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
@@ -694,6 +698,15 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _silver_orders(spark, sf)
         ),
         "streaming_ndv_rule": streaming.streaming_ndv_rule,
+        # -- exact percentile rule through the IVM compiler: value-histogram
+        #    partials, interpolation replayed bit-exactly, three faces --
+        "rule_quartile_aggregation": lambda spark, sf: rules.rule_quartile_aggregation(
+            _silver_orders(spark, sf)
+        ),
+        "incremental_quartile_rule": lambda spark, sf: ivm.incremental_quartile_rule(
+            _silver_orders(spark, sf)
+        ),
+        "streaming_quartile_rule": streaming.streaming_quartile_rule,
         "status_priority_cube": lambda spark, sf: gold.status_priority_cube(
             _silver_orders(spark, sf)
         ),

@@ -456,6 +456,8 @@ def _rule_partial_specs(rule) -> tuple[list, dict]:
             pass  # the column IS part of the grain
         if fn == "approx_count_distinct":
             pass  # compiled to an HLL register-map partial (see below)
+        if fn in ("median", "percentile"):
+            pass  # compiled to a value-histogram partial (see below)
     return grain, parts
 
 
@@ -469,6 +471,86 @@ def _rule_ndv_cols(rule) -> list[str]:
             if a.function.lower() == "approx_count_distinct"
         )
     )
+
+
+def _rule_pctl_cols(rule) -> list[str]:
+    """Columns carrying a ``median``/``percentile`` measure — each gets
+    a mergeable value-histogram partial column ``_vh_<col>`` (one
+    ``map<value, count>`` per grain row). Exact quantiles provably need
+    per-distinct-value state, so the partial is O(NDV of the measure
+    within the group) — the right trade for bounded-cardinality
+    measures (ages, counts, bucketed amounts); unbounded measures
+    should use ``scale.quantile_sketch`` instead."""
+    return list(
+        dict.fromkeys(
+            a.column
+            for a in rule.aggregate_columns
+            if a.function.lower() in ("median", "percentile")
+        )
+    )
+
+
+def _pctl_fraction(a) -> float:
+    return 0.5 if a.function.lower() == "median" else float(a.param)
+
+
+def _value_hist_partial(df: DataFrame, grain: list, col: str) -> DataFrame:
+    """Per grain row, the value→count histogram of ``col`` over one row
+    slice. Histograms merge by per-value count addition, so partials
+    from disjoint slices merge to exactly the histogram a one-pass
+    build would hold — making EXACT interpolated percentiles
+    incrementally maintainable (nulls excluded, matching
+    ``F.percentile``)."""
+    counts = (
+        df.filter(F.col(col).isNotNull()).groupBy(*grain, col).agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct(F.col(col), F.col("_c"))))
+    ).alias(f"_vh_{col}")
+    return counts.groupBy(*grain).agg(agg) if grain else counts.agg(agg)
+
+
+def _merged_value_counts(partials: DataFrame, keys: list, col: str) -> DataFrame:
+    """Stacked partials → merged (keys..., _v, _c) value-count rows for
+    ``col`` (per-value count addition across the stacked maps)."""
+    ex = partials.select(*keys, F.explode(f"_vh_{col}").alias("_v", "_c"))
+    return ex.groupBy(*keys, "_v").agg(F.sum("_c").alias("_c"))
+
+
+def _fold_pctl(partials: DataFrame, keys: list, col: str, specs: list) -> DataFrame:
+    """Exact interpolated percentiles off stacked value-histogram
+    partials: one merged-histogram pass serves every requested fraction
+    of ``col``. Replays the engine's own arithmetic — rank
+    ``r = (n-1)*p``, two-sided interpolation ``(ceil(r)-r)*lo +
+    (r-floor(r))*hi`` — which is also DuckDB ``quantile_cont``'s
+    sequence, so the fold is bit-identical to ``F.percentile`` (same
+    IEEE ops in the same order), not merely close.
+
+    ``specs`` is ``[(fraction, alias), ...]``. The window runs over the
+    MERGED histogram (NDV-of-measure rows per group, not raw rows)."""
+    from pyspark.sql.window import Window
+
+    ex = _merged_value_counts(partials, keys, col)
+    wk = Window.partitionBy(*keys).orderBy("_v")
+    wa = Window.partitionBy(*keys)
+    ex = ex.withColumn("_cum", F.sum("_c").over(wk)).withColumn(
+        "_n", F.sum("_c").over(wa)
+    )
+    v = F.col("_v").cast("double")
+    aggs = []
+    for i, (p, _alias) in enumerate(specs):
+        r = (F.col("_n").cast("double") - F.lit(1.0)) * F.lit(float(p))
+        aggs.append(F.max(r).alias(f"_r_{i}"))
+        aggs.append(F.min(F.when(F.col("_cum") > F.floor(r), v)).alias(f"_lo_{i}"))
+        aggs.append(F.min(F.when(F.col("_cum") > F.ceil(r), v)).alias(f"_hi_{i}"))
+    g = ex.groupBy(*keys).agg(*aggs) if keys else ex.agg(*aggs)
+    outs = []
+    for i, (_p, alias) in enumerate(specs):
+        r, lo, hi = F.col(f"_r_{i}"), F.col(f"_lo_{i}"), F.col(f"_hi_{i}")
+        k, c = F.floor(r), F.ceil(r)
+        interp = (c.cast("double") - r) * lo + (r - k.cast("double")) * hi
+        outs.append(F.when(c == k, lo).otherwise(interp).alias(alias))
+    return g.select(*keys, *outs)
 
 
 def _collect_register_map(regs: DataFrame, grain: list, alias: str) -> DataFrame:
@@ -516,8 +598,9 @@ def rule_partials(df: DataFrame, rule) -> DataFrame:
         df = df.filter(F.expr(rule.filters))
     grain, parts = _rule_partial_specs(rule)
     ndv = _rule_ndv_cols(rule)
+    pctl = _rule_pctl_cols(rule)
     aggs = [col.alias(name) for name, col in parts.items()]
-    if not aggs and not ndv:
+    if not aggs and not ndv and not pctl:
         raise ValueError(f"rule {rule.name!r} has no mergeable measures")
     out = (
         (df.groupBy(*grain).agg(*aggs) if grain else df.agg(*aggs))
@@ -526,6 +609,11 @@ def rule_partials(df: DataFrame, rule) -> DataFrame:
     )
     for c in ndv:
         out = _join_on(out, _hll_map_partial(df, grain, c), grain)
+    for c in pctl:
+        # LEFT: a grain row whose measure is all-null still exists (its
+        # histogram is just empty), matching F.percentile's null result
+        hist = _value_hist_partial(df, grain, c)
+        out = out.join(hist, grain, "left") if grain else _join_on(out, hist, grain)
     return out
 
 
@@ -536,6 +624,7 @@ def merge_rule_partials(partials: DataFrame, rule) -> DataFrame:
     delta-sized."""
     grain, parts = _rule_partial_specs(rule)
     ndv = _rule_ndv_cols(rule)
+    pctl = _rule_pctl_cols(rule)
     aggs = []
     for name in parts:
         if name.startswith("_min_"):
@@ -558,6 +647,15 @@ def merge_rule_partials(partials: DataFrame, rule) -> DataFrame:
             _merged_registers(partials, grain, c), grain, f"_hll_{c}"
         )
         out = _join_on(out, merged, grain)
+    for c in pctl:
+        vc = _merged_value_counts(partials, grain, c)
+        agg = F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_v", "_c")))
+        ).alias(f"_vh_{c}")
+        merged = vc.groupBy(*grain).agg(agg) if grain else vc.agg(agg)
+        # LEFT: grain rows whose histogram is empty (all-null measure)
+        # survive the merge with a null map
+        out = out.join(merged, grain, "left") if grain else _join_on(out, merged, grain)
     return out
 
 
@@ -597,6 +695,8 @@ def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
             outs.append(F.countDistinct(a.column).alias(a.alias))
         elif fn == "approx_count_distinct":
             continue  # folded from the register maps below (needs its own agg)
+        elif fn in ("median", "percentile"):
+            continue  # folded from the value histograms below (needs its own agg)
         elif fn == "min":
             outs.append(F.min(f"_min_{a.column}").alias(a.alias))
         elif fn == "max":
@@ -606,6 +706,10 @@ def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
         a for a in rule.aggregate_columns
         if a.function.lower() == "approx_count_distinct"
     ]
+    pctl_specs: dict[str, list] = {}
+    for a in rule.aggregate_columns:
+        if a.function.lower() in ("median", "percentile"):
+            pctl_specs.setdefault(a.column, []).append((_pctl_fraction(a), a.alias))
     if outs:
         main = partials.groupBy(*keys).agg(*outs) if keys else partials.agg(*outs)
     else:
@@ -617,7 +721,12 @@ def rule_summary_from_partials(partials: DataFrame, rule) -> DataFrame:
             _merged_registers(partials, keys, a.column), tuple(keys)
         ).withColumnRenamed("hll_estimate", a.alias)
         main = _join_on(main, est, keys)
-    if ndv_specs:  # restore the configured measure order after the joins
+    for col, specs in pctl_specs.items():
+        fold = _fold_pctl(partials, keys, col, specs)
+        # LEFT: groups whose measure is all-null have no histogram rows
+        # but must keep their row (percentile = null, like F.percentile)
+        main = main.join(fold, keys, "left") if keys else _join_on(main, fold, keys)
+    if ndv_specs or pctl_specs:  # restore the configured measure order after the joins
         main = main.select(*keys, *[a.alias for a in rule.aggregate_columns])
     return main
 
@@ -841,6 +950,28 @@ def incremental_ndv_rule(
     stacked = tracked_persist(base.unionByName(delta))
     merged = tracked_persist(merge_rule_partials(stacked, rule))
     return rule_ndv_profile(merged, rule).orderBy(*rule.group_by_columns)
+
+
+def incremental_quartile_rule(
+    silver_orders: DataFrame, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query (INCREMENTAL face): the percentile demo
+    rule (``rules.QUARTILE_RULE``) maintained as base/delta
+    value-histogram partials through THE merge (per-value count
+    addition), exact quartiles folded off the merged state. Shares the
+    batch face's oracle (``rule_quartile_aggregation`` SQL): merged
+    histograms == one-pass histogram, and the fold replays
+    ``F.percentile``'s interpolation arithmetic, so incremental ==
+    batch == oracle bit-for-bit."""
+    from .rules import QUARTILE_RULE as rule
+
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = rule_partials(silver_orders.filter(d < lit_cut), rule)
+    delta = rule_partials(silver_orders.filter(d >= lit_cut), rule)
+    return rule_summary_from_partials(base.unionByName(delta), rule).orderBy(
+        *rule.group_by_columns
+    )
 
 
 def incremental_customer_metrics(

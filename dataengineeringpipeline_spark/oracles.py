@@ -4444,6 +4444,30 @@ ORACLES["incremental_ndv_rule"] = ORACLES["rule_ndv_aggregation"]
 ORACLES["streaming_ndv_rule"] = ORACLES["rule_ndv_aggregation"]
 
 
+_QUARTILE_RULE_BODY = f"""
+SELECT order_status,
+  COUNT(order_key) AS order_count,
+  quantile_cont(days_since_order, 0.25) AS p25_order_age,
+  quantile_cont(days_since_order, 0.5) AS median_order_age,
+  quantile_cont(days_since_order, 0.75) AS p75_order_age,
+  {money_sum_sql('total_price')} AS revenue
+FROM silver_orders
+WHERE is_complete_order
+GROUP BY order_status
+ORDER BY order_status
+""".strip()
+
+# twin of rules.QUARTILE_RULE (rule_quartile_aggregation + the IVM
+# faces): DuckDB quantile_cont and Spark `percentile` share the exact
+# two-sided interpolation at rank (n-1)p, and the measure is integral,
+# so the comparison is bit-exact
+ORACLES["rule_quartile_aggregation"] = _with(
+    {"silver_orders": SILVER_ORDERS}, _QUARTILE_RULE_BODY
+)
+ORACLES["incremental_quartile_rule"] = ORACLES["rule_quartile_aggregation"]
+ORACLES["streaming_quartile_rule"] = ORACLES["rule_quartile_aggregation"]
+
+
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power
     method UNROLLED into CTEs. Every floating sum runs the engine's

@@ -35,6 +35,9 @@ class AggregateColumn:
     column: str
     function: str
     alias: str
+    #: extra parameter for parameterized functions — today the
+    #: ``percentile`` fraction in [0, 1] (``median`` is sugar for 0.5)
+    param: float | None = None
 
 
 @dataclass
@@ -52,7 +55,7 @@ class AggregationRule:
             name=cfg["name"],
             group_by_columns=tuple(cfg["group_by_columns"]),
             aggregate_columns=tuple(
-                AggregateColumn(a["column"], a["function"], a["alias"])
+                AggregateColumn(a["column"], a["function"], a["alias"], a.get("param"))
                 for a in cfg["aggregate_columns"]
             ),
             filters=cfg.get("filters"),
@@ -75,6 +78,16 @@ def _compile_aggregate(spec: AggregateColumn) -> Column:
         return F.approx_count_distinct(spec.column).alias(spec.alias)
     if fn in ("min", "max"):
         return getattr(F, fn)(spec.column).alias(spec.alias)
+    if fn in ("median", "percentile"):
+        p = 0.5 if fn == "median" else spec.param
+        if p is None or not 0.0 <= p <= 1.0:
+            raise ValueError(
+                f"percentile rule {spec.alias!r} needs param in [0, 1], got {spec.param!r}"
+            )
+        # exact interpolated percentile (SQL `percentile`, R-7 / quantile_cont
+        # definition) — the IVM compiler maintains it from value-histogram
+        # partials bit-identically (ivm._fold_pctl)
+        return F.percentile(spec.column, float(p)).alias(spec.alias)
     raise ValueError(f"unsupported aggregate function {spec.function!r}")
 
 
@@ -172,6 +185,25 @@ NDV_RULE = AggregationRule(
     filters="is_complete_order",
 )
 
+#: Demo percentile rule (same config schema): exact quartiles of order
+#: age beside ordinary measures. Through the IVM compiler the
+#: percentile measures become mergeable VALUE-HISTOGRAM partials — the
+#: classic result that exact quantiles need per-distinct-value state;
+#: for bounded state at unbounded measure cardinality use the quantile
+#: sketch (``scale.quantile_sketch``) instead.
+QUARTILE_RULE = AggregationRule(
+    name="status_order_age_quartiles",
+    group_by_columns=("order_status",),
+    aggregate_columns=(
+        AggregateColumn("order_key", "count", "order_count"),
+        AggregateColumn("days_since_order", "percentile", "p25_order_age", 0.25),
+        AggregateColumn("days_since_order", "median", "median_order_age"),
+        AggregateColumn("days_since_order", "percentile", "p75_order_age", 0.75),
+        AggregateColumn("total_price", "sum", "revenue"),
+    ),
+    filters="is_complete_order",
+)
+
 #: Demo feature-rule config (variables.tf:449-483 shape; LOG rounded —
 #: natural log differs between libm builds in the last ulp).
 ENGAGEMENT_FEATURE_RULES = (
@@ -187,6 +219,16 @@ def rule_driven_aggregation(silver_orders: DataFrame) -> DataFrame:
     return apply_aggregation_rule(silver_orders, MONTHLY_REVENUE_RULE).orderBy(
         "order_year", "order_month", "order_status"
     )
+
+
+def rule_quartile_aggregation(silver_orders: DataFrame) -> DataFrame:
+    """Driver-contract query (BATCH face): the percentile demo rule
+    compiled by the batch rule compiler — exact interpolated quartiles
+    (`F.percentile`) beside count/sum measures. The DuckDB oracle's
+    ``quantile_cont`` shares the two-sided interpolation formula
+    ``(ceil(r)-r)*lo + (r-floor(r))*hi`` at rank ``r=(n-1)p``, so the
+    comparison is bit-exact on the integer-valued measure."""
+    return apply_aggregation_rule(silver_orders, QUARTILE_RULE).orderBy("order_status")
 
 
 def rule_driven_features(lifetime_metrics: DataFrame) -> DataFrame:

@@ -2214,6 +2214,45 @@ def streaming_rule_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_quartile_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query (STREAMING face of the percentile rule):
+    the silver backlog streams through ``rules.QUARTILE_RULE``'s
+    partials — each micro-batch lands its value-histogram partials in a
+    ``batch_id=<n>`` partition via the SAME generic harness every
+    configured rule uses — and exact quartiles fold off the drained
+    state. Histograms merge by per-value count addition, so the
+    streamed state is bit-identical to the one-pass build and the
+    oracle is shared with ``rule_quartile_aggregation``."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+    from ..rules import QUARTILE_RULE as rule
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key",
+        "order_status",
+        "days_since_order",
+        "total_price",
+        "is_complete_order",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_pctl_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(silver, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, order_status string, days_since_order int,"
+        " total_price double, is_complete_order boolean"
+    )
+    stream_rule_partials(spark, rule, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
+    stacked = spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    return ivm.rule_summary_from_partials(stacked, rule).orderBy(
+        *rule.group_by_columns
+    )
+
+
 def streaming_ndv_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query (STREAMING face of the approx-NDV rule):
     the silver backlog streams through ``rules.NDV_RULE``'s partials —

@@ -627,3 +627,81 @@ def test_fold_stream_partials_compacts_state_exactly_once(spark, sf_dir, tmp_pat
         )
     )
     assert final == sorted(map(tuple, gold.daily_sales_summary(silver).collect()))
+
+
+def test_quartile_rule_faces_match_batch_bit_for_bit(spark, sf_dir):
+    """Percentile rule-IVM: value-histogram partials fold to EXACTLY the
+    batch compiler's F.percentile results across a base/delta split,
+    through the explicit merge, and merge order cannot perturb them."""
+    from dataengineeringpipeline_spark import rules
+
+    so = _silver(spark, sf_dir)
+    rule = rules.QUARTILE_RULE
+    cols = rules.apply_aggregation_rule(so, rule).columns
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(so, rule).collect()
+    )
+    cut = F.lit("1997-06-01").cast("date")
+    base = ivm.rule_partials(so.filter(F.col("order_date") < cut), rule)
+    delta = ivm.rule_partials(so.filter(F.col("order_date") >= cut), rule)
+    for stacked in (base.unionByName(delta), delta.unionByName(base)):
+        inc = sorted(
+            tuple(r[c] for c in cols)
+            for r in ivm.rule_summary_from_partials(stacked, rule).collect()
+        )
+        assert inc == batch
+        merged = ivm.merge_rule_partials(stacked, rule)
+        inc2 = sorted(
+            tuple(r[c] for c in cols)
+            for r in ivm.rule_summary_from_partials(merged, rule).collect()
+        )
+        assert inc2 == batch
+
+
+def test_percentile_fold_matches_engine_on_hostile_values(spark):
+    """The histogram fold replays F.percentile's interpolation
+    arithmetic bit-for-bit — probed on doubles with duplicates,
+    negatives, awkward fractions (p=0.37), one-row groups, an all-null
+    group (percentile must be null, row must survive), and a group
+    split across three partial slices."""
+    import random
+
+    from dataengineeringpipeline_spark import rules
+    from dataengineeringpipeline_spark.rules import AggregateColumn, AggregationRule
+
+    rng = random.Random(421)
+    rows = []
+    for g in ["a", "b", "c", "one_row", "all_null"]:
+        n = {"one_row": 1, "all_null": 4}.get(g, 157)
+        for i in range(n):
+            v = None if g == "all_null" else rng.choice(
+                [rng.uniform(-1e6, 1e6), float(rng.randint(-5, 5)), 0.125]
+            )
+            rows.append((g, i % 3, v))
+    df = spark.createDataFrame(rows, "grp string, slice int, x double")
+    rule = AggregationRule(
+        name="hostile_pctl",
+        group_by_columns=("grp",),
+        aggregate_columns=(
+            AggregateColumn("x", "percentile", "p37", 0.37),
+            AggregateColumn("x", "median", "med"),
+            AggregateColumn("x", "percentile", "p99", 0.99),
+        ),
+    )
+    cols = ["grp", "p37", "med", "p99"]
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(df, rule).collect()
+    )
+    parts = [
+        ivm.rule_partials(df.filter(F.col("slice") == s), rule) for s in range(3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    inc = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.rule_summary_from_partials(stacked, rule).collect()
+    )
+    assert inc == batch
+    null_rows = [t for t in inc if t[0] == "all_null"]
+    assert null_rows == [("all_null", None, None, None)]
