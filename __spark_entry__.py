@@ -195,24 +195,29 @@ WINDOW_HEAD = [
     "rule_quartile_aggregation",
     "incremental_quartile_rule",
     "streaming_quartile_rule",
+    "lake_schema_evolution_snapshot",
+    "incremental_gold_refresh",
+    "streaming_gold_refresh",
     # (b) operator code changed this round: fixed_k_sample reverted to
     #     the single-window plan (WindowGroupLimit); time travel gained
     #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
     #     existing faces); IVM maintenance moved to upsert_partitions;
     #     jpeg decoder gained fill-byte/multi-scan/index-map handling;
-    #     stats partials gained float canonicalization. Plus the two
-    #     r07 bench watch items (monthly_sales_from_partials,
-    #     events_enriched) re-proved under the 3-sweep bench.
+    #     stats partials gained float canonicalization; upsert_partitions
+    #     gained the delta persist + per-partition write shape; the
+    #     customer partials grew the size counters. (The two r07 bench
+    #     watch items — monthly_sales_from_partials, events_enriched —
+    #     were adjudicated by the 3-sweep bench with code byte-identical,
+    #     so they yield their window slots to this round's new queries
+    #     and stay covered by tests/test_oracle_parity.py.)
     "eval_sample_picks",
     "lake_time_travel_totals",
     "incremental_rule_aggregation",
     "streaming_rule_aggregation",
     "incremental_daily_sales",
     "incremental_customer_metrics",
-    "monthly_sales_from_partials",
     "multimodal_decode_report",
     "streaming_stats_drift",
-    "events_enriched",
     # (c) the 30 queries whose most recent driver proof is the r04
     #     window — the oldest block in the record (VERDICT r07 item 2's
     #     exact list, oldest-first rotation policy)
@@ -246,16 +251,12 @@ WINDOW_HEAD = [
     "temperature_mix_summary",
     "token_budget_plan",
     "top_ngrams_per_source",
-    # (d) oldest remaining (r05) proofs on files this round touched:
-    #     table_stats/quarantine live in quality.py (stats
-    #     canonicalization edit), the silver cleaners feed every changed
-    #     IVM query
+    # (d) oldest remaining (r05) proof on a file this round touched:
+    #     table_stats lives in quality.py (stats canonicalization edit).
+    #     (The driver window holds 50; the other r05 rows — dq_rule_report,
+    #     dq_outliers, dq_quarantine_rows, silver_orders, silver_customers —
+    #     rotate in r09 and stay covered by tests/test_oracle_parity.py.)
     "table_stats_report",
-    "dq_rule_report",
-    "dq_outliers",
-    "dq_quarantine_rows",
-    "silver_orders",
-    "silver_customers",
 ]
 
 
@@ -578,6 +579,11 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- delete propagation (opt-out purge + erasure-proof audit) --------
         "forget_users_report": lambda spark, sf: datalake.forget_users_report(spark, sf),
         # -- lakehouse MERGE INTO: file-pruned physical CDC apply ------------
+        # -- ADD-COLUMN schema evolution: sidecar schema rides the swap,
+        #    pre-evolution files read the new column as NULL ------------
+        "lake_schema_evolution_snapshot": lambda spark, sf: datalake.lake_schema_evolution_snapshot(
+            spark, sf
+        ),
         "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(
             spark, sf
         ),
@@ -697,6 +703,13 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ndv_rule": lambda spark, sf: ivm.incremental_ndv_rule(
             _silver_orders(spark, sf)
         ),
+        # -- join-IVM: in-place delta refresh of the customer-360 gold
+        #    table (partials absorb the delta, touched keys' rows
+        #    re-derive and MERGE, footer-pruned) == full recompute ----
+        "incremental_gold_refresh": lambda spark, sf: ivm.incremental_gold_refresh(
+            spark, sf
+        ),
+        "streaming_gold_refresh": streaming.streaming_gold_refresh,
         "streaming_ndv_rule": streaming.streaming_ndv_rule,
         # -- exact percentile rule through the IVM compiler: value-histogram
         #    partials, interpolation replayed bit-exactly, three faces --

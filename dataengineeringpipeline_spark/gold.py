@@ -277,6 +277,19 @@ FILL_DEFAULTS = {
 }
 
 
+def lifecycle_stage_expr():
+    """The lifecycle staging rule — shared by the batch
+    :func:`customer_analytics` and the partials fold
+    (``ivm.customer_analytics_from_partials``) so the two faces cannot
+    drift."""
+    return (
+        F.when(F.col("total_orders") == 0, "PROSPECT")
+        .when(F.col("recency_days") <= 720, "ACTIVE")
+        .when(F.col("recency_days") <= 1500, "AT_RISK")
+        .otherwise("CHURNED")
+    )
+
+
 def customer_analytics(silver_customers: DataFrame, silver_orders: DataFrame) -> DataFrame:
     """Customer 360: dim ⟕ lifetime metrics ⟕ size pivot, null-defaulted,
     RFM-scored, lifecycle-staged (J1/J2 + P5 + A5).
@@ -292,13 +305,7 @@ def customer_analytics(silver_customers: DataFrame, silver_orders: DataFrame) ->
         .join(sizes, "customer_key", "left")
         .fillna(FILL_DEFAULTS)
     )
-    lifecycle = (
-        F.when(F.col("total_orders") == 0, "PROSPECT")
-        .when(F.col("recency_days") <= 720, "ACTIVE")
-        .when(F.col("recency_days") <= 1500, "AT_RISK")
-        .otherwise("CHURNED")
-    )
-    return joined.withColumn("lifecycle_stage", lifecycle)
+    return joined.withColumn("lifecycle_stage", lifecycle_stage_expr())
 
 
 def segment_summary(analytics: DataFrame) -> DataFrame:

@@ -270,7 +270,7 @@ def monthly_sales_from_partials(silver_orders: DataFrame) -> DataFrame:
 #: the table schema between maintenance rounds).
 _CUST_COLS = (
     "customer_key order_year cnt cnt_price rev mn_price mx_price "
-    "mn_date mx_date mn_recency xl"
+    "mn_date mx_date mn_recency xl n_small n_medium n_large"
 ).split()
 
 
@@ -309,6 +309,19 @@ def customer_partials(silver_orders: DataFrame) -> DataFrame:
             F.sum(
                 F.when(F.col("order_size_category") == "EXTRA_LARGE", 1).otherwise(0)
             ).alias("xl"),
+            # per-size counters: the order_size_distribution pivot's
+            # mergeable form (counts add), making the FULL customer-360
+            # gold row — dims ⟕ metrics ⟕ size pivot — refreshable from
+            # partials (customer_analytics_from_partials)
+            F.sum(
+                F.when(F.col("order_size_category") == "SMALL", 1).otherwise(0)
+            ).alias("n_small"),
+            F.sum(
+                F.when(F.col("order_size_category") == "MEDIUM", 1).otherwise(0)
+            ).alias("n_medium"),
+            F.sum(
+                F.when(F.col("order_size_category") == "LARGE", 1).otherwise(0)
+            ).alias("n_large"),
         )
     )
 
@@ -327,6 +340,9 @@ def reaggregate_customer_partials(partials: DataFrame) -> DataFrame:
             F.max("mx_date").alias("mx_date"),
             F.min("mn_recency").alias("mn_recency"),
             F.sum("xl").alias("xl"),
+            F.sum("n_small").alias("n_small"),
+            F.sum("n_medium").alias("n_medium"),
+            F.sum("n_large").alias("n_large"),
         )
     )
 
@@ -950,6 +966,162 @@ def incremental_ndv_rule(
     stacked = tracked_persist(base.unionByName(delta))
     merged = tracked_persist(merge_rule_partials(stacked, rule))
     return rule_ndv_profile(merged, rule).orderBy(*rule.group_by_columns)
+
+
+def order_sizes_from_partials(partials: DataFrame) -> DataFrame:
+    """Fold the year grain out of the per-size counters: the exact
+    ``gold.order_size_distribution`` pivot shape (counts add across
+    years; explicit-value pivot of counts IS a mergeable aggregate)."""
+    return partials.groupBy("customer_key").agg(
+        F.sum("n_small").alias("size_small_orders"),
+        F.sum("n_medium").alias("size_medium_orders"),
+        F.sum("n_large").alias("size_large_orders"),
+        F.sum("xl").alias("size_extra_large_orders"),
+    )
+
+
+def customer_analytics_from_partials(
+    silver_customers: DataFrame, partials: DataFrame
+) -> DataFrame:
+    """The FULL customer-360 gold row — dim ⟕ lifetime metrics ⟕ size
+    pivot, null-defaulted, RFM-scored, lifecycle-staged — folded off the
+    customer partials instead of the fact table. Reuses
+    ``gold.rfm_scores`` / ``gold.FILL_DEFAULTS`` /
+    ``gold.lifecycle_stage_expr`` so this face and the batch
+    ``gold.customer_analytics`` CANNOT drift: bit-identical output is
+    the refresh contract (see :func:`refresh_customer_analytics`)."""
+    from . import gold
+
+    metrics = gold.rfm_scores(customer_metrics_from_partials(partials))
+    sizes = order_sizes_from_partials(partials)
+    joined = (
+        silver_customers.join(metrics, "customer_key", "left")
+        .join(sizes, "customer_key", "left")
+        .fillna(gold.FILL_DEFAULTS)
+    )
+    return joined.withColumn("lifecycle_stage", gold.lifecycle_stage_expr())
+
+
+def refresh_customer_analytics(
+    lake: Lake,
+    spark,
+    silver_customers: DataFrame,
+    delta_orders: DataFrame,
+    layer: str = "gold",
+    analytics_table: str = "customer_analytics",
+    partials_table: str = "customer_partials",
+    refresh_seq: int = 0,
+    batch_id: str | None = None,
+) -> dict:
+    """Incremental GOLD-TABLE refresh — join-IVM for the customer-360
+    view: a delta batch of orders updates the live ``customer_analytics``
+    lake table IN PLACE, recomputing ONLY the customers the delta
+    touches.
+
+    The delta-sized pipeline: (1) the year-partitioned partials table
+    absorbs the delta (:func:`maintain_customer_partials` — O(touched
+    year partitions), crash-safe, exactly-once); (2) the touched keys'
+    gold rows are re-derived from their MERGED partials state joined to
+    just their dim rows (semi joins against the broadcast batch-sized
+    key set); (3) :meth:`Lake.merge_changes` replaces exactly those
+    keys' rows in the key-clustered gold table (footer-pruned rewrite,
+    untouched files hard-link through). Untouched customers' stored
+    rows were computed from partials the delta did not change, so the
+    refreshed table equals the full ``gold.customer_analytics``
+    recompute BIT-FOR-BIT — at 100 TB that is the difference between a
+    nightly full gold rebuild and a minutes-cadence refresh whose cost
+    scales with the batch, not the table.
+
+    Retry-idempotent end to end with ``batch_id``: the partials ledger
+    makes a replayed delta a no-op, and the gold merge re-derives the
+    same replacement rows from the already-merged partials state."""
+    maintain_customer_partials(
+        lake,
+        delta_orders,
+        layer=layer,
+        table=partials_table,
+        batch_id=(f"{batch_id}/partials" if batch_id is not None else None),
+    )
+    affected = (
+        delta_orders.filter(F.col("is_complete_order"))
+        .select("customer_key")
+        .distinct()
+    )
+    partials = lake.read(spark, layer, partials_table).join(
+        F.broadcast(affected), "customer_key", "left_semi"
+    )
+    dims = silver_customers.join(
+        F.broadcast(affected), "customer_key", "left_semi"
+    )
+    rows = customer_analytics_from_partials(dims, partials)
+    changes = rows.withColumn("op", F.lit("U")).withColumn(
+        "_refresh_seq", F.lit(refresh_seq)
+    )
+    return lake.merge_changes(
+        spark,
+        layer,
+        analytics_table,
+        changes,
+        key_col="customer_key",
+        ts_col="_refresh_seq",
+        batch_id=(f"{batch_id}/gold" if batch_id is not None else None),
+    )
+
+
+def incremental_gold_refresh(
+    spark, sf_dir: str, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query: build the customer-360 gold table from
+    the pre-``cutoff`` orders (partials-table bootstrap + key-clustered
+    lake write), refresh it IN PLACE with the on/after-``cutoff`` delta
+    through :func:`refresh_customer_analytics`, and read the live table
+    back. The oracle is the FULL BATCH ``customer_analytics`` SQL over
+    all orders: an in-place delta refresh must land the table exactly
+    where the full recompute would, or the view is corrupt.
+
+    Bench note: most of this query's wall clock is the BOOTSTRAP
+    (building the partials table and the key-clustered gold table from
+    scratch) — a one-time cost in a real pipeline; the refresh step
+    itself is delta-sized. The toy-scale delta also touches ~2/3 of all
+    customers, so the merge legitimately rewrites most gold files here;
+    the file-pruned economics appear with the key-skewed deltas real
+    CDC produces (inode-tested in ``test_refresh_customer_analytics_is_
+    delta_sized_and_idempotent``)."""
+    import os
+    import tempfile
+
+    from . import cleaning
+
+    silver_customers = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography")  # struct kept in the library API; flat cols for the oracle
+    silver_orders = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    )
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = silver_orders.filter(d < lit_cut)
+    delta = silver_orders.filter(d >= lit_cut)
+    lake = Lake(tempfile.mkdtemp(prefix="gold_refresh_"))
+    maintain_customer_partials(lake, base)
+    initial = customer_analytics_from_partials(
+        silver_customers, lake.read(spark, "gold", "customer_partials")
+    )
+    # write key-clustered directly (range partition + sort) — one write
+    # instead of write + cluster_by rewrite; same footer-prune layout
+    lake.write(
+        initial.repartitionByRange(16, "customer_key").sortWithinPartitions(
+            "customer_key"
+        ),
+        "gold",
+        "customer_analytics",
+    )
+    refresh_customer_analytics(
+        lake, spark, silver_customers, delta, refresh_seq=1
+    )
+    return lake.read(spark, "gold", "customer_analytics").orderBy("customer_key")
 
 
 def incremental_quartile_rule(

@@ -4387,6 +4387,45 @@ ORACLES["streaming_cdc_snapshot"] = ORACLES["cdc_order_snapshot"]
 # must equal the logical batch apply — same oracle again.
 ORACLES["lake_cdc_merged_snapshot"] = ORACLES["cdc_order_snapshot"]
 
+# twin of datalake.lake_schema_evolution_snapshot: reconstruct the
+# post-evolution merged table in plain SQL — inserts/updates carry the
+# new sales_channel, the delete beats the repriced update on the
+# key % 9700 overlap (later change timestamp), untouched pre-1997 rows
+# read the evolved column as NULL
+ORACLES["lake_schema_evolution_snapshot"] = f"""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+),
+ins AS (
+  SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+),
+upd AS (SELECT k, tp + 10.0 AS tp FROM snap WHERE k % 100 = 0),
+dels AS (SELECT k FROM snap WHERE k % 97 = 0),
+merged AS (
+  SELECT CASE WHEN k % 3 = 0 THEN 'WEB'
+              WHEN k % 3 = 1 THEN 'APP'
+              ELSE 'STORE' END AS sales_channel, tp
+  FROM (
+    SELECT k, tp FROM ins
+    UNION ALL
+    SELECT k, tp FROM upd WHERE k NOT IN (SELECT k FROM dels)
+  )
+  UNION ALL
+  SELECT NULL AS sales_channel, tp FROM snap
+  WHERE k NOT IN (SELECT k FROM upd)
+    AND k NOT IN (SELECT k FROM dels)
+)
+SELECT sales_channel,
+  COUNT(*) AS n_rows,
+  {money_sum_sql('tp')} AS revenue
+FROM merged
+GROUP BY sales_channel
+ORDER BY sales_channel
+""".strip()
+
 # The streaming-SCD2 contract: per-key-complete micro-batches touch
 # disjoint key sets, so the drained history must be bit-identical to the
 # single-batch lake merge — one shared oracle.
@@ -4466,6 +4505,12 @@ ORACLES["rule_quartile_aggregation"] = _with(
 )
 ORACLES["incremental_quartile_rule"] = ORACLES["rule_quartile_aggregation"]
 ORACLES["streaming_quartile_rule"] = ORACLES["rule_quartile_aggregation"]
+
+# twins of ivm.refresh_customer_analytics (batch + streaming faces): an
+# in-place delta refresh of the customer-360 gold lake table must equal
+# the full batch recompute
+ORACLES["incremental_gold_refresh"] = ORACLES["customer_analytics"]
+ORACLES["streaming_gold_refresh"] = ORACLES["customer_analytics"]
 
 
 def _graph_oracles() -> dict[str, str]:

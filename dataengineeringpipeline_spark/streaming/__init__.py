@@ -2549,6 +2549,124 @@ def streaming_lake_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_gold_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    lake,
+    silver_customers: DataFrame,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of :func:`ivm.refresh_customer_analytics`: each
+    micro-batch of silver orders refreshes the LIVE customer-360 gold
+    lake table in place — partials absorb the batch, the touched keys'
+    full rows re-derive and MERGE — exactly-once end to end via the
+    per-batch ledgers on BOTH tables (a crash-replayed batch is a
+    no-op on the partials and re-derives identical replacement rows
+    for the gold merge). Unlike CDC, NO batch-split discipline is
+    required: partials merge additively and every refresh recomputes a
+    key's row from its full merged state, so any partitioning of the
+    delta stream converges to the batch gold table bit-for-bit."""
+    from .. import ivm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivm.refresh_customer_analytics(
+            lake,
+            spark,
+            silver_customers,
+            batch_df,
+            refresh_seq=batch_id,
+            batch_id=f"goldrefresh-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(f"stream_gold_refresh did not finish within {timeout_s}s")
+
+
+def streaming_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the STREAMING face of the in-place gold
+    refresh — bootstrap the customer-360 table from the pre-cutoff
+    orders, stream the post-cutoff delta through
+    :func:`stream_gold_refresh` as three interleaved micro-batches
+    (``order_key % 3`` — deliberately NOT per-key-complete: a customer's
+    orders span batches and the row still converges because every
+    refresh folds from the full merged partials), and read the live
+    table back. Shares the FULL BATCH ``customer_analytics`` oracle."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+    from ..datalake import Lake
+
+    silver_customers = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography")
+    silver_orders = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key",
+        "customer_key",
+        "order_year",
+        "order_date",
+        "total_price",
+        "days_since_order",
+        "order_size_category",
+        "is_complete_order",
+    )
+    d = F.col("order_date")
+    lit_cut = F.lit("1998-06-01").cast("date")
+    base = silver_orders.filter(d < lit_cut)
+    delta = silver_orders.filter(d >= lit_cut)
+    tmp = tempfile.mkdtemp(prefix="stream_gold_refresh_")
+    lake = Lake(os.path.join(tmp, "lake"))
+    ivm.maintain_customer_partials(lake, base)
+    initial = ivm.customer_analytics_from_partials(
+        silver_customers, lake.read(spark, "gold", "customer_partials")
+    )
+    lake.write(
+        initial.repartitionByRange(16, "customer_key").sortWithinPartitions(
+            "customer_key"
+        ),
+        "gold",
+        "customer_analytics",
+    )
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(delta, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int,"
+        " order_date date, total_price double, days_since_order int,"
+        " order_size_category string, is_complete_order boolean"
+    )
+    stream_gold_refresh(
+        spark,
+        src,
+        lake,
+        silver_customers,
+        os.path.join(tmp, "ckpt"),
+        ddl,
+        max_files_per_trigger=1,
+    )
+    return lake.read(spark, "gold", "customer_analytics").orderBy("customer_key")
+
+
 # -- streaming SCD2 (dimension-update micro-batches through Lake.merge_scd2) --
 
 

@@ -705,3 +705,129 @@ def test_percentile_fold_matches_engine_on_hostile_values(spark):
     assert inc == batch
     null_rows = [t for t in inc if t[0] == "all_null"]
     assert null_rows == [("all_null", None, None, None)]
+
+
+def test_customer_analytics_fold_matches_batch_bit_for_bit(spark, sf_dir):
+    """The full customer-360 row (dims ⟕ metrics ⟕ size pivot + RFM +
+    lifecycle) folded off partials == gold.customer_analytics."""
+    import os
+
+    from dataengineeringpipeline_spark import cleaning
+
+    so = _silver(spark, sf_dir)
+    sc = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography")
+    batch = gold.customer_analytics(sc, so)
+    cols = batch.columns
+    b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    fold = ivm.customer_analytics_from_partials(sc, ivm.customer_partials(so))
+    f = sorted(tuple(r[c] for c in cols) for r in fold.collect())
+    assert f == b
+
+
+def test_refresh_customer_analytics_is_delta_sized_and_idempotent(spark, sf_dir, tmp_path):
+    """The in-place gold refresh rewrites only the touched keys' files
+    (untouched gold files hard-link through byte-identical), lands the
+    table exactly where the full recompute would, and a crash-replayed
+    batch_id is a no-op on both the partials and the gold merge."""
+    import os
+
+    from dataengineeringpipeline_spark import cleaning
+
+    so = _silver(spark, sf_dir).persist()
+    sc = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography").persist()
+    cut = F.lit("1998-06-01").cast("date")
+    base = so.filter(F.col("order_date") < cut)
+    # a KEY-NARROW delta (one customer-key range) so the footer prune has
+    # something to prune: real refresh batches are skewed, not uniform
+    max_key = so.agg(F.max("customer_key")).collect()[0][0]
+    delta = so.filter(
+        (F.col("order_date") >= cut) & (F.col("customer_key") <= max_key // 10)
+    )
+    so_used = base.unionByName(delta)
+    lake = Lake(str(tmp_path / "lake"))
+    ivm.maintain_customer_partials(lake, base)
+    initial = ivm.customer_analytics_from_partials(
+        sc, lake.read(spark, "gold", "customer_partials")
+    )
+    lake.write(
+        initial.repartitionByRange(8, "customer_key").sortWithinPartitions(
+            "customer_key"
+        ),
+        "gold",
+        "customer_analytics",
+    )
+    gpath = lake.path("gold", "customer_analytics")
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(gpath, f)).st_ino
+            for f in os.listdir(gpath)
+            if f.endswith(".parquet")
+        }
+
+    before = inodes()
+    rep = ivm.refresh_customer_analytics(
+        lake, spark, sc, delta, refresh_seq=1, batch_id="b1"
+    )
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    after = inodes()
+    linked = set(before) & set(after)
+    assert linked and all(before[f] == after[f] for f in linked)
+    # refreshed table == full recompute over base ∪ delta, bit for bit
+    full = gold.customer_analytics(sc, so_used)
+    cols = full.columns
+    want = sorted(tuple(r[c] for c in cols) for r in full.collect())
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", "customer_analytics").collect()
+    )
+    assert got == want
+    # crash replay: same batch_id is a no-op end to end
+    rep2 = ivm.refresh_customer_analytics(
+        lake, spark, sc, delta, refresh_seq=1, batch_id="b1"
+    )
+    assert rep2.get("skipped_replay") is True
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", "customer_analytics").collect()
+    )
+    assert got2 == want
+    so.unpersist(); sc.unpersist()
+
+
+def test_quartile_rule_partials_persist_through_maintenance(spark, sf_dir, tmp_path):
+    """Value-histogram (map-typed) partials survive the parquet
+    round-trip through crash-safe partitioned maintenance: base load +
+    delta upsert on the rule's grain partition, then the fold off the
+    stored table equals the one-shot batch compiler."""
+    from dataengineeringpipeline_spark import rules
+
+    rule = rules.QUARTILE_RULE
+    so = _silver(spark, sf_dir)
+    cut = F.lit("1997-06-01").cast("date")
+    lake = Lake(str(tmp_path / "lake"))
+    ivm.maintain_rule_partials(
+        lake, so.filter(F.col("order_date") < cut), rule, "order_status"
+    )
+    ivm.maintain_rule_partials(
+        lake, so.filter(F.col("order_date") >= cut), rule, "order_status"
+    )
+    stored = lake.read(spark, "gold", f"{rule.name}_partials")
+    cols = rules.apply_aggregation_rule(so, rule).columns
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(so, rule).collect()
+    )
+    inc = sorted(
+        tuple(r[c] for c in cols)
+        for r in ivm.rule_summary_from_partials(stored, rule).collect()
+    )
+    assert inc == batch

@@ -1175,3 +1175,131 @@ def test_merge_changes_batch_ledger_and_restore_as_of(spark, tmp_path):
     assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == sorted(
         map(tuple, snap.collect())
     )
+
+
+def test_schema_evolution_add_column_without_rewrite(spark, tmp_path):
+    """evolve_schema=True appends the new column via the sidecar: files
+    untouched by the merge hard-link through byte-identical (no
+    evolution rewrite), pre-evolution rows read the column as NULL,
+    merge metadata (op/ts/tiebreaks) never evolves in, and a type
+    change of an existing column is rejected loudly."""
+    import os
+
+    import pytest
+
+    from dataengineeringpipeline_spark.datalake import Lake, _read_schema_json
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"S{i % 7}", float(i)) for i in range(1000)],
+        "k long, status string, ts double",
+    )
+    lake.write(df.repartitionByRange(10, "k").sortWithinPartitions("k"), "silver", "t")
+    path = lake.path("silver", "t")
+
+    def state():
+        return {
+            f: os.stat(os.path.join(path, f)).st_ino
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = state()
+    changes = spark.createDataFrame(
+        [(5, "S5", 5.5, "WEB", "U", 1.0), (2000, "NEW", 0.0, "APP", "U", 1.0)],
+        "k long, status string, ts double, channel string, op string, tb double",
+    )
+    rep = lake.merge_changes(
+        spark, "silver", "t", changes, "k", "ts",
+        tiebreak_cols=("tb",), evolve_schema=True,
+    )
+    assert rep["files_rewritten"] == 1
+    after = state()
+    linked = set(before) & set(after)
+    assert len(linked) == 9  # 9 of 10 range files hard-linked through
+    assert all(before[f] == after[f] for f in linked)
+    t = lake.read(spark, "silver", "t")
+    assert t.columns == ["k", "status", "ts", "channel"]  # op/tb/ts excluded
+    rows = {r["k"]: (r["ts"], r["channel"]) for r in t.collect()}
+    assert rows[5] == (5.5, "WEB") and rows[2000] == (0.0, "APP")
+    assert rows[999] == (999.0, None)  # pre-evolution row, linked file
+    # type conflict: rejected before any IO
+    bad = spark.createDataFrame(
+        [(1, 1, 1.0, "U")], "k long, status int, ts double, op string"
+    )
+    with pytest.raises(ValueError, match="type changes rejected"):
+        lake.merge_changes(spark, "silver", "t", bad, "k", "ts", evolve_schema=True)
+    # without evolve_schema, an unknown column is ignored (old contract)
+    ch2 = spark.createDataFrame(
+        [(7, "S0", 7.7, "ignored", "mystery", "U", 2.0)],
+        "k long, status string, ts double, channel string, extra string, op string, tb double",
+    )
+    lake.merge_changes(spark, "silver", "t", ch2, "k", "ts", tiebreak_cols=("tb",))
+    assert lake.read(spark, "silver", "t").columns == ["k", "status", "ts", "channel"]
+    assert _read_schema_json(path) is not None
+
+
+def test_schema_evolution_survives_maintenance_and_bakes_on_compact(spark, tmp_path):
+    """The sidecar rides purge (linked files) and a crashed swap; a full
+    compact rewrite bakes the evolved schema into the physical files and
+    drops the sidecar."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake, _read_schema_json
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k long, v double"
+    )
+    lake.write(df.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t")
+    changes = spark.createDataFrame(
+        [(3, 3.3, "WEB", "U", 1.0)], "k long, v double, channel string, op string, ts double"
+    )
+    lake.merge_changes(spark, "silver", "t", changes, "k", "ts", evolve_schema=True)
+    path = lake.path("silver", "t")
+    # purge: linked survivors still need the sidecar
+    lake.purge_keys(spark, "silver", "t", "k", spark.createDataFrame([(9,)], "k long"))
+    assert _read_schema_json(path) is not None
+    t = lake.read(spark, "silver", "t")
+    assert t.columns == ["k", "v", "channel"] and t.count() == 199
+    # crash mid-swap: recovery must bring the sidecar back with the table
+    os.rename(path, path + "__prepurge")
+    lake.purge_keys(spark, "silver", "t", "k", spark.createDataFrame([(10,)], "k long"))
+    assert _read_schema_json(path) is not None
+    assert lake.read(spark, "silver", "t").columns == ["k", "v", "channel"]
+    # compact: full rewrite bakes the schema in, sidecar gone
+    lake.compact(spark, "silver", "t")
+    assert _read_schema_json(path) is None
+    t = lake.read(spark, "silver", "t")
+    assert t.columns == ["k", "v", "channel"] and t.count() == 198
+    assert {r["k"]: r["channel"] for r in t.collect()}[3] == "WEB"
+
+
+def test_schema_evolution_time_travel_and_cdf(spark, tmp_path):
+    """Snapshots are schema-self-describing: a pre-evolution version
+    reads with the old schema, restore past the evolution rolls the
+    column back, and the change feed across the boundary pads the old
+    side with typed NULLs (an unchanged row is still not a change)."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    lake.write(df, "silver", "t")
+    v1 = lake.snapshot_version("silver", "t")
+    changes = spark.createDataFrame(
+        [(1, 1.5, "WEB", "U", 1.0), (100, 0.5, "APP", "U", 1.0)],
+        "k long, v double, channel string, op string, ts double",
+    )
+    lake.merge_changes(spark, "silver", "t", changes, "k", "ts", evolve_schema=True)
+    v2 = lake.snapshot_version("silver", "t")
+    assert lake.read_version(spark, "silver", "t", v1).columns == ["k", "v"]
+    assert lake.read_version(spark, "silver", "t", v2).columns == ["k", "v", "channel"]
+    feed = lake.version_changes(spark, "silver", "t", v1, v2, ("k",))
+    got = {r["k"]: r["change_type"] for r in feed.collect()}
+    # k=0..49 unchanged rows must NOT appear: NULL-padded pre == NULL post
+    assert got == {1: "update", 100: "insert"}
+    post = {r["k"]: r["post"]["channel"] for r in feed.collect()}
+    assert post == {1: "WEB", 100: "APP"}
+    lake.restore_version("silver", "t", v1)
+    t = lake.read(spark, "silver", "t")
+    assert t.columns == ["k", "v"] and t.count() == 50

@@ -1310,3 +1310,103 @@ print("REPLAY_ROWS", lake.read(spark, "silver", "t").count())
     line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
     assert int(line.split()[1]) == len(got)
     assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == want
+
+
+def test_stream_gold_refresh_converges_and_replays_exactly_once(spark, sf_dir, tmp_path):
+    """The streaming in-place gold refresh: interleaved (NOT
+    per-key-complete) micro-batches converge the live customer-360
+    table to the full batch recompute bit-for-bit, and a crash-replayed
+    final batch (checkpoint commit deleted, fresh process) is a ledger
+    no-op that leaves the table unchanged."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import cleaning, gold, ivm, streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    sc = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography").persist()
+    so = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_year", "order_date", "total_price",
+        "days_since_order", "order_size_category", "is_complete_order",
+    ).persist()
+    d = F.col("order_date")
+    cut = F.lit("1998-06-01").cast("date")
+    base, delta = so.filter(d < cut), so.filter(d >= cut)
+    lake = Lake(str(tmp_path / "lake"))
+    ivm.maintain_customer_partials(lake, base)
+    initial = ivm.customer_analytics_from_partials(
+        sc, lake.read(spark, "gold", "customer_partials")
+    )
+    lake.write(
+        initial.repartitionByRange(8, "customer_key").sortWithinPartitions("customer_key"),
+        "gold", "customer_analytics",
+    )
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(delta, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int, order_date date,"
+        " total_price double, days_since_order int, order_size_category string,"
+        " is_complete_order boolean"
+    )
+    streaming.stream_gold_refresh(
+        spark, src, lake, sc, ckpt, ddl, max_files_per_trigger=1
+    )
+    full = gold.customer_analytics(sc, so.drop("order_key"))
+    cols = full.columns
+    want = sorted(tuple(r[c] for c in cols) for r in full.collect())
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", "customer_analytics").collect()
+    )
+    assert got == want
+    # crash replay: drop the final checkpoint commit, rerun in a fresh
+    # process — both ledgers make the re-applied batch a no-op
+    last = max(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lake_root = str(tmp_path / "lake")
+    script = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+import os
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from dataengineeringpipeline_spark import cleaning, streaming
+from dataengineeringpipeline_spark.datalake import Lake
+sc = cleaning.clean_customers(
+    spark.read.parquet(os.path.join({sf_dir!r}, "customer.parquet")),
+    spark.read.parquet(os.path.join({sf_dir!r}, "nation.parquet")),
+    spark.read.parquet(os.path.join({sf_dir!r}, "region.parquet")),
+).drop("geography")
+lake = Lake({lake_root!r})
+streaming.stream_gold_refresh(spark, {src!r}, lake, sc, {ckpt!r}, {ddl!r})
+print("REPLAY_ROWS", lake.read(spark, "gold", "customer_analytics").count())
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("REPLAY_ROWS"))
+    assert int(line.split()[1]) == len(got)
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", "customer_analytics").collect()
+    )
+    assert got2 == want
+    sc.unpersist(); so.unpersist()
