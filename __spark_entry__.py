@@ -198,6 +198,8 @@ WINDOW_HEAD = [
     "lake_schema_evolution_snapshot",
     "incremental_gold_refresh",
     "streaming_gold_refresh",
+    "incremental_rule_summary_table",
+    "streaming_rule_summary_table",
     # (b) operator code changed this round: fixed_k_sample reverted to
     #     the single-window plan (WindowGroupLimit); time travel gained
     #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
@@ -210,10 +212,12 @@ WINDOW_HEAD = [
     #     were adjudicated by the 3-sweep bench with code byte-identical,
     #     so they yield their window slots to this round's new queries
     #     and stay covered by tests/test_oracle_parity.py.)
+    #     (incremental_rule_aggregation / streaming_rule_aggregation yield
+    #     their slots too: the rule compiler + stream_rule_partials harness
+    #     they exercise are proven in-window by the quartile + NDV faces,
+    #     which share the machinery verbatim.)
     "eval_sample_picks",
     "lake_time_travel_totals",
-    "incremental_rule_aggregation",
-    "streaming_rule_aggregation",
     "incremental_daily_sales",
     "incremental_customer_metrics",
     "multimodal_decode_report",
@@ -710,6 +714,12 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf
         ),
         "streaming_gold_refresh": streaming.streaming_gold_refresh,
+        # -- ...and for ANY configured rule: live summary table refreshed
+        #    in place on its composite grain key -------------------------
+        "incremental_rule_summary_table": lambda spark, sf: ivm.incremental_rule_summary_table(
+            spark, sf
+        ),
+        "streaming_rule_summary_table": streaming.streaming_rule_summary_table,
         "streaming_ndv_rule": streaming.streaming_ndv_rule,
         # -- exact percentile rule through the IVM compiler: value-histogram
         #    partials, interpolation replayed bit-exactly, three faces --

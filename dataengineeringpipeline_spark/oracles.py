@@ -4512,6 +4512,12 @@ ORACLES["streaming_quartile_rule"] = ORACLES["rule_quartile_aggregation"]
 ORACLES["incremental_gold_refresh"] = ORACLES["customer_analytics"]
 ORACLES["streaming_gold_refresh"] = ORACLES["customer_analytics"]
 
+# twins of ivm.refresh_rule_summary (batch + streaming faces): a
+# continuously maintained rule-summary lake table must equal the
+# one-shot config-driven batch job
+ORACLES["incremental_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
+ORACLES["streaming_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
+
 
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power

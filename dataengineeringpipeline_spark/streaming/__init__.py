@@ -2598,6 +2598,118 @@ def stream_gold_refresh(
         raise TimeoutError(f"stream_gold_refresh did not finish within {timeout_s}s")
 
 
+def stream_rule_summary_refresh(
+    spark: SparkSession,
+    rule,
+    partition_col: str,
+    source_dir: str,
+    lake,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of :func:`ivm.refresh_rule_summary`: each
+    micro-batch refreshes ANY configured rule's live summary lake table
+    in place — partials absorb the batch, touched groups re-fold and
+    MERGE on the composite grain key — exactly-once end to end via the
+    per-batch ledgers on both tables. Like the gold refresh (and unlike
+    CDC), no batch-split discipline is required: partials merge
+    additively and every refresh re-folds a group from its full merged
+    state, so any partitioning of the delta stream converges to the
+    batch rule compiler bit-for-bit."""
+    from .. import ivm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivm.refresh_rule_summary(
+            lake,
+            spark,
+            rule,
+            batch_df,
+            partition_col,
+            refresh_seq=batch_id,
+            batch_id=f"rulerefresh-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(source_dir)
+    query = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_s)
+    query.stop()
+    _await_deregistration(spark, query)
+    if not finished:
+        raise TimeoutError(
+            f"stream_rule_summary_refresh did not finish within {timeout_s}s"
+        )
+
+
+def streaming_rule_summary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the STREAMING face of the generic
+    rule-summary refresh — bootstrap the demo rule's summary table from
+    the pre-cutoff orders, stream the post-cutoff delta through
+    :func:`stream_rule_summary_refresh` as three interleaved
+    micro-batches, read the live table back. Shares the batch
+    ``rule_driven_aggregation`` oracle."""
+    import os
+    import tempfile
+
+    from .. import cleaning, ivm
+    from ..datalake import Lake
+    from ..rules import MONTHLY_REVENUE_RULE as rule
+
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key",
+        "customer_key",
+        "order_year",
+        "order_month",
+        "order_date",
+        "order_status",
+        "total_price",
+        "is_complete_order",
+    )
+    d = F.col("order_date")
+    lit_cut = F.lit("1998-06-01").cast("date")
+    base = silver.filter(d < lit_cut)
+    delta = silver.filter(d >= lit_cut)
+    tmp = tempfile.mkdtemp(prefix="stream_rule_summary_")
+    lake = Lake(os.path.join(tmp, "lake"))
+    ivm.maintain_rule_partials(lake, base, rule, "order_year")
+    initial = ivm.rule_summary_from_partials(
+        lake.read(spark, "gold", f"{rule.name}_partials"), rule
+    )
+    lake.write(initial, "gold", f"{rule.name}_summary")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _stage_arrival_batches(delta, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int, order_month int,"
+        " order_date date, order_status string, total_price double,"
+        " is_complete_order boolean"
+    )
+    stream_rule_summary_refresh(
+        spark,
+        rule,
+        "order_year",
+        src,
+        lake,
+        os.path.join(tmp, "ckpt"),
+        ddl,
+        max_files_per_trigger=1,
+    )
+    return lake.read(spark, "gold", f"{rule.name}_summary").orderBy(
+        *rule.group_by_columns
+    )
+
+
 def streaming_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query: the STREAMING face of the in-place gold
     refresh — bootstrap the customer-360 table from the pre-cutoff

@@ -831,3 +831,52 @@ def test_quartile_rule_partials_persist_through_maintenance(spark, sf_dir, tmp_p
         for r in ivm.rule_summary_from_partials(stored, rule).collect()
     )
     assert inc == batch
+
+
+def test_refresh_rule_summary_is_delta_sized_and_idempotent(spark, sf_dir, tmp_path):
+    """The generic rule-summary refresh: only the delta's groups are
+    replaced (composite-grain merge), the maintained table equals the
+    batch rule compiler bit-for-bit, and a replayed batch_id is a no-op
+    on both ledgers."""
+    from dataengineeringpipeline_spark import rules
+
+    rule = rules.MONTHLY_REVENUE_RULE
+    so = _silver(spark, sf_dir).persist()
+    cut = F.lit("1998-06-01").cast("date")
+    base, delta = so.filter(F.col("order_date") < cut), so.filter(F.col("order_date") >= cut)
+    lake = Lake(str(tmp_path / "lake"))
+    ivm.maintain_rule_partials(lake, base, rule, "order_year")
+    initial = ivm.rule_summary_from_partials(
+        lake.read(spark, "gold", f"{rule.name}_partials"), rule
+    )
+    lake.write(
+        initial.repartitionByRange(4, "order_year").sortWithinPartitions(
+            "order_year", "order_month"
+        ),
+        "gold",
+        f"{rule.name}_summary",
+    )
+    rep = ivm.refresh_rule_summary(
+        lake, spark, rule, delta, "order_year", refresh_seq=1, batch_id="r1"
+    )
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    cols = rules.apply_aggregation_rule(so, rule).columns
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(so, rule).collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", f"{rule.name}_summary").collect()
+    )
+    assert got == want
+    rep2 = ivm.refresh_rule_summary(
+        lake, spark, rule, delta, "order_year", refresh_seq=1, batch_id="r1"
+    )
+    assert rep2.get("skipped_replay") is True
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", f"{rule.name}_summary").collect()
+    )
+    assert got2 == want
+    so.unpersist()

@@ -1303,3 +1303,53 @@ def test_schema_evolution_time_travel_and_cdf(spark, tmp_path):
     lake.restore_version("silver", "t", v1)
     t = lake.read(spark, "silver", "t")
     assert t.columns == ["k", "v"] and t.count() == 50
+
+
+def test_merge_changes_composite_key(spark, tmp_path):
+    """Composite business keys: latest-per-key and the rewrite run on
+    the full tuple; two rows sharing the lead column but differing in
+    the second key are distinct rows; envelope pruning on the lead
+    column still hard-links untouched files through."""
+    import os
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    rows = [(y, m, f"g{y}-{m}", float(y * 100 + m)) for y in range(1990, 2000) for m in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "y int, m int, tag string, v double")
+    lake.write(df.repartitionByRange(5, "y").sortWithinPartitions("y", "m"), "gold", "s")
+    path = lake.path("gold", "s")
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(path, f)).st_ino
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = inodes()
+    # two changes for (1995,1) in one batch — later _seq wins; one insert
+    # for a brand-new (1995,4); (1995,2)/(1995,3) untouched
+    ch = spark.createDataFrame(
+        [
+            (1995, 1, "old", 0.0, "U", 1),
+            (1995, 1, "new", 42.0, "U", 2),
+            (1995, 4, "april", 7.0, "U", 1),
+            (1990, 2, None, 0.0, "D", 1),
+        ],
+        "y int, m int, tag string, v double, op string, _seq int",
+    )
+    rep = lake.merge_changes(
+        spark, "gold", "s", ch, key_col=("y", "m"), ts_col="_seq"
+    )
+    assert rep["key_col"] == ("y", "m")
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    after = inodes()
+    linked = set(before) & set(after)
+    assert linked and all(before[f] == after[f] for f in linked)
+    t = {(r["y"], r["m"]): (r["tag"], r["v"]) for r in lake.read(spark, "gold", "s").collect()}
+    assert t[(1995, 1)] == ("new", 42.0)
+    assert t[(1995, 4)] == ("april", 7.0)
+    assert (1990, 2) not in t
+    assert t[(1995, 2)] == ("g1995-2", 199502.0)
+    assert len(t) == 30  # 30 - 1 delete + 1 insert

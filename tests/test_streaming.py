@@ -1410,3 +1410,55 @@ print("REPLAY_ROWS", lake.read(spark, "gold", "customer_analytics").count())
     )
     assert got2 == want
     sc.unpersist(); so.unpersist()
+
+
+def test_stream_rule_summary_refresh_converges(spark, sf_dir, tmp_path):
+    """Interleaved micro-batches through the generic rule-summary
+    refresh converge the live table to the batch rule compiler
+    bit-for-bit (a group's rows span batches; count_distinct grains
+    merge additively)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import cleaning, ivm, rules, streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    rule = rules.MONTHLY_REVENUE_RULE
+    silver = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ).select(
+        "order_key", "customer_key", "order_year", "order_month",
+        "order_date", "order_status", "total_price", "is_complete_order",
+    ).persist()
+    d = F.col("order_date")
+    cut = F.lit("1998-06-01").cast("date")
+    base, delta = silver.filter(d < cut), silver.filter(d >= cut)
+    lake = Lake(str(tmp_path / "lake"))
+    ivm.maintain_rule_partials(lake, base, rule, "order_year")
+    initial = ivm.rule_summary_from_partials(
+        lake.read(spark, "gold", f"{rule.name}_partials"), rule
+    )
+    lake.write(initial, "gold", f"{rule.name}_summary")
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(delta, F.expr("order_key % 3"), src, 3)
+    ddl = (
+        "order_key bigint, customer_key bigint, order_year int, order_month int,"
+        " order_date date, order_status string, total_price double,"
+        " is_complete_order boolean"
+    )
+    streaming.stream_rule_summary_refresh(
+        spark, rule, "order_year", src, lake, ckpt, ddl, max_files_per_trigger=1
+    )
+    cols = rules.apply_aggregation_rule(silver, rule).columns
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_aggregation_rule(silver, rule).collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake.read(spark, "gold", f"{rule.name}_summary").collect()
+    )
+    assert got == want
+    silver.unpersist()
