@@ -2797,6 +2797,7 @@ def stream_scd2_updates(
     carry_cols: tuple[str, ...] = (),
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Streaming face of :meth:`Lake.merge_scd2` — dimension updates
     arrive as micro-batches and each batch MERGEs into the SCD2 history
@@ -2833,6 +2834,7 @@ def stream_scd2_updates(
             tiebreak_cols=tiebreak_cols,
             carry_cols=carry_cols,
             batch_id=f"scd2-{batch_id}",
+            evolve_schema=evolve_schema,
         )
 
     reader = spark.readStream.schema(schema_ddl)

@@ -724,3 +724,87 @@ def test_stats_distinct_partials_float_canonicalization(spark):
     ndv_state = state.filter("column_name = 'v'").count()
     ndv_exact = df.agg(F.countDistinct("v")).collect()[0][0]
     assert ndv_state == ndv_exact == 3  # {0.0, NaN, 1.5}
+
+
+def test_merge_scd2_schema_evolution_adds_attribute(spark, tmp_path):
+    """evolve_schema=True on the SCD2 merge: a new attribute appends to
+    the history's logical schema (historical versions read NULL — no
+    file rewrite beyond the merge's own, untouched files hard-link
+    through), a touched key's NULL→value transition is an ordinary
+    attribute change (old version closes, new one opens), the logical
+    twin on NULL-padded frames agrees row for row, and a type change is
+    rejected loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake, _read_schema_json
+    from dataengineeringpipeline_spark.scd import scd2_apply_changes, scd2_history
+
+    lake = Lake(str(tmp_path))
+    changes = spark.createDataFrame(
+        [(i, f"A{i % 3}", float(i % 5), i) for i in range(1000)],
+        "k long, attr string, ts double, tb long",
+    )
+    hist = scd2_history(
+        changes, ["k"], ["attr"], "ts", tiebreak_cols=["tb"], carry_cols=["tb"]
+    )
+    lake.write(
+        hist.repartitionByRange(10, "k").sortWithinPartitions("k"), "gold", "h"
+    )
+    path = lake.path("gold", "h")
+
+    def inodes():
+        return {
+            f: os.stat(os.path.join(path, f)).st_ino
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = inodes()
+    upd = spark.createDataFrame(
+        [(340, "A1", "GOLD", 99.0, 9001), (5000, "FRESH", "SILVER", 1.0, 9002)],
+        "k long, attr string, tier string, ts double, tb long",
+    )
+    audit = lake.merge_scd2(
+        spark, "gold", "h", upd,
+        key_col="k", attr_cols=("attr", "tier"), ts_col="ts",
+        tiebreak_cols=("tb",), carry_cols=("tb",), evolve_schema=True,
+    )
+    assert audit["files_rewritten"] == 1
+    after = inodes()
+    linked = set(before) & set(after)
+    assert len(linked) == 9 and all(before[f] == after[f] for f in linked)
+    assert _read_schema_json(path) is not None
+    t = lake.read(spark, "gold", "h")
+    assert "tier" in t.columns
+    # logical twin: apply the same changes to the NULL-padded history
+    padded = hist.select("*", F.lit(None).cast("string").alias("tier"))
+    want = sorted(
+        map(
+            tuple,
+            scd2_apply_changes(
+                padded, upd, ["k"], ["attr", "tier"], "ts",
+                tiebreak_cols=["tb"], carry_cols=["tb"],
+            ).select(*t.columns).collect(),
+        )
+    )
+    got = sorted(map(tuple, t.collect()))
+    assert got == want
+    # key 340: NULL→GOLD opened a new version; untouched keys read NULL
+    k340 = sorted(r for r in got if r[0] == 340)
+    tiers_340 = {r[t.columns.index("tier")] for r in k340}
+    assert "GOLD" in tiers_340
+    k0 = [r for r in got if r[0] == 0]
+    assert all(r[t.columns.index("tier")] is None for r in k0)
+    # type change rejected
+    bad = spark.createDataFrame(
+        [(1, "A0", 5, 100.0, 9003)], "k long, attr string, tier int, ts double, tb long"
+    )
+    with pytest.raises(ValueError, match="type changes rejected"):
+        lake.merge_scd2(
+            spark, "gold", "h", bad,
+            key_col="k", attr_cols=("attr", "tier"), ts_col="ts",
+            tiebreak_cols=("tb",), carry_cols=("tb",), evolve_schema=True,
+        )
