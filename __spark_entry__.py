@@ -200,6 +200,7 @@ WINDOW_HEAD = [
     "streaming_gold_refresh",
     "incremental_rule_summary_table",
     "streaming_rule_summary_table",
+    "lake_point_lookup_orders",
     # (b) operator code changed this round: fixed_k_sample reverted to
     #     the single-window plan (WindowGroupLimit); time travel gained
     #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
@@ -221,7 +222,10 @@ WINDOW_HEAD = [
     "incremental_daily_sales",
     "incremental_customer_metrics",
     "multimodal_decode_report",
-    "streaming_stats_drift",
+    #     (streaming_stats_drift yields its slot: the r08 quality.py edit
+    #     it would re-prove — float canonicalization in the stats partials
+    #     — is already re-proved by table_stats_report below, and its own
+    #     r07 green row plus the pytest parity sweep still stand.)
     # (c) the 30 queries whose most recent driver proof is the r04
     #     window — the oldest block in the record (VERDICT r07 item 2's
     #     exact list, oldest-first rotation policy)
@@ -586,6 +590,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ADD-COLUMN schema evolution: sidecar schema rides the swap,
         #    pre-evolution files read the new column as NULL ------------
         "lake_schema_evolution_snapshot": lambda spark, sf: datalake.lake_schema_evolution_snapshot(
+            spark, sf
+        ),
+        # -- per-file bloom index: point-lookup data skipping ----------
+        "lake_point_lookup_orders": lambda spark, sf: datalake.lake_point_lookup_orders(
             spark, sf
         ),
         "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(

@@ -1160,7 +1160,9 @@ def refresh_rule_summary(
     if not keys:
         raise ValueError(
             f"rule {rule.name!r} has no group_by columns — a grain-less "
-            "summary is one row; recompute it from the partials table"
+            "summary is one row with no partitioned-maintenance grain; "
+            "fold it directly off a maintained partials table "
+            "(rule_summary_from_partials) instead of a MERGE-refreshed one"
         )
     maintain_rule_partials(
         lake,

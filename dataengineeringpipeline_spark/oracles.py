@@ -4518,6 +4518,22 @@ ORACLES["streaming_gold_refresh"] = ORACLES["customer_analytics"]
 ORACLES["incremental_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
 ORACLES["streaming_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
 
+# twin of datalake.lake_point_lookup_orders: two-level data skipping
+# (footer envelopes + per-file bloom) must never change the answer
+ORACLES["lake_point_lookup_orders"] = """
+SELECT o_orderkey AS order_key,
+       o_orderstatus AS status,
+       o_totalprice AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 997 = 0
+  ORDER BY o_orderkey LIMIT 8
+)
+ORDER BY o_orderkey
+""".strip()
+
 
 def _graph_oracles() -> dict[str, str]:
     """Twin of operators.graph.item_pagerank — the 5-iteration power

@@ -1353,3 +1353,40 @@ def test_merge_changes_composite_key(spark, tmp_path):
     assert (1990, 2) not in t
     assert t[(1995, 2)] == ("g1995-2", 199502.0)
     assert len(t) == 30  # 30 - 1 delete + 1 insert
+
+
+def test_bloom_file_index_prunes_where_envelopes_cannot(spark, tmp_path):
+    """Per-file bloom index: on an UNCLUSTERED table (every file's
+    footer envelope covers every key) a point lookup reads only the
+    bloom-passing files, finds exactly the requested rows, returns
+    zero files for absent keys, and stays correct (conservative full
+    read) after a compact invalidates the index."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 100000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("v")
+    )
+    lake.write(df.repartition(20), "silver", "t")
+    rep = lake.build_file_index(spark, "silver", "t", "k")
+    assert rep["files_indexed"] == 20
+    keys = [r["k"] for r in df.orderBy("v").limit(5).collect()]
+    out, lrep = lake.point_lookup(spark, "silver", "t", "k", keys)
+    assert lrep["bloom_indexed"] and lrep["files_total"] == 20
+    assert lrep["files_read"] <= 8  # 5 true hits + bloom fpp slack
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    want = sorted(
+        (r["k"], r["v"]) for r in df.filter(F.col("k").isin(keys)).collect()
+    )
+    assert got == want
+    # absent key: bloom proves no file can contain it
+    out2, lrep2 = lake.point_lookup(spark, "silver", "t", "k", [999999999])
+    assert lrep2["files_read"] == 0 and out2.count() == 0
+    # compact rewrites files under new names: index is stale-by-absence,
+    # lookup degrades to a conservative read and stays exact
+    lake.compact(spark, "silver", "t")
+    out3, lrep3 = lake.point_lookup(spark, "silver", "t", "k", keys)
+    assert not lrep3["bloom_indexed"]
+    assert sorted((r["k"], r["v"]) for r in out3.collect()) == want
