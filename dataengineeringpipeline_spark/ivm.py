@@ -773,10 +773,11 @@ def maintain_rule_partials(
         )
     def _merge(base, d):
         stacked = base.unionByName(d)
-        if _rule_ndv_cols(rule):
-            # NDV rules' merge consumes the stacked frame once per
-            # register column plus once for the main measures — persist
-            # so the delta's fact scan runs once, not per consumer
+        if _rule_ndv_cols(rule) or _rule_pctl_cols(rule):
+            # NDV/percentile rules' merge consumes the stacked frame once
+            # per register/histogram column plus once for the main
+            # measures — persist so the delta's fact scan runs once, not
+            # per consumer
             from .cache import tracked_persist
 
             stacked = tracked_persist(stacked)
@@ -1241,14 +1242,22 @@ def incremental_quartile_rule(
     batch face's oracle (``rule_quartile_aggregation`` SQL): merged
     histograms == one-pass histogram, and the fold replays
     ``F.percentile``'s interpolation arithmetic, so incremental ==
-    batch == oracle bit-for-bit."""
+    batch == oracle bit-for-bit.
+
+    The stacked partials persist (group-cardinality-sized): the main
+    measure fold and the per-column histogram fold are separate
+    consumers, and without the persist each re-scans the fact table
+    (measured 12 scans → 4 with it — the same split as the NDV
+    faces)."""
+    from .cache import tracked_persist
     from .rules import QUARTILE_RULE as rule
 
     d = F.col("order_date")
     lit_cut = F.lit(cutoff).cast("date")
     base = rule_partials(silver_orders.filter(d < lit_cut), rule)
     delta = rule_partials(silver_orders.filter(d >= lit_cut), rule)
-    return rule_summary_from_partials(base.unionByName(delta), rule).orderBy(
+    stacked = tracked_persist(base.unionByName(delta))
+    return rule_summary_from_partials(stacked, rule).orderBy(
         *rule.group_by_columns
     )
 

@@ -2247,7 +2247,13 @@ def streaming_quartile_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         " total_price double, is_complete_order boolean"
     )
     stream_rule_partials(spark, rule, src, f"{tmp}/state", f"{tmp}/ckpt", ddl)
-    stacked = spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    from ..cache import tracked_persist
+
+    # the main-measure fold and the histogram fold both read the drained
+    # state — persist the (group-sized) stack so it loads once
+    stacked = tracked_persist(
+        spark.read.parquet(f"{tmp}/state").drop("batch_id")
+    )
     return ivm.rule_summary_from_partials(stacked, rule).orderBy(
         *rule.group_by_columns
     )

@@ -880,3 +880,52 @@ def test_refresh_rule_summary_is_delta_sized_and_idempotent(spark, sf_dir, tmp_p
     )
     assert got2 == want
     so.unpersist()
+
+
+def test_mixed_measure_rule_faces_are_identical(spark, sf_dir):
+    """A rule mixing ALL partial kinds — exact sums/counts, a
+    count_distinct grain, an approx-NDV register map, and two
+    percentile histograms — folds identically from one-shot partials
+    and from base/delta merged partials (face identity), and the
+    non-sketch measures equal the batch compiler bit-for-bit."""
+    from dataengineeringpipeline_spark import rules
+    from dataengineeringpipeline_spark.rules import AggregateColumn, AggregationRule
+
+    rule = AggregationRule(
+        name="mixed_all_kinds",
+        group_by_columns=("order_status",),
+        aggregate_columns=(
+            AggregateColumn("total_price", "sum", "revenue"),
+            AggregateColumn("order_key", "count", "n"),
+            AggregateColumn("order_month", "count_distinct", "months"),
+            AggregateColumn("customer_key", "approx_count_distinct", "approx_cust"),
+            AggregateColumn("days_since_order", "median", "med_age"),
+            AggregateColumn("days_since_order", "percentile", "p90_age", 0.9),
+        ),
+        filters="is_complete_order",
+    )
+    so = _silver(spark, sf_dir)
+    cut = F.lit("1997-06-01").cast("date")
+    one_shot = ivm.rule_summary_from_partials(ivm.rule_partials(so, rule), rule)
+    base = ivm.rule_partials(so.filter(F.col("order_date") < cut), rule)
+    delta = ivm.rule_partials(so.filter(F.col("order_date") >= cut), rule)
+    merged = ivm.rule_summary_from_partials(
+        ivm.merge_rule_partials(base.unionByName(delta), rule), rule
+    )
+    cols = ["order_status", "revenue", "n", "months", "approx_cust", "med_age", "p90_age"]
+    a = sorted(tuple(r[c] for c in cols) for r in one_shot.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in merged.collect())
+    assert a == b  # face identity incl. the sketch estimate
+    # non-sketch measures equal the batch compiler
+    exact_cols = ["order_status", "revenue", "n", "months", "med_age", "p90_age"]
+    batch_rule = AggregationRule(
+        rule.name, rule.group_by_columns,
+        tuple(x for x in rule.aggregate_columns if x.alias != "approx_cust"),
+        rule.filters,
+    )
+    batch = sorted(
+        tuple(r[c] for c in exact_cols)
+        for r in rules.apply_aggregation_rule(so, batch_rule).collect()
+    )
+    inc_exact = sorted(tuple(t[cols.index(c)] for c in exact_cols) for t in a)
+    assert inc_exact == batch

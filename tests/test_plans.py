@@ -108,6 +108,12 @@ PLAN_BOUNDS = {
     # once, merge + digest re-aggregate the cached stack (static plan
     # counts include the InMemoryRelation's cached subtree)
     "incremental_ndv_rule": (14, 3),
+    # exact-percentile rule, incremental face: base/delta value-histogram
+    # partials persist once; the main-measure fold and the histogram fold
+    # (explode + one window pass over the merged histogram) read the
+    # cache, not the fact table (static counts include the cached
+    # subtree's own shuffles)
+    "incremental_quartile_rule": (10, 3),
 }
 
 
