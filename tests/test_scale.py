@@ -1384,9 +1384,36 @@ def test_bloom_file_index_prunes_where_envelopes_cannot(spark, tmp_path):
     # absent key: bloom proves no file can contain it
     out2, lrep2 = lake.point_lookup(spark, "silver", "t", "k", [999999999])
     assert lrep2["files_read"] == 0 and out2.count() == 0
-    # compact rewrites files under new names: index is stale-by-absence,
-    # lookup degrades to a conservative read and stays exact
+    # compact rewrites files under new names: the index is REBUILT after
+    # the swap (see test_bloom_index_rebuilds_through_compact_and_cluster)
+    # and the lookup stays exact
     lake.compact(spark, "silver", "t")
     out3, lrep3 = lake.point_lookup(spark, "silver", "t", "k", keys)
-    assert not lrep3["bloom_indexed"]
+    assert lrep3["bloom_indexed"]
     assert sorted((r["k"], r["v"]) for r in out3.collect()) == want
+
+
+def test_bloom_index_rebuilds_through_compact_and_cluster(spark, tmp_path):
+    """Maintenance rewrites rename every file; an existing bloom index
+    is REBUILT after compact and cluster_by instead of silently
+    dropping to conservative full reads."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 50000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("v")
+    )
+    lake.write(df.repartition(10), "silver", "t")
+    lake.build_file_index(spark, "silver", "t", "k")
+    keys = [r["k"] for r in df.orderBy("v").limit(3).collect()]
+    lake.compact(spark, "silver", "t", target_file_mb=1)
+    out, rep = lake.point_lookup(spark, "silver", "t", "k", keys)
+    assert rep["bloom_indexed"], rep
+    want = sorted((r["k"], r["v"]) for r in df.filter(F.col("k").isin(keys)).collect())
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == want
+    lake.cluster_by(spark, "silver", "t", ("v",))
+    out2, rep2 = lake.point_lookup(spark, "silver", "t", "k", keys)
+    assert rep2["bloom_indexed"], rep2
+    assert sorted((r["k"], r["v"]) for r in out2.collect()) == want
