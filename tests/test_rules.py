@@ -44,9 +44,16 @@ def test_aggregation_rule_global_agg(spark):
 
 def test_unsupported_function_rejected(spark):
     df = spark.createDataFrame([(1.0,)], ["x"])
-    rule = rules.AggregationRule("bad", (), (rules.AggregateColumn("x", "median", "m"),))
+    rule = rules.AggregationRule("bad", (), (rules.AggregateColumn("x", "mode", "m"),))
     with pytest.raises(ValueError, match="unsupported aggregate function"):
         rules.apply_aggregation_rule(df, rule).collect()
+    # percentile needs its fraction param in [0, 1]
+    for p in (None, 1.5):
+        bad_p = rules.AggregationRule(
+            "bad_p", (), (rules.AggregateColumn("x", "percentile", "p", p),)
+        )
+        with pytest.raises(ValueError, match="param in \\[0, 1\\]"):
+            rules.apply_aggregation_rule(df, bad_p).collect()
     empty = rules.AggregationRule("empty", ("x",), ())
     with pytest.raises(ValueError, match="no aggregate columns"):
         rules.apply_aggregation_rule(df, empty)
