@@ -21,12 +21,13 @@ the smallest observed sample is the closest to the code's true cost,
 and it converges with 2 sweeps where a median needs 3+. Medians and
 every raw per-sweep sample are retained in BENCH_DETAIL.json.
 Repetition happens at SWEEP granularity under a wall-clock budget
-($SPARK_GRAFT_BUDGET_S, default 700): the first sweep always completes
+($SPARK_GRAFT_BUDGET_S, default 1000): the first sweep always completes
 (worst case ≡ the old single-shot bench), additional sweeps run only
 while budget remains, so a driver-side timeout can't be blown by the
 repetitions. The default budget is sized so all 3 sweeps fit at the
-current suite size (~200s/sweep): round 7's 420s default cut the run
-to 2 sweeps, which biased min-of-sweeps high and made 155 unchanged
+current suite size (~230s/sweep at 176 queries — raised 700→1000 in
+round 8 when the suite grew by 11 lake/IVM lifecycle queries): round
+7's 420s default cut the run to 2 sweeps, which biased min-of-sweeps high and made 155 unchanged
 queries read ~8.5% "slower" — pure estimator noise the third sweep
 exists to remove. "value" is the wall-clock of everything run; "queries"
 holds the per-query minima; "sweeps" says how many sweeps they cover.
@@ -84,7 +85,7 @@ def main() -> int:
     ).write.mode("overwrite").format("noop").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "700"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "1000"))
     global _STEAL_T0
     _STEAL_T0 = _read_proc_cpu()
     samples: dict[str, list[float]] = {name: [] for name in queries}

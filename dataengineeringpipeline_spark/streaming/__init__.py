@@ -2724,18 +2724,32 @@ def streaming_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``order_key % 3`` — deliberately NOT per-key-complete: a customer's
     orders span batches and the row still converges because every
     refresh folds from the full merged partials), and read the live
-    table back. Shares the FULL BATCH ``customer_analytics`` oracle."""
+    table back. Shares the FULL BATCH ``customer_analytics`` oracle.
+
+    Bench note: this is the heaviest contract query by design — a full
+    lifecycle (partials bootstrap, key-clustered gold build, THREE
+    crash-safe in-place refreshes of ~4s each at sf0.1, final read).
+    Each refresh pays the multi-action price of exactly-once
+    maintenance (ledgered upsert + fold + ledgered merge); at 100 TB
+    those same actions are delta-sized while a full gold rebuild is
+    table-sized, which is the trade this query certifies."""
     import os
     import tempfile
 
     from .. import cleaning, ivm
     from ..datalake import Lake
 
-    silver_customers = cleaning.clean_customers(
-        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
-        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
-        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
-    ).drop("geography")
+    from ..cache import tracked_persist
+
+    # the dim side is re-joined in EVERY micro-batch's refresh (and the
+    # bootstrap): persist it once for the query's lifetime
+    silver_customers = tracked_persist(
+        cleaning.clean_customers(
+            spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+            spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+        ).drop("geography")
+    )
     silver_orders = cleaning.clean_orders(
         spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     ).select(

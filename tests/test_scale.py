@@ -1300,9 +1300,14 @@ def test_schema_evolution_time_travel_and_cdf(spark, tmp_path):
     assert got == {1: "update", 100: "insert"}
     post = {r["k"]: r["post"]["channel"] for r in feed.collect()}
     assert post == {1: "WEB", 100: "APP"}
+    # DESCRIBE HISTORY shows the evolution as the version where the
+    # column count grew
+    hist = {h["version"]: h["n_columns"] for h in lake.history("silver", "t")}
+    assert hist[v1] == 2 and hist[v2] == 3
     lake.restore_version("silver", "t", v1)
     t = lake.read(spark, "silver", "t")
     assert t.columns == ["k", "v"] and t.count() == 50
+    assert {h["version"]: h["n_columns"] for h in lake.history("silver", "t")}[None] == 2
 
 
 def test_merge_changes_composite_key(spark, tmp_path):
