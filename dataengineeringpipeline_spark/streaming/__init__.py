@@ -2442,6 +2442,7 @@ def stream_cdc_merge(
     tiebreak_cols: tuple[str, ...] = (),
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Streaming face of :meth:`Lake.merge_changes`: each CDC changelog
     micro-batch MERGEs physically into the lake table (footer-pruned
@@ -2469,6 +2470,7 @@ def stream_cdc_merge(
             op_col=op_col,
             tiebreak_cols=tiebreak_cols,
             batch_id=f"cdc-{batch_id}",
+            evolve_schema=evolve_schema,
         )
 
     reader = spark.readStream.schema(schema_ddl)

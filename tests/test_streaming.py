@@ -1462,3 +1462,48 @@ def test_stream_rule_summary_refresh_converges(spark, sf_dir, tmp_path):
     )
     assert got == want
     silver.unpersist()
+
+
+def test_stream_cdc_merge_evolves_schema(spark, tmp_path):
+    """A CDC stream whose schema carries a column the bootstrapped table
+    lacks: with evolve_schema=True the first micro-batch appends it via
+    the sidecar, later batches keep merging, pre-stream rows read NULL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.datalake import Lake, _read_schema_json
+
+    lake = Lake(str(tmp_path / "lake"))
+    base = spark.createDataFrame(
+        [(i, f"S{i % 3}", float(i)) for i in range(100)],
+        "k long, status string, ts double",
+    )
+    lake.write(base.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t")
+    changes = spark.createDataFrame(
+        [
+            (5, "S9", "WEB", "U", 100.0, 0),
+            (200, "NEW", "APP", "U", 101.0, 1),
+            (7, None, None, "D", 102.0, 2),
+        ],
+        "k long, status string, channel string, op string, ts double, b int",
+    )
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(
+        changes.drop("b"), (F.col("ts") - 100.0).cast("int"), src, 3
+    )
+    ddl = "k long, status string, channel string, op string, ts double"
+    streaming.stream_cdc_merge(
+        spark, src, lake, "silver", "t", ckpt, ddl,
+        key_col="k", ts_col="ts", max_files_per_trigger=1, evolve_schema=True,
+    )
+    assert _read_schema_json(lake.path("silver", "t")) is not None
+    t = lake.read(spark, "silver", "t")
+    assert t.columns == ["k", "status", "ts", "channel"]
+    rows = {r["k"]: (r["status"], r["channel"]) for r in t.collect()}
+    assert rows[5] == ("S9", "WEB") and rows[200] == ("NEW", "APP")
+    assert 7 not in rows
+    assert rows[0] == ("S0", None)  # pre-stream row reads NULL
+    assert len(rows) == 100  # 100 - 1 delete + 1 insert
