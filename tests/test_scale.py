@@ -1422,3 +1422,46 @@ def test_bloom_index_rebuilds_through_compact_and_cluster(spark, tmp_path):
     out2, rep2 = lake.point_lookup(spark, "silver", "t", "k", keys)
     assert rep2["bloom_indexed"], rep2
     assert sorted((r["k"], r["v"]) for r in out2.collect()) == want
+
+
+def test_lock_wait_queues_behind_live_writer(spark, tmp_path):
+    """lock_wait_s > 0: a second writer QUEUES behind a live holder and
+    both mutations land serialized (batch-pipeline mode); with the
+    default 0 it still fails fast."""
+    import threading
+    import time
+
+    import pytest
+
+    from dataengineeringpipeline_spark.datalake import (
+        ConcurrentWriteError,
+        Lake,
+        _table_lock,
+    )
+
+    lake = Lake(str(tmp_path), lock_wait_s=30.0)
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    lake.write(df, "silver", "t")
+    path = lake.path("silver", "t")
+    results = []
+
+    def slow_holder():
+        with _table_lock(path):
+            time.sleep(1.5)
+            results.append("holder-done")
+
+    t = threading.Thread(target=slow_holder)
+    t.start()
+    time.sleep(0.3)  # holder owns the lock now
+    # fail-fast lake: immediate ConcurrentWriteError
+    fast = Lake(str(tmp_path))
+    with pytest.raises(ConcurrentWriteError):
+        fast.purge_keys(spark, "silver", "t", "k", spark.createDataFrame([(1,)], "k long"))
+    # queueing lake: waits the holder out and applies
+    audit = lake.purge_keys(
+        spark, "silver", "t", "k", spark.createDataFrame([(1,)], "k long")
+    )
+    t.join()
+    assert results == ["holder-done"]  # the purge really queued
+    assert audit["rows_removed"] == 1
+    assert lake.read(spark, "silver", "t").count() == 99
