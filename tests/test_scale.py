@@ -1465,3 +1465,30 @@ def test_lock_wait_queues_behind_live_writer(spark, tmp_path):
     assert results == ["holder-done"]  # the purge really queued
     assert audit["rows_removed"] == 1
     assert lake.read(spark, "silver", "t").count() == 99
+
+
+def test_bloom_file_index_on_string_keys(spark, tmp_path):
+    """The bloom index on a STRING key: xxhash64 over strings, string
+    footer envelopes, exact results, and pruning below the candidate
+    set."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 30000).select(
+        F.concat(F.lit("doc-"), F.md5(F.col("id").cast("string"))).alias("doc_id"),
+        F.col("id").alias("v"),
+    )
+    lake.write(df.repartition(12), "silver", "docs")
+    lake.build_file_index(spark, "silver", "docs", "doc_id")
+    keys = [r["doc_id"] for r in df.orderBy("v").limit(4).collect()]
+    out, rep = lake.point_lookup(spark, "silver", "docs", "doc_id", keys)
+    assert rep["bloom_indexed"] and rep["files_read"] <= 6 < rep["files_total"]
+    got = sorted((r["doc_id"], r["v"]) for r in out.collect())
+    want = sorted(
+        (r["doc_id"], r["v"]) for r in df.filter(F.col("doc_id").isin(keys)).collect()
+    )
+    assert got == want
+    out2, rep2 = lake.point_lookup(spark, "silver", "docs", "doc_id", ["doc-missing"])
+    assert rep2["files_read"] == 0 and out2.count() == 0
