@@ -1492,3 +1492,62 @@ def test_bloom_file_index_on_string_keys(spark, tmp_path):
     assert got == want
     out2, rep2 = lake.point_lookup(spark, "silver", "docs", "doc_id", ["doc-missing"])
     assert rep2["files_read"] == 0 and out2.count() == 0
+
+
+def test_merge_changes_partial_column_update(spark, tmp_path):
+    """update_cols: change rows carry only key+metadata+named columns —
+    existing keys keep their other columns' stored values, brand-new
+    keys insert NULL-padded, deletes still delete, untouched files link
+    through, and the invalid combinations fail loudly."""
+    import os
+
+    import pytest
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"S{i % 5}", float(i), f"note-{i}") for i in range(1000)],
+        "k long, status string, score double, note string",
+    )
+    lake.write(df.repartitionByRange(10, "k").sortWithinPartitions("k"), "silver", "t")
+    path = lake.path("silver", "t")
+    before = {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    ch = spark.createDataFrame(
+        [
+            (150, 99.5, "U", 1),   # update score only; status/note keep
+            (150, 77.5, "U", 2),   # later ts wins within the batch
+            (2000, 1.0, "U", 1),   # new key: status/note insert as NULL
+            (151, 0.0, "D", 1),    # delete still deletes
+        ],
+        "k long, score double, op string, ts int",
+    )
+    rep = lake.merge_changes(
+        spark, "silver", "t", ch, "k", "ts", update_cols=("score",)
+    )
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    after = {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    linked = set(before) & set(after)
+    assert linked and all(before[f] == after[f] for f in linked)
+    t = {r["k"]: (r["status"], r["score"], r["note"]) for r in lake.read(spark, "silver", "t").collect()}
+    assert t[150] == ("S0", 77.5, "note-150")  # patched score, kept rest
+    assert t[2000] == (None, 1.0, None)        # NULL-padded insert
+    assert 151 not in t
+    assert t[152] == ("S2", 152.0, "note-152")  # untouched
+    assert len(t) == 1000
+    # invalid: unknown / key column in update_cols; combo with evolve
+    with pytest.raises(ValueError, match="non-key table columns"):
+        lake.merge_changes(spark, "silver", "t", ch, "k", "ts", update_cols=("k",))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        lake.merge_changes(
+            spark, "silver", "t", ch, "k", "ts",
+            update_cols=("score",), evolve_schema=True,
+        )
