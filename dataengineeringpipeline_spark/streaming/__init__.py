@@ -2443,6 +2443,7 @@ def stream_cdc_merge(
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
     evolve_schema: bool = False,
+    update_cols: tuple[str, ...] = (),
 ) -> None:
     """Streaming face of :meth:`Lake.merge_changes`: each CDC changelog
     micro-batch MERGEs physically into the lake table (footer-pruned
@@ -2471,6 +2472,7 @@ def stream_cdc_merge(
             tiebreak_cols=tiebreak_cols,
             batch_id=f"cdc-{batch_id}",
             evolve_schema=evolve_schema,
+            update_cols=update_cols,
         )
 
     reader = spark.readStream.schema(schema_ddl)
