@@ -201,6 +201,7 @@ WINDOW_HEAD = [
     "incremental_rule_summary_table",
     "streaming_rule_summary_table",
     "lake_point_lookup_orders",
+    "lake_partial_update_snapshot",
     # (b) operator code changed this round: fixed_k_sample reverted to
     #     the single-window plan (WindowGroupLimit); time travel gained
     #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
@@ -216,8 +217,10 @@ WINDOW_HEAD = [
     #     (incremental_rule_aggregation / streaming_rule_aggregation yield
     #     their slots too: the rule compiler + stream_rule_partials harness
     #     they exercise are proven in-window by the quartile + NDV faces,
-    #     which share the machinery verbatim.)
-    "eval_sample_picks",
+    #     which share the machinery verbatim. eval_sample_picks yields as
+    #     well: the r08 revert is pinned by the plan test at
+    #     tests/test_plans.py and timing-adjudicated in BENCH_DETAIL, and
+    #     its result is unchanged from its long-green history.)
     "lake_time_travel_totals",
     "incremental_daily_sales",
     "incremental_customer_metrics",
@@ -594,6 +597,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- per-file bloom index: point-lookup data skipping ----------
         "lake_point_lookup_orders": lambda spark, sf: datalake.lake_point_lookup_orders(
+            spark, sf
+        ),
+        # -- partial-column MERGE (UPDATE SET subset) ------------------
+        "lake_partial_update_snapshot": lambda spark, sf: datalake.lake_partial_update_snapshot(
             spark, sf
         ),
         "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(

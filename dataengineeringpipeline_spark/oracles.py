@@ -4518,6 +4518,33 @@ ORACLES["streaming_gold_refresh"] = ORACLES["customer_analytics"]
 ORACLES["incremental_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
 ORACLES["streaming_rule_summary_table"] = ORACLES["rule_driven_aggregation"]
 
+# twin of datalake.lake_partial_update_snapshot: an UPDATE SET subset
+# merge — patched rows keep their stored total_price, inserts carrying
+# only the named column land NULL elsewhere, delete beats the flag on
+# the key % 4850 overlap (later change timestamp)
+ORACLES["lake_partial_update_snapshot"] = f"""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+),
+dels AS (SELECT k FROM snap WHERE k % 97 = 0),
+final AS (
+  SELECT CASE WHEN k % 50 = 0 THEN 'FLAGGED' ELSE st END AS status, tp
+  FROM snap WHERE k NOT IN (SELECT k FROM dels)
+  UNION ALL
+  SELECT 'NEW-' || o_orderstatus AS status, CAST(NULL AS DOUBLE) AS tp
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+)
+SELECT status,
+  COUNT(*) AS n_rows,
+  {money_sum_sql('tp')} AS revenue
+FROM final
+GROUP BY status
+ORDER BY status
+""".strip()
+
 # twin of datalake.lake_point_lookup_orders: two-level data skipping
 # (footer envelopes + per-file bloom) must never change the answer
 ORACLES["lake_point_lookup_orders"] = """
