@@ -82,6 +82,7 @@ def scd2_apply_changes(
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
     carry_cols: Sequence[str] = (),
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Apply an update batch to an existing SCD2 dimension.
 
@@ -96,9 +97,15 @@ def scd2_apply_changes(
     ``carry_cols`` (present in both ``dim`` and ``updates``) ride each
     version-opening record through the re-derivation — see
     :func:`scd2_history`.
+
+    ``broadcast_touched=False`` is the BACKFILL shape: a batch touching
+    tens of millions of keys must not broadcast its key set — the
+    touched-key joins run as shuffle joins instead (``Lake.merge_scd2``
+    flips this per its ``merge_broadcast_keys`` threshold).
     """
+    bt = F.broadcast if broadcast_touched else (lambda d: d)
     touched = updates.select(*key_cols).distinct()
-    untouched = dim.join(F.broadcast(touched), list(key_cols), "left_anti")
+    untouched = dim.join(bt(touched), list(key_cols), "left_anti")
     extra = list(
         dict.fromkeys(
             c
@@ -106,7 +113,7 @@ def scd2_apply_changes(
             if c not in (*key_cols, *attr_cols)
         )
     )
-    old_changes = dim.join(F.broadcast(touched), list(key_cols), "left_semi").select(
+    old_changes = dim.join(bt(touched), list(key_cols), "left_semi").select(
         *key_cols, *attr_cols, F.col("valid_from").alias(ts_col),
         *[F.col(c) for c in extra if c in dim.columns],
     )

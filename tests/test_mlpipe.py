@@ -6,6 +6,39 @@ import pytest
 
 from dataengineeringpipeline_spark import cleaning, features, mlpipe
 
+#: stderr signatures of a fresh-JVM LAUNCH failure (not a product bug):
+#: under full-suite load the subprocess's py4j gateway has died at
+#: startup with ConnectionRefusedError while the suite's local[32] JVM
+#: was live — retry once before failing (VERDICT r08 infra-flake item).
+_JVM_LAUNCH_FLAKES = (
+    "ConnectionRefusedError",
+    "Connection refused",
+    "Java gateway process exited",
+    "Answer from Java side is empty",
+)
+
+
+def _run_isolated(script: str):
+    """Run a fresh-JVM test script, retrying ONCE on a JVM-launch flake."""
+    import subprocess
+    import sys
+    import time
+
+    for attempt in (0, 1):
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if proc.returncode == 0:
+            return proc
+        if attempt == 0 and any(s in proc.stderr for s in _JVM_LAUNCH_FLAKES):
+            time.sleep(5.0)  # let the contended gateway port settle
+            continue
+        return proc
+    return proc
+
 
 @pytest.fixture(scope="module")
 def feats(spark, sf_dir):
@@ -104,9 +137,7 @@ out1 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
 out2 = mlpipe.random_search(feats, n_candidates=3, k=2, seed=7)
 print("RESULT " + json.dumps([out1, out2]))
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
-    )
+    proc = _run_isolated(script)
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
     out1, out2 = json.loads(line[len("RESULT "):])
@@ -144,9 +175,7 @@ out1 = mlpipe.bayesian_search(feats, n_init=2, n_iterations=2, k=2, seed=11)
 out2 = mlpipe.bayesian_search(feats, n_init=2, n_iterations=2, k=2, seed=11)
 print("RESULT " + json.dumps([out1, out2]))
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
-    )
+    proc = _run_isolated(script)
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
     out1, out2 = json.loads(line[len("RESULT "):])
@@ -206,9 +235,7 @@ out = mlpipe.bayesian_search_model_types(
     n_init=1, n_iterations=1, k=2, seed=7)
 print("RESULT " + json.dumps(out))
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
-    )
+    proc = _run_isolated(script)
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
     out = json.loads(line[len("RESULT "):])

@@ -1551,3 +1551,231 @@ def test_merge_changes_partial_column_update(spark, tmp_path):
             spark, "silver", "t", ch, "k", "ts",
             update_cols=("score",), evolve_schema=True,
         )
+
+
+def test_merge_changes_large_batch_uses_distributed_key_path(spark, tmp_path, monkeypatch):
+    """Above ``merge_broadcast_keys`` the MERGE never collects the
+    batch's key set to the driver: the footer prune runs as a
+    distributed join of batch keys against a file-envelope frame and
+    the rewrite's anti-join is a shuffle join — and the merged table is
+    bit-identical to the broadcast path's / the logical cdc_apply."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [(i, f"S{i % 7}", float(i)) for i in range(2000)],
+        "k long, status string, ts double",
+    )
+    # wide-key delta: every 3rd key updates, every 50th deletes, plus inserts
+    chg = spark.createDataFrame(
+        [(i, "D" if i % 50 == 0 else "U", "NEW", 9000.0, 1) for i in range(0, 2000, 3)]
+        + [(10_000 + i, "U", "INS", 9000.0, 1) for i in range(25)],
+        "k long, op string, status string, ts double, tb int",
+    )
+    want = sorted(
+        map(
+            tuple,
+            cdc_apply(df, chg, ["k"], "ts", op_col="op", tiebreak_cols=["tb"]).collect(),
+        )
+    )
+
+    def build(root, threshold):
+        lake = Lake(str(root), merge_broadcast_keys=threshold)
+        lake.write(
+            df.repartitionByRange(8, "k").sortWithinPartitions("k"), "silver", "t"
+        )
+        return lake
+
+    small = build(tmp_path / "small", 10_000_000)
+    a1 = small.merge_changes(
+        spark, "silver", "t", chg, key_col="k", ts_col="ts", tiebreak_cols=("tb",)
+    )
+    assert a1["key_path"] == "broadcast"
+    got_small = sorted(map(tuple, small.read(spark, "silver", "t").collect()))
+
+    large = build(tmp_path / "large", 0)
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    a2 = large.merge_changes(
+        spark, "silver", "t", chg, key_col="k", ts_col="ts", tiebreak_cols=("tb",)
+    )
+    assert a2["key_path"] == "distributed"
+    got_large = sorted(map(tuple, large.read(spark, "silver", "t").collect()))
+    assert got_small == want and got_large == want
+    # the distributed envelope prune matched the driver-side one
+    assert a2["files_rewritten"] == a1["files_rewritten"]
+    assert a2["rows_after"] == a1["rows_after"]
+
+
+def test_merge_scd2_large_batch_uses_distributed_key_path(spark, tmp_path, monkeypatch):
+    """merge_scd2's backfill shape: same threshold switch — no driver
+    key collect, shuffle touched-key joins inside scd2_apply_changes,
+    history identical to the broadcast path."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_history
+
+    changes = spark.createDataFrame(
+        [(k, f"addr-{k}-{v}", float(v)) for k in range(400) for v in range(3)],
+        "k long, addr string, ts double",
+    )
+    hist = scd2_history(changes, ["k"], ["addr"], "ts")
+    upd = spark.createDataFrame(
+        [(k, f"addr-{k}-new", 10.0) for k in range(0, 400, 2)],
+        "k long, addr string, ts double",
+    )
+
+    def run(root, threshold, patched):
+        lake = Lake(str(root), merge_broadcast_keys=threshold)
+        lake.write(
+            hist.repartitionByRange(6, "k").sortWithinPartitions("k"), "silver", "d"
+        )
+        audit = lake.merge_scd2(
+            spark, "silver", "d", upd, key_col="k", attr_cols=("addr",), ts_col="ts"
+        )
+        return audit, sorted(map(tuple, lake.read(spark, "silver", "d").collect()))
+
+    a1, got_small = run(tmp_path / "small", 10_000_000, False)
+    assert a1["key_path"] == "broadcast"
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    a2, got_large = run(tmp_path / "large", 0, True)
+    assert a2["key_path"] == "distributed"
+    assert got_small == got_large
+    assert a2["files_rewritten"] == a1["files_rewritten"]
+
+
+def test_bloom_index_maintained_through_merge_and_purge(spark, tmp_path):
+    """merge_changes / purge_keys keep the per-file bloom index LIVE:
+    hard-linked files keep their entries, rewritten files are re-scanned
+    into the index inside the same swap — so point-lookup pruning does
+    not decay to envelope-only between compactions, and the index never
+    excludes a file containing a probed key."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake, _data_file_rels
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 60000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("v")
+    )
+    lake.write(df.repartition(15), "silver", "t")  # unclustered: envelopes useless
+    lake.build_file_index(spark, "silver", "t", "k")
+    path = lake.path("silver", "t")
+
+    probe = [r["k"] for r in df.orderBy("v").limit(4).collect()]
+    chg = spark.createDataFrame(
+        [(probe[0], "U", -1.0), (424242424242, "U", -2.0)],
+        "k long, op string, v double",
+    ).select("k", "op", F.col("v").cast("long").alias("v"), F.lit(1.0).alias("ts"))
+    rep = lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    assert rep["files_rewritten"] >= 1
+
+    idx = json.load(open(os.path.join(path, f"_file_bloom_k.json")))
+    on_disk = set(_data_file_rels(path))
+    # every live data file is indexed (no decay), no ghost entries
+    assert set(idx["files"]) == on_disk
+
+    out, lrep = lake.point_lookup(spark, "silver", "t", "k", probe + [424242424242])
+    assert lrep["bloom_indexed"]
+    assert lrep["files_read"] < lrep["files_total"]  # still pruned post-merge
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert (probe[0], -1) in got and (424242424242, -2) in got
+    for k in probe[1:]:
+        assert any(g[0] == k for g in got)  # never excludes a real key
+
+    # purge keeps it live too
+    gone = probe[1]
+    lake.purge_keys(
+        spark, "silver", "t", "k", spark.createDataFrame([(gone,)], "k long")
+    )
+    idx2 = json.load(open(os.path.join(path, f"_file_bloom_k.json")))
+    assert set(idx2["files"]) == set(_data_file_rels(path))
+    out2, lrep2 = lake.point_lookup(spark, "silver", "t", "k", [gone])
+    assert out2.count() == 0
+
+
+def test_file_index_handles_percent_encoded_paths(spark, tmp_path):
+    """Hive partition values with spaces arrive percent-encoded from
+    input_file_name(); index keys must decode to the on-disk relpaths
+    or the index silently never prunes."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake, _data_file_rels
+
+    lake = Lake(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, "region A" if i % 2 else "region%B", float(i)) for i in range(2000)],
+        "k long, part string, v double",
+    )
+    lake.write(df, "silver", "t", partition_by=("part",))
+    lake.build_file_index(spark, "silver", "t", "k")
+    path = lake.path("silver", "t")
+    idx = json.load(open(os.path.join(path, "_file_bloom_k.json")))
+    assert set(idx["files"]) == set(_data_file_rels(path))  # decoded keys match
+    out, rep = lake.point_lookup(spark, "silver", "t", "k", [7])
+    assert rep["bloom_indexed"] and rep["files_read"] < rep["files_total"]
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(7, 7.0)]
+
+
+def test_stale_lock_reaping_is_single_winner(tmp_path):
+    """Queue-mode stale-lock cleanup: with a dead holder's lock in
+    place, many concurrent waiters reap it via atomic RENAME (never a
+    blind unlink that could delete a fresh live lock) and mutual
+    exclusion holds throughout."""
+    import os
+    import subprocess
+    import threading
+    import time
+
+    from dataengineeringpipeline_spark.datalake import _table_lock
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target, exist_ok=True)
+    # a genuinely dead pid: a child that has already exited
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(target + "__lock", "w") as f:
+        f.write(str(child.pid))
+
+    live = []
+    peak = []
+    lock_guard = threading.Lock()
+    errs = []
+
+    def worker():
+        try:
+            with _table_lock(target, wait_s=30.0):
+                with lock_guard:
+                    live.append(1)
+                    peak.append(len(live))
+                time.sleep(0.01)
+                with lock_guard:
+                    live.pop()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert max(peak) == 1  # never two holders
+    assert not os.path.exists(target + "__lock")
+    # no tombstone litter
+    parent = os.path.dirname(target)
+    assert not [n for n in os.listdir(parent) if n.endswith(".tomb")]
