@@ -183,91 +183,73 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle-checked every round by tests/test_oracle_parity.py, which runs
 #: ALL entries.
 WINDOW_HEAD = [
-    # ===== r08 window =====
-    # (a) NEW this round (never driver-checked): streaming SCD2 + CDC
-    #     lake merges, the three approx-NDV rule faces, the three
-    #     exact-percentile rule faces
-    "streaming_scd2_history",
+    # ===== r09 window =====
+    # (a) NEW this round (never driver-checked): the distributed
+    #     (no-driver-key-collect) MERGE path, the bloom index maintained
+    #     through a merge, rule-config migration, and the backfill face
+    #     of the gold refresh
+    "lake_backfill_merge_snapshot",
+    "lake_indexed_merge_lookup",
+    "rule_migration_summary",
+    "large_delta_gold_refresh",
+    # (b) operator code changed this round — re-prove the existing faces
+    #     of merge_changes/merge_scd2 (key-path switch, survivors
+    #     persist, bloom-index carry), point_lookup (decoded index
+    #     keys), and the IVM refreshes (large-delta switch). The
+    #     streaming twins (streaming_gold_refresh, streaming_scd2_history,
+    #     streaming_rule_summary_table) yield their slots: they wrap the
+    #     exact functions re-proven here plus the queue-mode wrapper,
+    #     which is lock-plumbing covered by tests/test_streaming.py; all
+    #     stay oracle-checked by tests/test_oracle_parity.py.
+    "lake_cdc_merged_snapshot",
     "streaming_lake_cdc_snapshot",
-    "rule_ndv_aggregation",
-    "incremental_ndv_rule",
-    "streaming_ndv_rule",
-    "rule_quartile_aggregation",
-    "incremental_quartile_rule",
-    "streaming_quartile_rule",
-    "lake_schema_evolution_snapshot",
-    "incremental_gold_refresh",
-    "streaming_gold_refresh",
-    "incremental_rule_summary_table",
-    "streaming_rule_summary_table",
-    "lake_point_lookup_orders",
     "lake_partial_update_snapshot",
-    # (b) operator code changed this round: fixed_k_sample reverted to
-    #     the single-window plan (WindowGroupLimit); time travel gained
-    #     as_of; the rule-IVM compiler grew the NDV branch (re-prove its
-    #     existing faces); IVM maintenance moved to upsert_partitions;
-    #     jpeg decoder gained fill-byte/multi-scan/index-map handling;
-    #     stats partials gained float canonicalization; upsert_partitions
-    #     gained the delta persist + per-partition write shape; the
-    #     customer partials grew the size counters. (The two r07 bench
-    #     watch items — monthly_sales_from_partials, events_enriched —
-    #     were adjudicated by the 3-sweep bench with code byte-identical,
-    #     so they yield their window slots to this round's new queries
-    #     and stay covered by tests/test_oracle_parity.py.)
-    #     (incremental_rule_aggregation / streaming_rule_aggregation yield
-    #     their slots too: the rule compiler + stream_rule_partials harness
-    #     they exercise are proven in-window by the quartile + NDV faces,
-    #     which share the machinery verbatim. eval_sample_picks yields as
-    #     well: the r08 revert is pinned by the plan test at
-    #     tests/test_plans.py and timing-adjudicated in BENCH_DETAIL, and
-    #     its result is unchanged from its long-green history.)
-    "lake_time_travel_totals",
-    "incremental_daily_sales",
-    "incremental_customer_metrics",
-    "multimodal_decode_report",
-    #     (streaming_stats_drift yields its slot: the r08 quality.py edit
-    #     it would re-prove — float canonicalization in the stats partials
-    #     — is already re-proved by table_stats_report below, and its own
-    #     r07 green row plus the pytest parity sweep still stand.)
-    # (c) the 30 queries whose most recent driver proof is the r04
-    #     window — the oldest block in the record (VERDICT r07 item 2's
-    #     exact list, oldest-first rotation policy)
-    "bigram_fluency",
-    "bloom_join_prune",
-    "bpe_merge_table",
-    "bpe_subword_stats",
-    "cms_heavy_hitters",
-    "daily_metrics_long",
-    "doc_length_distribution",
-    "dq_referential_integrity",
-    "duplicate_span_coverage",
-    "hll_sketch_summary",
-    "hybrid_dup_clusters",
-    "knn_label_eval",
-    "language_mix_by_source",
-    "pipeline_alerts",
-    "priority_drift_report",
-    "quality_sample_summary",
-    "sales_rollup",
-    "semantic_cluster_mix",
-    "semantic_decontamination",
-    "shard_balance_report",
-    "skew_join_segment_summary",
-    "source_overlap_matrix",
-    "streaming_heavy_hitters",
-    "streaming_mix_drift",
-    "streaming_volume_alerts",
-    "supplier_performance",
-    "suppressed_volume_alerts",
-    "temperature_mix_summary",
-    "token_budget_plan",
-    "top_ngrams_per_source",
-    # (d) oldest remaining (r05) proof on a file this round touched:
-    #     table_stats lives in quality.py (stats canonicalization edit).
-    #     (The driver window holds 50; the other r05 rows — dq_rule_report,
-    #     dq_outliers, dq_quarantine_rows, silver_orders, silver_customers —
-    #     rotate in r09 and stay covered by tests/test_oracle_parity.py.)
-    "table_stats_report",
+    "lake_point_lookup_orders",
+    "lake_scd2_merged_history",
+    "incremental_gold_refresh",
+    "incremental_rule_summary_table",
+    # (c) the 39 queries whose most recent driver proof is r05-era — the
+    #     oldest block in the record (VERDICT r08 item 2's exact list,
+    #     oldest-first rotation policy)
+    "ann_arrow_recall",
+    "ann_bruteforce_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "contrastive_pairs_report",
+    "corpus_datacard",
+    "doc_fingerprints",
+    "dq_daily_anomalies",
+    "dq_duplicates",
+    "dq_freshness",
+    "dq_null_profile",
+    "dq_outliers",
+    "dq_quarantine_rows",
+    "dq_range_violations",
+    "dq_rule_report",
+    "error_context",
+    "event_type_summary",
+    "events_enriched",
+    "fuzzy_join_matches",
+    "hourly_event_summary",
+    "incremental_events",
+    "pii_redaction_report",
+    "point_in_time_features",
+    "pq_ann_recall",
+    "pq_ann_topk",
+    "quality_gate_ensemble",
+    "shared_span_pairs",
+    "silver_customers",
+    "silver_lineitems",
+    "silver_orders",
+    "silver_parts",
+    "snapshot_diff_report",
+    "span_dedup_cleaned",
+    "split_leakage_audit",
+    "streaming_search_topk",
+    "streaming_session_windows",
+    "user_activity_summary",
+    "value_drift_report",
 ]
 
 
@@ -606,6 +588,14 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_cdc_merged_snapshot": lambda spark, sf: datalake.lake_cdc_merged_snapshot(
             spark, sf
         ),
+        # -- backfill MERGE: distributed key path (no driver key collect) --
+        "lake_backfill_merge_snapshot": lambda spark, sf: datalake.lake_backfill_merge_snapshot(
+            spark, sf
+        ),
+        # -- bloom index maintained THROUGH a merge: lookup still prunes --
+        "lake_indexed_merge_lookup": lambda spark, sf: datalake.lake_indexed_merge_lookup(
+            spark, sf
+        ),
         # -- lakehouse SCD2 MERGE: file-pruned physical history apply --------
         "lake_scd2_merged_history": lambda spark, sf: datalake.lake_scd2_merged_history(
             spark, sf
@@ -729,12 +719,20 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf
         ),
         "streaming_gold_refresh": streaming.streaming_gold_refresh,
+        # -- backfill face: shuffle semi joins + distributed merge ------
+        "large_delta_gold_refresh": lambda spark, sf: ivm.large_delta_gold_refresh(
+            spark, sf
+        ),
         # -- ...and for ANY configured rule: live summary table refreshed
         #    in place on its composite grain key -------------------------
         "incremental_rule_summary_table": lambda spark, sf: ivm.incremental_rule_summary_table(
             spark, sf
         ),
         "streaming_rule_summary_table": streaming.streaming_rule_summary_table,
+        # -- rule-config evolution: migrate_rule then ordinary refresh --
+        "rule_migration_summary": lambda spark, sf: ivm.rule_migration_summary(
+            spark, sf
+        ),
         "streaming_ndv_rule": streaming.streaming_ndv_rule,
         # -- exact percentile rule through the IVM compiler: value-histogram
         #    partials, interpolation replayed bit-exactly, three faces --

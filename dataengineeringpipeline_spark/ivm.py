@@ -1047,26 +1047,37 @@ def refresh_customer_analytics(
         delta_orders.filter(F.col("is_complete_order"))
         .select("customer_key")
         .distinct()
+        .persist()
     )
-    partials = lake.read(spark, layer, partials_table).join(
-        F.broadcast(affected), "customer_key", "left_semi"
-    )
-    dims = silver_customers.join(
-        F.broadcast(affected), "customer_key", "left_semi"
-    )
-    rows = customer_analytics_from_partials(dims, partials)
-    changes = rows.withColumn("op", F.lit("U")).withColumn(
-        "_refresh_seq", F.lit(refresh_seq)
-    )
-    return lake.merge_changes(
-        spark,
-        layer,
-        analytics_table,
-        changes,
-        key_col="customer_key",
-        ts_col="_refresh_seq",
-        batch_id=(f"{batch_id}/gold" if batch_id is not None else None),
-    )
+    try:
+        # broadcast the touched-key set only while it is micro-batch
+        # sized; a backfill delta (most keys touched) switches the semi
+        # joins to shuffle joins and lets merge_changes take its own
+        # distributed key path — same threshold, no driver key set
+        bt = (
+            F.broadcast
+            if affected.count() <= lake.merge_broadcast_keys
+            else (lambda d: d)
+        )
+        partials = lake.read(spark, layer, partials_table).join(
+            bt(affected), "customer_key", "left_semi"
+        )
+        dims = silver_customers.join(bt(affected), "customer_key", "left_semi")
+        rows = customer_analytics_from_partials(dims, partials)
+        changes = rows.withColumn("op", F.lit("U")).withColumn(
+            "_refresh_seq", F.lit(refresh_seq)
+        )
+        return lake.merge_changes(
+            spark,
+            layer,
+            analytics_table,
+            changes,
+            key_col="customer_key",
+            ts_col="_refresh_seq",
+            batch_id=(f"{batch_id}/gold" if batch_id is not None else None),
+        )
+    finally:
+        affected.unpersist()
 
 
 def incremental_gold_refresh(
@@ -1175,23 +1186,35 @@ def refresh_rule_summary(
         batch_id=(f"{batch_id}/partials" if batch_id is not None else None),
     )
     d = delta.filter(F.expr(rule.filters)) if rule.filters else delta
-    affected = d.select(*keys).distinct()
-    partials = lake.read(
-        spark, layer, partials_table or f"{rule.name}_partials"
-    ).join(F.broadcast(affected), keys, "left_semi")
-    rows = rule_summary_from_partials(partials, rule)
-    changes = rows.withColumn("op", F.lit("U")).withColumn(
-        "_refresh_seq", F.lit(refresh_seq)
-    )
-    return lake.merge_changes(
-        spark,
-        layer,
-        summary_table or f"{rule.name}_summary",
-        changes,
-        key_col=tuple(keys),
-        ts_col="_refresh_seq",
-        batch_id=(f"{batch_id}/summary" if batch_id is not None else None),
-    )
+    affected = d.select(*keys).distinct().persist()
+    try:
+        # same large-delta switch as refresh_customer_analytics: above
+        # the lake's merge_broadcast_keys threshold the touched-group
+        # set stays distributed (shuffle semi join), and merge_changes
+        # below makes the matching switch for its own key joins
+        bt = (
+            F.broadcast
+            if affected.count() <= lake.merge_broadcast_keys
+            else (lambda df: df)
+        )
+        partials = lake.read(
+            spark, layer, partials_table or f"{rule.name}_partials"
+        ).join(bt(affected), keys, "left_semi")
+        rows = rule_summary_from_partials(partials, rule)
+        changes = rows.withColumn("op", F.lit("U")).withColumn(
+            "_refresh_seq", F.lit(refresh_seq)
+        )
+        return lake.merge_changes(
+            spark,
+            layer,
+            summary_table or f"{rule.name}_summary",
+            changes,
+            key_col=tuple(keys),
+            ts_col="_refresh_seq",
+            batch_id=(f"{batch_id}/summary" if batch_id is not None else None),
+        )
+    finally:
+        affected.unpersist()
 
 
 def incremental_rule_summary_table(
@@ -1230,6 +1253,184 @@ def incremental_rule_summary_table(
     return lake.read(spark, "gold", f"{rule.name}_summary").orderBy(
         *rule.group_by_columns
     )
+
+
+def rule_partials_columns(rule) -> list[str]:
+    """The column set the IVM compiler stores for ``rule``'s partials
+    table: grain ∪ mergeable measure partials ∪ HLL register maps ∪
+    value histograms. The MIGRATION detector compares this against the
+    stored table's columns — a changed rule config compiles to a
+    different set."""
+    grain, parts = _rule_partial_specs(rule)
+    return [
+        *grain,
+        *parts,
+        *[f"_hll_{c}" for c in _rule_ndv_cols(rule)],
+        *[f"_vh_{c}" for c in _rule_pctl_cols(rule)],
+    ]
+
+
+def migrate_rule(
+    lake: Lake,
+    spark,
+    rule,
+    source: DataFrame,
+    partition_col: str,
+    layer: str = "gold",
+    partials_table: str | None = None,
+    summary_table: str | None = None,
+) -> dict:
+    """Migration path for a CHANGED rule whose partials/summary tables
+    already exist: when the compiled partials schema
+    (:func:`rule_partials_columns`) differs from the stored table's
+    columns — a measure added, dropped, or refunctioned — REBUILD the
+    rule's partials from ``source`` (one full pass is inherent: the new
+    measure's state was never collected) and rebuild the live summary
+    from the new partials. Both rebuilds go through
+    :meth:`Lake.replace_table`: staged, swapped atomically under the
+    writer fence, with the applied-batch LEDGERS carried — a streaming
+    consumer replaying an already-applied batch after the migration is
+    still a no-op, and subsequent :func:`refresh_rule_summary` calls
+    resume delta-sized. A matching schema is a no-op (``migrated:
+    False``), so pipelines can call this unconditionally at deploy
+    time."""
+    grain, _ = _rule_partial_specs(rule)
+    if partition_col not in grain:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be a grain column of "
+            f"rule {rule.name!r} (grain: {grain})"
+        )
+    p_table = partials_table or f"{rule.name}_partials"
+    s_table = summary_table or f"{rule.name}_summary"
+    want = set(rule_partials_columns(rule))
+    import os as _os
+
+    exists = _os.path.isdir(lake.path(layer, p_table))
+    stored = set(lake.read(spark, layer, p_table).columns) if exists else None
+    if stored == want:
+        return {"rule": rule.name, "migrated": False, "reason": "schema matches"}
+    parts = rule_partials(source, rule)
+    # one write task per partition value — the upsert_partitions first-
+    # load shape, so later maintenance finds the same file economics
+    lake.replace_table(
+        spark,
+        layer,
+        p_table,
+        parts.repartition(partition_col),
+        partition_by=(partition_col,),
+    )
+    out = {
+        "rule": rule.name,
+        "migrated": True,
+        "partials_table": f"{layer}.{p_table}",
+        "added_columns": sorted(want - stored) if stored is not None else sorted(want),
+        "dropped_columns": sorted(stored - want) if stored is not None else [],
+    }
+    if _os.path.isdir(lake.path(layer, s_table)):
+        summary = rule_summary_from_partials(
+            lake.read(spark, layer, p_table), rule
+        )
+        lake.replace_table(spark, layer, s_table, summary)
+        out["summary_table"] = f"{layer}.{s_table}"
+    return out
+
+
+def rule_migration_summary(
+    spark, sf_dir: str, cutoff: str = "1998-06-01"
+) -> DataFrame:
+    """Driver-contract query: RULE-CONFIG EVOLUTION for a live summary
+    table. Bootstrap the demo rule's summary from the pre-``cutoff``
+    orders, then deploy an EXTENDED rule (a ``min`` measure added to
+    the config), :func:`migrate_rule` the existing partials+summary
+    tables to the new schema, refresh with the post-``cutoff`` delta
+    through the ordinary :func:`refresh_rule_summary`, and read the
+    live table back. The oracle is the extended rule's one-shot batch
+    SQL over ALL orders: migrate + refresh must land exactly where a
+    from-scratch build of the new config would."""
+    import os
+    import tempfile
+
+    from . import cleaning
+    from .rules import MONTHLY_REVENUE_RULE, AggregateColumn, AggregationRule
+
+    silver_orders = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    )
+    d = F.col("order_date")
+    lit_cut = F.lit(cutoff).cast("date")
+    base = silver_orders.filter(d < lit_cut)
+    delta = silver_orders.filter(d >= lit_cut)
+    old = MONTHLY_REVENUE_RULE
+    new = AggregationRule(
+        name=old.name,
+        group_by_columns=old.group_by_columns,
+        aggregate_columns=(
+            *old.aggregate_columns,
+            AggregateColumn("total_price", "min", "min_order_value"),
+        ),
+        filters=old.filters,
+    )
+    lake = Lake(tempfile.mkdtemp(prefix="rule_migrate_"))
+    maintain_rule_partials(lake, base, old, "order_year")
+    lake.write(
+        rule_summary_from_partials(
+            lake.read(spark, "gold", f"{old.name}_partials"), old
+        ),
+        "gold",
+        f"{old.name}_summary",
+    )
+    rep = migrate_rule(lake, spark, new, base, "order_year")
+    assert rep["migrated"] and rep["added_columns"] == ["_min_total_price"]
+    # a second call is a no-op: the schema now matches
+    assert not migrate_rule(lake, spark, new, base, "order_year")["migrated"]
+    refresh_rule_summary(lake, spark, new, delta, "order_year", refresh_seq=1)
+    return lake.read(spark, "gold", f"{new.name}_summary").orderBy(
+        *new.group_by_columns
+    )
+
+
+def large_delta_gold_refresh(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the BACKFILL face of
+    :func:`incremental_gold_refresh` — ``merge_broadcast_keys=0``
+    forces every stage onto the large-delta path (shuffle semi joins
+    for the touched keys, distributed file-envelope prune and shuffle
+    anti-join inside ``merge_changes``; no driver key collect, no
+    broadcast of the touched set). Shares the full-batch
+    ``customer_analytics`` oracle: the key-path switch must be
+    invisible in the data."""
+    import os
+    import tempfile
+
+    from . import cleaning
+
+    silver_customers = cleaning.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography")
+    silver_orders = cleaning.clean_orders(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    )
+    d = F.col("order_date")
+    lit_cut = F.lit("1998-06-01").cast("date")
+    base = silver_orders.filter(d < lit_cut)
+    delta = silver_orders.filter(d >= lit_cut)
+    lake = Lake(tempfile.mkdtemp(prefix="gold_backfill_"), merge_broadcast_keys=0)
+    maintain_customer_partials(lake, base)
+    initial = customer_analytics_from_partials(
+        silver_customers, lake.read(spark, "gold", "customer_partials")
+    )
+    lake.write(
+        initial.repartitionByRange(16, "customer_key").sortWithinPartitions(
+            "customer_key"
+        ),
+        "gold",
+        "customer_analytics",
+    )
+    refresh_customer_analytics(
+        lake, spark, silver_customers, delta, refresh_seq=1
+    )
+    return lake.read(spark, "gold", "customer_analytics").orderBy("customer_key")
 
 
 def incremental_quartile_rule(

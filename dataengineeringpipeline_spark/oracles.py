@@ -4947,3 +4947,68 @@ ORDER BY source, pick_rank
 
 
 ORACLES.update(_fixed_k_sample_oracle())
+
+
+# twin of datalake.lake_backfill_merge_snapshot: the DISTRIBUTED merge
+# key path (merge_broadcast_keys=0 — envelope join for the file prune,
+# shuffle anti-join for kept rows, no driver key collect) must leave
+# the table identical to the broadcast path / the batch apply
+ORACLES["lake_backfill_merge_snapshot"] = ORACLES["lake_cdc_merged_snapshot"]
+
+# twin of ivm.large_delta_gold_refresh: the backfill face of the gold
+# refresh (shuffle semi joins + distributed merge) still equals the
+# full batch recompute
+ORACLES["large_delta_gold_refresh"] = ORACLES["customer_analytics"]
+
+# twin of ivm.rule_migration_summary: migrate_rule (a MIN measure added
+# to the deployed config) + ordinary delta refresh must equal the
+# one-shot batch compile of the EXTENDED rule
+_RULE_AGG_MIGRATED_BODY = f"""
+SELECT order_year, order_month, order_status,
+  {money_sum_sql('total_price')} AS revenue,
+  {money_avg_sql('total_price')} AS avg_order_value,
+  {det_stddev_sql('total_price')} AS order_value_stddev,
+  COUNT(order_key) AS order_count,
+  COUNT(DISTINCT customer_key) AS unique_customers,
+  MAX(total_price) AS max_order_value,
+  MIN(total_price) AS min_order_value
+FROM silver_orders
+WHERE is_complete_order AND order_status <> 'P'
+GROUP BY order_year, order_month, order_status
+ORDER BY order_year, order_month, order_status
+""".strip()
+
+ORACLES["rule_migration_summary"] = _with(
+    {"silver_orders": SILVER_ORDERS}, _RULE_AGG_MIGRATED_BODY
+)
+
+# twin of datalake.lake_indexed_merge_lookup: a point lookup through
+# the bloom index maintained THROUGH a merge — patch the even probed
+# keys, tombstone the odd %3 ones, insert a brand-new key — must equal
+# the plain SQL reconstruction (data skipping never changes answers)
+ORACLES["lake_indexed_merge_lookup"] = """
+WITH base AS (
+  SELECT o_orderkey AS order_key, o_orderstatus AS status,
+         o_totalprice AS total_price
+  FROM orders
+),
+p AS (
+  SELECT order_key FROM base WHERE order_key % 997 = 0
+  ORDER BY order_key LIMIT 8
+),
+merged AS (
+  SELECT b.order_key,
+    CASE WHEN p.order_key IS NOT NULL AND b.order_key % 2 = 0
+         THEN 'MERGED' ELSE b.status END AS status,
+    CASE WHEN p.order_key IS NOT NULL AND b.order_key % 2 = 0
+         THEN -1.0 ELSE b.total_price END AS total_price
+  FROM base b LEFT JOIN p ON b.order_key = p.order_key
+  WHERE NOT (p.order_key IS NOT NULL
+             AND b.order_key % 2 <> 0 AND b.order_key % 3 = 0)
+  UNION ALL
+  SELECT 987654321 AS order_key, 'INSERTED' AS status, -2.0 AS total_price
+)
+SELECT order_key, status, total_price FROM merged
+WHERE order_key IN (SELECT order_key FROM p) OR order_key = 987654321
+ORDER BY order_key
+""".strip()

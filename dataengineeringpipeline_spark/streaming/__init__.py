@@ -54,6 +54,25 @@ EVENTS_DDL = EVENTS_DDL_TEMPLATE.format(ts="bigint")
 
 DEFAULT_SESSION_GAP_MINUTES = 30
 
+#: Default writer-lock wait for streaming lake mutators: two live
+#: maintenance jobs on one table (a streaming gold refresh + a
+#: compaction) should QUEUE on the single-writer fence, not crash —
+#: fail-fast is the interactive default, queueing is the pipeline one.
+DEFAULT_STREAM_LOCK_WAIT_S = 120.0
+
+
+def _queued(lake, lock_wait_s: float):
+    """A copy of ``lake`` whose single-writer fence waits at least
+    ``lock_wait_s`` before raising ``ConcurrentWriteError`` — the
+    streaming entry points' queue mode. ``lock_wait_s=0`` keeps the
+    caller's fail-fast lake untouched; a caller lake that already waits
+    longer also passes through."""
+    import dataclasses
+
+    if lock_wait_s <= getattr(lake, "lock_wait_s", 0.0):
+        return lake
+    return dataclasses.replace(lake, lock_wait_s=lock_wait_s)
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over ``<sf_dir>/events.parquet`` with the batch
@@ -2444,6 +2463,7 @@ def stream_cdc_merge(
     max_files_per_trigger: int | None = None,
     evolve_schema: bool = False,
     update_cols: tuple[str, ...] = (),
+    lock_wait_s: float = DEFAULT_STREAM_LOCK_WAIT_S,
 ) -> None:
     """Streaming face of :meth:`Lake.merge_changes`: each CDC changelog
     micro-batch MERGEs physically into the lake table (footer-pruned
@@ -2459,6 +2479,8 @@ def stream_cdc_merge(
     (per-key-ordered transports: Debezium, Kinesis partition key) or in
     per-key-complete batches for parity with the one-shot batch apply.
     """
+
+    lake = _queued(lake, lock_wait_s)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         lake.merge_changes(
@@ -2568,6 +2590,7 @@ def stream_gold_refresh(
     schema_ddl: str,
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
+    lock_wait_s: float = DEFAULT_STREAM_LOCK_WAIT_S,
 ) -> None:
     """Streaming face of :func:`ivm.refresh_customer_analytics`: each
     micro-batch of silver orders refreshes the LIVE customer-360 gold
@@ -2580,6 +2603,8 @@ def stream_gold_refresh(
     key's row from its full merged state, so any partitioning of the
     delta stream converges to the batch gold table bit-for-bit."""
     from .. import ivm
+
+    lake = _queued(lake, lock_wait_s)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ivm.refresh_customer_analytics(
@@ -2618,6 +2643,7 @@ def stream_rule_summary_refresh(
     schema_ddl: str,
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
+    lock_wait_s: float = DEFAULT_STREAM_LOCK_WAIT_S,
 ) -> None:
     """Streaming face of :func:`ivm.refresh_rule_summary`: each
     micro-batch refreshes ANY configured rule's live summary lake table
@@ -2629,6 +2655,8 @@ def stream_rule_summary_refresh(
     state, so any partitioning of the delta stream converges to the
     batch rule compiler bit-for-bit."""
     from .. import ivm
+
+    lake = _queued(lake, lock_wait_s)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ivm.refresh_rule_summary(
@@ -2822,6 +2850,7 @@ def stream_scd2_updates(
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
     evolve_schema: bool = False,
+    lock_wait_s: float = DEFAULT_STREAM_LOCK_WAIT_S,
 ) -> None:
     """Streaming face of :meth:`Lake.merge_scd2` — dimension updates
     arrive as micro-batches and each batch MERGEs into the SCD2 history
@@ -2845,6 +2874,8 @@ def stream_scd2_updates(
     per-key-ordered batches (every real CDC transport: Debezium,
     Kinesis partition-key) for bit-exact parity with a one-shot apply.
     """
+
+    lake = _queued(lake, lock_wait_s)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         lake.merge_scd2(

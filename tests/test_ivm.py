@@ -929,3 +929,122 @@ def test_mixed_measure_rule_faces_are_identical(spark, sf_dir):
     )
     inc_exact = sorted(tuple(t[cols.index(c)] for c in exact_cols) for t in a)
     assert inc_exact == batch
+
+
+def test_migrate_rule_rebuilds_changed_schema_bit_for_bit(spark, sf_dir, tmp_path):
+    """VERDICT r08 gap 3: adding a measure to a rule whose partials +
+    summary tables already exist migrates via migrate_rule — the
+    rebuilt, then delta-refreshed summary equals the one-shot batch
+    compiler of the NEW config bit-for-bit; ledgers survive the
+    rebuild; a matching schema is a no-op."""
+    import json
+
+    from dataengineeringpipeline_spark.rules import (
+        MONTHLY_REVENUE_RULE,
+        AggregateColumn,
+        AggregationRule,
+        apply_aggregation_rule,
+    )
+
+    so = _silver(spark, sf_dir)
+    cut = F.lit("1998-06-01").cast("date")
+    base = so.filter(F.col("order_date") < cut)
+    delta = so.filter(F.col("order_date") >= cut)
+    old = MONTHLY_REVENUE_RULE
+    new = AggregationRule(
+        name=old.name,
+        group_by_columns=old.group_by_columns,
+        aggregate_columns=(
+            *old.aggregate_columns,
+            AggregateColumn("total_price", "min", "min_order_value"),
+        ),
+        filters=old.filters,
+    )
+    lake = Lake(str(tmp_path))
+    ivm.maintain_rule_partials(lake, base, old, "order_year", batch_id="b0")
+    lake.write(
+        ivm.rule_summary_from_partials(
+            lake.read(spark, "gold", f"{old.name}_partials"), old
+        ),
+        "gold",
+        f"{old.name}_summary",
+    )
+    rep = ivm.migrate_rule(lake, spark, new, base, "order_year")
+    assert rep["migrated"]
+    assert rep["added_columns"] == ["_min_total_price"]
+    assert rep["dropped_columns"] == []
+    # the applied-batch ledger rode the rebuild: a replay of b0 is a no-op
+    ledger = json.load(
+        open(os.path.join(lake.path("gold", f"{old.name}_partials"), "_applied_batches.json"))
+    )
+    assert "b0" in ledger
+    assert ivm.maintain_rule_partials(lake, base, new, "order_year", batch_id="b0") == []
+    # second migrate: no-op
+    assert not ivm.migrate_rule(lake, spark, new, base, "order_year")["migrated"]
+    # ordinary delta refresh resumes on the migrated tables
+    ivm.refresh_rule_summary(lake, spark, new, delta, "order_year", refresh_seq=1)
+    got = sorted(
+        map(tuple, lake.read(spark, "gold", f"{new.name}_summary")
+            .select("order_year", "order_month", "order_status", "revenue",
+                    "avg_order_value", "order_value_stddev", "order_count",
+                    "unique_customers", "max_order_value", "min_order_value")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, apply_aggregation_rule(so, new)
+            .select("order_year", "order_month", "order_status", "revenue",
+                    "avg_order_value", "order_value_stddev", "order_count",
+                    "unique_customers", "max_order_value", "min_order_value")
+            .collect())
+    )
+    assert got == want
+
+
+def test_migrate_rule_validates_partition_col(spark, sf_dir, tmp_path):
+    import pytest
+
+    from dataengineeringpipeline_spark.rules import MONTHLY_REVENUE_RULE
+
+    with pytest.raises(ValueError, match="grain column"):
+        ivm.migrate_rule(
+            Lake(str(tmp_path)), spark, MONTHLY_REVENUE_RULE,
+            _silver(spark, sf_dir), "not_a_grain_col",
+        )
+
+
+def test_refresh_large_delta_avoids_broadcast_and_matches(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r08 stretch: with merge_broadcast_keys=0 the gold refresh
+    takes the large-delta path end to end — no driver key collect
+    anywhere (monkeypatch-asserted), distributed merge — and the
+    refreshed table still equals the full batch recompute."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark import cleaning as cl
+
+    silver_customers = cl.clean_customers(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+    ).drop("geography")
+    so = _silver(spark, sf_dir)
+    cut = F.lit("1998-06-01").cast("date")
+    base, delta = so.filter(F.col("order_date") < cut), so.filter(F.col("order_date") >= cut)
+    lake = Lake(str(tmp_path), merge_broadcast_keys=0)
+    ivm.maintain_customer_partials(lake, base)
+    initial = ivm.customer_analytics_from_partials(
+        silver_customers, lake.read(spark, "gold", "customer_partials")
+    )
+    lake.write(
+        initial.repartitionByRange(8, "customer_key").sortWithinPartitions("customer_key"),
+        "gold",
+        "customer_analytics",
+    )
+
+    def boom(keys_df, col):
+        raise AssertionError("large-delta refresh must not collect keys")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    audit = ivm.refresh_customer_analytics(lake, spark, silver_customers, delta, refresh_seq=1)
+    assert audit["key_path"] == "distributed"
+    got = sorted(map(tuple, lake.read(spark, "gold", "customer_analytics").collect()))
+    want = sorted(map(tuple, gold.customer_analytics(silver_customers, so).collect()))
+    assert got == want

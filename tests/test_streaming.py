@@ -1507,3 +1507,74 @@ def test_stream_cdc_merge_evolves_schema(spark, tmp_path):
     assert 7 not in rows
     assert rows[0] == ("S0", None)  # pre-stream row reads NULL
     assert len(rows) == 100  # 100 - 1 delete + 1 insert
+
+
+def test_stream_cdc_merge_queues_behind_concurrent_writer(spark, tmp_path):
+    """Streaming writers default to QUEUE mode on the single-writer
+    fence: a concurrent maintenance job briefly holding the table lock
+    (a compaction) makes the stream's merge WAIT, not crash — both
+    complete and the table is consistent. With lock_wait_s=0 the same
+    contention fails fast."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.datalake import Lake, _table_lock
+
+    base = spark.createDataFrame(
+        [(i, f"S{i % 3}", float(i)) for i in range(100)],
+        "k long, status string, ts double",
+    )
+    changes = spark.createDataFrame(
+        [(5, "S9", "U", 100.0), (200, "NEW", "U", 101.0), (7, None, "D", 102.0)],
+        "k long, status string, op string, ts double",
+    )
+    ddl = "k long, status string, op string, ts double"
+
+    def setup(root):
+        lake = Lake(str(root / "lake"))
+        lake.write(
+            base.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t"
+        )
+        src = str(root / "in")
+        os.makedirs(src)
+        streaming._stage_arrival_batches(changes, F.lit(0), src, 1)
+        return lake, src, str(root / "ckpt")
+
+    def hold(path, hold_s, started):
+        with _table_lock(path):
+            started.set()
+            time.sleep(hold_s)
+
+    # queue mode (default): stream waits out the other writer
+    lake, src, ckpt = setup(tmp_path / "q")
+    started = threading.Event()
+    t = threading.Thread(target=hold, args=(lake.path("silver", "t"), 3.0, started))
+    t.start()
+    started.wait()
+    streaming.stream_cdc_merge(
+        spark, src, lake, "silver", "t", ckpt, ddl, key_col="k", ts_col="ts"
+    )
+    t.join()
+    rows = {r["k"]: r["status"] for r in lake.read(spark, "silver", "t").collect()}
+    assert rows[5] == "S9" and rows[200] == "NEW" and 7 not in rows
+
+    # fail-fast mode: the same contention raises through the stream
+    lake2, src2, ckpt2 = setup(tmp_path / "ff")
+    started2 = threading.Event()
+    t2 = threading.Thread(
+        target=hold, args=(lake2.path("silver", "t"), 5.0, started2)
+    )
+    t2.start()
+    started2.wait()
+    with pytest.raises(Exception, match="being mutated by pid"):
+        streaming.stream_cdc_merge(
+            spark, src2, lake2, "silver", "t", ckpt2, ddl,
+            key_col="k", ts_col="ts", lock_wait_s=0.0,
+        )
+    t2.join()
