@@ -1779,3 +1779,78 @@ def test_stale_lock_reaping_is_single_winner(tmp_path):
     # no tombstone litter
     parent = os.path.dirname(target)
     assert not [n for n in os.listdir(parent) if n.endswith(".tomb")]
+
+
+def test_distributed_prune_string_and_negative_keys(spark, tmp_path):
+    """The distributed envelope prune's two probe shapes: STRING keys
+    (raw key join — no bucketing) and NEGATIVE integral keys (bucket
+    coarsening must handle lo < 0); both merge bit-identically to the
+    logical apply."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    # string keys
+    sdf = spark.createDataFrame(
+        [(f"id-{i:05d}", float(i)) for i in range(600)], "k string, ts double"
+    )
+    schg = spark.createDataFrame(
+        [(f"id-{i:05d}", "U" if i % 7 else "D", 999.0) for i in range(0, 600, 2)],
+        "k string, op string, ts double",
+    )
+    lake = Lake(str(tmp_path / "s"), merge_broadcast_keys=0)
+    lake.write(sdf.repartitionByRange(5, "k").sortWithinPartitions("k"), "silver", "t")
+    a = lake.merge_changes(spark, "silver", "t", schg, key_col="k", ts_col="ts")
+    assert a["key_path"] == "distributed"
+    got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    want = sorted(map(tuple, cdc_apply(sdf, schg, ["k"], "ts").collect()))
+    assert got == want
+
+    # negative bigint keys
+    ndf = spark.createDataFrame(
+        [(i - 500, float(i)) for i in range(1000)], "k long, ts double"
+    )
+    nchg = spark.createDataFrame(
+        [(i - 500, "U" if i % 5 else "D", 999.0) for i in range(0, 1000, 3)],
+        "k long, op string, ts double",
+    )
+    lake2 = Lake(str(tmp_path / "n"), merge_broadcast_keys=0)
+    lake2.write(ndf.repartitionByRange(6, "k").sortWithinPartitions("k"), "silver", "t")
+    a2 = lake2.merge_changes(spark, "silver", "t", nchg, key_col="k", ts_col="ts")
+    assert a2["key_path"] == "distributed"
+    got2 = sorted(map(tuple, lake2.read(spark, "silver", "t").collect()))
+    want2 = sorted(map(tuple, cdc_apply(ndf, nchg, ["k"], "ts").collect()))
+    assert got2 == want2
+
+
+def test_bloom_index_maintained_through_upsert_partitions(spark, tmp_path):
+    """upsert_partitions joins the index-maintenance story: untouched
+    partitions' entries survive by relpath, rewritten partitions'
+    files re-scan — index keys always equal the live file set."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake, _data_file_rels
+
+    lake = Lake(str(tmp_path))
+    base = spark.createDataFrame(
+        [(i % 4, i, float(i)) for i in range(4000)], "p int, k long, v double"
+    )
+    lake.upsert_partitions(
+        spark, "gold", "t", base, "p",
+        lambda b, d: b.unionByName(d).groupBy("p", "k").agg(F.sum("v").alias("v")),
+    )
+    lake.build_file_index(spark, "gold", "t", "k")
+    path = lake.path("gold", "t")
+    delta = spark.createDataFrame([(1, 17, 100.0), (1, 99991, 1.0)], "p int, k long, v double")
+    lake.upsert_partitions(
+        spark, "gold", "t", delta, "p",
+        lambda b, d: b.unionByName(d).groupBy("p", "k").agg(F.sum("v").alias("v")),
+    )
+    idx = json.load(open(os.path.join(path, "_file_bloom_k.json")))
+    assert set(idx["files"]) == set(_data_file_rels(path))
+    out, rep = lake.point_lookup(spark, "gold", "t", "k", [17, 99991])
+    assert rep["bloom_indexed"] and rep["files_read"] < rep["files_total"]
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert (17, 117.0) in got and (99991, 1.0) in got
