@@ -1871,3 +1871,46 @@ def test_bloom_index_maintained_through_upsert_partitions(spark, tmp_path):
     assert rep["bloom_indexed"] and rep["files_read"] < rep["files_total"]
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert (17, 117.0) in got and (99991, 1.0) in got
+
+
+def test_partial_column_merge_on_distributed_path(spark, tmp_path, monkeypatch):
+    """update_cols (UPDATE SET subset) composed with the large-batch
+    key path: patched rows keep their stored columns, inserts NULL-pad,
+    no driver key collect — identical to the broadcast path."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    base = spark.createDataFrame(
+        [(i, f"S{i % 3}", float(i), f"note-{i}") for i in range(800)],
+        "k long, status string, score double, note string",
+    )
+    ch = spark.createDataFrame(
+        [(i, 1000.0 + i, "U", 1) for i in range(0, 800, 2)]
+        + [(9000, -5.0, "U", 1), (3, 0.0, "D", 1)],
+        "k long, score double, op string, ts int",
+    )
+
+    def run(root, threshold):
+        lake = Lake(str(root), merge_broadcast_keys=threshold)
+        lake.write(
+            base.repartitionByRange(6, "k").sortWithinPartitions("k"), "silver", "t"
+        )
+        a = lake.merge_changes(
+            spark, "silver", "t", ch, "k", "ts", update_cols=("score",)
+        )
+        return a, sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+
+    a1, got_b = run(tmp_path / "b", 10_000_000)
+    assert a1["key_path"] == "broadcast"
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    a2, got_d = run(tmp_path / "d", 0)
+    assert a2["key_path"] == "distributed"
+    assert got_b == got_d
+    rows = {r[0]: r for r in got_d}
+    assert rows[4][2] == 1004.0 and rows[4][1] == "S1" and rows[4][3] == "note-4"
+    assert rows[9000] == (9000, None, -5.0, None)
+    assert 3 not in rows
