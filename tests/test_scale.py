@@ -736,7 +736,8 @@ def test_purge_keys_removes_only_matching_rows(spark, tmp_path):
     # no tombstone/backup dirs left behind
     import os
 
-    siblings = os.listdir(str(tmp_path / "bronze"))
+    # (the flock fence's lock file persists by design — it is not litter)
+    siblings = [s for s in os.listdir(str(tmp_path / "bronze")) if s != "t__lock"]
     assert siblings == ["t"]
     # empty opt-out list: zero files rewritten, nothing touched
     empty = spark.createDataFrame([], "user_id long")
@@ -804,7 +805,9 @@ def test_purge_keys_recovers_from_crashed_swap(spark, tmp_path):
     keys = spark.createDataFrame([(7,)], "user_id long")
     audit = lake.purge_keys(spark, "bronze", "t", "user_id", keys)
     assert audit["rows_before"] == 50 and audit["rows_removed"] == 1
-    assert sorted(os.listdir(str(tmp_path / "bronze"))) == ["t"]
+    assert sorted(
+        s for s in os.listdir(str(tmp_path / "bronze")) if s != "t__lock"
+    ) == ["t"]  # the flock fence's lock file persists by design
     shutil.rmtree(str(tmp_path / "bronze"))
 
 
