@@ -183,73 +183,69 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle-checked every round by tests/test_oracle_parity.py, which runs
 #: ALL entries.
 WINDOW_HEAD = [
-    # ===== r09 window =====
-    # (a) NEW this round (never driver-checked): the distributed
-    #     (no-driver-key-collect) MERGE path, the bloom index maintained
-    #     through a merge, rule-config migration, and the backfill face
-    #     of the gold refresh
-    "lake_backfill_merge_snapshot",
-    "lake_indexed_merge_lookup",
-    "rule_migration_summary",
-    "large_delta_gold_refresh",
-    # (b) operator code changed this round — re-prove the existing faces
-    #     of merge_changes/merge_scd2 (key-path switch, survivors
-    #     persist, bloom-index carry), point_lookup (decoded index
-    #     keys), and the IVM refreshes (large-delta switch). The
-    #     streaming twins (streaming_gold_refresh, streaming_scd2_history,
-    #     streaming_rule_summary_table) yield their slots: they wrap the
-    #     exact functions re-proven here plus the queue-mode wrapper,
-    #     which is lock-plumbing covered by tests/test_streaming.py; all
-    #     stay oracle-checked by tests/test_oracle_parity.py.
+    # ===== r10 window =====
+    # (a) NEW this round (never driver-checked): snapshot retention —
+    #     expire_snapshots(keep_last) + stale-stage vacuum around a
+    #     merge + purge, retained versions proved byte-identical
+    "lake_retention_totals",
+    # (b) operator code changed this round — re-prove every face riding
+    #     the changed substrate: the distributed envelope prune was
+    #     rewritten (decimal bucket math, envelope-derived bounds,
+    #     string prefix buckets), composite-key MERGE now intersects a
+    #     second-key prune, both merges grew the auto-compaction hook,
+    #     and migrate_rule/refresh switched to fingerprint detection
     "lake_cdc_merged_snapshot",
-    "streaming_lake_cdc_snapshot",
-    "lake_partial_update_snapshot",
-    "lake_point_lookup_orders",
+    "lake_backfill_merge_snapshot",
     "lake_scd2_merged_history",
-    "incremental_gold_refresh",
+    "lake_partial_update_snapshot",
+    "lake_time_travel_totals",
+    "streaming_lake_cdc_snapshot",
+    "large_delta_gold_refresh",
+    "rule_migration_summary",
     "incremental_rule_summary_table",
-    # (c) the 39 queries whose most recent driver proof is r05-era — the
-    #     oldest block in the record (VERDICT r08 item 2's exact list,
+    # (c) the 40 queries whose most recent driver proof is r06 — the
+    #     oldest block in the record (VERDICT r09 item 2's exact list,
     #     oldest-first rotation policy)
-    "ann_arrow_recall",
-    "ann_bruteforce_topk",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "contrastive_pairs_report",
-    "corpus_datacard",
-    "doc_fingerprints",
-    "dq_daily_anomalies",
-    "dq_duplicates",
-    "dq_freshness",
-    "dq_null_profile",
-    "dq_outliers",
-    "dq_quarantine_rows",
-    "dq_range_violations",
-    "dq_rule_report",
-    "error_context",
-    "event_type_summary",
-    "events_enriched",
-    "fuzzy_join_matches",
-    "hourly_event_summary",
-    "incremental_events",
-    "pii_redaction_report",
-    "point_in_time_features",
-    "pq_ann_recall",
-    "pq_ann_topk",
-    "quality_gate_ensemble",
-    "shared_span_pairs",
-    "silver_customers",
-    "silver_lineitems",
-    "silver_orders",
-    "silver_parts",
-    "snapshot_diff_report",
-    "span_dedup_cleaned",
-    "split_leakage_audit",
-    "streaming_search_topk",
-    "streaming_session_windows",
-    "user_activity_summary",
-    "value_drift_report",
+    "advisor_from_stats",
+    "cdc_order_snapshot",
+    "classifier_calibration",
+    "classifier_quality_summary",
+    "dedup_survivors",
+    "embedding_near_dups",
+    "entity_resolution_report",
+    "ewma_value_summary",
+    "exact_dedup",
+    "feature_store_latest",
+    "forget_users_report",
+    "frame_sample_plan",
+    "fuzzy_part_matches",
+    "gap_filled_daily_values",
+    "hybrid_search_topk",
+    "join_strategy_advisor",
+    "k_anon_audit",
+    "k_anon_release",
+    "layout_pruning_report",
+    "lexical_search_topk",
+    "minhash_dup_clusters",
+    "minhash_lsh_pairs",
+    "minhash_recall",
+    "monthly_sales_from_partials",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "rag_context_stats",
+    "semantic_dup_clusters",
+    "simhash_dup_candidates",
+    "stats_drift_report",
+    "streaming_ann_topk",
+    "streaming_attribution_pairs",
+    "streaming_cdc_snapshot",
+    "streaming_daily_sales",
+    "streaming_feature_store_latest",
+    "streaming_incremental_dedup",
+    "streaming_quality_gate",
+    "streaming_value_quantiles",
+    "training_corpus_funnel",
+    "value_quantile_sketch",
 ]
 
 
@@ -602,6 +598,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- lakehouse time travel: hard-linked snapshots across a MERGE ----
         "lake_time_travel_totals": lambda spark, sf: datalake.lake_time_travel_totals(
+            spark, sf
+        ),
+        # -- snapshot retention: expire_snapshots + stale-stage vacuum ------
+        "lake_retention_totals": lambda spark, sf: datalake.lake_retention_totals(
             spark, sf
         ),
         # -- change data feed read off two snapshots (Delta CDF analog) -----

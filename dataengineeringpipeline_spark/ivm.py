@@ -771,6 +771,20 @@ def maintain_rule_partials(
             f"partition_col {partition_col!r} must be a grain column of "
             f"rule {rule.name!r} (grain: {grain})"
         )
+    # config-drift fence: refreshing a table built from a DIFFERENT
+    # compiled config would silently mix old- and new-config rows —
+    # fail loudly and route through migrate_rule instead. Tables from
+    # before the fingerprint feature adopt one on their next refresh.
+    fp_path = _rule_fp_path(lake, layer, table or f"{rule.name}_partials")
+    want_fp = rule_fingerprint(rule)
+    have_fp = _read_rule_fp(fp_path)
+    if have_fp is not None and have_fp != want_fp:
+        raise ValueError(
+            f"rule {rule.name!r}: config changed since its partials table "
+            "was built (fingerprint mismatch) — run ivm.migrate_rule(...) "
+            "before refreshing"
+        )
+
     def _merge(base, d):
         stacked = base.unionByName(d)
         if _rule_ndv_cols(rule) or _rule_pctl_cols(rule):
@@ -783,7 +797,7 @@ def maintain_rule_partials(
             stacked = tracked_persist(stacked)
         return merge_rule_partials(stacked, rule)
 
-    return lake.upsert_partitions(
+    touched = lake.upsert_partitions(
         delta.sparkSession,
         layer,
         table or f"{rule.name}_partials",
@@ -792,6 +806,9 @@ def maintain_rule_partials(
         _merge,
         batch_id=batch_id,
     )
+    if have_fp is None:  # first build / legacy adoption
+        _write_rule_fp(fp_path, want_fp)
+    return touched
 
 
 def incremental_rule_aggregation(
@@ -1258,9 +1275,10 @@ def incremental_rule_summary_table(
 def rule_partials_columns(rule) -> list[str]:
     """The column set the IVM compiler stores for ``rule``'s partials
     table: grain ∪ mergeable measure partials ∪ HLL register maps ∪
-    value histograms. The MIGRATION detector compares this against the
-    stored table's columns — a changed rule config compiles to a
-    different set."""
+    value histograms. (The migration detector compares the FULL
+    :func:`rule_fingerprint`, not just this set — several config
+    changes leave the column set unchanged; this remains the legacy
+    fallback for pre-fingerprint tables.)"""
     grain, parts = _rule_partial_specs(rule)
     return [
         *grain,
@@ -1268,6 +1286,62 @@ def rule_partials_columns(rule) -> list[str]:
         *[f"_hll_{c}" for c in _rule_ndv_cols(rule)],
         *[f"_vh_{c}" for c in _rule_pctl_cols(rule)],
     ]
+
+
+def rule_fingerprint(rule) -> str:
+    """Canonical JSON fingerprint of a rule's FULL compiled config —
+    grain order, every measure's (function, column, param, alias), and
+    filters. The migration detector compares THIS, not the partials
+    column set: a changed ``filters``, a re-parameterized percentile
+    (0.5 and 0.9 both compile to the same ``_vh_<col>`` partial), or
+    an output-alias rename all change the live summary while leaving
+    the stored columns identical — a column-set check would silently
+    mix old-config and new-config rows."""
+    import json
+
+    return json.dumps(
+        {
+            "name": rule.name,
+            "group_by": list(rule.group_by_columns),
+            "measures": [
+                [a.function, a.column, a.param, a.alias]
+                for a in rule.aggregate_columns
+            ],
+            "filters": rule.filters,
+        },
+        sort_keys=True,
+    )
+
+
+def _rule_fp_path(lake: Lake, layer: str, p_table: str) -> str:
+    """The fingerprint sidecar lives BESIDE the partials table dir
+    (``<table>__rulefp.json``), like the writer-lock file: staged
+    swaps (upsert_partitions / replace_table) replace the table dir
+    wholesale, so an in-dir sidecar would be dropped by the first
+    refresh after a migration."""
+    import os
+
+    return lake.path(layer, p_table) + "__rulefp.json"
+
+
+def _read_rule_fp(path: str) -> str | None:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)["fingerprint"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _write_rule_fp(path: str, fp: str) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fp}, f)
+    os.rename(tmp, path)
 
 
 def migrate_rule(
@@ -1281,19 +1355,27 @@ def migrate_rule(
     summary_table: str | None = None,
 ) -> dict:
     """Migration path for a CHANGED rule whose partials/summary tables
-    already exist: when the compiled partials schema
-    (:func:`rule_partials_columns`) differs from the stored table's
-    columns — a measure added, dropped, or refunctioned — REBUILD the
-    rule's partials from ``source`` (one full pass is inherent: the new
-    measure's state was never collected) and rebuild the live summary
-    from the new partials. Both rebuilds go through
-    :meth:`Lake.replace_table`: staged, swapped atomically under the
-    writer fence, with the applied-batch LEDGERS carried — a streaming
-    consumer replaying an already-applied batch after the migration is
-    still a no-op, and subsequent :func:`refresh_rule_summary` calls
-    resume delta-sized. A matching schema is a no-op (``migrated:
-    False``), so pipelines can call this unconditionally at deploy
-    time."""
+    already exist: when the rule's FULL compiled fingerprint
+    (:func:`rule_fingerprint` — grain, per-measure function + column +
+    param + alias, filters) differs from the one recorded when the
+    partials were built, REBUILD the rule's partials from ``source``
+    (one full pass is inherent: the new config's state was never
+    collected) and rebuild the live summary from the new partials.
+    The fingerprint — not just the partials column set — is what makes
+    "call this unconditionally at deploy time" SAFE: a changed filter,
+    a re-parameterized percentile (0.5 → 0.9 compiles to the same
+    ``_vh_<col>`` partial), or an alias rename leave the columns
+    identical but change the summary, and must migrate.
+
+    Both rebuilds go through :meth:`Lake.replace_table`: staged,
+    swapped atomically under the writer fence, with the applied-batch
+    LEDGERS carried — a streaming consumer replaying an already-applied
+    batch after the migration is still a no-op, and subsequent
+    :func:`refresh_rule_summary` calls resume delta-sized. A matching
+    fingerprint is a no-op (``migrated: False``). A PRE-FINGERPRINT
+    table (no sidecar) whose stored columns match the compiled set is
+    adopted without a rebuild (the legacy detector's exact semantics)
+    and gets a fingerprint going forward."""
     grain, _ = _rule_partial_specs(rule)
     if partition_col not in grain:
         raise ValueError(
@@ -1305,10 +1387,24 @@ def migrate_rule(
     want = set(rule_partials_columns(rule))
     import os as _os
 
+    fp_path = _rule_fp_path(lake, layer, p_table)
+    want_fp = rule_fingerprint(rule)
+    have_fp = _read_rule_fp(fp_path)
     exists = _os.path.isdir(lake.path(layer, p_table))
     stored = set(lake.read(spark, layer, p_table).columns) if exists else None
-    if stored == want:
-        return {"rule": rule.name, "migrated": False, "reason": "schema matches"}
+    if exists and have_fp == want_fp:
+        return {
+            "rule": rule.name,
+            "migrated": False,
+            "reason": "fingerprint matches",
+        }
+    if exists and have_fp is None and stored == want:
+        _write_rule_fp(fp_path, want_fp)  # legacy table: adopt
+        return {
+            "rule": rule.name,
+            "migrated": False,
+            "reason": "columns match (pre-fingerprint table adopted)",
+        }
     parts = rule_partials(source, rule)
     # one write task per partition value — the upsert_partitions first-
     # load shape, so later maintenance finds the same file economics
@@ -1319,6 +1415,7 @@ def migrate_rule(
         parts.repartition(partition_col),
         partition_by=(partition_col,),
     )
+    _write_rule_fp(fp_path, want_fp)  # the rebuilt state's provenance
     out = {
         "rule": rule.name,
         "migrated": True,

@@ -2971,6 +2971,25 @@ SELECT * FROM (
     IS DISTINCT FROM (l.status, l.total_price, l.last_change)
 ) ORDER BY change_type
 """.strip()
+    # Snapshot retention: version 2 is the CDC-merged state, version 3
+    # that state minus the purged % 71 cohort — the expiry of version 1
+    # must leave both retained reads bit-identical to this arithmetic.
+    merged = (
+        "SELECT s.order_key, s.status, s.total_price FROM snap s"
+        " WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.order_key = s.order_key)"
+        " UNION ALL SELECT order_key, status, total_price FROM latest WHERE op <> 'D'"
+    )
+    retention_body = f"""
+SELECT * FROM (
+  SELECT 2 AS version, status, COUNT(*) AS order_count,
+    {money_sum_sql('total_price')} AS total_value
+  FROM merged GROUP BY status
+  UNION ALL
+  SELECT 3 AS version, status, COUNT(*) AS order_count,
+    {money_sum_sql('total_price')} AS total_value
+  FROM merged WHERE order_key % 71 <> 0 GROUP BY status
+) ORDER BY version, status
+""".strip()
     return {
         "customer_priority_scd2": _with({"ch": ch}, body),
         "cdc_order_snapshot": _with(
@@ -2979,6 +2998,10 @@ SELECT * FROM (
         "lake_scd2_merged_history": _with(scd2_lake_ctes, scd2_lake_body),
         "lake_time_travel_totals": _with(
             {"snap": snap, "chg": chg, "latest": latest}, tt_body
+        ),
+        "lake_retention_totals": _with(
+            {"snap": snap, "chg": chg, "latest": latest, "merged": merged},
+            retention_body,
         ),
         "lake_version_changes": _with(
             {"snap": snap, "chg": chg, "latest": latest}, cdf_body

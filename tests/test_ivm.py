@@ -1048,3 +1048,119 @@ def test_refresh_large_delta_avoids_broadcast_and_matches(spark, sf_dir, tmp_pat
     got = sorted(map(tuple, lake.read(spark, "gold", "customer_analytics").collect()))
     want = sorted(map(tuple, gold.customer_analytics(silver_customers, so).collect()))
     assert got == want
+
+
+def test_migrate_rule_fingerprint_detects_same_column_set_changes(spark, tmp_path):
+    """Config changes that leave the compiled partials COLUMN SET
+    unchanged — a re-parameterized percentile, a changed filter, an
+    alias rename — must still migrate (the fingerprint, not the column
+    set, is the detector), each landing exactly where a from-scratch
+    build of the new config would; refreshing with a changed config
+    without migrating fails loudly."""
+    import pytest
+
+    from dataengineeringpipeline_spark import ivm
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.rules import AggregateColumn, AggregationRule
+
+    df = spark.createDataFrame(
+        [
+            (1995 + i % 3, "O" if i % 2 else "F", float((i * 37) % 997))
+            for i in range(600)
+        ],
+        "order_year int, status string, total_price double",
+    )
+
+    def mk(param=0.5, filters=None, alias="p_val"):
+        return AggregationRule(
+            name="fp_demo",
+            group_by_columns=("order_year",),
+            aggregate_columns=(
+                AggregateColumn("total_price", "count", "n_rows"),
+                AggregateColumn("total_price", "percentile", alias, param),
+            ),
+            filters=filters,
+        )
+
+    lake = Lake(str(tmp_path))
+    base = mk()
+    ivm.maintain_rule_partials(lake, df, base, "order_year")
+    lake.write(
+        ivm.rule_summary_from_partials(
+            lake.read(spark, "gold", "fp_demo_partials"), base
+        ),
+        "gold",
+        "fp_demo_summary",
+    )
+    # unchanged config: no-op (fingerprint recorded at first build)
+    rep0 = ivm.migrate_rule(lake, spark, base, df, "order_year")
+    assert rep0["migrated"] is False and "fingerprint" in rep0["reason"]
+
+    for changed in (
+        mk(param=0.9),               # same _vh partial column, new fraction
+        mk(filters="status = 'O'"),  # same columns, new filter
+        mk(alias="renamed_p"),       # same partials, new output alias
+    ):
+        rep = ivm.migrate_rule(lake, spark, changed, df, "order_year")
+        assert rep["migrated"] is True, (changed, rep)
+        got = sorted(
+            map(tuple, lake.read(spark, "gold", "fp_demo_summary").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivm.rule_summary_from_partials(
+                    ivm.rule_partials(df, changed), changed
+                ).collect(),
+            )
+        )
+        assert got == want, changed
+        # idempotent: the same config immediately re-deploys as a no-op
+        assert not ivm.migrate_rule(lake, spark, changed, df, "order_year")[
+            "migrated"
+        ]
+
+    # refreshing with yet another config WITHOUT migrating fails loudly
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        ivm.maintain_rule_partials(lake, df, mk(param=0.25), "order_year")
+
+
+def test_migrate_rule_adopts_pre_fingerprint_tables(spark, tmp_path):
+    """A partials table from before the fingerprint feature (no
+    sidecar) whose columns match the compiled set is ADOPTED without a
+    rebuild — the legacy detector's exact semantics — and carries a
+    fingerprint afterwards, so the next same-column config change is
+    caught."""
+    import os
+
+    from dataengineeringpipeline_spark import ivm
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.rules import AggregateColumn, AggregationRule
+
+    df = spark.createDataFrame(
+        [(1995 + i % 2, float(i)) for i in range(200)],
+        "order_year int, total_price double",
+    )
+    rule = AggregationRule(
+        name="legacy_demo",
+        group_by_columns=("order_year",),
+        aggregate_columns=(
+            AggregateColumn("total_price", "percentile", "p50", 0.5),
+        ),
+    )
+    lake = Lake(str(tmp_path))
+    ivm.maintain_rule_partials(lake, df, rule, "order_year")
+    fp_path = ivm._rule_fp_path(lake, "gold", "legacy_demo_partials")
+    os.remove(fp_path)  # simulate a pre-fingerprint table
+    rep = ivm.migrate_rule(lake, spark, rule, df, "order_year")
+    assert rep["migrated"] is False and "adopted" in rep["reason"]
+    assert os.path.exists(fp_path)
+    # the adopted fingerprint now catches a same-column param change
+    changed = AggregationRule(
+        name="legacy_demo",
+        group_by_columns=("order_year",),
+        aggregate_columns=(
+            AggregateColumn("total_price", "percentile", "p50", 0.9),
+        ),
+    )
+    assert ivm.migrate_rule(lake, spark, changed, df, "order_year")["migrated"]

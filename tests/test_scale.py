@@ -1917,3 +1917,409 @@ def test_partial_column_merge_on_distributed_path(spark, tmp_path, monkeypatch):
     assert rows[4][2] == 1004.0 and rows[4][1] == "S1" and rows[4][3] == "note-4"
     assert rows[9000] == (9000, None, -5.0, None)
     assert 3 not in rows
+
+
+def test_distributed_prune_wide_span_bigint_keys(spark, tmp_path, monkeypatch):
+    """Hash-surrogate bigint keys near ±2^62: the bucket arithmetic's
+    span exceeds int64, which int64 subtraction would abort on under
+    ANSI (ARITHMETIC_OVERFLOW) or silently wrap into missed files under
+    legacy mode — decimal(38,0) arithmetic must keep the prune exact.
+    A batch touching only the TOP key range must still prune (buckets
+    work, not just 'rewrite everything'), and the merged table must be
+    bit-identical to the logical apply."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    B = 1 << 62
+    step = (2 * B) // 1000
+    df = spark.createDataFrame(
+        [(-B + i * step, float(i)) for i in range(1000)], "k long, ts double"
+    )
+    # touch only the top ~5% of the key space
+    chg = spark.createDataFrame(
+        [(-B + i * step, "U" if i % 9 else "D", 9e9) for i in range(950, 1000)],
+        "k long, op string, ts double",
+    )
+    lake = Lake(str(tmp_path), merge_broadcast_keys=0)
+    lake.write(
+        df.repartitionByRange(10, "k").sortWithinPartitions("k"), "silver", "t"
+    )
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    a = lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    assert a["key_path"] == "distributed"
+    assert 1 <= a["files_rewritten"] < a["files_total"]  # pruned, not blanket
+    got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    want = sorted(map(tuple, cdc_apply(df, chg, ["k"], "ts").collect()))
+    assert got == want
+
+
+def test_distributed_prune_uuid_keys_prefix_buckets(spark, tmp_path, monkeypatch):
+    """String (uuid) keys on the distributed path probe byte-PREFIX
+    buckets, not raw keys: the probe side's distinct count stays
+    bounded near 8× the file count (never the raw key count), unicode
+    and empty-adjacent prefixes stay conservative, and the merge is
+    bit-identical to the broadcast path's."""
+    import uuid
+
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    keys = sorted(
+        str(uuid.UUID(int=((i * 2654435761) % (1 << 32)) << 96 | i))
+        for i in range(1500)
+    )
+    df = spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(keys)], "k string, ts double"
+    )
+    chg = spark.createDataFrame(
+        [(k, "U" if i % 11 else "D", 9e9) for i, k in enumerate(keys[::2])]
+        + [("zz-new-key-é", "U", 9e9), ("", "U", 9e9)],  # unicode + empty inserts
+        "k string, op string, ts double",
+    )
+    want = sorted(map(tuple, cdc_apply(df, chg, ["k"], "ts").collect()))
+
+    broadcast = Lake(str(tmp_path / "b"), merge_broadcast_keys=10_000_000)
+    broadcast.write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), "silver", "t"
+    )
+    a1 = broadcast.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    assert a1["key_path"] == "broadcast"
+    got_b = sorted(map(tuple, broadcast.read(spark, "silver", "t").collect()))
+
+    large = Lake(str(tmp_path / "d"), merge_broadcast_keys=0)
+    large.write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), "silver", "t"
+    )
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+
+    # pin the probe-side coarsening: capture the prune frame it builds
+    real_frame = dl._distributed_prune_frame
+    seen = {}
+
+    def spy(sp, files, keys_df):
+        frame, no_stats = real_frame(sp, files, keys_df)
+        seen["probe_rows"] = None
+        if frame is not None:
+            # the probe side of the join is the first child: count its
+            # distinct rows via the same expression the frame used
+            seen["n_files"] = len(files) - len(no_stats)
+        return frame, no_stats
+
+    monkeypatch.setattr(dl, "_distributed_prune_frame", spy)
+    a2 = large.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    assert a2["key_path"] == "distributed"
+    got_d = sorted(map(tuple, large.read(spark, "silver", "t").collect()))
+    assert got_b == want and got_d == want
+
+    # bounded probe: the ladder's chosen prefix length yields a distinct
+    # count far below the raw key count (uuids share 1-2 leading bytes
+    # per bucket); verify directly on the same inputs
+    from pyspark.sql import functions as F
+
+    ladder = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+    target = 8 * seen["n_files"]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    cnts = kdf.agg(
+        *[
+            F.approx_count_distinct(F.substring("k", 1, p)).alias(f"_c{p}")
+            for p in ladder
+        ]
+    ).first()
+    plen = next((p for p in ladder if cnts[f"_c{p}"] >= target), ladder[-1])
+    n_probe = kdf.select(F.substring("k", 1, plen)).distinct().count()
+    assert n_probe < len(keys)  # coarsened, not raw
+    assert n_probe >= min(target // 2, len(keys))  # but not degenerate
+
+
+def test_composite_key_merge_prunes_on_second_key(spark, tmp_path):
+    """Composite-key MERGE intersects the lead- and second-key envelope
+    prunes: with a 2-value lead key spread through every file (lead-only
+    pruning would rewrite ALL files) and a range-clustered second key,
+    a batch touching one narrow second-key range rewrites a strict
+    subset — and the table is bit-identical to the logical apply."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [("A" if i % 2 else "B", i, f"v{i}", float(i)) for i in range(4000)],
+        "status string, id long, payload string, ts double",
+    )
+    # cluster by the SECOND key only: every file holds both statuses
+    chg = spark.createDataFrame(
+        [("A" if i % 2 else "B", i, "NEW", 9e9, "U" if i % 13 else "D")
+         for i in range(100, 160)],
+        "status string, id long, payload string, ts double, op string",
+    )
+    want = sorted(
+        map(tuple, cdc_apply(df, chg, ["status", "id"], "ts").collect())
+    )
+
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        lake.write(
+            df.repartitionByRange(10, "id").sortWithinPartitions("id"),
+            "silver",
+            "t",
+        )
+        a = lake.merge_changes(
+            spark, "silver", "t", chg, key_col=("status", "id"), ts_col="ts"
+        )
+        # lead-only pruning would hit every file (both statuses are in
+        # every envelope); the second key's envelopes cut it down
+        assert 1 <= a["files_rewritten"] < a["files_total"], a
+        got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+        assert got == want, name
+
+
+def test_distributed_prune_probe_is_single_pass(spark, tmp_path):
+    """The integral prune's probe side derives its global [lo, hi] from
+    the file envelopes the driver already holds — NOT from a min/max
+    aggregation over the keys — so the keys relation is scanned exactly
+    once and the probe side pays exactly one shuffle (the bucket
+    distinct)."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import (
+        _distributed_prune_frame,
+        _key_envelopes,
+        Lake,
+    )
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 20000).select(F.col("id").alias("k"), F.rand(7).alias("v"))
+    lake.write(df.repartitionByRange(8, "k").sortWithinPartitions("k"), "silver", "t")
+    keys_path = str(tmp_path / "keys.parquet")
+    spark.range(0, 5000).select((F.col("id") * 4).alias("k")).write.parquet(keys_path)
+    keys_df = spark.read.parquet(keys_path).select("k")
+
+    files = _key_envelopes(lake.path("silver", "t"), "k")
+    frame, no_stats = _distributed_prune_frame(spark, files, keys_df)
+    assert not no_stats and frame is not None
+    assert len(frame.collect()) > 0  # executes THIS frame's plan
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    # the keys relation (the only parquet in this plan — the envelope
+    # side is a local frame) is scanned exactly ONCE
+    assert plan.count("Scan parquet") == 1, plan
+    # shuffles: bucket distinct (probe side) + hit-rel distinct = 2;
+    # a min/max pre-pass over the keys would add a third
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def _mk_versioned_lake(spark, tmp_path):
+    """Lake with v1 (pre-merge), v2 (post-merge) snapshots and a live
+    table; returns (lake, v1, v2, v1_rows, v2_rows)."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    lake.write(df.repartitionByRange(6, "k").sortWithinPartitions("k"), "silver", "t")
+    v1 = lake.snapshot_version("silver", "t")
+    # touch only the low key range: the merge rewrites some files
+    # (those become v1-exclusive inodes) and hard-links the rest
+    # (shared by v1, v2, and the live table)
+    chg = spark.createDataFrame(
+        [(i, "U" if i % 3 else "D", -1.0, 1.0) for i in range(0, 300, 10)],
+        "k long, op string, v double, ts double",
+    )
+    lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+    v2 = lake.snapshot_version("silver", "t")
+    v1_rows = sorted(map(tuple, lake.read_version(spark, "silver", "t", v1).collect()))
+    v2_rows = sorted(map(tuple, lake.read_version(spark, "silver", "t", v2).collect()))
+    return lake, v1, v2, v1_rows, v2_rows
+
+
+def test_expire_snapshots_frees_inodes_and_keeps_retained(spark, tmp_path):
+    """expire_snapshots(keep_last=1): the expired version's dirs are
+    gone, inodes owned EXCLUSIVELY by it are freed (nlink was 1),
+    retained versions and the live table read byte-identically,
+    restore_version to a retained version still works, a new read of
+    the expired number raises a clear error, and the applied-batch
+    ledger survives."""
+    import os
+
+    import pytest
+
+    from dataengineeringpipeline_spark.datalake import _data_file_rels, _read_ledger
+
+    lake, v1, v2, v1_rows, v2_rows = _mk_versioned_lake(spark, tmp_path)
+    live = lake.path("silver", "t")
+    vdir1 = os.path.join(lake._versions_root("silver", "t"), f"v={v1}")
+    # the merge rewrote files: some of v1's links are now EXCLUSIVE to it
+    exclusive = [
+        r
+        for r in _data_file_rels(vdir1)
+        if os.stat(os.path.join(vdir1, r)).st_nlink == 1
+    ]
+    shared = [
+        r
+        for r in _data_file_rels(vdir1)
+        if os.stat(os.path.join(vdir1, r)).st_nlink > 1
+    ]
+    assert exclusive and shared  # the scenario exercises both classes
+    live_rows_before = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+
+    rep = lake.expire_snapshots("silver", "t", keep_last=1)
+    assert rep["expired"] == [v1] and rep["retained"] == [v2]
+    assert not os.path.exists(vdir1)  # exclusive inodes freed with the dir
+    assert lake.versions("silver", "t") == [v2]
+    # retained version + live table byte-identical to pre-expiry reads
+    assert (
+        sorted(map(tuple, lake.read_version(spark, "silver", "t", v2).collect()))
+        == v2_rows
+    )
+    assert (
+        sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+        == live_rows_before
+    )
+    # a NEW read of the expired number raises, naming what remains
+    with pytest.raises(ValueError, match=f"no version {v1}"):
+        lake.read_version(spark, "silver", "t", v1)
+    # history now covers only retained versions (+ live)
+    assert [h["version"] for h in lake.history("silver", "t")] == [v2, None]
+    # restore to the retained version still works; snapshot intact after
+    lake.restore_version("silver", "t", v2)
+    assert (
+        sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == v2_rows
+    )
+    assert lake.versions("silver", "t") == [v2]
+    assert _read_ledger(live) == []  # no ledger ever written: consistent
+
+
+def test_expire_snapshots_older_than_and_guards(spark, tmp_path):
+    """older_than expires strictly-older commits only, the newest
+    snapshot survives any parameterization, keep_last<1 and
+    parameterless calls are rejected, and resolve_as_of on an instant
+    before every retained commit raises."""
+    import pytest
+
+    lake, v1, v2, _v1_rows, v2_rows = _mk_versioned_lake(spark, tmp_path)
+    c1 = lake._commit_us("silver", "t", v1)
+    c2 = lake._commit_us("silver", "t", v2)
+
+    with pytest.raises(ValueError, match="keep_last and/or older_than"):
+        lake.expire_snapshots("silver", "t")
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        lake.expire_snapshots("silver", "t", keep_last=0)
+
+    # older_than before v1's commit: nothing qualifies
+    rep = lake.expire_snapshots("silver", "t", older_than=c1)
+    assert rep["expired"] == [] and rep["retained"] == [v1, v2]
+    # both given: keep_last protects even qualifying-by-age versions
+    rep = lake.expire_snapshots(
+        "silver", "t", keep_last=2, older_than=c2 + 1
+    )
+    assert rep["expired"] == []
+    # older_than past both commits: v1 expires, the newest NEVER does
+    rep = lake.expire_snapshots("silver", "t", older_than=c2 + 1)
+    assert rep["expired"] == [v1] and rep["retained"] == [v2]
+    with pytest.raises(ValueError, match="no version at or before"):
+        lake.resolve_as_of("silver", "t", c2 - 1)
+    assert lake.resolve_as_of("silver", "t", c2) == v2
+    assert (
+        sorted(map(tuple, lake.read_version(spark, "silver", "t", v2).collect()))
+        == v2_rows
+    )
+
+
+def test_vacuum_sweeps_stale_stages_and_restores_stranded_swap(spark, tmp_path):
+    """vacuum removes orphaned stage/old trees and interrupted snapshot
+    .tmp_ dirs beside a LIVE table, and REPAIRS a crashed swap (live
+    path absent, old copy stranded) instead of deleting the only copy."""
+    import os
+    import shutil
+
+    lake, v1, v2, _v1_rows, v2_rows = _mk_versioned_lake(spark, tmp_path)
+    live = lake.path("silver", "t")
+    os.makedirs(live + "__merging/sub", exist_ok=True)
+    os.makedirs(live + "__prepurge", exist_ok=True)
+    os.makedirs(os.path.join(lake._versions_root("silver", "t"), ".tmp_v9"))
+    rep = lake.vacuum("silver", "t")
+    assert rep["restored_live_table"] is False
+    assert {"t__merging", "t__prepurge"} <= set(rep["removed"])
+    assert any(r.endswith(".tmp_v9") for r in rep["removed"])
+    assert not os.path.exists(live + "__merging")
+    assert not os.path.exists(live + "__prepurge")
+
+    # crashed swap: live absent, old stranded — vacuum restores it
+    live_rows = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    os.rename(live, live + "__premerge")
+    rep2 = lake.vacuum("silver", "t")
+    assert rep2["restored_live_table"] is True
+    assert os.path.isdir(live) and not os.path.exists(live + "__premerge")
+    assert (
+        sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == live_rows
+    )
+
+
+def test_auto_compaction_bounds_file_count_across_merges(spark, tmp_path):
+    """compact_after_files: a stream of micro-batch merges keeps the
+    table's data-file count bounded (each merge otherwise adds survivor
+    part files), contents stay identical to an uncompacted twin, the
+    applied-batch ledger survives the auto-compact's swap, and the
+    bloom index is rebuilt into it (still prunes)."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import (
+        Lake,
+        _data_file_rels,
+        _read_ledger,
+    )
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), F.lit("base").alias("s")
+    )
+
+    def batches():
+        for b in range(6):
+            yield b, spark.createDataFrame(
+                [(2000 + b * 50 + i, f"b{b}", "U", float(b)) for i in range(50)]
+                + [(b * 10 + i, f"u{b}", "U", float(b)) for i in range(5)]
+                + [(1000 + b, None, "D", float(b))],
+                "k long, s string, op string, ts double",
+            )
+
+    auto = Lake(str(tmp_path / "a"), compact_after_files=8)
+    plain = Lake(str(tmp_path / "p"))
+    for lake in (auto, plain):
+        lake.write(
+            base.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t"
+        )
+        lake.build_file_index(spark, "silver", "t", "k")
+        for b, chg in batches():
+            a = lake.merge_changes(
+                spark, "silver", "t", chg, key_col="k", ts_col="ts",
+                batch_id=f"b{b}",
+            )
+    n_auto = len(_data_file_rels(auto.path("silver", "t")))
+    n_plain = len(_data_file_rels(plain.path("silver", "t")))
+    assert n_auto <= 8 < n_plain  # bounded vs unbounded growth
+    got_a = sorted(map(tuple, auto.read(spark, "silver", "t").collect()))
+    got_p = sorted(map(tuple, plain.read(spark, "silver", "t").collect()))
+    assert got_a == got_p and len(got_a) > 2000
+    # exactly-once memory survives the auto-compact swaps
+    assert _read_ledger(auto.path("silver", "t")) == [f"b{b}" for b in range(6)]
+    # a replay is still a no-op
+    _b, last = list(batches())[-1]
+    rep = auto.merge_changes(
+        spark, "silver", "t", last, key_col="k", ts_col="ts", batch_id="b5"
+    )
+    assert rep.get("skipped_replay") is True
+    # bloom index rebuilt into the compacted tree: still prunes
+    out, lrep = auto.point_lookup(spark, "silver", "t", "k", [3, 2001])
+    assert lrep["bloom_indexed"]
+    assert set(lrep and [r["k"] for r in out.collect()]) == {3, 2001}
