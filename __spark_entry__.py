@@ -186,8 +186,11 @@ WINDOW_HEAD = [
     # ===== r10 window =====
     # (a) NEW this round (never driver-checked): snapshot retention —
     #     expire_snapshots(keep_last) + stale-stage vacuum around a
-    #     merge + purge, retained versions proved byte-identical
+    #     merge + purge, retained versions proved byte-identical — and
+    #     the layout advisor (observed predicates → ranked
+    #     bloom/cluster/zorder plan, decision rule under the oracle)
     "lake_retention_totals",
+    "layout_advisor_report",
     # (b) operator code changed this round — re-prove every face riding
     #     the changed substrate: the distributed envelope prune was
     #     rewritten (decimal bucket math, envelope-derived bounds,
@@ -198,7 +201,9 @@ WINDOW_HEAD = [
     "lake_backfill_merge_snapshot",
     "lake_scd2_merged_history",
     "lake_partial_update_snapshot",
-    "lake_time_travel_totals",
+    # (lake_time_travel_totals yields its slot: lake_retention_totals
+    #  exercises the same snapshot/version machinery plus expiry; it
+    #  stays oracle-checked by tests/test_oracle_parity.py)
     "streaming_lake_cdc_snapshot",
     "large_delta_gold_refresh",
     "rule_migration_summary",
@@ -615,6 +620,10 @@ def _grouped_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- Z-order layout planning (file-pruning economics) ---------------
         "layout_pruning_report": lambda spark, sf: layout_ops.layout_pruning_report(
             _read(spark, sf, "events")
+        ),
+        # -- layout advisor: observed predicates → bloom/cluster/zorder plan
+        "layout_advisor_report": lambda spark, sf: layout_ops.layout_advisor_report(
+            load_events(spark, sf)
         ),
         # -- join strategy advisor (broadcast / hot-key-split / shuffle) ----
         # demo thresholds: 512 KiB ceiling + 0.5% hot-key bar so all three

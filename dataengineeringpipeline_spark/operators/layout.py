@@ -226,3 +226,246 @@ def layout_pruning_report(
         )
         .orderBy("layout")
     )
+
+
+#: The advisor's observed-workload spec for the driver-contract query:
+#: (column, predicate kind) pairs a query log would yield. Deterministic
+#: module constants so the DuckDB oracle replays the same analysis.
+ADVISOR_WORKLOAD = (
+    ("user_id", "point"),
+    ("value_cents", "range"),
+    ("event_hour", "range"),
+    ("ts_us", "range"),
+)
+#: Envelope-usefulness bar, per-mille of rows a predicate's modeled scan
+#: touches: above it for a point probe the envelopes can't prune (bloom
+#: index territory); below it for a range probe the column is already
+#: effectively clustered.
+ADVISOR_HI_PM = 800
+ADVISOR_LO_PM = 200
+
+
+def layout_advisor_report(events: DataFrame, n_files: int = N_FILES) -> DataFrame:
+    """Driver-contract query: the LAYOUT ADVISOR — given an observed
+    predicate workload (``ADVISOR_WORKLOAD``: point lookups on
+    ``user_id``, range scans on ``value_cents`` / ``event_hour`` /
+    ``ts_us``), model the CURRENT arrival-order layout's per-file
+    [min,max] envelopes (contiguous ``event_id`` ranges, the same
+    modeling as :func:`layout_pruning_report`) and recommend, per
+    column, which layout/index lever closes its scan cost:
+
+    - point probe whose envelopes can't prune (``scan_pm`` ≥ 800: every
+      file's range covers the probed key) → ``bloom_index`` — exactly
+      when :meth:`Lake.build_file_index` beats clustering;
+    - range probe already served by the current order (``scan_pm`` ≤
+      200) → ``already_clustered`` (don't pay a rewrite);
+    - remaining range probes are CLUSTER CANDIDATES, ranked by modeled
+      scan cost: the top two compose a ``zorder_with:<partner>`` pair
+      (:meth:`Lake.cluster_by_zorder` serves both at once), further
+      candidates get single-column ``cluster_by``, a lone candidate
+      gets ``cluster_by``.
+
+    Pure integer arithmetic over one melt + two tiny aggregations
+    (≤ cols × n_files groups), so the DuckDB oracle recomputes the
+    whole recommendation bit-for-bit — closing the loop from "observed
+    predicates" to "which maintenance command to run", with the
+    decision rule itself under the correctness gate.
+
+    The footer-real production face is :func:`advise_layout` (same
+    thresholds, real parquet stats).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        F.col("event_id").cast("long").alias("rid"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("event_hour").cast("long").alias("event_hour"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+    )
+    scalars = base.agg(F.min("rid").alias("_min_id"), F.max("rid").alias("_max_id"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                F.col(c).alias("val"),
+            )
+            for c, kind in ADVISOR_WORKLOAD
+        ]
+    )
+    melted = (
+        base.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "file_id",
+            F.expr(f"((rid - _min_id) * {n_files}) div (_max_id - _min_id + 1)").cast(
+                "long"
+            ),
+        )
+        .select("file_id", F.explode(probes).alias("p"))
+        .select("file_id", "p.col_name", "p.kind", "p.val")
+    )
+    per_file = melted.groupBy("col_name", "kind", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("val").alias("f_lo"),
+        F.max("val").alias("f_hi"),
+    )
+    gl = per_file.groupBy("col_name").agg(
+        F.min("f_lo").alias("g_lo"), F.max("f_hi").alias("g_hi")
+    )
+    lo_pm, hi_pm = BOX_LO_PM, BOX_HI_PM
+    pf = (
+        per_file.join(F.broadcast(gl), "col_name")
+        .withColumn(
+            "box_lo",
+            F.expr(
+                f"CASE WHEN kind = 'point' THEN g_lo + ((g_hi - g_lo) * 500) div 1000"
+                f" ELSE g_lo + ((g_hi - g_lo) * {lo_pm}) div 1000 END"
+            ),
+        )
+        .withColumn(
+            "box_hi",
+            F.expr(
+                f"CASE WHEN kind = 'point' THEN g_lo + ((g_hi - g_lo) * 500) div 1000"
+                f" ELSE g_lo + ((g_hi - g_lo) * {hi_pm}) div 1000 END"
+            ),
+        )
+    )
+    scanned = (F.col("f_lo") <= F.col("box_hi")) & (F.col("f_hi") >= F.col("box_lo"))
+    per_col = (
+        pf.groupBy("col_name", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_scanned_files"),
+        )
+        .withColumn(
+            "scan_pm",
+            F.expr("(rows_in_scanned_files * 1000) div rows_total").cast("long"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    cand = (
+        (F.col("kind") == "range") & (F.col("scan_pm") > ADVISOR_LO_PM)
+    ).cast("int")
+    ranked = (
+        per_col.withColumn("_cand", cand)
+        .withColumn("_n_cand", F.sum("_cand").over(w))
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("_cand").desc(),
+                    F.col("scan_pm").desc(),
+                    F.col("col_name").asc(),
+                )
+            ),
+        )
+    )
+    top1 = F.max(F.when(F.col("_rnk") == 1, F.col("col_name"))).over(w)
+    top2 = F.max(F.when(F.col("_rnk") == 2, F.col("col_name"))).over(w)
+    rec = (
+        F.when(
+            (F.col("kind") == "point") & (F.col("scan_pm") >= ADVISOR_HI_PM),
+            F.lit("bloom_index"),
+        )
+        .when(F.col("kind") == "point", F.lit("already_selective"))
+        .when(F.col("_cand") == 0, F.lit("already_clustered"))
+        .when(
+            (F.col("_n_cand") >= 2) & (F.col("_rnk") == 1),
+            F.concat(F.lit("zorder_with:"), top2),
+        )
+        .when(
+            (F.col("_n_cand") >= 2) & (F.col("_rnk") == 2),
+            F.concat(F.lit("zorder_with:"), top1),
+        )
+        .otherwise(F.lit("cluster_by"))
+    )
+    return (
+        ranked.withColumn("recommendation", rec)
+        .select(
+            "col_name",
+            F.col("kind").alias("predicate"),
+            "files_total",
+            "files_scanned",
+            "rows_total",
+            "rows_in_scanned_files",
+            "scan_pm",
+            "recommendation",
+        )
+        .orderBy("col_name")
+    )
+
+
+def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
+    """Footer-REAL face of :func:`layout_advisor_report`: read the live
+    table's parquet footers (``_key_envelopes`` — metadata only, no
+    data) and apply the same thresholds to an observed workload of
+    ``(column, 'point' | 'range')`` predicates. Returns ranked
+    recommendation dicts; feed the result straight into
+    :meth:`Lake.build_file_index` / :meth:`Lake.cluster_by` /
+    :meth:`Lake.cluster_by_zorder`.
+
+    The modeled contract query keeps the DECISION RULE under the DuckDB
+    oracle; this face applies it to real file stats (covered by unit
+    tests, like every footer-reading path)."""
+    from ..datalake import _key_envelopes
+
+    path = lake.path(layer, table)
+    rows = []
+    for col, kind in workload:
+        envs = [e for e in _key_envelopes(path, col)]
+        usable = [e for e in envs if e[2] is not None and e[3] is not None]
+        total_rows = sum(e[1] for e in envs) or 1
+        if not usable:
+            rows.append(
+                {"col_name": col, "predicate": kind, "scan_pm": 1000,
+                 "files_total": len(envs), "files_scanned": len(envs)}
+            )
+            continue
+        g_lo, g_hi = min(e[2] for e in usable), max(e[3] for e in usable)
+        try:
+            span = g_hi - g_lo
+            if kind == "point":
+                lo = hi = g_lo + span * 500 // 1000
+            else:
+                lo = g_lo + span * BOX_LO_PM // 1000
+                hi = g_hi - span * (1000 - BOX_HI_PM) // 1000
+        except TypeError:  # non-numeric column (strings): probe midpoints
+            mids = sorted(e[2] for e in usable)
+            lo = hi = mids[len(mids) // 2]
+        hit = [
+            e
+            for e in envs
+            if e[2] is None or e[3] is None or (e[2] <= hi and e[3] >= lo)
+        ]
+        rows.append(
+            {
+                "col_name": col,
+                "predicate": kind,
+                "files_total": len(envs),
+                "files_scanned": len(hit),
+                "scan_pm": sum(e[1] for e in hit) * 1000 // total_rows,
+            }
+        )
+    cands = sorted(
+        (r for r in rows if r["predicate"] == "range" and r["scan_pm"] > ADVISOR_LO_PM),
+        key=lambda r: (-r["scan_pm"], r["col_name"]),
+    )
+    for r in rows:
+        if r["predicate"] == "point":
+            r["recommendation"] = (
+                "bloom_index" if r["scan_pm"] >= ADVISOR_HI_PM else "already_selective"
+            )
+        elif r not in cands:
+            r["recommendation"] = "already_clustered"
+        elif len(cands) >= 2 and r is cands[0]:
+            r["recommendation"] = f"zorder_with:{cands[1]['col_name']}"
+        elif len(cands) >= 2 and r is cands[1]:
+            r["recommendation"] = f"zorder_with:{cands[0]['col_name']}"
+        else:
+            r["recommendation"] = "cluster_by"
+    return rows

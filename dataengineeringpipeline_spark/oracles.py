@@ -3284,7 +3284,96 @@ FROM pf GROUP BY layout ORDER BY layout
     return {"layout_pruning_report": sql}
 
 
+def _layout_advisor_oracle() -> dict[str, str]:
+    """Twin of operators/layout.layout_advisor_report: the same melt →
+    modeled arrival files → per-column envelope/box scan model → the
+    SAME threshold-and-rank decision rule, all integer arithmetic (every
+    operand non-negative, so DuckDB `//` and Spark `div` agree) — the
+    advisor's RECOMMENDATIONS themselves sit under the correctness
+    gate."""
+    from dataengineeringpipeline_spark.operators.layout import (
+        ADVISOR_HI_PM,
+        ADVISOR_LO_PM,
+        BOX_HI_PM,
+        BOX_LO_PM,
+        N_FILES,
+    )
+
+    sql = _with(
+        {
+            "ev": EVENTS_BASE,
+            "b": (
+                "SELECT CAST(event_id AS BIGINT) AS rid,"
+                " CAST(user_id AS BIGINT) AS user_id,"
+                " CAST(floor(value * 100) AS BIGINT) AS value_cents,"
+                " CAST(event_hour AS BIGINT) AS event_hour,"
+                " CAST(ts_us AS BIGINT) AS ts_us FROM ev"
+            ),
+            "s": "SELECT MIN(rid) AS min_id, MAX(rid) AS max_id FROM b",
+            "fb": (
+                f"SELECT ((rid - min_id) * {N_FILES}) // (max_id - min_id + 1)"
+                " AS file_id, user_id, value_cents, event_hour, ts_us FROM b, s"
+            ),
+            "m": (
+                "SELECT file_id, 'user_id' AS col_name, 'point' AS kind, user_id AS val FROM fb"
+                " UNION ALL SELECT file_id, 'value_cents', 'range', value_cents FROM fb"
+                " UNION ALL SELECT file_id, 'event_hour', 'range', event_hour FROM fb"
+                " UNION ALL SELECT file_id, 'ts_us', 'range', ts_us FROM fb"
+            ),
+            "pf": (
+                "SELECT col_name, kind, file_id, COUNT(*) AS nrows,"
+                " MIN(val) AS f_lo, MAX(val) AS f_hi FROM m GROUP BY 1, 2, 3"
+            ),
+            "gl": (
+                "SELECT col_name, MIN(f_lo) AS g_lo, MAX(f_hi) AS g_hi"
+                " FROM pf GROUP BY 1"
+            ),
+            "pfj": (
+                "SELECT pf.*,\n"
+                "  CASE WHEN kind = 'point' THEN g_lo + ((g_hi - g_lo) * 500) // 1000\n"
+                f"       ELSE g_lo + ((g_hi - g_lo) * {BOX_LO_PM}) // 1000 END AS box_lo,\n"
+                "  CASE WHEN kind = 'point' THEN g_lo + ((g_hi - g_lo) * 500) // 1000\n"
+                f"       ELSE g_lo + ((g_hi - g_lo) * {BOX_HI_PM}) // 1000 END AS box_hi\n"
+                "FROM pf JOIN gl USING (col_name)"
+            ),
+            "pc": (
+                "SELECT col_name, kind, CAST(COUNT(*) AS BIGINT) AS files_total,\n"
+                "  CAST(SUM(CASE WHEN f_lo <= box_hi AND f_hi >= box_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,\n"
+                "  CAST(SUM(nrows) AS BIGINT) AS rows_total,\n"
+                "  CAST(SUM(CASE WHEN f_lo <= box_hi AND f_hi >= box_lo THEN nrows ELSE 0 END) AS BIGINT) AS rows_in_scanned_files\n"
+                "FROM pfj GROUP BY 1, 2"
+            ),
+            "pc2": (
+                "SELECT *, CAST((rows_in_scanned_files * 1000) // rows_total AS BIGINT) AS scan_pm,\n"
+                f"  CASE WHEN kind = 'range' AND (rows_in_scanned_files * 1000) // rows_total > {ADVISOR_LO_PM}"
+                " THEN 1 ELSE 0 END AS cand\nFROM pc"
+            ),
+            "rk": (
+                "SELECT *, SUM(cand) OVER () AS n_cand,\n"
+                "  ROW_NUMBER() OVER (ORDER BY cand DESC, scan_pm DESC, col_name ASC) AS rnk\nFROM pc2"
+            ),
+            "tp": (
+                "SELECT *, MAX(CASE WHEN rnk = 1 THEN col_name END) OVER () AS top1,\n"
+                "  MAX(CASE WHEN rnk = 2 THEN col_name END) OVER () AS top2\nFROM rk"
+            ),
+        },
+        f"""
+SELECT col_name, kind AS predicate, files_total, files_scanned, rows_total,
+  rows_in_scanned_files, scan_pm,
+  CASE WHEN kind = 'point' AND scan_pm >= {ADVISOR_HI_PM} THEN 'bloom_index'
+       WHEN kind = 'point' THEN 'already_selective'
+       WHEN cand = 0 THEN 'already_clustered'
+       WHEN n_cand >= 2 AND rnk = 1 THEN 'zorder_with:' || top2
+       WHEN n_cand >= 2 AND rnk = 2 THEN 'zorder_with:' || top1
+       ELSE 'cluster_by' END AS recommendation
+FROM tp ORDER BY col_name
+""".strip(),
+    )
+    return {"layout_advisor_report": sql}
+
+
 ORACLES.update(_layout_oracles())
+ORACLES.update(_layout_advisor_oracle())
 
 
 def _scale_prune_oracles() -> dict[str, str]:

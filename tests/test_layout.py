@@ -117,3 +117,43 @@ def test_zorder_rewrite_files_prune_harder_for_box_scan(spark, sf_dir, tmp_path)
     assert spark.read.parquet(z_path).count() == events.count()
     assert set(spark.read.parquet(z_path).columns) == {"event_id", "user_id", "value"}
     assert files_hit(z_path) < files_hit(arrival_path)
+
+
+def test_advise_layout_reads_real_footers(spark, tmp_path):
+    """Footer-real advisor face: on a lake table written in arrival
+    order with a scattered lookup key, a scattered range measure, and a
+    monotone (already-clustered) range column, the recommendations
+    follow the same rules the oracle-checked modeled report pins —
+    bloom for the unprunable point probe, zorder for the two range
+    candidates, nothing for the clustered column."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators.layout import advise_layout
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("seq"),  # arrival-monotone
+        (F.col("id") * 2654435761 % 99991).alias("k"),  # scattered key
+        (F.col("id") * 48271 % 10007).alias("v"),  # scattered measure
+        (F.col("id") % 24).alias("hr"),  # low-NDV, everywhere
+    )
+    # arrival order: contiguous seq ranges per file
+    lake.write(df.repartitionByRange(16, "seq").sortWithinPartitions("seq"), "silver", "t")
+    rows = {r["col_name"]: r for r in advise_layout(
+        lake, "silver", "t",
+        [("k", "point"), ("v", "range"), ("hr", "range"), ("seq", "range")],
+    )}
+    assert rows["k"]["recommendation"] == "bloom_index"
+    assert rows["seq"]["recommendation"] == "already_clustered"
+    zpair = {rows["v"]["recommendation"], rows["hr"]["recommendation"]}
+    assert zpair == {"zorder_with:hr", "zorder_with:v"}
+    # and the advised actions are the ones the Lake actually implements
+    lake.build_file_index(spark, "silver", "t", "k")
+    out, rep = lake.point_lookup(spark, "silver", "t", "k", [2654435761 % 99991])
+    assert rep["bloom_indexed"] and rep["files_read"] < rep["files_total"]
+    # the advised rewrite is executable as advised (its amplification
+    # effect at real file counts is pinned by
+    # tests/test_scale.py::test_zorder_cluster_serves_both_columns)
+    zrep = lake.cluster_by_zorder(spark, "silver", "t", ("v", "hr"))
+    assert zrep["cluster_cols"] == ["v", "hr"]

@@ -2323,3 +2323,99 @@ def test_auto_compaction_bounds_file_count_across_merges(spark, tmp_path):
     out, lrep = auto.point_lookup(spark, "silver", "t", "k", [3, 2001])
     assert lrep["bloom_indexed"]
     assert set(lrep and [r["k"] for r in out.collect()]) == {3, 2001}
+
+
+def test_keep_snapshots_auto_retention(spark, tmp_path):
+    """Lake(keep_snapshots=2): every snapshot_version commit auto-
+    expires beyond the newest 2 — bounded history for per-micro-batch
+    snapshotting without a retention scheduler; retained reads stay
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path), keep_snapshots=2)
+    states = {}
+    for i in range(4):
+        lake.write(
+            spark.range(0, 100).select(F.col("id"), F.lit(i).alias("gen")),
+            "silver",
+            "t",
+        )
+        v = lake.snapshot_version("silver", "t")
+        states[v] = i
+        assert lake.versions("silver", "t") == list(
+            range(max(1, v - 1), v + 1)
+        )
+    assert lake.versions("silver", "t") == [3, 4]
+    for v in (3, 4):
+        got = lake.read_version(spark, "silver", "t", v)
+        assert got.agg(F.max("gen")).first()[0] == states[v]
+
+
+def test_merge_handles_null_keys_on_both_paths(spark, tmp_path):
+    """A CDC batch carrying NULL-key rows must not crash either key
+    path (a mixed None/value set does not even sort on the broadcast
+    path) and must leave stored rows untouched — NULL equals nothing in
+    the rewrite's equi-joins, matching cdc_apply."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)] + [(None, -1.0)],
+        "k long, ts double",
+    )
+    chg = spark.createDataFrame(
+        [(i, "U", 9e9) for i in range(0, 200, 5)] + [(None, "U", 9e9)],
+        "k long, op string, ts double",
+    )
+    want = sorted(
+        map(tuple, cdc_apply(df, chg, ["k"], "ts").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        lake.write(
+            df.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t"
+        )
+        a = lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+        got = sorted(
+            map(tuple, lake.read(spark, "silver", "t").collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+        assert got == want, (name, a)
+
+
+def test_distributed_prune_partition_dir_key(spark, tmp_path, monkeypatch):
+    """Distributed prune when the MERGE key IS a hive partition column:
+    envelopes come from directory names (strings), which must still
+    feed the integral bucket path's envelope-derived bounds — the merge
+    rewrites exactly the touched partition's files."""
+    import dataengineeringpipeline_spark.datalake as dl
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [(i % 10, i, float(i)) for i in range(1000)], "p int, k long, ts double"
+    )
+    chg = spark.createDataFrame(
+        [(3, i, "U", 9e9) for i in range(0, 1000, 7)],
+        "p int, k long, op string, ts double",
+    )
+    lake = Lake(str(tmp_path), merge_broadcast_keys=0)
+    lake.write(df, "silver", "t", partition_by=("p",))
+
+    def boom(keys_df, col):
+        raise AssertionError("large path must not collect the key set")
+
+    monkeypatch.setattr(dl, "_collect_key_vals", boom)
+    a = lake.merge_changes(spark, "silver", "t", chg, key_col="p", ts_col="ts")
+    assert a["key_path"] == "distributed"
+    assert 1 <= a["files_rewritten"] < a["files_total"] // 2  # one partition
+    got = sorted(
+        map(tuple, lake.read(spark, "silver", "t").select("p", "k", "ts").collect())
+    )
+    want = sorted(
+        map(tuple, cdc_apply(df, chg, ["p"], "ts").select("p", "k", "ts").collect())
+    )
+    assert got == want
