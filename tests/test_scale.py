@@ -2419,3 +2419,57 @@ def test_distributed_prune_partition_dir_key(spark, tmp_path, monkeypatch):
         map(tuple, cdc_apply(df, chg, ["p"], "ts").select("p", "k", "ts").collect())
     )
     assert got == want
+
+
+def test_composite_key_scd2_merge_prunes_on_second_key(spark, tmp_path):
+    """merge_scd2 with a composite business key: histories re-derive on
+    the full tuple, and the envelope prune intersects the lead- and
+    second-key hit sets — a 2-value lead key spread through every file
+    still yields a strict-subset rewrite when the second key is
+    range-clustered. Both key paths, bit-identical to the logical
+    apply."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import scd2_apply_changes, scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            ("A" if i % 2 else "B", i, f"addr-{i}-{v}", float(v))
+            for i in range(600)
+            for v in range(2)
+        ],
+        "region string, id long, addr string, ts double",
+    )
+    hist = scd2_history(changes, ["region", "id"], ["addr"], "ts")
+    upd = spark.createDataFrame(
+        [("A" if i % 2 else "B", i, f"addr-{i}-new", 10.0) for i in range(100, 140)],
+        "region string, id long, addr string, ts double",
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_apply_changes(
+                hist, upd, key_cols=["region", "id"], attr_cols=["addr"], ts_col="ts"
+            ).collect(),
+        )
+    )
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        lake.write(
+            hist.repartitionByRange(8, "id").sortWithinPartitions("id"),
+            "gold",
+            "dim",
+        )
+        a = lake.merge_scd2(
+            spark,
+            "gold",
+            "dim",
+            upd,
+            key_col=("region", "id"),
+            attr_cols=("addr",),
+            ts_col="ts",
+        )
+        assert a["key_path"] == ("broadcast" if name == "b" else "distributed")
+        # lead-only pruning would hit every file; the id envelopes cut it
+        assert 1 <= a["files_rewritten"] < a["files_total"], a
+        got = sorted(map(tuple, lake.read(spark, "gold", "dim").collect()))
+        assert got == want, name
