@@ -2473,3 +2473,46 @@ def test_composite_key_scd2_merge_prunes_on_second_key(spark, tmp_path):
         assert 1 <= a["files_rewritten"] < a["files_total"], a
         got = sorted(map(tuple, lake.read(spark, "gold", "dim").collect()))
         assert got == want, name
+
+
+def test_partial_column_merge_with_composite_keys(spark, tmp_path):
+    """update_cols (UPDATE SET subset) composed with a composite key:
+    the patch joins on the full tuple, unnamed columns keep stored
+    values, brand-new tuples NULL-pad, tombstones delete — on both key
+    paths, with the two-column intersected prune still strict-subset."""
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    base = spark.createDataFrame(
+        [
+            ("A" if i % 2 else "B", i, float(i), f"note-{i}")
+            for i in range(1200)
+        ],
+        "status string, id long, score double, note string",
+    )
+    ch = spark.createDataFrame(
+        [("A" if i % 2 else "B", i, 9000.0 + i, "U", 1) for i in range(200, 240)]
+        + [("Z", 77777, -5.0, "U", 1), ("B", 210, None, "D", 2)],
+        "status string, id long, score double, op string, ts int",
+    )
+
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        lake.write(
+            base.repartitionByRange(8, "id").sortWithinPartitions("id"),
+            "silver",
+            "t",
+        )
+        a = lake.merge_changes(
+            spark, "silver", "t", ch,
+            key_col=("status", "id"), ts_col="ts", update_cols=("score",),
+        )
+        assert 1 <= a["files_rewritten"] < a["files_total"], a
+        rows = {(r["status"], r["id"]): r for r in lake.read(spark, "silver", "t").collect()}
+        assert rows[("A", 201)]["score"] == 9201.0          # patched
+        assert rows[("A", 201)]["note"] == "note-201"        # kept
+        assert rows[("B", 200)]["score"] == 9200.0
+        assert rows[("Z", 77777)]["score"] == -5.0           # new tuple
+        assert rows[("Z", 77777)]["note"] is None            # NULL-padded
+        assert ("B", 210) not in rows                        # tombstoned
+        assert rows[("A", 199)]["score"] == 199.0            # untouched
+        assert len(rows) == 1200 - 1 + 1
