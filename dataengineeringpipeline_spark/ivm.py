@@ -1391,13 +1391,15 @@ def migrate_rule(
     want_fp = rule_fingerprint(rule)
     have_fp = _read_rule_fp(fp_path)
     exists = _os.path.isdir(lake.path(layer, p_table))
-    stored = set(lake.read(spark, layer, p_table).columns) if exists else None
     if exists and have_fp == want_fp:
+        # the steady-state deploy path: one sidecar file read, no Spark
+        # job — the schema read below is only needed when migrating
         return {
             "rule": rule.name,
             "migrated": False,
             "reason": "fingerprint matches",
         }
+    stored = set(lake.read(spark, layer, p_table).columns) if exists else None
     if exists and have_fp is None and stored == want:
         _write_rule_fp(fp_path, want_fp)  # legacy table: adopt
         return {

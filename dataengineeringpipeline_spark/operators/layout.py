@@ -421,9 +421,15 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
         usable = [e for e in envs if e[2] is not None and e[3] is not None]
         total_rows = sum(e[1] for e in envs) or 1
         if not usable:
+            # absent or all-NULL column: nothing to prune on and nothing
+            # a layout rewrite can serve — report it, keep the row shape
+            # uniform, and exclude it from cluster candidacy below
             rows.append(
                 {"col_name": col, "predicate": kind, "scan_pm": 1000,
-                 "files_total": len(envs), "files_scanned": len(envs)}
+                 "files_total": len(envs), "files_scanned": len(envs),
+                 "rows_total": total_rows,
+                 "rows_in_scanned_files": total_rows,
+                 "recommendation": "no_stats"}
             )
             continue
         g_lo, g_hi = min(e[2] for e in usable), max(e[3] for e in usable)
@@ -432,8 +438,11 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
             if kind == "point":
                 lo = hi = g_lo + span * 500 // 1000
             else:
+                # floor form, matching layout_advisor_report / the
+                # oracle-pinned rule exactly (a ceil-shaped hi flips
+                # boundary files and can change the recommendation)
                 lo = g_lo + span * BOX_LO_PM // 1000
-                hi = g_hi - span * (1000 - BOX_HI_PM) // 1000
+                hi = g_lo + span * BOX_HI_PM // 1000
         except TypeError:  # non-numeric column (strings): probe midpoints
             mids = sorted(e[2] for e in usable)
             lo = hi = mids[len(mids) // 2]
@@ -448,14 +457,24 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
                 "predicate": kind,
                 "files_total": len(envs),
                 "files_scanned": len(hit),
+                "rows_total": total_rows,
+                "rows_in_scanned_files": sum(e[1] for e in hit),
                 "scan_pm": sum(e[1] for e in hit) * 1000 // total_rows,
             }
         )
     cands = sorted(
-        (r for r in rows if r["predicate"] == "range" and r["scan_pm"] > ADVISOR_LO_PM),
+        (
+            r
+            for r in rows
+            if r["predicate"] == "range"
+            and r["scan_pm"] > ADVISOR_LO_PM
+            and "recommendation" not in r  # no_stats rows can't cluster
+        ),
         key=lambda r: (-r["scan_pm"], r["col_name"]),
     )
     for r in rows:
+        if "recommendation" in r:
+            continue
         if r["predicate"] == "point":
             r["recommendation"] = (
                 "bloom_index" if r["scan_pm"] >= ADVISOR_HI_PM else "already_selective"

@@ -157,3 +157,35 @@ def test_advise_layout_reads_real_footers(spark, tmp_path):
     # tests/test_scale.py::test_zorder_cluster_serves_both_columns)
     zrep = lake.cluster_by_zorder(spark, "silver", "t", ("v", "hr"))
     assert zrep["cluster_cols"] == ["v", "hr"]
+
+
+def test_advise_layout_no_stats_column_is_not_a_candidate(spark, tmp_path):
+    """A workload column with no usable stats (absent or all-NULL) gets
+    a uniform-shaped 'no_stats' row and is EXCLUDED from cluster/zorder
+    candidacy — recommending a rewrite on a column the table can't
+    cluster would be advice the Lake cannot execute."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.operators.layout import advise_layout
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") * 48271 % 997).alias("v"),
+        F.lit(None).cast("long").alias("empty"),  # all-NULL: no stats
+    )
+    lake.write(df.repartitionByRange(16, "seq").sortWithinPartitions("seq"), "silver", "t")
+    rows = {
+        r["col_name"]: r
+        for r in advise_layout(
+            lake, "silver", "t",
+            [("v", "range"), ("empty", "range"), ("seq", "range")],
+        )
+    }
+    assert rows["empty"]["recommendation"] == "no_stats"
+    # uniform row shape: every row carries the same keys
+    assert set(rows["empty"]) == set(rows["v"])
+    # the lone real candidate gets cluster_by, never zorder_with:empty
+    assert rows["v"]["recommendation"] == "cluster_by"
+    assert rows["seq"]["recommendation"] == "already_clustered"

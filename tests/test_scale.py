@@ -2516,3 +2516,103 @@ def test_partial_column_merge_with_composite_keys(spark, tmp_path):
         assert ("B", 210) not in rows                        # tombstoned
         assert rows[("A", 199)]["score"] == 199.0            # untouched
         assert len(rows) == 1200 - 1 + 1
+
+
+def test_merge_and_purge_on_escaped_partition_key_values(spark, tmp_path):
+    """String partition-key values Spark percent-escapes in directory
+    names (':' etc.): the envelope prune must DECODE the dir value or it
+    silently misses affected files — stale rows surviving the merge,
+    tombstones not deleting, purges no-oping."""
+    from dataengineeringpipeline_spark.datalake import Lake
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [(f"ns:{i % 4}", i, float(i)) for i in range(400)],
+        "k string, v long, ts double",
+    )
+    chg = spark.createDataFrame(
+        [("ns:1", 777, "U", 9e9), ("ns:2", 0, "D", 9e9)],
+        "k string, v long, op string, ts double",
+    )
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        lake.write(df, "silver", "t", partition_by=("k",))
+        a = lake.merge_changes(spark, "silver", "t", chg, key_col="k", ts_col="ts")
+        assert a["files_rewritten"] >= 1, a  # the escaped dirs WERE pruned in
+        got = sorted(
+            map(tuple, lake.read(spark, "silver", "t").select("k", "v").collect())
+        )
+        want = sorted(
+            map(tuple, cdc_apply(df, chg, ["k"], "ts").select("k", "v").collect())
+        )
+        assert got == want, name
+        assert ("ns:1", 777) in got and all(g[0] != "ns:2" for g in got)
+
+    # purge the escaped cohort: must actually remove it
+    lake = Lake(str(tmp_path / "p"))
+    lake.write(df, "silver", "t", partition_by=("k",))
+    rep = lake.purge_keys(
+        spark, "silver", "t", "k", spark.createDataFrame([("ns:3",)], "k string")
+    )
+    assert rep["rows_removed"] == 100, rep
+    assert lake.read(spark, "silver", "t").filter("k = 'ns:3'").count() == 0
+
+
+def test_upsert_partitions_escaped_partition_values(spark, tmp_path):
+    """upsert_partitions' untouched-file hard-link check must percent-
+    decode dir names: an escaped touched-partition dir comparing unequal
+    would link the OLD file in beside its rewrite — duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"region {i % 3}", i, float(i)) for i in range(300)],
+        "p string, k long, v double",
+    )
+    merge = lambda b, d: b.unionByName(d).groupBy("p", "k").agg(  # noqa: E731
+        F.sum("v").alias("v")
+    )
+    lake.upsert_partitions(spark, "gold", "t", base, "p", merge)
+    delta = spark.createDataFrame(
+        [("region 1", 1, 100.0)], "p string, k long, v double"
+    )
+    lake.upsert_partitions(spark, "gold", "t", delta, "p", merge)
+    out = lake.read(spark, "gold", "t")
+    assert out.count() == 300  # no duplicated touched partition
+    assert out.filter("p = 'region 1' and k = 1").first()["v"] == 101.0
+
+
+def test_keep_snapshots_rejects_nonpositive(spark, tmp_path):
+    """A negative keep_snapshots would protect vs[N:] == [] and delete
+    every snapshot including the one just committed — rejected loudly."""
+    import pytest
+
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    lake = Lake(str(tmp_path), keep_snapshots=-10)
+    lake.write(spark.range(5), "silver", "t")
+    with pytest.raises(ValueError, match="keep_snapshots must be >= 1"):
+        lake.snapshot_version("silver", "t")
+    # the guard runs BEFORE any work: nothing was half-committed
+    assert lake.versions("silver", "t") == []
+    lake.keep_snapshots = 1
+    assert lake.snapshot_version("silver", "t") == 1
+
+
+def test_expired_version_interrupted_delete_is_invisible(spark, tmp_path):
+    """Expiry renames a version out of the v= namespace BEFORE deleting:
+    a crash mid-delete leaves only a .tmp_ dir — never a half-deleted
+    dir that versions()/read_version would serve as a complete
+    snapshot — and the next vacuum sweeps it."""
+    import os
+
+    lake, v1, v2, _r1, _r2 = _mk_versioned_lake(spark, tmp_path)
+    root = lake._versions_root("silver", "t")
+    # simulate the crash: the rename happened, the rmtree didn't
+    os.rename(os.path.join(root, f"v={v1}"), os.path.join(root, f".tmp_expired_v{v1}"))
+    assert lake.versions("silver", "t") == [v2]  # invisible mid-delete
+    rep = lake.vacuum("silver", "t")
+    assert any(f".tmp_expired_v{v1}" in r for r in rep["removed"])
+    assert not os.path.exists(os.path.join(root, f".tmp_expired_v{v1}"))
