@@ -873,7 +873,7 @@ def fold_stream_partials(
     import os
     import shutil
 
-    from .datalake import _read_ledger
+    from .datalake import _Ledger, _read_ledger
 
     batches = sorted(
         int(d.split("=", 1)[1])
@@ -881,7 +881,7 @@ def fold_stream_partials(
         if d.startswith("batch_id=") and os.path.isdir(os.path.join(state_dir, d))
     ) if os.path.isdir(state_dir) else []
     path = lake.path(layer, table)
-    applied = set(_read_ledger(path)) if os.path.isdir(path) else set()
+    applied = _read_ledger(path) if os.path.isdir(path) else _Ledger()
     pending = [b for b in batches if f"{feed}:{b}" not in applied]
     if pending:
         delta = spark.read.parquet(
@@ -901,7 +901,7 @@ def fold_stream_partials(
         )
     # delete every batch dir whose id the LIVE ledger now records —
     # includes leftovers from a crash after a previous fold's swap
-    applied = set(_read_ledger(path)) if os.path.isdir(path) else set()
+    applied = _read_ledger(path) if os.path.isdir(path) else _Ledger()
     for b in batches:
         if f"{feed}:{b}" in applied:
             shutil.rmtree(os.path.join(state_dir, f"batch_id={b}"), ignore_errors=True)

@@ -974,10 +974,9 @@ def test_migrate_rule_rebuilds_changed_schema_bit_for_bit(spark, sf_dir, tmp_pat
     assert rep["added_columns"] == ["_min_total_price"]
     assert rep["dropped_columns"] == []
     # the applied-batch ledger rode the rebuild: a replay of b0 is a no-op
-    ledger = json.load(
-        open(os.path.join(lake.path("gold", f"{old.name}_partials"), "_applied_batches.json"))
-    )
-    assert "b0" in ledger
+    from dataengineeringpipeline_spark.datalake import _read_ledger
+
+    assert "b0" in _read_ledger(lake.path("gold", f"{old.name}_partials"))
     assert ivm.maintain_rule_partials(lake, base, new, "order_year", batch_id="b0") == []
     # second migrate: no-op
     assert not ivm.migrate_rule(lake, spark, new, base, "order_year")["migrated"]

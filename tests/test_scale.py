@@ -2081,6 +2081,68 @@ def test_composite_key_merge_prunes_on_second_key(spark, tmp_path):
         assert got == want, name
 
 
+def test_composite_key_merge_prunes_on_third_key(spark, tmp_path):
+    """3-column business key: the envelope prune intersects EVERY key
+    dimension, so when the first TWO keys are low-cardinality and
+    spread through every file (any 2-column prune rewrites ALL files —
+    proven in-test from the same envelopes) and only the THIRD key is
+    range-clustered, a narrow batch still rewrites a strict subset —
+    on both the broadcast and distributed key paths, with the table
+    bit-identical to the logical apply."""
+    from dataengineeringpipeline_spark.datalake import (
+        Lake,
+        _collect_key_vals,
+        _envelope_hits,
+        _key_envelopes_multi,
+    )
+    from dataengineeringpipeline_spark.scd import cdc_apply
+
+    df = spark.createDataFrame(
+        [("A" if i % 2 else "B", i % 5, i, f"v{i}", float(i)) for i in range(4000)],
+        "status string, bucket long, id long, payload string, ts double",
+    )
+    chg = spark.createDataFrame(
+        [("A" if i % 2 else "B", i % 5, i, "NEW", 9e9, "U" if i % 13 else "D")
+         for i in range(100, 160)],
+        "status string, bucket long, id long, payload string, ts double, op string",
+    )
+    want = sorted(
+        map(tuple, cdc_apply(df, chg, ["status", "bucket", "id"], "ts").collect())
+    )
+
+    for name, threshold in (("b", 10_000_000), ("d", 0)):
+        lake = Lake(str(tmp_path / name), merge_broadcast_keys=threshold)
+        # cluster by the THIRD key only: every file holds every
+        # (status, bucket) combination
+        lake.write(
+            df.repartitionByRange(10, "id").sortWithinPartitions("id"),
+            "silver",
+            "t",
+        )
+        if name == "b":
+            # in-test proof that a ≤2-column prune is useless here:
+            # every file's (status, bucket) envelopes hit the batch
+            multi = _key_envelopes_multi(
+                lake.path("silver", "t"), ("status", "bucket")
+            )
+            latest = chg
+            for dim, col in enumerate(("status", "bucket")):
+                vals = _collect_key_vals(latest.select(col).distinct(), col)
+                hit = {
+                    rel
+                    for rel, _rows, envs in multi
+                    if _envelope_hits(envs[dim][0], envs[dim][1], vals)
+                }
+                assert len(hit) == len(multi), col  # all files hit
+        a = lake.merge_changes(
+            spark, "silver", "t", chg,
+            key_col=("status", "bucket", "id"), ts_col="ts",
+        )
+        assert 1 <= a["files_rewritten"] < a["files_total"], a
+        got = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+        assert got == want, name
+
+
 def test_distributed_prune_probe_is_single_pass(spark, tmp_path):
     """The integral prune's probe side derives its global [lo, hi] from
     the file envelopes the driver already holds — NOT from a min/max
@@ -2197,7 +2259,7 @@ def test_expire_snapshots_frees_inodes_and_keeps_retained(spark, tmp_path):
         sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == v2_rows
     )
     assert lake.versions("silver", "t") == [v2]
-    assert _read_ledger(live) == []  # no ledger ever written: consistent
+    assert not _read_ledger(live)  # no ledger ever written: consistent
 
 
 def test_expire_snapshots_older_than_and_guards(spark, tmp_path):
@@ -2312,7 +2374,8 @@ def test_auto_compaction_bounds_file_count_across_merges(spark, tmp_path):
     got_p = sorted(map(tuple, plain.read(spark, "silver", "t").collect()))
     assert got_a == got_p and len(got_a) > 2000
     # exactly-once memory survives the auto-compact swaps
-    assert _read_ledger(auto.path("silver", "t")) == [f"b{b}" for b in range(6)]
+    led = _read_ledger(auto.path("silver", "t"))
+    assert all(f"b{b}" in led for b in range(6))
     # a replay is still a no-op
     _b, last = list(batches())[-1]
     rep = auto.merge_changes(
@@ -2323,6 +2386,102 @@ def test_auto_compaction_bounds_file_count_across_merges(spark, tmp_path):
     out, lrep = auto.point_lookup(spark, "silver", "t", "k", [3, 2001])
     assert lrep["bloom_indexed"]
     assert set(lrep and [r["k"] for r in out.collect()]) == {3, 2001}
+
+
+def test_ledger_representation_bounded():
+    """The v2 applied-batch ledger stays O(window) per stream no matter
+    how many batches commit (the v1 flat list grew one entry per batch
+    forever — at 1 batch/min that is ~500k entries/year, each merge
+    paying an O(history) driver-side read+rewrite), while the
+    exactly-once answers stay correct: every applied id reads applied
+    (pre-watermark replays included), the never-applied frontier does
+    not, out-of-order ids inside the window work, v1 ledgers load, and
+    digitless ids keep exact-list semantics."""
+    import json as _json
+
+    from dataengineeringpipeline_spark.datalake import _LEDGER_WINDOW, _Ledger
+
+    led = _Ledger()
+    for i in range(5000):
+        led.add(f"cdc-{i}")
+        led.add(f"goldrefresh-{i}/partials")
+    blob = _json.dumps(led.to_json())
+    # two streams x 5000 batches: the serialized ledger is a few hundred
+    # bytes, not 10k entries
+    assert len(blob) < 2000
+    st = led.to_json()["streams"]["cdc-#"]
+    assert st["hwm"] == 4999 and st["recent"] == []
+    assert "cdc-0" in led and "cdc-4999" in led  # pre-watermark replay: applied
+    assert "goldrefresh-3/partials" in led
+    assert "cdc-5000" not in led and "other-0" not in led
+    # out-of-order inside the window
+    led2 = _Ledger()
+    for s in (10, 12, 11, 9):
+        led2.add(f"b{s}")
+    assert all(f"b{s}" in led2 for s in (9, 10, 11, 12)) and "b8" not in led2
+    # window overflow absorbs the oldest into the watermark: an id more
+    # than _LEDGER_WINDOW behind the frontier reads applied (documented
+    # reordering-window contract)
+    led3 = _Ledger()
+    for s in range(0, 3 * _LEDGER_WINDOW, 2):  # gappy: never contiguous
+        led3.add(f"s:{s}")
+    assert len(led3.to_json()["streams"]["s:#"]["recent"]) <= _LEDGER_WINDOW
+    assert f"s:{3 * _LEDGER_WINDOW - 2}" in led3 and "s:0" in led3
+    # v1 flat list loads transparently; digitless ids use the exact list
+    led4 = _Ledger.from_json(["b0", "b1", "manual-backfill"])
+    assert "b0" in led4 and "b1" in led4 and "manual-backfill" in led4
+    assert "b2" not in led4 and "other" not in led4
+    # __add__ returns a new ledger without mutating the base (staged
+    # writes must not dirty the live ledger before the swap commits)
+    led5 = led4 + ["b2"]
+    assert "b2" in led5 and "b2" not in led4
+
+
+def test_ledger_bounds_across_merge_stream(spark, tmp_path, monkeypatch):
+    """A long stream of ledgered merges keeps the on-disk ledger
+    O(window) (window patched to 4 so 12 batches overflow it), a replay
+    of a PRE-WATERMARK batch is still a no-op, and contents match a
+    ledger-free twin."""
+    import json as _json
+    import os
+
+    from dataengineeringpipeline_spark import datalake
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    monkeypatch.setattr(datalake, "_LEDGER_WINDOW", 4)
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit("base").alias("s")
+    )
+    lake = Lake(str(tmp_path / "l"))
+    lake.write(base.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t")
+    for b in range(12):
+        chg = spark.createDataFrame(
+            [(b * 7 + i, f"m{b}", "U", float(b)) for i in range(3)],
+            "k long, s string, op string, ts double",
+        )
+        lake.merge_changes(
+            spark, "silver", "t", chg, key_col="k", ts_col="ts",
+            batch_id=f"m-{b}",
+        )
+    with open(os.path.join(lake.path("silver", "t"), "_applied_batches.json")) as f:
+        raw = _json.load(f)
+    assert raw["v"] == 2
+    st = raw["streams"]["m-#"]
+    assert len(st["recent"]) <= 4  # bounded: 12 commits, <=window retained
+    assert st["hwm"] is not None and st["hwm"] >= 7  # oldest absorbed
+    rows_before = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    # replay of a batch BELOW the watermark (its id is long gone from
+    # the recent window) is still an exactly-once no-op
+    replay = spark.createDataFrame(
+        [(0, "DOUBLE-APPLIED", "U", 99.0)], "k long, s string, op string, ts double"
+    )
+    rep = lake.merge_changes(
+        spark, "silver", "t", replay, key_col="k", ts_col="ts", batch_id="m-0"
+    )
+    assert rep.get("skipped_replay") is True
+    assert (
+        sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == rows_before
+    )
 
 
 def test_keep_snapshots_auto_retention(spark, tmp_path):
