@@ -411,10 +411,18 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
 
     The modeled contract query keeps the DECISION RULE under the DuckDB
     oracle; this face applies it to real file stats (covered by unit
-    tests, like every footer-reading path)."""
-    from ..datalake import _key_envelopes
+    tests, like every footer-reading path).
+
+    The advice CONVERGES under :func:`apply_layout_advice`: a point
+    column that already carries a per-file bloom index reports
+    ``already_indexed`` (not ``bloom_index`` again), and a range column
+    whose rewrite landed reports ``already_clustered`` on the next run
+    — so observe → advise → act → re-advise reaches a fixpoint instead
+    of re-recommending work already done."""
+    from ..datalake import _indexed_cols, _key_envelopes
 
     path = lake.path(layer, table)
+    indexed = set(_indexed_cols(path))
     rows = []
     for col, kind in workload:
         envs = [e for e in _key_envelopes(path, col)]
@@ -477,7 +485,9 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
             continue
         if r["predicate"] == "point":
             r["recommendation"] = (
-                "bloom_index" if r["scan_pm"] >= ADVISOR_HI_PM else "already_selective"
+                ("already_indexed" if r["col_name"] in indexed else "bloom_index")
+                if r["scan_pm"] >= ADVISOR_HI_PM
+                else "already_selective"
             )
         elif r not in cands:
             r["recommendation"] = "already_clustered"
@@ -488,3 +498,105 @@ def advise_layout(lake, layer: str, table: str, workload) -> list[dict]:
         else:
             r["recommendation"] = "cluster_by"
     return rows
+
+
+def apply_layout_advice(
+    lake,
+    spark,
+    layer: str,
+    table: str,
+    workload,
+    advice: list[dict] | None = None,
+    target_file_mb: float = 128,
+    zorder_bits: int = 8,
+) -> dict:
+    """Close the observe → advise → ACT loop: execute
+    :func:`advise_layout`'s recommendations with the Lake's own
+    maintenance levers, one pass, under the same per-table writer fence
+    every lever already takes —
+
+    - ``bloom_index`` → :meth:`Lake.build_file_index` (run AFTER any
+      rewrite so the fresh index covers the rewritten files);
+    - ``zorder_with:<partner>`` → ONE :meth:`Lake.cluster_by_zorder`
+      on the pair (the two mirrored advice rows are one action);
+    - ``cluster_by`` → :meth:`Lake.cluster_by`, only when no zorder
+      rewrite ran: a table has ONE physical sort order, so a second
+      full rewrite would undo the first — lower-ranked cluster
+      candidates are reported ``skipped_conflicting_rewrite`` instead
+      of silently clobbering the z-order (they remain served ~√N-wide
+      by the curve anyway);
+    - ``already_*`` / ``no_stats`` rows are skipped as ``noop``.
+
+    Returns an audit dict: per-column actions taken, each rewrite's
+    read-amplification before/after (from the levers' own footer-read
+    reports), and the re-run advice so callers can assert convergence
+    (the advised columns come back ``already_clustered`` /
+    ``already_indexed``). At 100 TB each action is the lever's own
+    economics — metadata-only advice, one range shuffle per executed
+    rewrite, a single data pass per bloom build. ``target_file_mb`` /
+    ``zorder_bits`` pass through to the rewrite levers (size the target
+    so each shuffle partition lands in the 64-256 MB parquet sweet spot
+    at the table's real scale)."""
+    advice = list(advice) if advice is not None else advise_layout(lake, layer, table, workload)
+    actions: list[dict] = []
+    rewrite_done: dict | None = None
+
+    def _pair_of(rec: str) -> str:
+        return rec.split(":", 1)[1]
+
+    # the zorder pair outranks single-column clustering by construction
+    # (advise_layout assigns zorder to the top-2 candidates)
+    zrows = sorted(
+        (r for r in advice if str(r["recommendation"]).startswith("zorder_with:")),
+        key=lambda r: (-r["scan_pm"], r["col_name"]),
+    )
+    if zrows:
+        lead = zrows[0]
+        pair = (lead["col_name"], _pair_of(lead["recommendation"]))
+        rep = lake.cluster_by_zorder(
+            spark, layer, table, pair, bits=zorder_bits, target_file_mb=target_file_mb
+        )
+        rewrite_done = {"action": "cluster_by_zorder", "cols": list(pair), **{
+            k: rep[k] for k in (
+                "read_amplification_before", "read_amplification_after",
+                "files_before", "files_after",
+            ) if k in rep
+        }}
+        actions.append(rewrite_done)
+    for r in sorted(
+        (r for r in advice if r["recommendation"] == "cluster_by"),
+        key=lambda r: (-r["scan_pm"], r["col_name"]),
+    ):
+        if rewrite_done is not None:
+            actions.append(
+                {"action": "skipped_conflicting_rewrite",
+                 "cols": [r["col_name"]],
+                 "kept": rewrite_done["action"]}
+            )
+            continue
+        rep = lake.cluster_by(
+            spark, layer, table, (r["col_name"],), target_file_mb=target_file_mb
+        )
+        rewrite_done = {"action": "cluster_by", "cols": [r["col_name"]], **{
+            k: rep[k] for k in (
+                "read_amplification_before", "read_amplification_after",
+                "files_before", "files_after",
+            ) if k in rep
+        }}
+        actions.append(rewrite_done)
+    for r in (r for r in advice if r["recommendation"] == "bloom_index"):
+        rep = lake.build_file_index(spark, layer, table, r["col_name"])
+        actions.append(
+            {"action": "build_file_index", "cols": [r["col_name"]],
+             "files_indexed": rep.get("files_indexed")}
+        )
+    for r in advice:
+        rec = str(r["recommendation"])
+        if rec.startswith("already_") or rec == "no_stats":
+            actions.append({"action": "noop", "cols": [r["col_name"]], "why": rec})
+    return {
+        "table": f"{layer}.{table}",
+        "advice": advice,
+        "actions": actions,
+        "advice_after": advise_layout(lake, layer, table, workload),
+    }
