@@ -1578,3 +1578,91 @@ def test_stream_cdc_merge_queues_behind_concurrent_writer(spark, tmp_path):
             key_col="k", ts_col="ts", lock_wait_s=0.0,
         )
     t2.join()
+
+
+def test_stream_cdc_merge_snapshot_each_batch_bounded(spark, tmp_path, monkeypatch):
+    """snapshot_each_batch: a many-batch CDC merge stream commits one
+    numbered snapshot per APPLIED micro-batch, and the streaming
+    context bounds the version history BY DEFAULT (the _queued wrapper
+    gives the stream's lake keep_snapshots when the caller set none) —
+    8 applied batches retain only the newest 4 under a patched default.
+    The latest snapshot equals the live table, and a full crash-replay
+    of the feed (fresh checkpoint, same source) is ledger-hit no-ops
+    that add NO versions. A caller-configured bound always wins over
+    the streaming default."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark import streaming
+    from dataengineeringpipeline_spark.datalake import Lake
+
+    monkeypatch.setattr(streaming, "DEFAULT_STREAM_KEEP_SNAPSHOTS", 4)
+    base = spark.createDataFrame(
+        [(i, f"S{i % 3}", float(i)) for i in range(100)],
+        "k long, status string, ts double",
+    )
+    changes = spark.createDataFrame(
+        [(k, f"N{b}", "U", 100.0 + b) for b in range(8) for k in (b, 50 + b)],
+        "k long, status string, op string, ts double",
+    )
+    lake = Lake(str(tmp_path / "lake"))  # no caller bound: default applies
+    lake.write(base.repartitionByRange(4, "k").sortWithinPartitions("k"), "silver", "t")
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    streaming._stage_arrival_batches(changes, (F.col("ts") - 100.0).cast("int"), src, 8)
+    ddl = "k long, status string, op string, ts double"
+    streaming.stream_cdc_merge(
+        spark, src, lake, "silver", "t", ckpt, ddl,
+        key_col="k", ts_col="ts", max_files_per_trigger=1,
+        snapshot_each_batch=True,
+    )
+    vs = lake.versions("silver", "t")
+    assert vs == [5, 6, 7, 8]  # 8 applied batches, newest 4 retained
+    live = sorted(map(tuple, lake.read(spark, "silver", "t").collect()))
+    snap = sorted(
+        map(tuple, lake.read_version(spark, "silver", "t", vs[-1]).collect())
+    )
+    assert snap == live
+    # crash-replay of the whole feed: merges are exactly-once no-ops,
+    # so the snapshot trail does not grow either
+    streaming.stream_cdc_merge(
+        spark, src, lake, "silver", "t", str(tmp_path / "ckpt2"), ddl,
+        key_col="k", ts_col="ts", max_files_per_trigger=1,
+        snapshot_each_batch=True,
+    )
+    assert lake.versions("silver", "t") == vs
+    assert sorted(map(tuple, lake.read(spark, "silver", "t").collect())) == live
+    # the default only fills a gap: a caller-set bound passes through
+    assert streaming._queued(Lake(str(tmp_path / "x"), keep_snapshots=2), 5.0).keep_snapshots == 2
+    assert streaming._queued(Lake(str(tmp_path / "y")), 5.0).keep_snapshots == 4
+
+
+def test_streaming_gold_refresh_bootstrap_cache_reuses_and_matches(spark, sf_dir):
+    """The process-scoped bootstrap fixture: a second invocation of the
+    heavyweight streaming gold refresh reuses the staged bootstrap tree
+    (hard-link clone — the bench repeats stop re-paying the fixed
+    build) and still produces the identical result, because the
+    streamed phase runs in full against its own clone + checkpoint.
+    The template tree is bit-untouched after the run (same files, same
+    inodes)."""
+    import os
+
+    from dataengineeringpipeline_spark import streaming
+
+    streaming._BOOTSTRAP_CACHE.pop(("stream_gold_refresh", sf_dir), None)
+    first = sorted(map(tuple, streaming.streaming_gold_refresh(spark, sf_dir).collect()))
+    root = streaming._BOOTSTRAP_CACHE[("stream_gold_refresh", sf_dir)]
+
+    def snap(r):
+        out = {}
+        for d, _dirs, files in os.walk(r):
+            for f in files:
+                p = os.path.join(d, f)
+                out[os.path.relpath(p, r)] = os.stat(p).st_ino
+        return out
+
+    before = snap(root)
+    second = sorted(map(tuple, streaming.streaming_gold_refresh(spark, sf_dir).collect()))
+    assert second == first and len(first) > 0
+    assert snap(root) == before  # template untouched by the clone's run
