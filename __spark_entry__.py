@@ -183,74 +183,70 @@ def _advisor_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle-checked every round by tests/test_oracle_parity.py, which runs
 #: ALL entries.
 WINDOW_HEAD = [
-    # ===== r10 window =====
-    # (a) NEW this round (never driver-checked): snapshot retention —
-    #     expire_snapshots(keep_last) + stale-stage vacuum around a
-    #     merge + purge, retained versions proved byte-identical — and
-    #     the layout advisor (observed predicates → ranked
-    #     bloom/cluster/zorder plan, decision rule under the oracle)
-    "lake_retention_totals",
-    "layout_advisor_report",
-    # (b) operator code changed this round — re-prove every face riding
-    #     the changed substrate: the distributed envelope prune was
-    #     rewritten (decimal bucket math, envelope-derived bounds,
-    #     string prefix buckets), composite-key MERGE now intersects a
-    #     second-key prune, both merges grew the auto-compaction hook,
-    #     and migrate_rule/refresh switched to fingerprint detection
+    # ===== r11 window =====
+    # (a) no new contract queries this round (the round's new surface —
+    #     apply_layout_advice, the bounded applied-batch ledger, the
+    #     N-column envelope prune — is physical-rewrite/sidecar
+    #     machinery proven by tests, not new query semantics)
+    # (b) operator code changed this round — re-prove every contract
+    #     face riding the changed substrate: the applied-batch ledger
+    #     switched to the bounded v2 representation (merge_changes /
+    #     merge_scd2 / upsert_partitions / replace_table / the
+    #     streaming fold all read+write it) and the composite-key
+    #     envelope prune generalized to N columns
     "lake_cdc_merged_snapshot",
     "lake_backfill_merge_snapshot",
     "lake_scd2_merged_history",
-    "lake_partial_update_snapshot",
-    # (lake_time_travel_totals yields its slot: lake_retention_totals
-    #  exercises the same snapshot/version machinery plus expiry; it
-    #  stays oracle-checked by tests/test_oracle_parity.py)
     "streaming_lake_cdc_snapshot",
-    "large_delta_gold_refresh",
-    "rule_migration_summary",
-    "incremental_rule_summary_table",
-    # (c) the 40 queries whose most recent driver proof is r06 — the
-    #     oldest block in the record (VERDICT r09 item 2's exact list,
+    # (c) the 46 queries whose most recent driver proof is r07 — the
+    #     oldest block in the record (VERDICT r10 item 2's exact list,
     #     oldest-first rotation policy)
-    "advisor_from_stats",
-    "cdc_order_snapshot",
-    "classifier_calibration",
-    "classifier_quality_summary",
-    "dedup_survivors",
-    "embedding_near_dups",
-    "entity_resolution_report",
-    "ewma_value_summary",
-    "exact_dedup",
-    "feature_store_latest",
-    "forget_users_report",
-    "frame_sample_plan",
-    "fuzzy_part_matches",
-    "gap_filled_daily_values",
-    "hybrid_search_topk",
-    "join_strategy_advisor",
-    "k_anon_audit",
-    "k_anon_release",
-    "layout_pruning_report",
-    "lexical_search_topk",
-    "minhash_dup_clusters",
-    "minhash_lsh_pairs",
-    "minhash_recall",
-    "monthly_sales_from_partials",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "rag_context_stats",
-    "semantic_dup_clusters",
-    "simhash_dup_candidates",
-    "stats_drift_report",
-    "streaming_ann_topk",
-    "streaming_attribution_pairs",
-    "streaming_cdc_snapshot",
-    "streaming_daily_sales",
-    "streaming_feature_store_latest",
-    "streaming_incremental_dedup",
-    "streaming_quality_gate",
-    "streaming_value_quantiles",
-    "training_corpus_funnel",
-    "value_quantile_sketch",
+    "boilerplate_report",
+    "category_performance",
+    "chunk_summary",
+    "cohort_retention",
+    "comprehensive_sales_summary",
+    "conversion_funnel",
+    "customer_analytics",
+    "customer_lifetime_metrics",
+    "customer_priority_scd2",
+    "customer_value_deciles",
+    "daily_sales_summary",
+    "decontamination_report",
+    "domain_mix_summary",
+    "eval_sample_picks",
+    "event_heavy_hitters",
+    "incident_window_events",
+    "incremental_rule_aggregation",
+    "item_pagerank",
+    "lake_version_changes",
+    "language_id_eval",
+    "ml_customer_features",
+    "monthly_sales_summary",
+    "next_item_rules",
+    "pack_summary",
+    "priority_performance",
+    "purchase_attribution",
+    "repetition_stats",
+    "rule_driven_aggregation",
+    "rule_driven_features",
+    "salted_status_summary",
+    "segment_summary",
+    "session_summary",
+    "sliding_window_summary",
+    "split_summary",
+    "status_priority_cube",
+    "stratified_sample_summary",
+    "streaming_hourly_counts",
+    "streaming_rule_aggregation",
+    "streaming_session_counts",
+    "streaming_severity_counts",
+    "streaming_stats_drift",
+    "text_quality",
+    "text_stats",
+    "token_histogram",
+    "top_customers_per_segment",
+    "value_quartile_profile",
 ]
 
 
