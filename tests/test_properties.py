@@ -605,3 +605,42 @@ def test_jpeg_random_image_roundtrip_is_bounded_and_deterministic(seed, h, w):
     assert got.shape == (h, w, 3)
     err = np.abs(got[..., 0].astype(int) - img.astype(int))
     assert err.mean() < 40.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["cdc-", "goldrefresh-", "feed:", "b"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        max_size=120,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ledger_applied_ids_always_read_applied(ops):
+    """v2 applied-batch ledger model check: EVERY id ever added reads
+    as applied afterwards (the exactly-once guarantee can never drop a
+    recorded batch, regardless of interleaving, duplicates, or window
+    compaction), the serialized form stays bounded, and an id AHEAD of
+    its stream's frontier never reads applied (a future batch can't be
+    spuriously skipped)."""
+    import json as _json
+
+    from dataengineeringpipeline_spark.datalake import _LEDGER_WINDOW, _Ledger
+
+    led = _Ledger()
+    added = set()
+    frontier: dict[str, int] = {}
+    for prefix, seq in ops:
+        led.add(f"{prefix}{seq}")
+        added.add(f"{prefix}{seq}")
+        frontier[prefix] = max(frontier.get(prefix, -1), seq)
+        # round-trip through JSON at every step: what rides the swap is
+        # the serialized form
+        led = _Ledger.from_json(_json.loads(_json.dumps(led.to_json())))
+    for bid in added:
+        assert bid in led
+    for prefix, top in frontier.items():
+        assert f"{prefix}{top + 1}" not in led  # frontier+1 never applied
+    for st_state in led.to_json()["streams"].values():
+        assert len(st_state["recent"]) <= _LEDGER_WINDOW
