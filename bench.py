@@ -172,19 +172,28 @@ def _reprobe_child(payload: str) -> int:
         _touch_numpy, "id long"
     ).write.mode("overwrite").format("noop").save()
     calib = _calibrate(spark, cpus)
-    out: dict[str, object] = {"calibration": calib, "timings": {}}
+    out: dict[str, object] = {"calibration": calib, "timings": {}, "errors": {}}
     for name in names:
         fn = queries.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            release_caches()
-            spark.catalog.clearCache()
+        # per-query isolation: one mover crashing in the fresh process
+        # (a real regression may present exactly that way) must not
+        # abort the whole reprobe and lose every OTHER mover's
+        # adjudication — the round-9/10 failure mode this exists to fix
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                release_caches()
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — recorded, never fatal
+            out["errors"][name] = f"{type(exc).__name__}: {exc}"[:200]  # type: ignore[index]
+            if best is None:
+                continue
         out["timings"][name] = round(best, 3)  # type: ignore[index]
     print("BENCH_REPROBE_JSON:" + json.dumps(out))
     return 0
@@ -192,9 +201,10 @@ def _reprobe_child(payload: str) -> int:
 
 def _run_reprobe_subprocess(
     movers: list[tuple[str, float]], sf_dir: str, cpus: int, timeout_s: float
-) -> tuple[dict[str, float], dict | None, str | None]:
+) -> tuple[dict[str, float], dict | None, str | None, dict[str, str]]:
     """Launch the fresh-process reprobe; returns (timings, calibration,
-    error). Never raises — a reprobe failure must not sink the bench."""
+    error, per-query errors). Never raises — a reprobe failure must not
+    sink the bench."""
     import subprocess
 
     payload = json.dumps(
@@ -209,15 +219,20 @@ def _run_reprobe_subprocess(
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except (OSError, subprocess.TimeoutExpired) as e:
-        return {}, None, f"{type(e).__name__}"
+        return {}, None, f"{type(e).__name__}", {}
     for line in reversed(proc.stdout.decode("utf-8", "replace").splitlines()):
         if line.startswith("BENCH_REPROBE_JSON:"):
             try:
                 out = json.loads(line[len("BENCH_REPROBE_JSON:"):])
-                return out.get("timings", {}), out.get("calibration"), None
+                return (
+                    out.get("timings", {}),
+                    out.get("calibration"),
+                    None,
+                    out.get("errors", {}),
+                )
             except ValueError:
                 break
-    return {}, None, f"no-json(rc={proc.returncode})"
+    return {}, None, f"no-json(rc={proc.returncode})", {}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -324,8 +339,12 @@ def main() -> int:
     )
     movers = [(n, r) for n, r in movers if r > 1.25][:8]
     if movers:
-        child_timings, child_calib, child_err = _run_reprobe_subprocess(
-            movers, sf_dir, cpus, timeout_s=420.0
+        # the parent session is done measuring (timings + closing
+        # calibration are in hand); stop it BEFORE spawning the child
+        # JVM so peak memory is one warmed JVM, not two
+        spark.stop()
+        child_timings, child_calib, child_err, child_q_errs = (
+            _run_reprobe_subprocess(movers, sf_dir, cpus, timeout_s=420.0)
         )
         reprobe_meta["calibration"] = child_calib
         if child_err:
@@ -337,6 +356,8 @@ def main() -> int:
             }
             if name in child_timings:
                 entry["reprobe_s"] = child_timings[name]
+            if name in child_q_errs:
+                entry["reprobe_error"] = child_q_errs[name]
             reprobe[name] = entry
 
     # The harness that records this bench keeps only the last ~2000

@@ -515,75 +515,95 @@ def apply_layout_advice(
     maintenance levers, one pass, under the same per-table writer fence
     every lever already takes —
 
+    - the CLUSTER CANDIDATES (every ``zorder_with:`` / ``cluster_by``
+      row, ranked by modeled scan cost) become ONE physical rewrite: a
+      multi-column :meth:`Lake.cluster_by_zorder` over up to four
+      candidates when there are two or more (a table has ONE physical
+      sort order — z-ordering ALL candidates serves each of them
+      ~F^(1/k)-wide instead of letting a second rewrite undo the
+      first), or a plain :meth:`Lake.cluster_by` for a lone candidate
+      (extended into the recorded z-order's columns when one exists, so
+      acting on a new candidate never un-serves previously advised
+      columns);
     - ``bloom_index`` → :meth:`Lake.build_file_index` (run AFTER any
       rewrite so the fresh index covers the rewritten files);
-    - ``zorder_with:<partner>`` → ONE :meth:`Lake.cluster_by_zorder`
-      on the pair (the two mirrored advice rows are one action);
-    - ``cluster_by`` → :meth:`Lake.cluster_by`, only when no zorder
-      rewrite ran: a table has ONE physical sort order, so a second
-      full rewrite would undo the first — lower-ranked cluster
-      candidates are reported ``skipped_conflicting_rewrite`` instead
-      of silently clobbering the z-order (they remain served ~√N-wide
-      by the curve anyway);
     - ``already_*`` / ``no_stats`` rows are skipped as ``noop``.
+
+    The executed layout is recorded in a ``_layout.json`` sidecar
+    beside the data, and a planned rewrite IDENTICAL to the recorded
+    one is skipped as ``already_applied_layout`` — so repeated applies
+    TERMINATE even when the modeled scan cost stays above the
+    candidate bar (coarse toy-scale file counts can't push a
+    k-dimensional curve below it), instead of re-paying a full-table
+    rewrite per invocation. The sidecar is advisory apply-loop memory:
+    a mutation that rewrites the table drops it, and the next apply
+    legitimately re-clusters the changed data.
 
     Returns an audit dict: per-column actions taken, each rewrite's
     read-amplification before/after (from the levers' own footer-read
     reports), and the re-run advice so callers can assert convergence
     (the advised columns come back ``already_clustered`` /
     ``already_indexed``). At 100 TB each action is the lever's own
-    economics — metadata-only advice, one range shuffle per executed
-    rewrite, a single data pass per bloom build. ``target_file_mb`` /
+    economics — metadata-only advice, ONE range shuffle per invocation
+    at most, a single data pass per bloom build. ``target_file_mb`` /
     ``zorder_bits`` pass through to the rewrite levers (size the target
     so each shuffle partition lands in the 64-256 MB parquet sweet spot
     at the table's real scale)."""
     advice = list(advice) if advice is not None else advise_layout(lake, layer, table, workload)
     actions: list[dict] = []
-    rewrite_done: dict | None = None
+    path = lake.path(layer, table)
+    recorded = _layout_meta(path)
 
-    def _pair_of(rec: str) -> str:
-        return rec.split(":", 1)[1]
+    def _amp_keys(rep: dict) -> dict:
+        return {
+            k: rep[k]
+            for k in (
+                "read_amplification_before", "read_amplification_after",
+                "files_before", "files_after",
+            )
+            if k in rep
+        }
 
-    # the zorder pair outranks single-column clustering by construction
-    # (advise_layout assigns zorder to the top-2 candidates)
-    zrows = sorted(
-        (r for r in advice if str(r["recommendation"]).startswith("zorder_with:")),
+    cands = sorted(
+        (
+            r
+            for r in advice
+            if str(r["recommendation"]).startswith("zorder_with:")
+            or r["recommendation"] == "cluster_by"
+        ),
         key=lambda r: (-r["scan_pm"], r["col_name"]),
     )
-    if zrows:
-        lead = zrows[0]
-        pair = (lead["col_name"], _pair_of(lead["recommendation"]))
-        rep = lake.cluster_by_zorder(
-            spark, layer, table, pair, bits=zorder_bits, target_file_mb=target_file_mb
-        )
-        rewrite_done = {"action": "cluster_by_zorder", "cols": list(pair), **{
-            k: rep[k] for k in (
-                "read_amplification_before", "read_amplification_after",
-                "files_before", "files_after",
-            ) if k in rep
-        }}
-        actions.append(rewrite_done)
-    for r in sorted(
-        (r for r in advice if r["recommendation"] == "cluster_by"),
-        key=lambda r: (-r["scan_pm"], r["col_name"]),
-    ):
-        if rewrite_done is not None:
-            actions.append(
-                {"action": "skipped_conflicting_rewrite",
-                 "cols": [r["col_name"]],
-                 "kept": rewrite_done["action"]}
+    plan: tuple[str, list[str]] | None = None
+    if len(cands) >= 2:
+        plan = ("zorder", [r["col_name"] for r in cands][:4])
+    elif len(cands) == 1:
+        cand = cands[0]["col_name"]
+        if recorded is not None and recorded.get("method") == "zorder":
+            cols = [cand] + [c for c in recorded.get("cols", []) if c != cand]
+            plan = ("zorder", cols[:4]) if len(cols) >= 2 else ("cluster_by", [cand])
+        else:
+            plan = ("cluster_by", [cand])
+    if plan is not None:
+        method, cols = plan
+        if (
+            recorded is not None
+            and recorded.get("method") == method
+            and set(recorded.get("cols", [])) == set(cols)
+        ):
+            actions.append({"action": "already_applied_layout", "cols": cols})
+        elif method == "zorder":
+            rep = lake.cluster_by_zorder(
+                spark, layer, table, tuple(cols),
+                bits=zorder_bits, target_file_mb=target_file_mb,
             )
-            continue
-        rep = lake.cluster_by(
-            spark, layer, table, (r["col_name"],), target_file_mb=target_file_mb
-        )
-        rewrite_done = {"action": "cluster_by", "cols": [r["col_name"]], **{
-            k: rep[k] for k in (
-                "read_amplification_before", "read_amplification_after",
-                "files_before", "files_after",
-            ) if k in rep
-        }}
-        actions.append(rewrite_done)
+            _write_layout_meta(path, method, cols)
+            actions.append({"action": "cluster_by_zorder", "cols": cols, **_amp_keys(rep)})
+        else:
+            rep = lake.cluster_by(
+                spark, layer, table, (cols[0],), target_file_mb=target_file_mb
+            )
+            _write_layout_meta(path, method, cols)
+            actions.append({"action": "cluster_by", "cols": cols, **_amp_keys(rep)})
     for r in (r for r in advice if r["recommendation"] == "bloom_index"):
         rep = lake.build_file_index(spark, layer, table, r["col_name"])
         actions.append(
@@ -600,3 +620,25 @@ def apply_layout_advice(
         "actions": actions,
         "advice_after": advise_layout(lake, layer, table, workload),
     }
+
+
+def _layout_meta(path: str) -> dict | None:
+    """The apply-loop's recorded layout (``_layout.json``), or None."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "_layout.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_layout_meta(path: str, method: str, cols: list[str]) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "._layout.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"method": method, "cols": list(cols)}, f)
+    os.rename(tmp, os.path.join(path, "_layout.json"))

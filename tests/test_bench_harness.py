@@ -68,7 +68,7 @@ def test_reprobe_child_runs_in_fresh_process(spark, sf_dir):
     timings plus its own calibration. Unknown names are skipped, not
     fatal."""
     cpus = 4
-    timings, calib, err = bench._run_reprobe_subprocess(
+    timings, calib, err, q_errs = bench._run_reprobe_subprocess(
         [("silver_orders", 2.0), ("no_such_query", 3.0)],
         sf_dir,
         cpus,
@@ -77,4 +77,5 @@ def test_reprobe_child_runs_in_fresh_process(spark, sf_dir):
     assert err is None
     assert set(timings) == {"silver_orders"}
     assert timings["silver_orders"] > 0
+    assert q_errs == {}  # nothing raised; unknown names just skipped
     assert calib and calib["md5_s"] > 0 and calib["arrow_s"] > 0

@@ -261,3 +261,53 @@ def test_apply_layout_advice_closes_the_loop(spark, tmp_path):
         target_file_mb=nbytes / 256e6, zorder_bits=4,
     )
     assert rep2["actions"] and all(a["action"] == "noop" for a in rep2["actions"])
+
+
+def test_apply_layout_advice_three_candidates_terminates(spark, tmp_path):
+    """3+ cluster candidates: ONE multi-column z-order rewrite serves
+    all of them (no second full rewrite ever undoes the first), read
+    amplification strictly improves on every candidate, and when the
+    coarse toy-scale file count can't push the modeled scan cost below
+    the candidate bar, a repeat apply recognizes the recorded layout
+    and performs NO rewrite (already_applied_layout) — the apply loop
+    terminates instead of re-paying a full-table rewrite forever."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.datalake import (
+        Lake,
+        _file_stats,
+        _read_amplification,
+    )
+    from dataengineeringpipeline_spark.operators.layout import apply_layout_advice
+
+    lake = Lake(str(tmp_path))
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") * 48271 % 10007).alias("v"),
+        (F.col("id") * 7919 % 9973).alias("w"),
+        (F.col("id") * 104729 % 9949).alias("x"),
+    )
+    lake.write(df.repartitionByRange(64, "seq").sortWithinPartitions("seq"), "silver", "t")
+    path = lake.path("silver", "t")
+    _files, nbytes = _file_stats(path)
+    workload = [("v", "range"), ("w", "range"), ("x", "range")]
+    amp_before = {c: _read_amplification(path, c) for c in ("v", "w", "x")}
+    rep = apply_layout_advice(
+        lake, spark, "silver", "t", workload, target_file_mb=nbytes / 64e6
+    )
+    rewrites = [a for a in rep["actions"] if a["action"] in ("cluster_by", "cluster_by_zorder")]
+    assert len(rewrites) == 1 and rewrites[0]["action"] == "cluster_by_zorder"
+    assert set(rewrites[0]["cols"]) == {"v", "w", "x"}
+    for c in ("v", "w", "x"):
+        assert _read_amplification(path, c) < amp_before[c]
+    # repeat apply: whatever the re-advice says, NO rewrite runs again —
+    # either everything converged (all noop) or the identical plan is
+    # recognized against the recorded layout
+    rep2 = apply_layout_advice(
+        lake, spark, "silver", "t", workload, target_file_mb=nbytes / 64e6
+    )
+    again = [a for a in rep2["actions"] if a["action"] in ("cluster_by", "cluster_by_zorder")]
+    assert again == []
+    assert all(
+        a["action"] in ("noop", "already_applied_layout") for a in rep2["actions"]
+    )

@@ -2431,6 +2431,14 @@ def test_ledger_representation_bounded():
     led4 = _Ledger.from_json(["b0", "b1", "manual-backfill"])
     assert "b0" in led4 and "b1" in led4 and "manual-backfill" in led4
     assert "b2" not in led4 and "other" not in led4
+    # zero-padded sequences keep EXACT semantics: 'run-007' and 'run-7'
+    # are distinct ids (collapsing them would drop a never-applied
+    # batch as a phantom replay)
+    led6 = _Ledger()
+    led6.add("run-007")
+    assert "run-007" in led6 and "run-7" not in led6
+    led6.add("run-7")
+    assert "run-7" in led6 and "run-07" not in led6
     # __add__ returns a new ledger without mutating the base (staged
     # writes must not dirty the live ledger before the swap commits)
     led5 = led4 + ["b2"]
