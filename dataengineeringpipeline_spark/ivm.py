@@ -1150,12 +1150,10 @@ def incremental_gold_refresh(
         )
         return blake.root
 
-    # fixed bootstrap staged once per process; the IN-PLACE REFRESH —
-    # what this query proves — runs in full on a fresh hard-link clone
-    # every invocation (see fixture.staged_bootstrap)
-    from .fixture import staged_bootstrap
-
-    lake = Lake(staged_bootstrap(f"gold_refresh_{cutoff}", sf_dir, _bootstrap))
+    # bootstrap rebuilt per invocation: every run computes from the
+    # parquet inputs end-to-end (bench honesty — nothing memoized
+    # across invocations), then the in-place refresh runs on top
+    lake = Lake(_bootstrap())
     refresh_customer_analytics(
         lake, spark, silver_customers, delta, refresh_seq=1
     )
@@ -1279,11 +1277,9 @@ def incremental_rule_summary_table(
         )
         return blake.root
 
-    # fixed bootstrap staged once per process; the in-place refresh —
-    # what this query proves — runs in full on a fresh clone
-    from .fixture import staged_bootstrap
-
-    lake = Lake(staged_bootstrap(f"rule_summary_{cutoff}", sf_dir, _bootstrap))
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations), then the in-place refresh runs
+    lake = Lake(_bootstrap())
     refresh_rule_summary(
         lake, spark, rule, delta, "order_year", refresh_seq=1
     )
@@ -1501,11 +1497,9 @@ def rule_migration_summary(
         )
         return blake.root
 
-    # only the OLD-rule bootstrap caches; migrate + refresh — what this
-    # query proves — run in full on a fresh clone every invocation
-    from .fixture import staged_bootstrap
-
-    lake = Lake(staged_bootstrap(f"rule_migrate_{cutoff}", sf_dir, _bootstrap))
+    # OLD-rule bootstrap rebuilt per invocation (bench honesty), then
+    # migrate + refresh — what this query proves — run on top
+    lake = Lake(_bootstrap())
     rep = migrate_rule(lake, spark, new, base, "order_year")
     assert rep["migrated"] and rep["added_columns"] == ["_min_total_price"]
     # a second call is a no-op: the schema now matches
@@ -1544,8 +1538,7 @@ def large_delta_gold_refresh(spark, sf_dir: str) -> DataFrame:
 
     def _bootstrap() -> str:
         # the bootstrap ALSO runs under merge_broadcast_keys=0 (its
-        # partials upserts take the distributed path too, once per
-        # process — the correctness gate's single invocation covers it)
+        # partials upserts take the distributed path too)
         blake = Lake(
             tempfile.mkdtemp(prefix="gold_backfill_boot_"), merge_broadcast_keys=0
         )
@@ -1562,14 +1555,10 @@ def large_delta_gold_refresh(spark, sf_dir: str) -> DataFrame:
         )
         return blake.root
 
-    # fixed bootstrap staged once per process; the LARGE-DELTA refresh
-    # (shuffle key path, no driver collect — what this query proves)
-    # runs in full on a fresh hard-link clone every invocation
-    from .fixture import staged_bootstrap
-
-    lake = Lake(
-        staged_bootstrap("gold_backfill", sf_dir, _bootstrap), merge_broadcast_keys=0
-    )
+    # bootstrap rebuilt per invocation (bench honesty); the LARGE-DELTA
+    # refresh (shuffle key path, no driver collect — what this query
+    # proves) runs on top
+    lake = Lake(_bootstrap(), merge_broadcast_keys=0)
     refresh_customer_analytics(
         lake, spark, silver_customers, delta, refresh_seq=1
     )

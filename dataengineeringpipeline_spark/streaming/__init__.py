@@ -38,12 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Process-scoped bootstrap fixtures for the heavyweight streaming
-# contract queries (see fixture.py for the safety argument); aliased so
-# in-package call sites and tests share one cache.
-from ..fixture import _BOOTSTRAP_CACHE  # noqa: F401  (shared cache object)
-from ..fixture import clone_tree as _clone_tree  # noqa: F401
-from ..fixture import staged_bootstrap as _staged_bootstrap
 
 #: Events schema template; ``{ts}`` is filled with the type the parquet
 #: writer actually used (bigint = raw nanos under the ``nanosAsLong``
@@ -1457,12 +1451,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.result()
         return boot
 
-    # fixed bootstrap (seeded minhash state + batch staging — the
-    # corpus-sized shingle/hash pass) staged once per process; the
-    # streamed drain with its ordered band-join decisions — what this
-    # query proves — runs in full on a fresh hard-link clone with its
-    # own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_dedup", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     src = os.path.join(tmp, "in")
     stream_incremental_dedup_ordered(
         spark, src, f"{tmp}/state", f"{tmp}/ckpt", "(doc_id div 5) % 3"
@@ -1823,11 +1814,9 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
             stage.result()
         return boot
 
-    # fixed bootstrap (quantizer training + batch staging) staged once
-    # per process; the streamed frozen-quantizer encoding drain — what
-    # this query proves — runs in full on a fresh hard-link clone with
-    # its own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_ann", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     src = os.path.join(tmp, "in")
     lake = Lake(os.path.join(tmp, "lake"))
     stream_ann_index(spark, src, lake, "s1", f"{tmp}/ckpt", max_files_per_trigger=None)
@@ -2473,11 +2462,9 @@ def streaming_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_arrival_batches(new, F.expr("o_orderkey % 3"), src_dir, 3)
         return boot
 
-    # fixed bootstrap (two ANALYZE snapshots + batch staging) staged
-    # once per process; the streamed cumulative-drift batches — what
-    # this query proves — run in full on a fresh hard-link clone with
-    # their own checkpoint/state (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_stats", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     lake = Lake(os.path.join(tmp, "lake"))
     src = os.path.join(tmp, "in")
     ddl = (
@@ -2632,11 +2619,9 @@ def streaming_lake_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_arrival_batches(changes, F.expr("order_key % 3"), src_dir, 3)
         return boot
 
-    # fixed bootstrap (snapshot write + key clustering + batch staging)
-    # staged once per process; the streamed exactly-once merges — what
-    # this query proves — run in full on a fresh hard-link clone with
-    # their own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_cdc_lake", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     lake = Lake(os.path.join(tmp, "lake"))
     src = os.path.join(tmp, "in")
     ddl = (
@@ -2816,10 +2801,9 @@ def streaming_rule_summary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return boot
 
-    # fixed bootstrap staged once per process; the STREAMED refreshes —
-    # what this query proves — run in full on a fresh hard-link clone
-    # with their own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_rule_summary", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     lake = Lake(os.path.join(tmp, "lake"))
     src = os.path.join(tmp, "in")
     ddl = (
@@ -2912,10 +2896,9 @@ def streaming_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return boot
 
-    # fixed bootstrap staged once per process; the STREAMED refreshes —
-    # what this query proves — run in full on a fresh hard-link clone
-    # with their own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_gold_refresh", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     lake = Lake(os.path.join(tmp, "lake"))
     src = os.path.join(tmp, "in")
     ddl = (
@@ -3060,11 +3043,9 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return boot
 
-    # fixed bootstrap (seeded history + key clustering + batch staging)
-    # staged once per process; the streamed exactly-once SCD2 merges —
-    # what this query proves — run in full on a fresh hard-link clone
-    # with their own checkpoint (see _staged_bootstrap)
-    tmp = _staged_bootstrap("stream_scd2", sf_dir, _bootstrap)
+    # bootstrap rebuilt per invocation (bench honesty — nothing
+    # memoized across invocations); the streamed phase runs on top
+    tmp = _bootstrap()
     lake = Lake(os.path.join(tmp, "lake"))
     src = os.path.join(tmp, "in")
     ddl = "customer_key bigint, priority string, change_date date, order_key bigint"

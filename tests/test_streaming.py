@@ -1638,31 +1638,13 @@ def test_stream_cdc_merge_snapshot_each_batch_bounded(spark, tmp_path, monkeypat
     assert streaming._queued(Lake(str(tmp_path / "y")), 5.0).keep_snapshots == 4
 
 
-def test_streaming_gold_refresh_bootstrap_cache_reuses_and_matches(spark, sf_dir):
-    """The process-scoped bootstrap fixture: a second invocation of the
-    heavyweight streaming gold refresh reuses the staged bootstrap tree
-    (hard-link clone — the bench repeats stop re-paying the fixed
-    build) and still produces the identical result, because the
-    streamed phase runs in full against its own clone + checkpoint.
-    The template tree is bit-untouched after the run (same files, same
-    inodes)."""
-    import os
-
+def test_streaming_gold_refresh_invocations_are_independent(spark, sf_dir):
+    """Two invocations of the heavyweight streaming gold refresh each
+    rebuild their own bootstrap from the parquet inputs (no process
+    cache — every run computes end-to-end) and produce the identical
+    result."""
     from dataengineeringpipeline_spark import streaming
 
-    streaming._BOOTSTRAP_CACHE.pop(("stream_gold_refresh", sf_dir), None)
     first = sorted(map(tuple, streaming.streaming_gold_refresh(spark, sf_dir).collect()))
-    root = streaming._BOOTSTRAP_CACHE[("stream_gold_refresh", sf_dir)]
-
-    def snap(r):
-        out = {}
-        for d, _dirs, files in os.walk(r):
-            for f in files:
-                p = os.path.join(d, f)
-                out[os.path.relpath(p, r)] = os.stat(p).st_ino
-        return out
-
-    before = snap(root)
     second = sorted(map(tuple, streaming.streaming_gold_refresh(spark, sf_dir).collect()))
     assert second == first and len(first) > 0
-    assert snap(root) == before  # template untouched by the clone's run
