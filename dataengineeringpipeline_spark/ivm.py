@@ -1064,37 +1064,33 @@ def refresh_customer_analytics(
         delta_orders.filter(F.col("is_complete_order"))
         .select("customer_key")
         .distinct()
-        .persist()
     )
-    try:
-        # broadcast the touched-key set only while it is micro-batch
-        # sized; a backfill delta (most keys touched) switches the semi
-        # joins to shuffle joins and lets merge_changes take its own
-        # distributed key path — same threshold, no driver key set
-        bt = (
-            F.broadcast
-            if affected.count() <= lake.merge_broadcast_keys
-            else (lambda d: d)
-        )
-        partials = lake.read(spark, layer, partials_table).join(
-            bt(affected), "customer_key", "left_semi"
-        )
-        dims = silver_customers.join(bt(affected), "customer_key", "left_semi")
-        rows = customer_analytics_from_partials(dims, partials)
-        changes = rows.withColumn("op", F.lit("U")).withColumn(
-            "_refresh_seq", F.lit(refresh_seq)
-        )
-        return lake.merge_changes(
-            spark,
-            layer,
-            analytics_table,
-            changes,
-            key_col="customer_key",
-            ts_col="_refresh_seq",
-            batch_id=(f"{batch_id}/gold" if batch_id is not None else None),
-        )
-    finally:
-        affected.unpersist()
+    # AQE picks the semi-join strategy from the touched-key set's RUNTIME
+    # size: a micro-batch delta broadcasts, a backfill delta (most keys
+    # touched) stays a shuffle join — the same switch the old explicit
+    # count-then-F.broadcast made, without the extra count action (and
+    # its persist materialization) every refresh paid before the merge.
+    # merge_changes still makes its own threshold-gated key-path choice
+    # (the no-driver-key-collect contract is unchanged). Both semi joins
+    # share one distinct subtree via exchange reuse in the single write
+    # action.
+    partials = lake.read(spark, layer, partials_table).join(
+        affected, "customer_key", "left_semi"
+    )
+    dims = silver_customers.join(affected, "customer_key", "left_semi")
+    rows = customer_analytics_from_partials(dims, partials)
+    changes = rows.withColumn("op", F.lit("U")).withColumn(
+        "_refresh_seq", F.lit(refresh_seq)
+    )
+    return lake.merge_changes(
+        spark,
+        layer,
+        analytics_table,
+        changes,
+        key_col="customer_key",
+        ts_col="_refresh_seq",
+        batch_id=(f"{batch_id}/gold" if batch_id is not None else None),
+    )
 
 
 def incremental_gold_refresh(
@@ -1210,35 +1206,29 @@ def refresh_rule_summary(
         batch_id=(f"{batch_id}/partials" if batch_id is not None else None),
     )
     d = delta.filter(F.expr(rule.filters)) if rule.filters else delta
-    affected = d.select(*keys).distinct().persist()
-    try:
-        # same large-delta switch as refresh_customer_analytics: above
-        # the lake's merge_broadcast_keys threshold the touched-group
-        # set stays distributed (shuffle semi join), and merge_changes
-        # below makes the matching switch for its own key joins
-        bt = (
-            F.broadcast
-            if affected.count() <= lake.merge_broadcast_keys
-            else (lambda df: df)
-        )
-        partials = lake.read(
-            spark, layer, partials_table or f"{rule.name}_partials"
-        ).join(bt(affected), keys, "left_semi")
-        rows = rule_summary_from_partials(partials, rule)
-        changes = rows.withColumn("op", F.lit("U")).withColumn(
-            "_refresh_seq", F.lit(refresh_seq)
-        )
-        return lake.merge_changes(
-            spark,
-            layer,
-            summary_table or f"{rule.name}_summary",
-            changes,
-            key_col=tuple(keys),
-            ts_col="_refresh_seq",
-            batch_id=(f"{batch_id}/summary" if batch_id is not None else None),
-        )
-    finally:
-        affected.unpersist()
+    affected = d.select(*keys).distinct()
+    # AQE picks the semi-join strategy from the touched-group set's
+    # RUNTIME size (micro-batch → broadcast, backfill → shuffle join) —
+    # same switch the old explicit count-then-F.broadcast made, without
+    # the extra count action + persist every refresh paid before the
+    # merge. merge_changes still makes its own threshold-gated key-path
+    # choice for the summary-table merge.
+    partials = lake.read(
+        spark, layer, partials_table or f"{rule.name}_partials"
+    ).join(affected, keys, "left_semi")
+    rows = rule_summary_from_partials(partials, rule)
+    changes = rows.withColumn("op", F.lit("U")).withColumn(
+        "_refresh_seq", F.lit(refresh_seq)
+    )
+    return lake.merge_changes(
+        spark,
+        layer,
+        summary_table or f"{rule.name}_summary",
+        changes,
+        key_col=tuple(keys),
+        ts_col="_refresh_seq",
+        batch_id=(f"{batch_id}/summary" if batch_id is not None else None),
+    )
 
 
 def incremental_rule_summary_table(

@@ -450,23 +450,32 @@ def connected_components(
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
     )
-    # ONE size-probe job decides the path AND delivers the edge list:
-    # limit(threshold+1).collect() either returns the complete
-    # (bounded) edge set — len ≤ threshold means nothing was truncated —
-    # or proves the graph is big. The previous persist+count+collect
-    # shape paid two sequential jobs over the whole candidate-generation
-    # chain before union-find could start; every CC consumer (dup
-    # clusters, survivors, entity resolution, the corpus funnel) rode
-    # that overhead. The probe's driver transfer is capped at
-    # threshold+1 rows — the same bound the old collect had.
-    probe = edges.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # The candidate-generation chain runs ONCE: persist the edge list,
+    # count it (the one full execution — map-side partial counts, cheap
+    # final), and branch on the size. The previous
+    # limit(threshold+1).collect() probe looked like one job but
+    # CollectLimit's partition escalation (1 → 4 → 16 → … attempts,
+    # spark.sql.limit.scaleUpFactor) re-ran the chain's final stages
+    # per attempt whenever the graph was SMALL — the common case, since
+    # verified near-dup graphs are corpus-tiny — costing every CC
+    # consumer (dup clusters, survivors, entity resolution, the corpus
+    # funnel, hybrid/semantic clusters) 3 extra partial executions
+    # (profiled: 4 × 0.73 s probe jobs inside one funnel run at sf0.1).
+    # The small-graph collect is served from the persist (no recompute,
+    # driver transfer still ≤ threshold rows + 1 by the count guard),
+    # and the big-graph path needs the persisted edges anyway.
+    edges = edges.persist()
+    n_edges = edges.select(F.count(F.lit(1))).first()[0]
+    if n_edges <= driver_threshold:
+        try:
+            probe = edges.collect()
+        finally:
+            edges.unpersist()
         labels = _driver_components(probe)
         spark = pairs.sparkSession
         return spark.createDataFrame(
             sorted(labels.items()), "doc_id bigint, cluster_id bigint"
         )
-    edges = edges.persist()
     labels = edges.select("src").distinct().select(
         F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     ).localCheckpoint()
