@@ -1196,10 +1196,14 @@ def stream_incremental_dedup(
     bands_ddl = "doc_id BIGINT, band_idx INT, band_hash BIGINT, batch_id INT"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
         arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
-        bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays))
+        # Persisted: the signature derivation (32 modular traversals per
+        # doc over the cached hash arrays) otherwise re-runs in both the
+        # decisions join and the bands state write. Band rows are 8 ints
+        # per doc — the cache is O(batch ids), never O(text).
+        bands = tracked_persist(
+            minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays))
+        )
         old_arrays = (
             spark.read.schema(arrays_ddl)
             .parquet(f"{state_dir}/arrays")
@@ -1216,26 +1220,24 @@ def stream_incremental_dedup(
             batch_df.select("doc_id"), arrays, bands, old_arrays, old_bands,
             threshold, ordered=False, distinct_candidates=False,
         )
-        # The arrays write runs first and is the job that populates the
-        # increment's cache (no separate count() pass); the decisions and
-        # bands writes then consume the cached arrays concurrently. All
-        # three land in their own batch partition, so a crash replay
-        # overwrites each regardless of completion order (decisions reads
-        # only batch_id < n state).
+        # Each state write runs first for the cache its job populates
+        # (no separate count() passes): arrays, then bands (signatures
+        # derive off the warm arrays cache exactly once), then the
+        # decisions join reads both warm caches. Running decisions
+        # concurrently with a cold bands cache double-computed the
+        # signature derivation — racing jobs materialize overlapping
+        # cache partitions independently. All three land in their own
+        # batch partition, so a crash replay overwrites each regardless
+        # of completion order (decisions reads only batch_id < n state).
         arrays.write.mode("overwrite").parquet(
             f"{state_dir}/arrays/batch_id={batch_id}"
         )
-        writes = [
-            (decisions, f"{state_dir}/decisions/batch_id={batch_id}"),
-            (bands, f"{state_dir}/bands/batch_id={batch_id}"),
-        ]
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            futs = [
-                ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
-                for df, p in writes
-            ]
-            for f in futs:
-                f.result()
+        bands.write.mode("overwrite").parquet(
+            f"{state_dir}/bands/batch_id={batch_id}"
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{state_dir}/decisions/batch_id={batch_id}"
+        )
 
     reader = spark.readStream.schema(DOCUMENTS_DDL)
     if max_files_per_trigger is not None:
@@ -1286,8 +1288,6 @@ def stream_incremental_dedup_ordered(
     the single batch writes ``batch_id=<n>`` partitions that a crash
     replay overwrites wholesale.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..cache import tracked_persist
     from ..operators.dedup import (
         doc_shingle_hash_arrays,
@@ -1302,8 +1302,13 @@ def stream_incremental_dedup_ordered(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         arrays = tracked_persist(doc_shingle_hash_arrays(batch_df))
-        bands = minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays)).withColumn(
-            "_lb", order
+        # Persisted for the same reason as the unordered variant — and
+        # this writer consumes the band subtree three times (decisions'
+        # probe side, the old∪new union, and the state write).
+        bands = tracked_persist(
+            minhash_bands(minhash_signatures(batch_df, hash_arrays=arrays)).withColumn(
+                "_lb", order
+            )
         )
         old_arrays = (
             spark.read.schema(arrays_ddl)
@@ -1329,18 +1334,16 @@ def stream_incremental_dedup_ordered(
             distinct_candidates=False,
             order_col="_lb",
         )
+        # Serial, cache-populating order (see the unordered variant):
+        # arrays, then bands (materializes the band cache the decisions
+        # join consumes twice), then decisions off both warm caches.
         arrays.write.mode("overwrite").parquet(f"{state_dir}/arrays/batch_id={batch_id}")
-        writes = [
-            (decisions, f"{state_dir}/decisions/batch_id={batch_id}"),
-            (bands.drop("_lb"), f"{state_dir}/bands/batch_id={batch_id}"),
-        ]
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            futs = [
-                ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
-                for df, p in writes
-            ]
-            for f in futs:
-                f.result()
+        bands.drop("_lb").write.mode("overwrite").parquet(
+            f"{state_dir}/bands/batch_id={batch_id}"
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{state_dir}/decisions/batch_id={batch_id}"
+        )
 
     raw = spark.readStream.schema(DOCUMENTS_DDL).parquet(source_dir)
     query = (
@@ -1613,37 +1616,37 @@ def stream_quality_gate(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # A single-file micro-batch arrives as ONE partition, which would
-        # serialize the md5 feature-hash fold on one core for both sink
-        # writes. spread() persists the repartitioned batch (the cache is
-        # the optimizer barrier — scoring attaches ABOVE it, or Catalyst
-        # pushes the projection back through the exchange onto the
-        # 1-task scan); both sinks then score in parallel off the cache.
-        from concurrent.futures import ThreadPoolExecutor
-
+        # serialize the md5 feature-hash fold on one core. spread()
+        # persists the repartitioned batch (the cache is the optimizer
+        # barrier — scoring attaches ABOVE it, or Catalyst pushes the
+        # projection back through the exchange onto the 1-task scan).
         from ..scale import spread
 
         spreaded = spread(batch_df, "doc_id")
-        scored = with_classifier_score(spreaded)
-        writes = [
-            scored.select("doc_id", "source", "n_features", "score_sum", "keep"),
-            scored.filter(~F.col("keep")).drop("n_features", "score_sum", "keep"),
-        ]
-        paths = [
-            f"{state_dir}/decisions/batch_id={batch_id}",
-            f"{state_dir}/quarantine/batch_id={batch_id}",
-        ]
+        # Persist ABOVE the scoring projection, not just below it: the
+        # spread cache alone made both sinks recompute the md5
+        # feature-hash fold (profiled as two ~0.7s scoring jobs per
+        # batch) — and launching them concurrently on a cold cache
+        # still double-computes, because racing jobs materialize
+        # overlapping partitions independently. So: cache the scored
+        # rows, run the decisions write FIRST (its job populates the
+        # cache — the arrays-write pattern of the dedup writer, no
+        # separate count() pass), then the quarantine write is a cache
+        # read + filter.
+        scored = with_classifier_score(spreaded).persist()
         try:
-            # Both sinks run concurrently off the shared cache (the
-            # stream_incremental_dedup writer shape); a partition the
-            # slower job reaches first is computed once and reused.
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                futs = [
-                    ex.submit(lambda df=df, p=p: df.write.mode("overwrite").parquet(p))
-                    for df, p in zip(writes, paths)
-                ]
-                for f in futs:
-                    f.result()
+            scored.select(
+                "doc_id", "source", "n_features", "score_sum", "keep"
+            ).write.mode("overwrite").parquet(
+                f"{state_dir}/decisions/batch_id={batch_id}"
+            )
+            scored.filter(~F.col("keep")).drop(
+                "n_features", "score_sum", "keep"
+            ).write.mode("overwrite").parquet(
+                f"{state_dir}/quarantine/batch_id={batch_id}"
+            )
         finally:
+            scored.unpersist()
             spreaded.unpersist()
 
     reader = spark.readStream.schema(DOCUMENTS_DDL)
