@@ -302,8 +302,14 @@ def item_pagerank(events: DataFrame, iterations: int = 5) -> DataFrame:
     event_id)``. Returns every item's rank with its degree profile,
     ranked. Rank per-mille uses integer div so engines cannot disagree
     on rounding."""
-    edges = transition_edges(
-        _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+    # three consumers (the pagerank edge collect/iteration plus the two
+    # degree aggregations) read the edge aggregate — persist so the
+    # fact-table lead window runs once, not three times (the
+    # next_item_rules pattern; the cache is |E| aggregate rows)
+    edges = tracked_persist(
+        transition_edges(
+            _item_stream(events), "user_id", "item", ("ts_us", "event_id")
+        )
     )
     ranks = pagerank(edges, iterations=iterations)
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
