@@ -186,8 +186,16 @@ def bpe_subword_stats(
     and subwords-per-word. The number a tokenizer owner watches as the
     vocabulary grows — it starts at ~word-length with no merges and
     falls toward 1.0 as merges cover the corpus."""
-    merges = bpe_train(docs, n_merges, min_word_freq)
-    words = docs.select(
+    # spread: a single-file corpus scans as ONE partition, serializing
+    # the explode + merge-replace tokenizer chain on one core (profiled
+    # as a 0.5s single-task job at sf0.1); the persisted repartition
+    # also shares one corpus scan between the training pass and the
+    # segmentation pass. No-op on well-partitioned cluster-scale input.
+    from dataengineeringpipeline_spark.scale import spread
+
+    base = spread(docs.select("doc_id", "source", "text"), "doc_id")
+    merges = bpe_train(base, n_merges, min_word_freq)
+    words = base.select(
         "source", F.explode(words_col("text")).alias("word")
     ).filter(F.col("word") != "")
     seg = bpe_segment(words, merges, text_col="word", out_col="sym")
