@@ -93,6 +93,14 @@ def lexical_search_topk(
     (query_id, doc_id, shared_terms, score, rank) ordered by
     (query_id, rank); ``ordered=False`` skips the presentation sort for
     consumers (fusion, joins) that destroy the order anyway."""
+    # spread: a compact single-file corpus scans as ONE partition,
+    # serializing the tokenize/explode and the broadcast scoring joins
+    # below the first exchange on one core (profiled: 0.76s single-task
+    # job at sf0.1). Persisted repartition, shared by the candidate and
+    # query branches; no-op on well-partitioned cluster-scale input.
+    from dataengineeringpipeline_spark.scale import spread
+
+    docs = spread(docs, "doc_id")
     cand = docs.filter(F.col("doc_id") % query_mod != 0)
     posts = posting_lists(cand)
     wt = term_weights(posts, max_df)
@@ -206,7 +214,12 @@ def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> d
     batch and the reader SUMs them (the same layout the streaming
     writer uses) — appends are pure appends, never read-modify-write.
     """
-    posts = posting_lists(docs)
+    from dataengineeringpipeline_spark.scale import spread
+
+    # spread: parallelize the index-build explode on compact inputs and
+    # share one corpus scan between the postings and meta writes (two
+    # actions); no-op on well-partitioned cluster-scale input.
+    posts = posting_lists(spread(docs, "doc_id"))
     n_row = posts.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     return {
         "postings": lake.write(posts, "gold", f"search_{snapshot}_postings"),
@@ -302,7 +315,14 @@ def rag_context_stats(
     Returns (query_id, n_ctx, ctx_tokens, best_rrf, top_doc_id) ordered
     by query_id."""
     from dataengineeringpipeline_spark.operators.text import TOKEN_REGEX
+    from dataengineeringpipeline_spark.scale import spread
 
+    # One spread serves both corpus touches: the lexical retriever
+    # inside hybrid_search_topk (its own spread no-ops on the already
+    # repartitioned frame and reuses this cache) and the token
+    # projection (a full-corpus regexp_count that otherwise runs
+    # serialized on a compact input's single scan partition).
+    docs = spread(docs, "doc_id")
     top = hybrid_search_topk(docs, embeddings, k=k, list_k=list_k, ordered=False)
     tok = docs.select(
         "doc_id", F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("tokens")
