@@ -98,9 +98,11 @@ def lexical_search_topk(
     # below the first exchange on one core (profiled: 0.76s single-task
     # job at sf0.1). Persisted repartition, shared by the candidate and
     # query branches; no-op on well-partitioned cluster-scale input.
+    # Projected to the two columns the retriever reads BEFORE the
+    # exchange (guide: never ship unused columns through a shuffle).
     from dataengineeringpipeline_spark.scale import spread
 
-    docs = spread(docs, "doc_id")
+    docs = spread(docs.select("doc_id", "text"), "doc_id")
     cand = docs.filter(F.col("doc_id") % query_mod != 0)
     posts = posting_lists(cand)
     wt = term_weights(posts, max_df)
@@ -219,7 +221,7 @@ def materialize_search_index(docs: DataFrame, lake, snapshot: str = "idx1") -> d
     # spread: parallelize the index-build explode on compact inputs and
     # share one corpus scan between the postings and meta writes (two
     # actions); no-op on well-partitioned cluster-scale input.
-    posts = posting_lists(spread(docs, "doc_id"))
+    posts = posting_lists(spread(docs.select("doc_id", "text"), "doc_id"))
     n_row = posts.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     return {
         "postings": lake.write(posts, "gold", f"search_{snapshot}_postings"),
@@ -321,8 +323,9 @@ def rag_context_stats(
     # inside hybrid_search_topk (its own spread no-ops on the already
     # repartitioned frame and reuses this cache) and the token
     # projection (a full-corpus regexp_count that otherwise runs
-    # serialized on a compact input's single scan partition).
-    docs = spread(docs, "doc_id")
+    # serialized on a compact input's single scan partition). Projected
+    # to the columns both touches read before the exchange.
+    docs = spread(docs.select("doc_id", "text"), "doc_id")
     top = hybrid_search_topk(docs, embeddings, k=k, list_k=list_k, ordered=False)
     tok = docs.select(
         "doc_id", F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("tokens")

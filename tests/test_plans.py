@@ -28,7 +28,11 @@ PLAN_BOUNDS = {
     "skew_join_segment_summary": (3, 1),
     # inverted-index / LSH fronts: bounded band/posting shuffles only
     "minhash_lsh_pairs": (3, 1),
-    "lexical_search_topk": (6, 1),
+    # +1 shuffle since r11: spread()'s repartition of the compact corpus
+    # (projected to doc_id+text) before the tokenize/scoring stage — the
+    # exchange that un-serializes single-partition inputs; no-op (and no
+    # exchange) on well-partitioned cluster-scale input
+    "lexical_search_topk": (7, 1),
     "bigram_fluency": (5, 1),
     "shard_balance_report": (4, 1),
     "ann_ivf_topk": (4, 1),
