@@ -301,6 +301,14 @@ def bigram_fluency(docs: DataFrame, ordered: bool = True) -> DataFrame:
     longs per bigram, never text. Returns (doc_id, source, n_bigrams,
     fluency_sum, fluency_pm) with NULL scores for documents under 2
     words, ordered by doc_id."""
+    from dataengineeringpipeline_spark.scale import spread
+
+    # spread: the unigram pass and the bigram-less re-attach otherwise
+    # scan the compact corpus's single partition directly (profiled: an
+    # 0.82s single-task unigram explode at sf0.1) — the same entry
+    # spread quality_gate_ensemble already does; one persisted scan
+    # serves the pair stream, the unigram table, and the re-attach.
+    docs = spread(docs.select("doc_id", "source", "text"), "doc_id")
     scored = _fluency_scored(docs)
     out = (
         docs.select("doc_id", "source")

@@ -33,7 +33,9 @@ PLAN_BOUNDS = {
     # exchange that un-serializes single-partition inputs; no-op (and no
     # exchange) on well-partitioned cluster-scale input
     "lexical_search_topk": (7, 1),
-    "bigram_fluency": (5, 1),
+    # +1 shuffle since r11: spread()'s repartition of the compact corpus
+    # before the tokenize/explode passes (see lexical_search_topk note)
+    "bigram_fluency": (6, 1),
     "shard_balance_report": (4, 1),
     "ann_ivf_topk": (4, 1),
     # PQ shortlist + re-rank: two top-k windows + persists, broadcast
