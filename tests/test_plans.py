@@ -9,6 +9,26 @@ import pytest
 
 import __spark_entry__ as entrymod
 from dataengineeringpipeline_spark import plans
+from dataengineeringpipeline_spark.cache import release_caches
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache_state(spark):
+    """Compile every plan against a cache-free session.
+
+    The test session's SparkSession is session-scoped, so a
+    ``tracked_persist`` registered by an EARLIER test (several queries
+    share the same ``spread`` subtree) leaks into this file's plans: a
+    cached AdaptiveSparkPlan that some prior action finalized prints
+    BOTH its Final and Initial plan, double-counting the cached
+    subtree's Exchange and failing the shuffle bound for a query whose
+    standalone plan is unchanged. bench.py gives each query the same
+    isolation via ``release_caches`` between queries; the bounds here
+    pin the standalone shape.
+    """
+    release_caches()
+    spark.catalog.clearCache()
+    yield
 
 #: name -> (max shuffles, min broadcast joins). Bounds are the measured
 #: shape plus zero slack on shuffles (the claim under guard) and a lower
