@@ -235,6 +235,24 @@ def _run_reprobe_subprocess(
     return {}, None, f"no-json(rc={proc.returncode})", {}
 
 
+def _current_round(repo_dir: str) -> int:
+    """Round number this bench run belongs to: one past the highest
+    committed BENCH_r{NN}.json. Round 12 fix for the round-11 verdict's
+    item 1 — the reprobe adjudication lived only in BENCH_DETAIL.json,
+    which any later ad-hoc run (e.g. the 8-core scaling sweep)
+    overwrites; a per-round detail file makes the adjudication a
+    durable committed artifact. Returns 0 when no record exists."""
+    import glob
+    import re
+
+    best_n = -1
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m:
+            best_n = max(best_n, int(m.group(1)))
+    return best_n + 1 if best_n >= 0 else 0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -402,12 +420,24 @@ def main() -> int:
         "reprobe_meta": reprobe_meta,
     }
     print(json.dumps(detail))
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: the printed line above still has everything
+    # Written twice: the legacy mutable path (ad-hoc runs keep clobbering
+    # it, by design) AND a per-round file that later ad-hoc runs do NOT
+    # touch — the reprobe adjudication must survive to the committed tree
+    # (round-11 verdict item 1: the r11 adjudication was lost to a later
+    # 8-core run overwriting BENCH_DETAIL.json).
+    round_no = _current_round(repo_dir)
+    detail_paths = [detail_path]
+    if round_no:
+        detail_paths.append(
+            os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+        )
+    for p in detail_paths:
+        try:
+            with open(p, "w") as f:
+                json.dump(detail, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: the printed line above still has everything
 
     md5s = [c["md5_s"] for c in calibration]
     head = {
@@ -426,7 +456,7 @@ def main() -> int:
         "reprobe_baseline": prev_source or None,
         "queries_total": len(timings),
         "queries_elided": 0,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_paths[-1]),
         "queries": {},
     }
     budget = 1900  # line budget well under the 2000-char capture window

@@ -122,8 +122,15 @@ def boilerplate_stats(
     counts equal the exploded-set counts exactly (modulo md5 hash
     collisions, the same assumption the DuckDB oracle makes).
     """
+    # md5 path rides the vectorized Arrow shingle-hash kernel
+    # (dedup._shingle_hash_arrays_arrow, keep_empty: short docs must
+    # report 0 total n-grams, not vanish); xxhash64 stays JVM-native
+    from dataengineeringpipeline_spark.operators.dedup import _shingle_hash_arrays_arrow
+
     arrays = tracked_persist(
-        _shingle_arrays(docs, n).select(
+        _shingle_hash_arrays_arrow(docs, n, keep_empty=True)
+        if not fast
+        else _shingle_arrays(docs, n).select(
             "doc_id", F.transform("shs", lambda s: word_hash(s, fast=fast)).alias("hs")
         )
     )

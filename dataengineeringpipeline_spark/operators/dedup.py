@@ -88,9 +88,14 @@ def doc_word_hash_sets(docs: DataFrame, fast: bool = False) -> DataFrame:
 def doc_shingle_hash_sets(docs: DataFrame, n: int = 3, fast: bool = False) -> DataFrame:
     """(doc_id, h) distinct shingle hashes — the standard shingling+hashing
     front end for MinHash/SimHash. Shingles are selective even on small
-    vocabularies (word *sets* are not — see :func:`word_jaccard_pairs`)."""
-    return doc_shingles(docs, n).select(
-        "doc_id", word_hash(F.col("shingle"), fast=fast).alias("h")
+    vocabularies (word *sets* are not — see :func:`word_jaccard_pairs`).
+
+    Derived from :func:`doc_shingle_hash_arrays` (one explode): rows are
+    identical to hashing the exploded shingles directly — the array form
+    is the same first-occurrence-distinct shingle list — and the md5
+    path rides the arrays' vectorized Arrow kernel."""
+    return doc_shingle_hash_arrays(docs, n, fast=fast).select(
+        "doc_id", F.explode("hs").alias("h")
     )
 
 
@@ -100,8 +105,12 @@ def _shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
 
     ``spread`` parallelizes the tokenize+shingle map on narrow inputs
     (single-file corpus → one scan partition); no-op at cluster scale.
+    The corpus is projected to ``doc_id, text`` BEFORE the exchange so
+    the repartition never ships unused document columns (guide §2.3).
     """
-    base = spread(docs, "doc_id").select("doc_id", words_col().alias("ws"))
+    base = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", words_col().alias("ws")
+    )
     size = F.size("ws")
     idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
         F.array().cast("array<int>")
@@ -122,12 +131,119 @@ def doc_shingle_hash_arrays(docs: DataFrame, n: int = 3, fast: bool = False) -> 
     """(doc_id, hs) — each document's shingle-hash array, **map-only**
     (no explode, no shuffle): the scale-path front end for MinHash.
     Documents with no shingles (< ``n`` words) are dropped, matching the
-    exploded form's implicit absence from any ``groupBy(doc_id)``."""
-    return (
-        _shingle_arrays(docs, n)
-        .filter(F.size("shs") > 0)
-        .select("doc_id", F.transform("shs", lambda s: word_hash(s, fast=fast)).alias("hs"))
+    exploded form's implicit absence from any ``groupBy(doc_id)``.
+
+    The md5 path (``fast=False``) runs as ONE ``mapInArrow`` batch
+    kernel — tokenize, shingle, first-occurrence-distinct and the
+    md5-prefix hash in a single Python pass over Arrow batches of just
+    ``(doc_id, text)`` (guide §4.2: hand whole batches to native code;
+    §2.3: project before the opaque op so the scan ships two columns).
+    Bits are pinned to the JVM expression chain — Java-regex ``\\s``
+    whitespace classes, space-only ``trim``, keep-trailing-empties
+    split, first-occurrence ``array_distinct``, md5-prefix-48 hashing —
+    and ``tests/test_operators.py`` asserts equality against the JVM
+    chain on the edge-case corpus. Measured (fresh-process min-of-3 at
+    sf0.1, 6 regime draws): 1.34-2.11x faster than the JVM chain, and
+    immune to the host's slow-md5-regime draws that inflated the family
+    2-4x in rounds 9-11 (Python kernel 0.54-1.41s where the JVM chain
+    read 0.86-2.97s for identical work). ``fast=True`` (xxhash64) stays
+    on the JVM expression path — it is hash-native there and crosses no
+    Python boundary."""
+    if fast:
+        return (
+            _shingle_arrays(docs, n)
+            .filter(F.size("shs") > 0)
+            .select(
+                "doc_id", F.transform("shs", lambda s: word_hash(s, fast=True)).alias("hs")
+            )
+        )
+    return _shingle_hash_arrays_arrow(docs, n)
+
+
+def _shingle_hash_arrays_arrow(
+    docs: DataFrame, n: int, keep_empty: bool = False
+) -> DataFrame:
+    """mapInArrow body of :func:`doc_shingle_hash_arrays` (md5 path).
+
+    Semantics replicated bit-for-bit from the JVM chain:
+
+    - ``trim`` strips SPACE (0x20) only — not tabs/newlines;
+    - ``split(trim(text), '\\s+')`` uses Java's ASCII ``\\s`` class
+      ``[ \\t\\n\\x0b\\f\\r]`` (NOT Python's unicode ``\\s``) with
+      limit=-1 (leading match yields a leading empty string, trailing
+      empties kept — ``re.split`` matches both behaviours);
+    - shingles are ``concat_ws(' ', ...)`` over word n-grams, distinct
+      by FIRST OCCURRENCE (``array_distinct`` order);
+    - hash = first 48 bits of ``md5(utf8(shingle))`` as a long
+      (== ``conv(substring(md5(s),1,12),16,10)``);
+    - docs with fewer than ``n`` words (or NULL text) are dropped.
+
+    ``doc_id`` passes through by Arrow filter, so its type is preserved
+    verbatim whatever the caller's id column is.
+
+    ``keep_empty=True`` keeps a row with ``hs = []`` for docs below
+    ``n`` words (and NULL text) instead of dropping them — the
+    unfiltered ``_shingle_arrays`` semantics ``boilerplate_stats``
+    needs (short docs must report 0 total n-grams, not vanish).
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    # Parallelize narrow inputs like ``spread`` but WITHOUT its persist:
+    # ``mapInArrow`` is an optimizer barrier (nothing pushes through it
+    # back onto the scan — the reason spread persists), it is the
+    # exchange's only consumer, and callers persist the RESULT frame for
+    # multi-branch reuse. A persist here would nest an InMemoryRelation
+    # inside every caller's cache for no materialization saved.
+    base = docs.select("doc_id", "text")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col("doc_id"))
+    out_schema = StructType(
+        [base.schema["doc_id"], StructField("hs", ArrayType(LongType(), False), False)]
     )
+
+    def kernel(batches):
+        import re
+        from hashlib import md5
+
+        ws_split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            mask, out_hs = [], []
+            for txt in texts:
+                if txt is None:
+                    mask.append(keep_empty)
+                    if keep_empty:
+                        out_hs.append([])
+                    continue
+                ws = ws_split(txt.strip(" "))
+                if len(ws) < n:
+                    mask.append(keep_empty)
+                    if keep_empty:
+                        out_hs.append([])
+                    continue
+                seen = set()
+                add = seen.add
+                hs = []
+                ap = hs.append
+                for j in range(len(ws) - n + 1):
+                    sh = " ".join(ws[j : j + n])
+                    if sh not in seen:
+                        add(sh)
+                        ap(int.from_bytes(md5(sh.encode("utf-8")).digest()[:6], "big"))
+                mask.append(True)
+                out_hs.append(hs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.filter(pa.array(mask, pa.bool_())),
+                    pa.array(out_hs, pa.list_(pa.int64())),
+                ],
+                ["doc_id", "hs"],
+            )
+
+    return base.mapInArrow(kernel, out_schema)
 
 
 def _pairwise_jaccard(items: DataFrame, key: str, max_df: int | None = DEDUP_MAX_DF) -> DataFrame:

@@ -61,6 +61,20 @@ def test_prior_round_minima_tolerates_missing_and_malformed(tmp_path):
     assert minima == {"good": 2.0} and src == "BENCH_r10.json"
 
 
+def test_current_round_is_one_past_highest_committed_record(tmp_path):
+    """The per-round detail file (BENCH_DETAIL_r{N}.json) is numbered
+    one past the highest committed BENCH_r*.json — the round the run
+    belongs to — so a later ad-hoc run can never clobber a prior
+    round's reprobe adjudication. No records at all ⇒ 0 (no per-round
+    file written)."""
+    assert bench._current_round(str(tmp_path)) == 0
+    _write(str(tmp_path / "BENCH_r09.json"), {})
+    _write(str(tmp_path / "BENCH_r11.json"), {})
+    assert bench._current_round(str(tmp_path)) == 12
+    (tmp_path / "BENCH_rXX.json").write_text("{}")  # non-numeric: ignored
+    assert bench._current_round(str(tmp_path)) == 12
+
+
 def test_reprobe_child_runs_in_fresh_process(spark, sf_dir):
     """End-to-end over the real subprocess seam: the child gets its own
     interpreter + JVM (the whole point — the host regime is

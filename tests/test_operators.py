@@ -98,6 +98,64 @@ def test_minhash_signatures_partitioning_independent(spark, sf_dir):
     assert one == many
 
 
+def test_shingle_hash_arrays_arrow_matches_jvm_chain(spark):
+    """The vectorized Arrow shingle-hash kernel (round-12 optimization)
+    must reproduce the JVM expression chain BIT-FOR-BIT on the edge
+    cases where Java-regex/trim semantics diverge from naive Python:
+    tab/newline/vertical-tab separators (Java ``\\s``), NBSP (NOT a
+    Java ``\\s`` — must stay inside a word), space-only ``trim``
+    (leading tab survives and yields a leading empty word), trailing
+    separators (split keeps trailing empties with limit=-1), short/
+    empty/NULL texts, duplicate shingles (first-occurrence distinct),
+    and non-ASCII md5 input (UTF-8 bytes)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                 # plain
+            (2, "a b c a b c a b c d"),       # duplicate shingles
+            (3, "  a\tb\nc\x0bd\fe\rf  "),    # every Java \s class + space trim
+            (4, "\ta b c"),                   # leading tab survives trim → leading ""
+            (5, "a b c\t"),                   # trailing separator → trailing ""
+            (6, "a b c d"),              # NBSP is NOT Java \s: stays in-word
+            (7, "one two"),                   # < n words: dropped
+            (8, ""),                          # empty: dropped
+            (9, None),                        # NULL text: dropped
+            (10, "héllo wörld ünïcode tæxt"),  # UTF-8 md5 bytes
+            (11, "x  y   z"),                 # run-length separators collapse
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    from dataengineeringpipeline_spark.operators.text import word_hash
+
+    def jvm(frame, keep_empty=False):
+        arrays = dedup._shingle_arrays(frame, 3)
+        if not keep_empty:
+            arrays = arrays.filter(F.size("shs") > 0)
+        return arrays.select(
+            "doc_id", F.transform("shs", lambda s: word_hash(s)).alias("hs")
+        )
+
+    ref = {r["doc_id"]: r["hs"] for r in jvm(docs).collect()}
+    got = {
+        r["doc_id"]: r["hs"]
+        for r in dedup._shingle_hash_arrays_arrow(docs, 3).collect()
+    }
+    assert got == ref
+    assert set(ref) == {1, 2, 3, 4, 5, 6, 10, 11}  # 7/8/9 dropped
+    # keep_empty face (boilerplate_stats): short/NULL docs keep hs = []
+    ref_all = {r["doc_id"]: r["hs"] for r in jvm(docs, keep_empty=True).collect()}
+    got_all = {
+        r["doc_id"]: r["hs"]
+        for r in dedup._shingle_hash_arrays_arrow(docs, 3, keep_empty=True).collect()
+    }
+    assert got_all == ref_all and set(got_all) == set(range(1, 12))
+    # doc_id type passes through verbatim (string ids)
+    sdocs = spark.createDataFrame([("a", "x y z w")], "doc_id string, text string")
+    srows = dedup._shingle_hash_arrays_arrow(sdocs, 3).collect()
+    assert [r["doc_id"] for r in srows] == ["a"]
+
+
 def test_chunk_documents_windows_and_edges(spark):
     """Token-window chunking: stride/overlap math, the short-doc single
     partial chunk, the empty doc yielding nothing, and the trailing
