@@ -2143,6 +2143,44 @@ def test_composite_key_merge_prunes_on_third_key(spark, tmp_path):
         assert got == want, name
 
 
+def test_footer_metadata_pool_matches_serial_order(spark, tmp_path):
+    """The thread-pooled footer walk (round-12 scale bound on the
+    driver-side metadata pass) must return the same metadata in the
+    same input order as the serial loop — envelopes/row-counts zip
+    against the rel list positionally, so an order slip would silently
+    attribute one file's envelope to another."""
+    from dataengineeringpipeline_spark.datalake import (
+        _FOOTER_POOL_AFTER,
+        _data_file_rels,
+        _footer_metadata,
+        _key_envelopes,
+        Lake,
+    )
+
+    lake = Lake(str(tmp_path))
+    n_files = _FOOTER_POOL_AFTER + 9  # force the pooled path
+    df = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    lake.write(
+        df.repartitionByRange(n_files, "k").sortWithinPartitions("k"), "silver", "t"
+    )
+    path = lake.path("silver", "t")
+    rels = _data_file_rels(path)
+    assert len(rels) > _FOOTER_POOL_AFTER
+    pooled = _footer_metadata(path, rels)
+    serial = _footer_metadata(path, rels[: _FOOTER_POOL_AFTER])  # serial branch
+    assert [m.num_rows for m in pooled[: _FOOTER_POOL_AFTER]] == [
+        m.num_rows for m in serial
+    ]
+    assert sum(m.num_rows for m in pooled) == 5000
+    # envelopes stay per-file correct (range clustering ⇒ disjoint,
+    # ascending [min,max] per rel) — an order slip would break this
+    envs = _key_envelopes(path, "k")
+    assert [e[0] for e in envs] == rels
+    assert all(e[2] <= e[3] for e in envs)
+    bounds = [(e[2], e[3]) for e in envs if e[2] is not None]
+    assert bounds == sorted(bounds)
+
+
 def test_distributed_prune_probe_is_single_pass(spark, tmp_path):
     """The integral prune's probe side derives its global [lo, hi] from
     the file envelopes the driver already holds — NOT from a min/max
