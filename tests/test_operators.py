@@ -315,7 +315,10 @@ def test_operator_persists_are_released_by_release_caches(spark, sf_dir):
     release_caches()  # start clean regardless of earlier tests
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     dedup.minhash_lsh_pairs(docs).limit(1).count()  # action populates the caches
-    assert len(_TRACKED) >= 2  # shingle sets + signatures
+    # r12: the Arrow shingle kernel dropped spread()'s corpus persist
+    # (single consumer, optimizer barrier built in), so the chain
+    # registers exactly the shared hash-ARRAYS persist
+    assert len(_TRACKED) >= 1
     tracked = list(_TRACKED)
     released = release_caches()
     assert released == len(tracked) and not _TRACKED
