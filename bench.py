@@ -253,6 +253,28 @@ def _current_round(repo_dir: str) -> int:
     return best_n + 1 if best_n >= 0 else 0
 
 
+def _detail_paths(repo_dir: str, detail_path: str, cpus: int) -> list[str]:
+    """Where this run's detail record lands: always the legacy mutable
+    BENCH_DETAIL.json, plus the per-round BENCH_DETAIL_r{NN}.json —
+    UNLESS that file already holds a different-core-count record.
+    Same-round clobber guard: a different-cpus rerun (the driver's
+    lower-core scaling sweep, an ad-hoc probe) must not overwrite the
+    round's main-record reprobe adjudication — the same failure that
+    lost round 11's adjudication, one level down. A rerun at the SAME
+    cpus legitimately replaces (latest closing run wins)."""
+    paths = [detail_path]
+    round_no = _current_round(repo_dir)
+    if round_no:
+        per_round = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+        try:
+            with open(per_round) as f:
+                if json.load(f).get("cpus") in (None, cpus):
+                    paths.append(per_round)
+        except (OSError, ValueError):
+            paths.append(per_round)  # absent/unreadable: write it
+    return paths
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -407,6 +429,7 @@ def main() -> int:
         "queries_samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
         "cpu_steal_pct": _steal_pct(),
         "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
         "sweeps": sweeps,
         # Regime instrumentation: per-sweep + closing calibration probe
         # readings (identical fixed work — drift is host state, not
@@ -425,13 +448,7 @@ def main() -> int:
     # touch — the reprobe adjudication must survive to the committed tree
     # (round-11 verdict item 1: the r11 adjudication was lost to a later
     # 8-core run overwriting BENCH_DETAIL.json).
-    round_no = _current_round(repo_dir)
-    detail_paths = [detail_path]
-    if round_no:
-        detail_paths.append(
-            os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
-        )
-    for p in detail_paths:
+    for p in _detail_paths(repo_dir, detail_path, cpus):
         try:
             with open(p, "w") as f:
                 json.dump(detail, f, indent=1)

@@ -75,6 +75,32 @@ def test_current_round_is_one_past_highest_committed_record(tmp_path):
     assert bench._current_round(str(tmp_path)) == 12
 
 
+def test_detail_paths_guard_blocks_cross_cpu_clobber(tmp_path):
+    """A different-core-count rerun must not overwrite the round's
+    per-round detail (its reprobe adjudication is the committed
+    artifact); a same-cpus rerun replaces it, and a missing/unreadable
+    file is always written."""
+    legacy = str(tmp_path / "BENCH_DETAIL.json")
+    _write(str(tmp_path / "BENCH_r11.json"), {})  # round -> 12
+    per_round = str(tmp_path / "BENCH_DETAIL_r12.json")
+    # absent: written
+    assert bench._detail_paths(str(tmp_path), legacy, 32) == [legacy, per_round]
+    # existing 32-core record: 8-core rerun skips it, 32-core replaces
+    _write(per_round, {"cpus": 32})
+    assert bench._detail_paths(str(tmp_path), legacy, 8) == [legacy]
+    assert bench._detail_paths(str(tmp_path), legacy, 32) == [legacy, per_round]
+    # legacy record without a cpus field: conservatively replaceable
+    _write(per_round, {"value": 1.0})
+    assert bench._detail_paths(str(tmp_path), legacy, 8) == [legacy, per_round]
+    # unreadable: written
+    with open(per_round, "w") as f:
+        f.write("{not json")
+    assert bench._detail_paths(str(tmp_path), legacy, 8) == [legacy, per_round]
+    # no committed round record at all: only the legacy path
+    (tmp_path / "BENCH_r11.json").unlink()
+    assert bench._detail_paths(str(tmp_path), legacy, 32) == [legacy]
+
+
 def test_reprobe_child_runs_in_fresh_process(spark, sf_dir):
     """End-to-end over the real subprocess seam: the child gets its own
     interpreter + JVM (the whole point — the host regime is
